@@ -1,13 +1,142 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.trend.{Detect, MannKendall, Models, Rebin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry in `queries` has (where SQL-expressible) a DuckDB oracle in
+  * `oracleSql` over the same parquet tables; column names are aliased
+  * identically on both sides because the driver's compare hashes values
+  * under name-sorted columns.
+  */
 object SparkEntry {
+
+  // ---- shared trend-pipeline building blocks (Spark side) ----
+  private def rebinnedEvents(s: SparkSession, dir: String): DataFrame =
+    Rebin(Tables.eventsAsCounts(s, dir), "hours", 1)
+
+  // ---- shared trend-pipeline building blocks (oracle side) ----
+  private val rebCtes: String =
+    s"raw_counts AS (${Tables.eventsAsCountsSql}),\n${Rebin.oracleCtes("hours", 1)}"
+
+  private def withScored(modelCtes: String, finalSelect: String): String =
+    s"WITH $rebCtes,\n$modelCtes\n$finalSelect"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Models.poissonLc(rebinnedEvents(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational coverage over the TPC-H-ish tables ---
+    "q01_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .where(col("o_orderstatus") =!= "F")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q03_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q04_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6))
+        .where(col("rn") <= 5)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
+    }),
+
+    // --- the reference's own pipeline over the events stream table ---
+    "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
+    "trend_poisson_lc" -> ((s, dir) => Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99)),
+    "trend_poisson_cycle" -> ((s, dir) =>
+      Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99, periodList = Seq("hour"))),
+    "trend_linreg" -> ((s, dir) =>
+      Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3)),
+    "trend_mk" -> ((s, dir) => MannKendall(rebinnedEvents(s, dir))),
+    "trend_detect" -> ((s, dir) =>
+      Detect(Models.poissonLc(rebinnedEvents(s, dir)), theta = 0.5)),
+    "trend_argmax" -> ((s, dir) =>
+      Detect.argmax(Models.poissonLc(rebinnedEvents(s, dir)))),
+    "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
+    "trend_coarsen" -> ((s, dir) =>
+      Detect.coarsen(Models.poissonLc(rebinnedEvents(s, dir)), rebinFactor = 6)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus != 'F'
+        |GROUP BY n_name""".stripMargin,
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn, running_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER w AS rn,
+        |    round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5""".stripMargin,
+    "trend_rebin" ->
+      s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
+    "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_poisson_cycle" -> withScored(Models.poissonCycleOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_linreg" -> withScored(Models.linRegOracleCtes(minPoints = 10, avgWindow = 3),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_mk" -> withScored(MannKendall.oracleCtes,
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_detect" -> withScored(Models.poissonLcOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored WHERE eta > 0.5"),
+    "trend_argmax" -> withScored(Models.poissonLcOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored ORDER BY eta DESC, counter, ts LIMIT 1"),
+    "trend_corr" ->
+      s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",
+    "trend_coarsen" -> withScored(
+      Models.poissonLcOracleCtes(0.99) + ",\n" + Detect.coarsenOracleCtes(6),
+      "SELECT counter, ts, count, eta FROM coarse"))
 }

@@ -1,0 +1,79 @@
+package graft.trend
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-scoring operators: threshold detection, global argmax, aligned
+  * pairwise Pearson correlation, and the plot-stage coarse rebin.
+  */
+object Detect {
+
+  /** Exceedance report: points where eta > theta (trend_detector.py:26-27). */
+  def apply(scored: DataFrame, theta: Double): DataFrame =
+    scored.where(col("eta") > theta)
+      .select("counter", "ts", "count", "eta")
+
+  /** Global argmax: the single (counter, time, eta) with maximal eta
+    * (trend_detector.py:18-25). Deterministic tie-break on (counter, ts);
+    * executes as a TakeOrderedAndProject (no full sort materialized).
+    */
+  def argmax(scored: DataFrame): DataFrame =
+    scored.orderBy(desc("eta"), asc("counter"), asc("ts")).limit(1)
+      .select("counter", "ts", "count", "eta")
+
+  /** All-pairs Pearson correlation between counters' series, aligned by
+    * inner join on ts (fixing the reference's assumption of equal-length
+    * aligned inputs, README.md:85; time_series_correlations.py:38-44).
+    * Correlations are rounded to 6 dp so engine/oracle agree despite
+    * different accumulation orders. Scale: the self-join is on ts (dense
+    * keys); pairs are formed per-ts then hash-aggregated — shuffle on the
+    * pair key only, no driver-side matrix.
+    */
+  def correlate(binned: DataFrame): DataFrame = {
+    val a = binned.select(col("counter").as("counter_a"), col("ts"),
+      col("count").cast("double").as("ca"))
+    val b = binned.select(col("counter").as("counter_b"), col("ts"),
+      col("count").cast("double").as("cb"))
+    a.join(b, Seq("ts"))
+      .where(col("counter_a") < col("counter_b"))
+      .groupBy("counter_a", "counter_b")
+      .agg(round(corr("ca", "cb"), 6).as("r"))
+  }
+
+  /** Plot-stage coarse rebin (analysis.py:248-268): group every
+    * `rebinFactor` consecutive points per counter; sum counts, average
+    * etas, keep the LAST timestamp of each full group, and drop the
+    * trailing partial group (analysis.py:261 checks the group is full).
+    */
+  def coarsen(scored: DataFrame, rebinFactor: Int): DataFrame = {
+    val w = Window.partitionBy("counter").orderBy("ts")
+    scored
+      .withColumn("grp", floor((row_number().over(w) - 1) / rebinFactor))
+      .groupBy("counter", "grp")
+      .agg(max("ts").as("ts"), sum("count").as("count"),
+        round(avg("eta"), 9).as("eta"), count(lit(1)).as("n"))
+      .where(col("n") === rebinFactor)
+      .select("counter", "ts", "count", "eta")
+  }
+
+  /** DuckDB CTE for correlate over `rebinned`. */
+  def correlateOracleCtes: String =
+    s"""corr_pairs AS (
+       |  SELECT a.counter AS counter_a, b.counter AS counter_b,
+       |         round(corr(a.count, b.count), 6) AS r
+       |  FROM rebinned a JOIN rebinned b ON a.ts = b.ts
+       |  WHERE a.counter < b.counter
+       |  GROUP BY a.counter, b.counter)""".stripMargin
+
+  /** DuckDB CTE for coarsen over `scored`. */
+  def coarsenOracleCtes(rebinFactor: Int): String =
+    s"""coarse_g AS (
+       |  SELECT counter, ts, count, eta,
+       |         floor((row_number() OVER (PARTITION BY counter ORDER BY ts) - 1)
+       |               / $rebinFactor) AS grp
+       |  FROM scored),
+       |coarse AS (
+       |  SELECT counter, max(ts) AS ts, sum(count) AS count, round(avg(eta), 9) AS eta
+       |  FROM coarse_g GROUP BY counter, grp HAVING count(*) = $rebinFactor)""".stripMargin
+}

@@ -1,0 +1,155 @@
+package graft.trend
+
+import graft.functions.Rounding
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mann-Kendall trend test, scored per point over the history seen so far —
+  * the reference recomputes mk_test over the full count list at every
+  * update (models.py:25-45, mk_test.py:14-77) and returns z only
+  * (`mk_test(x, alpha)[3]`).
+  *
+  * Per-point, for the prefix x_1..x_n:
+  *   S      = Σ_{k<j} sign(x_j − x_k)                      (mk_test.py:41-44)
+  *   var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18 (mk_test.py:46-57)
+  *   z      = (S−1)/√var  if S>0;  0 if S=0;  (S+1)/√var   (mk_test.py:59-64)
+  *
+  * The reference is O(n²) per point ⇒ O(n³) per series. Here each counter's
+  * series is processed once with a Fenwick tree over value ranks:
+  * ΔS_i = #{k<i: x_k<x_i} − #{k<i: x_k>x_i} and the tie correction updates
+  * incrementally as f(c+1)−f(c) for f(t)=t(t−1)(2t+5) — O(n log n) per
+  * series total.
+  *
+  * Distribution: groupByKey(counter) + flatMapGroups; one shuffle, state is
+  * one series (≤ grid-bin count, bounded by time range / resolution, NOT by
+  * raw data volume — safe at 100 TB of events). An optional window_size
+  * recomputes over the trailing window per point (models.py:42-44),
+  * O(n·w log w).
+  */
+object MannKendall {
+
+  // not `private`: Spark's encoder codegen needs public access to these
+  final case class Pt(counter: String, ts: java.sql.Timestamp, count: Double)
+  final case class Scored(counter: String, ts: java.sql.Timestamp,
+                          count: Double, z: Double)
+
+  private def fTie(t: Long): Double = t.toDouble * (t - 1) * (2 * t + 5)
+
+  private final class Fenwick(n: Int) {
+    private val a = new Array[Int](n + 1)
+    def add(i: Int): Unit = { var x = i + 1; while (x <= n) { a(x) += 1; x += x & -x } }
+    /** count of inserted ranks <= i */
+    def cumLe(i: Int): Int = { var x = i + 1; var s = 0; while (x > 0) { s += a(x); x -= x & -x }; s }
+  }
+
+  private def zOf(s: Double, varS: Double): Double =
+    if (s > 0) (s - 1) / math.sqrt(varS)
+    else if (s < 0) (s + 1) / math.sqrt(varS)
+    else 0.0
+
+  /** z per prefix (expanding history) for one time-ordered value array. */
+  private[trend] def expandingZ(xs: Array[Double]): Array[Double] = {
+    val n = xs.length
+    val sorted = xs.distinct.sorted
+    val rank = sorted.zipWithIndex.toMap
+    val bit = new Fenwick(sorted.length)
+    val tieCount = scala.collection.mutable.HashMap.empty[Double, Long]
+    val out = new Array[Double](n)
+    var s = 0.0
+    var tieSum = 0.0
+    var i = 0
+    while (i < n) {
+      val r = rank(xs(i))
+      val less = if (r == 0) 0 else bit.cumLe(r - 1)
+      val leq = bit.cumLe(r)
+      val greater = i - leq
+      s += (less - greater)
+      val c = tieCount.getOrElse(xs(i), 0L)
+      tieSum += fTie(c + 1) - fTie(c)
+      tieCount.update(xs(i), c + 1)
+      bit.add(r)
+      val nn = (i + 1).toDouble
+      val varS = (nn * (nn - 1) * (2 * nn + 5) - tieSum) / 18.0
+      out(i) = if (varS <= 0) 0.0 else zOf(s, varS)
+      i += 1
+    }
+    out
+  }
+
+  /** Naive mk z over one window (used for the window_size variant). */
+  private[trend] def windowZ(xs: Array[Double]): Double = {
+    val n = xs.length
+    var s = 0.0
+    var k = 0
+    while (k < n - 1) {
+      var j = k + 1
+      while (j < n) { s += math.signum(xs(j) - xs(k)); j += 1 }
+      k += 1
+    }
+    val ties = xs.groupBy(identity).values.map(g => fTie(g.length.toLong)).sum
+    val varS = (n.toDouble * (n - 1) * (2 * n + 5) - ties) / 18.0
+    if (varS <= 0) 0.0 else zOf(s, varS)
+  }
+
+  def apply(binned: DataFrame, windowSize: Option[Int] = None): DataFrame = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    val scored = binned.select($"counter", $"ts", $"count".cast("double").as("count"))
+      .as[Pt]
+      .groupByKey(_.counter)
+      .flatMapGroups { (counter, it) =>
+        val pts = it.toArray.sortBy(_.ts.getTime)
+        val xs = pts.map(_.count)
+        val zs = windowSize match {
+          case None => expandingZ(xs)
+          case Some(ws) =>
+            Array.tabulate(xs.length) { i =>
+              windowZ(xs.slice(math.max(0, i + 1 - ws), i + 1))
+            }
+        }
+        pts.indices.iterator.map(i => Scored(counter, pts(i).ts, pts(i).count, zs(i)))
+      }
+    scored.toDF()
+      .withColumn("eta", Rounding.trim2(col("z")))
+      .select("counter", "ts", "count", "eta")
+  }
+
+  /** DuckDB oracle: O(n²) prefix-pair formulation over
+    * `rebinned(counter, ts, duration_sec, count)` → `scored(...)`. Feasible
+    * at oracle scale (sf0.01); the engine itself uses the O(n log n) path.
+    */
+  def oracleCtes: String =
+    s"""mk_idx AS (
+       |  SELECT counter, ts, count,
+       |         row_number() OVER (PARTITION BY counter ORDER BY ts) AS i
+       |  FROM rebinned),
+       |mk_delta AS (
+       |  SELECT a.counter, a.i,
+       |         sum(CASE WHEN a.count > b.count THEN 1
+       |                  WHEN a.count < b.count THEN -1 ELSE 0 END) AS d_s,
+       |         sum(CASE WHEN a.count = b.count THEN 1 ELSE 0 END) AS n_eq
+       |  FROM mk_idx a JOIN mk_idx b
+       |    ON a.counter = b.counter AND b.i < a.i
+       |  GROUP BY a.counter, a.i),
+       |mk_tie AS (
+       |  SELECT counter, i, d_s,
+       |         (((n_eq+1)*n_eq*(2*(n_eq+1)+5)) - (n_eq*(n_eq-1)*(2*n_eq+5)))::DOUBLE AS tie_delta
+       |  FROM mk_delta),
+       |mk_run AS (
+       |  SELECT x.counter, x.ts, x.count, x.i,
+       |         coalesce(sum(t.d_s) OVER (PARTITION BY x.counter ORDER BY x.i), 0)::DOUBLE AS s,
+       |         (x.i::DOUBLE * (x.i-1) * (2*x.i+5)
+       |          - coalesce(sum(t.tie_delta) OVER (PARTITION BY x.counter ORDER BY x.i), 0)
+       |          - 0) / 18.0 AS var_s_pre
+       |  FROM mk_idx x LEFT JOIN mk_tie t ON x.counter = t.counter AND x.i = t.i),
+       |mk_z AS (
+       |  SELECT counter, ts, count,
+       |         CASE WHEN var_s_pre <= 0 THEN 0.0
+       |              WHEN s > 0 THEN (s - 1) / sqrt(var_s_pre)
+       |              WHEN s < 0 THEN (s + 1) / sqrt(var_s_pre)
+       |              ELSE 0.0 END AS z
+       |  FROM mk_run),
+       |scored AS (
+       |  SELECT counter, ts, count, ${Rounding.trim2Sql("z")} AS eta
+       |  FROM mk_z)""".stripMargin
+}
