@@ -1,6 +1,6 @@
 package graft
 
-import graft.trend.{Detect, MannKendall, Models, Rebin}
+import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,6 +23,11 @@ object SparkEntry {
 
   private def withScored(modelCtes: String, finalSelect: String): String =
     s"WITH $rebCtes,\n$modelCtes\n$finalSelect"
+
+  // WDT parameters sized to the hourly event grid (reference example uses
+  // 150/150/1/40 on 2-min bins, config.cfg:60-78)
+  private val wdtCfg = SeriesTransforms.Config(seriesLength = 24,
+    referenceLength = 48, nSmooth = 4, baselineOffset = 12, lambda = 0.1)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -84,6 +89,11 @@ object SparkEntry {
     "trend_argmax" -> ((s, dir) =>
       Detect.argmax(Models.poissonLc(rebinnedEvents(s, dir)))),
     "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
+    "trend_wdt" -> ((s, dir) => {
+      val binned = rebinnedEvents(s, dir)
+      val lib = Wdt.buildLibrary(binned, length(col("counter")) % 2 === 0, wdtCfg)
+      Wdt.score(binned, lib, wdtCfg)
+    }),
     "trend_coarsen" -> ((s, dir) =>
       Detect.coarsen(Models.poissonLc(rebinnedEvents(s, dir)), rebinFactor = 6)))
 
@@ -136,6 +146,8 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored ORDER BY eta DESC, counter, ts LIMIT 1"),
     "trend_corr" ->
       s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",
+    "trend_wdt" -> withScored(Wdt.oracleCtes("length(counter) % 2 = 0", wdtCfg),
+      "SELECT counter, ts, count, eta FROM scored"),
     "trend_coarsen" -> withScored(
       Models.poissonLcOracleCtes(0.99) + ",\n" + Detect.coarsenOracleCtes(6),
       "SELECT counter, ts, count, eta FROM coarse"))
