@@ -1,0 +1,230 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents table — the training-data-
+  * pipeline companions to the reference's trend surface (BASELINE.json
+  * north star). Each has an exact DuckDB oracle built from the Portable
+  * primitives.
+  *
+  * Scale design (100 TB): everything is hash-partitioned long-form work —
+  * no driver-side state, no all-pairs joins except where explicitly
+  * candidate-pruned first (LSH bands / byte bands / shared-shingle
+  * inverted index). The only caps are per-document (shingle counts),
+  * never corpus-wide.
+  */
+object Dedup {
+  import Portable._
+
+  /** Exact dedup: md5 content key → representative = min doc_id.
+    * Output: (content_key, keep_id, n_copies).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactOracleSql: String =
+    """SELECT md5(text) AS content_key, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Distinct (doc_id, shingle) long table. */
+  private def shingleTable(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(words(col("text")), k)).as("shingle"))
+      .distinct()
+
+  private def shingleTableSql(k: Int): String =
+    s"""doc_words AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |doc_shingles AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesSql(k)}) AS shingle
+       |  FROM doc_words)""".stripMargin
+
+  /** MinHash + LSH near-dup pairs: `numHashes` min-hashes of word-`k`-gram
+    * shingles, banded into `bands` buckets (rows = numHashes/bands); pairs
+    * sharing a band bucket are verified with exact Jaccard >= `threshold`.
+    * Output: (doc_a, doc_b, jaccard).
+    *
+    * Scale: shingles → shuffle by (doc, seed) for signatures; band self-
+    * join is on the band-bucket key (tiny groups); the exact-verify join is
+    * per candidate pair only. No O(n²) stage.
+    */
+  def minHashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = shingleTable(docs, k)
+
+    val sig = sh
+      .withColumn("seed", explode(lit((0 until numHashes).toArray)))
+      .groupBy("doc_id", "seed")
+      .agg(min(h64(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("mh"))
+
+    val banded = sig
+      .withColumn("band", floor(col("seed") / rows))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        s => s.getField("mh").cast("string")), "|")).as("bkey"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    jaccardVerify(cand, sh, threshold)
+  }
+
+  /** Exact jaccard for candidate pairs via the shared-shingle join. */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ninter").cast("double") /
+          (col("na.n") + col("nb.n") - col("ninter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  def minHashLshOracleSql(k: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                          threshold: Double = 0.5): String = {
+    val rows = numHashes / bands
+    s"""WITH ${shingleTableSql(k)},
+       |sig AS (
+       |  SELECT doc_id, seed,
+       |         min(${h64Sql("shingle || '#' || seed")}) AS mh
+       |  FROM doc_shingles, unnest(range(0, $numHashes)) AS r(seed)
+       |  GROUP BY doc_id, seed),
+       |banded AS (
+       |  SELECT doc_id, seed // $rows AS band,
+       |         md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bkey
+       |  FROM sig GROUP BY doc_id, seed // $rows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN doc_shingles sa ON c.doc_a = sa.doc_id
+       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) >= $threshold""".stripMargin
+  }
+
+  /** All near-dup pairs by exact n-gram Jaccard >= threshold, candidates
+    * from the shared-shingle inverted index (no LSH approximation).
+    */
+  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, k)
+    val cand = sh.as("sa").join(sh.as("sb"),
+        col("sa.shingle") === col("sb.shingle") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, sh, threshold)
+  }
+
+  def ngramJaccardOracleSql(k: Int = 3, threshold: Double = 0.5): String =
+    s"""WITH ${shingleTableSql(k)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+       |  FROM doc_shingles sa JOIN doc_shingles sb
+       |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY sa.doc_id, sb.doc_id)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) >= $threshold""".stripMargin
+
+  /** 32-bit SimHash over distinct words; near-dup pairs = hamming <=
+    * maxHamming, with candidates pruned by the byte-band pigeonhole (<=3
+    * bit flips cannot change all 4 bytes, so near pairs share >= 1 byte).
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "byte-band prefilter is exact only for <= 3")
+    val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word")).distinct()
+    val sims = dw
+      .withColumn("wh", h64(concat(col("word"), lit("#s"))))
+      .withColumn("bit", explode(lit((0 until 32).toArray)))
+      .withColumn("contrib",
+        when(expr("shiftright(wh, bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+    val byteband = sims.withColumn("b", explode(lit((0 until 4).toArray)))
+      .withColumn("bkey", expr("shiftright(simhash, 8 * b) & 255"))
+    byteband.as("a").join(byteband.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  def simHashOracleSql(maxHamming: Int = 3): String =
+    s"""WITH dw AS (
+       |  SELECT DISTINCT doc_id, unnest($wordsSql) AS word FROM documents),
+       |bitsum AS (
+       |  SELECT doc_id, bit,
+       |         sum(CASE WHEN (${h64Sql("word || '#s'")} >> bit) & 1 = 1
+       |                  THEN 1 ELSE -1 END) AS s
+       |  FROM dw, unnest(range(0, 32)) AS r(bit)
+       |  GROUP BY doc_id, bit),
+       |sims AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+       |  FROM bitsum GROUP BY doc_id),
+       |byteband AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bkey
+       |  FROM sims, unnest(range(0, 4)) AS r(b))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM byteband a JOIN byteband b
+       |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  /** Embedding near-dup pairs: cosine >= threshold, computed in double
+    * with a left-to-right fold on both engines, rounded to 6 dp before the
+    * threshold. All-pairs here (exact baseline); the LSH-bucketed variant
+    * in Similarity is the scale path.
+    */
+  def embeddingCosine(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  def embeddingCosineOracleSql(threshold: Double): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $threshold""".stripMargin
+}
