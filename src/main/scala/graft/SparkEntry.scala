@@ -1,5 +1,6 @@
 package graft
 
+import graft.ml.{Dedup, Similarity, TextStats}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -95,7 +96,33 @@ object SparkEntry {
       Wdt.score(binned, lib, wdtCfg)
     }),
     "trend_coarsen" -> ((s, dir) =>
-      Detect.coarsen(Models.poissonLc(rebinnedEvents(s, dir)), rebinFactor = 6)))
+      Detect.coarsen(Models.poissonLc(rebinnedEvents(s, dir)), rebinFactor = 6)),
+
+    // --- LLM-training-data pipeline: dedup over documents/embeddings ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.load(s, dir, "documents"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.load(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
+    // embeddings are near-orthogonal synthetic vectors (max pairwise
+    // cosine ~0.51 at sf0.01) — 0.45 yields a real, non-vacuous pair set
+    "dedup_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosine(Tables.load(s, dir, "embeddings"), threshold = 0.45)),
+
+    // --- similarity search (ANN) over embeddings ---
+    "ann_brute_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+
+    // --- text analysis over documents ---
+    "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextStats.quality(Tables.load(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextStats.languageId(Tables.load(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -150,5 +177,16 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_coarsen" -> withScored(
       Models.poissonLcOracleCtes(0.99) + ",\n" + Detect.coarsenOracleCtes(6),
-      "SELECT counter, ts, count, eta FROM coarse"))
+      "SELECT counter, ts, count, eta FROM coarse"),
+    "dedup_exact" -> Dedup.exactOracleSql,
+    "dedup_minhash_lsh" -> Dedup.minHashLshOracleSql(),
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
+    "dedup_simhash" -> Dedup.simHashOracleSql(),
+    "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
+    "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
+    "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
+    "text_token_stats" -> TextStats.tokenStatsOracleSql,
+    "text_quality" -> TextStats.qualityOracleSql,
+    "text_langid" -> TextStats.languageIdOracleSql,
+    "text_fingerprint" -> TextStats.fingerprintOracleSql)
 }

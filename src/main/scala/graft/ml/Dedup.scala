@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * primitives.
   *
   * Scale design (100 TB): everything is hash-partitioned long-form work —
-  * no driver-side state, no all-pairs joins except where explicitly
-  * candidate-pruned first (LSH bands / byte bands / shared-shingle
-  * inverted index). The only caps are per-document (shingle counts),
-  * never corpus-wide.
+  * no driver-side state; candidate generation is pruned before any pair
+  * is materialized (minhash LSH bands, 15-bit simhash bands, df-capped
+  * shared-shingle inverted index). The one exception is
+  * [[embeddingCosine]], the deliberately-exact all-pairs baseline whose
+  * scale path is [[Similarity.lshTopK]].
   */
 object Dedup {
   import Portable._
@@ -127,11 +128,21 @@ object Dedup {
   }
 
   /** All near-dup pairs by exact n-gram Jaccard >= threshold, candidates
-    * from the shared-shingle inverted index (no LSH approximation).
+    * from the shared-shingle inverted index.
+    *
+    * Scale: shingles with document frequency > `maxDf` are excluded from
+    * candidate GENERATION (a hot shingle like "of the same" would emit
+    * O(df²) pairs); verification still uses the full shingle sets, so any
+    * reported jaccard is exact. Pairs whose only shared shingles are hot
+    * ones are missed — by definition they share nothing distinctive.
     */
-  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 1000): DataFrame = {
     val sh = shingleTable(docs, k)
-    val cand = sh.as("sa").join(sh.as("sb"),
+    val rare = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDf).drop("df")
+    val cand = rare.as("sa").join(rare.as("sb"),
         col("sa.shingle") === col("sb.shingle") &&
           col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
@@ -139,14 +150,24 @@ object Dedup {
     jaccardVerify(cand, sh, threshold)
   }
 
-  def ngramJaccardOracleSql(k: Int = 3, threshold: Double = 0.5): String =
+  def ngramJaccardOracleSql(k: Int = 3, threshold: Double = 0.5,
+                            maxDf: Int = 1000): String =
     s"""WITH ${shingleTableSql(k)},
+       |rare AS (
+       |  SELECT * FROM doc_shingles WHERE shingle IN (
+       |    SELECT shingle FROM doc_shingles GROUP BY shingle
+       |    HAVING count(*) <= $maxDf)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+       |  FROM rare sa JOIN rare sb
+       |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
        |inter AS (
-       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
-       |  FROM doc_shingles sa JOIN doc_shingles sb
-       |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-       |  GROUP BY sa.doc_id, sb.doc_id)
+       |  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN doc_shingles sa ON c.doc_a = sa.doc_id
+       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY c.doc_a, c.doc_b)
        |SELECT i.doc_a, i.doc_b,
        |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
        |FROM inter i
@@ -154,25 +175,29 @@ object Dedup {
        |JOIN sizes nb ON i.doc_b = nb.doc_id
        |WHERE round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) >= $threshold""".stripMargin
 
-  /** 32-bit SimHash over distinct words; near-dup pairs = hamming <=
-    * maxHamming, with candidates pruned by the byte-band pigeonhole (<=3
-    * bit flips cannot change all 4 bytes, so near pairs share >= 1 byte).
+  /** 60-bit SimHash over distinct words (the full width of the portable
+    * md5-prefix hash); near-dup pairs = hamming <= maxHamming, with
+    * candidates pruned by the 15-bit-band pigeonhole: <= 3 bit flips cannot
+    * change all 4 bands, so near pairs share >= 1 exact band. 15-bit bands
+    * give 32,768 buckets per band — at corpus scale each bucket holds
+    * ~n/32768 docs, vs the ~n/256 of byte bands, keeping the within-bucket
+    * self-join quadratic-in-tiny-groups only.
     * Output: (doc_a, doc_b, hamming).
     */
   def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "byte-band prefilter is exact only for <= 3")
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
     val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word")).distinct()
     val sims = dw
       .withColumn("wh", h64(concat(col("word"), lit("#s"))))
-      .withColumn("bit", explode(lit((0 until 32).toArray)))
+      .withColumn("bit", explode(lit((0 until 60).toArray)))
       .withColumn("contrib",
         when(expr("shiftright(wh, bit) & 1") === 1, 1).otherwise(-1))
       .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
-    val byteband = sims.withColumn("b", explode(lit((0 until 4).toArray)))
-      .withColumn("bkey", expr("shiftright(simhash, 8 * b) & 255"))
-    byteband.as("a").join(byteband.as("b"),
+    val band = sims.withColumn("b", explode(lit((0 until 4).toArray)))
+      .withColumn("bkey", expr("shiftright(simhash, 15 * b) & 32767"))
+    band.as("a").join(band.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -188,25 +213,25 @@ object Dedup {
        |  SELECT doc_id, bit,
        |         sum(CASE WHEN (${h64Sql("word || '#s'")} >> bit) & 1 = 1
        |                  THEN 1 ELSE -1 END) AS s
-       |  FROM dw, unnest(range(0, 32)) AS r(bit)
+       |  FROM dw, unnest(range(0, 60)) AS r(bit)
        |  GROUP BY doc_id, bit),
        |sims AS (
        |  SELECT doc_id,
        |         sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
        |  FROM bitsum GROUP BY doc_id),
-       |byteband AS (
-       |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bkey
+       |band AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bkey
        |  FROM sims, unnest(range(0, 4)) AS r(b))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM byteband a JOIN byteband b
+       |FROM band a JOIN band b
        |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
   /** Embedding near-dup pairs: cosine >= threshold, computed in double
     * with a left-to-right fold on both engines, rounded to 6 dp before the
-    * threshold. All-pairs here (exact baseline); the LSH-bucketed variant
-    * in Similarity is the scale path.
+    * threshold. All-pairs here (exact baseline, O(n²) by definition);
+    * [[Similarity.lshTopK]] is the candidate-pruned scale path.
     */
   def embeddingCosine(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -1,0 +1,177 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]` → cast to double) — the similarity-search leg of the
+  * training-data-pipeline surface (BASELINE.json north star; promised by
+  * Dedup.embeddingCosine's scale note).
+  *
+  * Two entry points with identical output schema
+  * (query_id, neighbor_id, cosine, rank):
+  *
+  *  - [[bruteForceTopK]]: exact top-k — broadcast the (small) query set
+  *    against the full corpus; two-phase ranking so no single partition
+  *    ever holds a whole query's corpus-sized candidate list.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by banded
+  *    sign signatures (one linear pass), candidates = vectors sharing at
+  *    least one band bucket with the query, cosine-verified within
+  *    candidates only. At 100 TB the per-band bucket join replaces the
+  *    corpus-wide cross join; recall < 1 by design.
+  *
+  * The hyperplanes are pseudo-random but deterministic: weights derive
+  * from md5 of "plane:dim" computed driver-side and embedded as literals
+  * in both the Spark plan and the DuckDB oracle SQL, so results are
+  * bit-reproducible across engines (dot products are strict left-to-right
+  * folds on both sides).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane weight in [-1000, 1000]. */
+  private[ml] def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 2001 - 1000).toDouble
+  }
+
+  private[ml] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(d => planeWeight(p, d)))
+
+  /** Strict left-to-right fold dot product (deterministic IEEE order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def normed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Two-phase top-k per query: rank within a salt bucket first (bounded
+    * partitions), then globally among the <= 64·k survivors. Identical
+    * result to a single global rank, but the corpus-sized sort is
+    * distributed over 64 buckets per query.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val byScore = Seq(desc("cosine"), asc("neighbor_id"))
+    val pre = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+      .orderBy(byScore: _*)
+    val fin = Window.partitionBy("query_id").orderBy(byScore: _*)
+    scored
+      .withColumn("r1", row_number().over(pre)).where(col("r1") <= k).drop("r1")
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k for every vector selected by `isQuery`. */
+  def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val e = normed(emb)
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+    topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** isQuery predicate used by the registered queries: a fixed 2% slice. */
+  val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
+  val defaultIsQuerySql: String = "vec_id % 50 = 0"
+
+  def bruteForceTopKOracleSql(k: Int, dim: Int = 64,
+                              isQuerySql: String = defaultIsQuerySql): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |  FROM e JOIN q ON e.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Banded sign-signature table: (vec_id, band, bkey) — `bands` rows per
+    * vector, bkey = the `rowsPerBand` sign bits of that band packed into a
+    * long. One linear pass over the corpus.
+    */
+  private def bandTable(e: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
+    require(nPlanes % bands == 0)
+    val rows = nPlanes / bands
+    val dim = 64 // embeddings table vector width (TESTDATA.md)
+    val pls = planes(nPlanes, dim)
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until rows).map { r =>
+        val p = b * rows + r
+        when(dot(col("v"), typedlit(pls(p))) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    e.select(col("vec_id"), col("norm"), col("v"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("norm"), col("v"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share >= 1 band bucket
+    * with the query; cosine computed for candidates only.
+    */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val bt = bandTable(normed(emb), nPlanes, bands)
+    val qt = bt.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+    val cand = bt.join(broadcast(qt), Seq("band", "bkey"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "v", "norm").distinct()
+    val q = normed(emb).where(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cand.join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+    topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The per-plane dot product as an explicit left-assoc SQL sum chain so
+    * DuckDB's float order matches Spark's fold exactly.
+    */
+  private def planeDotSql(v: String, p: Int, dim: Int): String =
+    (0 until dim).map(d => s"$v[${d + 1}]*(${planeWeight(p, d).toLong})").mkString(" + ")
+
+  def lshTopKOracleSql(k: Int, nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+                       isQuerySql: String = defaultIsQuerySql): String = {
+    val rows = nPlanes / bands
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until rows).map { r =>
+        val p = b * rows + r
+        s"(CASE WHEN ${planeDotSql("v", p, dim)} > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, norm, $b AS band, $key AS bkey FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |bt AS (
+       |  $bandRows),
+       |qt AS (SELECT vec_id AS query_id, band, bkey FROM bt WHERE $isQuerySql),
+       |cand AS (
+       |  SELECT DISTINCT qt.query_id, bt.vec_id, bt.v, bt.norm
+       |  FROM bt JOIN qt ON bt.band = qt.band AND bt.bkey = qt.bkey
+       |  WHERE bt.vec_id != qt.query_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         round(list_dot_product(c.v, q.qv) / (c.norm * q.qnorm), 6) AS cosine
+       |  FROM cand c JOIN q USING (query_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+}

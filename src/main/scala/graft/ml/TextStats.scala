@@ -1,0 +1,148 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: token counting,
+  * quality scoring, language-ID heuristic, and document fingerprinting
+  * (BASELINE.json north-star surface). Everything is a single narrow
+  * projection — one linear scan, no shuffle, codegen-friendly — and every
+  * formula is expressed identically in DuckDB for the oracle.
+  */
+object TextStats {
+  import Portable._
+
+  private val M = 1000000007L // fingerprint modulus (fits sums in int64)
+  private val FpMaxWords = 200 // fingerprint looks at the first 200 words
+  private val pow31: Seq[Long] =
+    Iterator.iterate(1L)(p => p * 31 % M).take(FpMaxWords).toSeq
+
+  /** Marker stopwords per language for the n-gram-free heuristic; ties are
+    * broken by list order (en, de, es, fr), no markers → "und".
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  private val stopwords: Seq[String] =
+    Seq("a", "the", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  // BPE-ish token regex: letter/digit runs, else one symbol per char
+  private val tokenRe = "[a-z0-9]+|[^a-z0-9 ]"
+
+  /** Token & char statistics: (doc_id, n_words, n_tokens, n_chars_obs,
+    * sum_word_len, avg_word_len).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    docs.select(col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_obs"),
+      sumLen.as("sum_word_len"),
+      round(sumLen / size(w), 6).as("avg_word_len"))
+  }
+
+  val tokenStatsOracleSql: String =
+    s"""SELECT doc_id,
+       |  len($wordsSql)::BIGINT AS n_words,
+       |  len(regexp_extract_all(text, '$tokenRe'))::BIGINT AS n_tokens,
+       |  length(text)::BIGINT AS n_chars_obs,
+       |  list_sum(list_transform($wordsSql, x -> len(x)))::BIGINT AS sum_word_len,
+       |  round(list_sum(list_transform($wordsSql, x -> len(x)))::DOUBLE
+       |        / len($wordsSql), 6) AS avg_word_len
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: stopword / punctuation ratios + a bounded score.
+    * score = (1 - stop_ratio) * min(1, n_words/50) — long-enough docs that
+    * aren't stopword soup score near 1.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val nStop = size(filter(w, x => x.isin(stopwords: _*))).cast("double")
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val stopRatio = nStop / nWords
+    docs.select(col("doc_id"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punct / length(col("text")), 6).as("punct_ratio"),
+      round((lit(1.0) - stopRatio) * least(lit(1.0), nWords / 50.0), 6).as("quality_score"))
+  }
+
+  val qualityOracleSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  round(nstop / nwords, 6) AS stop_ratio,
+       |  round(npunct / nchars, 6) AS punct_ratio,
+       |  round((1.0 - nstop / nwords) * least(1.0, nwords / 50.0), 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    len($wordsSql)::DOUBLE AS nwords,
+       |    len(list_filter($wordsSql, x -> x IN ($stopList)))::DOUBLE AS nstop,
+       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE AS npunct,
+       |    length(text)::DOUBLE AS nchars
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Language-ID heuristic: per-language marker-word occurrence counts,
+    * argmax with list-order tiebreak, "und" when nothing matches.
+    * Output: (doc_id, lang_pred, lang_score).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms: _*))).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests the first language outermost → first-match-wins ties
+    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), el) =>
+      when(s === best && best > 0, lit(lang)).otherwise(el)
+    }
+    docs.select(col("doc_id"), pred.as("lang_pred"), best.as("lang_score"))
+  }
+
+  val languageIdOracleSql: String = {
+    val scoreExprs = markers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      lang -> s"len(list_filter(w, x -> x IN ($list)))::BIGINT"
+    }
+    val bestExpr = s"greatest(${scoreExprs.map(s => s"s_${s._1}").mkString(", ")})"
+    val caseExpr = scoreExprs.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, $caseExpr AS lang_pred, best AS lang_score
+       |FROM (
+       |  SELECT doc_id, $bestExpr AS best,
+       |         ${scoreExprs.map { case (l, e) => s"s_$l" }.mkString(", ")}
+       |  FROM (
+       |    SELECT doc_id,
+       |      ${scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n      ")}
+       |    FROM (SELECT doc_id, $wordsSql AS w FROM documents)))""".stripMargin
+  }
+
+  /** Polynomial rolling-hash fingerprint over the first 200 words:
+    * fp = Σᵢ (h64(wᵢ) mod M) · 31ⁱ mod M, all integer arithmetic so the
+    * result is order-deterministic and engine-portable.
+    * Output: (doc_id, fingerprint, fp_words).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val w = slice(words(col("text")), 1, FpMaxWords)
+    val terms = transform(w, (x, i) =>
+      pmod((h64(x) % M) * element_at(typedlit(pow31), i + 1), lit(M)))
+    docs.select(col("doc_id"),
+      pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(M)).as("fingerprint"),
+      size(w).cast("long").as("fp_words"))
+  }
+
+  val fingerprintOracleSql: String = {
+    val powsList = pow31.mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  list_sum(list_transform(w, (x, i) ->
+       |    ((${h64Sql("x")} % $M) * ($powsList)[i]) % $M)) % $M AS fingerprint,
+       |  len(w)::BIGINT AS fp_words
+       |FROM (SELECT doc_id, ($wordsSql)[1:$FpMaxWords] AS w FROM documents)""".stripMargin
+  }
+}

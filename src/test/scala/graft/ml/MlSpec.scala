@@ -1,0 +1,115 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the dedup / similarity / text-analysis operators on
+  * hand-built micro-corpora (the sf-scale oracle check is the driver's t2
+  * gate; these pin the local semantics).
+  */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val out = Dedup.exact(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: word 3-grams, empty under k") {
+    val sh = docs(1L -> "a b c d", 2L -> "a b")
+      .select($"doc_id", Portable.shingles(Portable.words($"text"), 3).as("s"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) === Seq("a b c", "b c d"))
+    assert(sh(2L) === Seq.empty)
+  }
+
+  test("ngramJaccard finds the one near-dup pair and dfCap prunes hot shingles") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "the quick brown fox jumps over cats",
+      3L -> "completely different words entirely here now")
+    val pairs = Dedup.ngramJaccard(d, k = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // with every shared shingle df-capped away, no candidates survive
+    val none = Dedup.ngramJaccard(d, k = 3, threshold = 0.3, maxDf = 1)
+      .count()
+    assert(none === 0L)
+  }
+
+  test("simhash: identical docs at hamming 0; band prefilter keeps them") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "unrelated totally different tokens")
+    val out = Dedup.simHash(d).select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L, 0L)))
+  }
+
+  test("plane weights are deterministic and bounded") {
+    assert(Similarity.planeWeight(0, 0) === Similarity.planeWeight(0, 0))
+    val ws = Similarity.planes(16, 64).flatten
+    assert(ws.forall(w => w >= -1000 && w <= 1000))
+    assert(ws.distinct.size > 100) // not degenerate
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") === 0, k = 2)
+      .orderBy("rank").select("neighbor_id", "rank")
+      .as[(Long, Int)].collect()
+    assert(top === Array((3L, 1), (1L, 2))) // exact dup first, then near
+  }
+
+  test("lshTopK returns a subset of brute-force candidates, exactly ranked") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") === 0, k = 40)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(emb, col("vec_id") === 0, k = 5)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, c) => assert(brute(id) === c) } // same scores
+  }
+
+  test("token stats and quality formulas") {
+    val d = docs(1L -> "the cat sat on the mat")
+    val ts = TextStats.tokenStats(d).collect().head
+    assert(ts.getAs[Long]("n_words") === 6L)
+    assert(ts.getAs[Long]("sum_word_len") === 17L)
+    val q = TextStats.quality(d).collect().head
+    // stopwords here: the, on, the → 3/6
+    assert(q.getAs[Double]("stop_ratio") === 0.5)
+    assert(q.getAs[Double]("quality_score") === 0.06) // (1 - 0.5) * 6/50
+  }
+
+  test("language id picks marker-majority language, und on none") {
+    val d = docs(
+      1L -> "der hund und die katze ist da",
+      2L -> "el gato es de los perros",
+      3L -> "zzz qqq www")
+    val out = TextStats.languageId(d).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "de")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val fp = TextStats.fingerprint(docs(1L -> "a b c", 2L -> "c b a", 3L -> "a b c"))
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) !== fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}
