@@ -1,6 +1,7 @@
 package graft
 
 import graft.ml.{Dedup, Similarity, TextStats}
+import graft.sources.Csv
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -79,6 +80,15 @@ object SparkEntry {
 
     // --- the reference's own pipeline over the events stream table ---
     "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
+    // same pipeline through the CSV ingestion edge (S1/S5): events →
+    // 4-col CSV export → permissive-parse read-back → rebin. The oracle is
+    // the parquet-path rebin oracle, so a hash match proves the CSV
+    // round-trip is lossless.
+    "trend_rebin_csv" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_${Integer.toHexString(dir.hashCode)}"
+      Csv.writeCounts(Tables.eventsAsCounts(s, dir), tmp)
+      Rebin(Csv.readCounts(s, Seq(tmp)), "hours", 1)
+    }),
     "trend_poisson_lc" -> ((s, dir) => Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99)),
     "trend_poisson_cycle" -> ((s, dir) =>
       Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99, periodList = Seq("hour"))),
@@ -158,6 +168,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |) WHERE rn <= 5""".stripMargin,
     "trend_rebin" ->
+      s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
+    "trend_rebin_csv" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
