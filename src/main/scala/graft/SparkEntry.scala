@@ -1,6 +1,7 @@
 package graft
 
 import graft.ml.{Dedup, Similarity, TextStats}
+import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.Csv
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -90,11 +91,33 @@ object SparkEntry {
       Rebin(Csv.readCounts(s, Seq(tmp)), "hours", 1)
     }),
     "trend_poisson_lc" -> ((s, dir) => Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99)),
+    // the same plan driven through the ini-config pipeline (SURVEY §3):
+    // proves section parsing + registry dispatch against the same oracle
+    "trend_pipeline_cfg" -> ((s, dir) => {
+      val cfg = IniConfig.parse(
+        """[rebin]
+          |binning_unit=hours
+          |n_binning_unit=1
+          |[analyze]
+          |model_name=Poisson
+          |[Poisson_model]
+          |mode=lc
+          |alpha=0.99""".stripMargin)
+      Pipeline.analyze(Pipeline.rebin(Tables.eventsAsCounts(s, dir), cfg), cfg)
+    }),
     "trend_poisson_cycle" -> ((s, dir) =>
       Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99, periodList = Seq("hour"))),
     "trend_linreg" -> ((s, dir) =>
       Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3)),
     "trend_mk" -> ((s, dir) => MannKendall(rebinnedEvents(s, dir))),
+    "trend_mk_windowed" -> ((s, dir) =>
+      MannKendall(rebinnedEvents(s, dir), windowSize = Some(24))),
+    "trend_linreg_windowed" -> ((s, dir) =>
+      Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3,
+        regWindow = Some(48), normByMean = true)),
+    "trend_poisson_cycle_multi" -> ((s, dir) =>
+      Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99,
+        periodList = Seq("day", "hour"))),
     "trend_detect" -> ((s, dir) =>
       Detect(Models.poissonLc(rebinnedEvents(s, dir)), theta = 0.5)),
     "trend_argmax" -> ((s, dir) =>
@@ -104,6 +127,17 @@ object SparkEntry {
       val binned = rebinnedEvents(s, dir)
       val lib = Wdt.buildLibrary(binned, length(col("counter")) % 2 === 0, wdtCfg)
       Wdt.score(binned, lib, wdtCfg)
+    }),
+    // library lifecycle (S6): split-build → combine (no-duplicate rule) →
+    // parquet save/load round-trip → score; oracle identical to trend_wdt,
+    // so a hash match proves the whole lifecycle is lossless
+    "trend_wdt_persisted" -> ((s, dir) => {
+      val binned = rebinnedEvents(s, dir)
+      val full = Wdt.buildLibrary(binned, length(col("counter")) % 2 === 0, wdtCfg)
+      val lib = Wdt.combine(full.where(col("is_trend")), full.where(!col("is_trend")))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lib_${Integer.toHexString(dir.hashCode)}"
+      Wdt.saveLibrary(lib, path)
+      Wdt.score(binned, Wdt.loadLibrary(s, path), wdtCfg)
     }),
     "trend_coarsen" -> ((s, dir) =>
       Detect.coarsen(Models.poissonLc(rebinnedEvents(s, dir)), rebinFactor = 6)),
@@ -173,11 +207,22 @@ object SparkEntry {
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
+    "trend_pipeline_cfg" -> withScored(Models.poissonLcOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored"),
     "trend_poisson_cycle" -> withScored(Models.poissonCycleOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_linreg" -> withScored(Models.linRegOracleCtes(minPoints = 10, avgWindow = 3),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_mk" -> withScored(MannKendall.oracleCtes,
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_mk_windowed" -> withScored(MannKendall.windowedOracleCtes(24),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_linreg_windowed" -> withScored(
+      Models.linRegWindowedOracleCtes(minPoints = 10, avgWindow = 3,
+        regWindow = 48, normByMean = true),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_poisson_cycle_multi" -> withScored(
+      Models.poissonCycleMultiOracleCtes(0.99, Seq("day", "hour")),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_detect" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored WHERE eta > 0.5"),
@@ -186,6 +231,8 @@ object SparkEntry {
     "trend_corr" ->
       s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",
     "trend_wdt" -> withScored(Wdt.oracleCtes("length(counter) % 2 = 0", wdtCfg),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_wdt_persisted" -> withScored(Wdt.oracleCtes("length(counter) % 2 = 0", wdtCfg),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_coarsen" -> withScored(
       Models.poissonLcOracleCtes(0.99) + ",\n" + Detect.coarsenOracleCtes(6),

@@ -54,9 +54,11 @@ object Csv {
   def readCounts(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.schema(fourCol).csv(paths: _*)
       .select(
-        permissiveTs(col("c0")).as("ts"),
-        try_to_number(col("c1"), lit("999999999.999999")).cast("long").as("duration_sec"),
-        col("c2").cast("double").as("count"),
+        // field-level trim mirrors Python's whitespace-tolerant float()/
+        // dt parse (example.csv has ", 3600," with a leading space)
+        permissiveTs(trim(col("c0"))).as("ts"),
+        try_to_number(trim(col("c1")), lit("999999999.999999")).cast("long").as("duration_sec"),
+        trim(col("c2")).cast("double").as("count"),
         col("c3").as("counter"))
       .where(col("ts").isNotNull && col("count").isNotNull &&
         col("duration_sec").isNotNull)
@@ -74,10 +76,10 @@ object Csv {
                  rule: Option[String] = None): DataFrame = {
     val base = spark.read.schema(fiveCol).csv(paths: _*)
       .select(
-        permissiveTs(col("c0")).as("stop_ts"),
+        permissiveTs(trim(col("c0"))).as("stop_ts"),
         col("c1").as("counter"),
-        col("c2").cast("double").as("count"),
-        try_to_number(col("c4"), lit("999999999.999999")).cast("long").as("duration_sec"))
+        trim(col("c2")).cast("double").as("count"),
+        try_to_number(trim(col("c4")), lit("999999999.999999")).cast("long").as("duration_sec"))
       .where(col("stop_ts").isNotNull && col("count").isNotNull &&
         col("duration_sec").isNotNull)
       .select(

@@ -152,4 +152,47 @@ object MannKendall {
        |scored AS (
        |  SELECT counter, ts, count, ${Rounding.trim2Sql("z")} AS eta
        |  FROM mk_z)""".stripMargin
+
+  /** Windowed variant (models.py:42-44: mk_test over the trailing
+    * `windowSize` counts at every point). O(n·w²) pair enumeration —
+    * oracle-scale only; the engine recomputes per trailing slice.
+    */
+  def windowedOracleCtes(windowSize: Int): String = {
+    val w1 = windowSize - 1
+    s"""mk_idx AS (
+       |  SELECT counter, ts, count,
+       |         row_number() OVER (PARTITION BY counter ORDER BY ts) AS i
+       |  FROM rebinned),
+       |mkw_s AS (
+       |  SELECT a.counter, a.i,
+       |         sum(CASE WHEN c.count > b.count THEN 1
+       |                  WHEN c.count < b.count THEN -1 ELSE 0 END) AS s
+       |  FROM mk_idx a
+       |  JOIN mk_idx b ON b.counter = a.counter AND b.i BETWEEN a.i - $w1 AND a.i
+       |  JOIN mk_idx c ON c.counter = a.counter AND c.i BETWEEN b.i + 1 AND a.i
+       |  GROUP BY a.counter, a.i),
+       |mkw_n AS (
+       |  SELECT a.counter, a.i, b.count AS v, count(*) AS cnt
+       |  FROM mk_idx a
+       |  JOIN mk_idx b ON b.counter = a.counter AND b.i BETWEEN a.i - $w1 AND a.i
+       |  GROUP BY a.counter, a.i, b.count),
+       |mkw_tie AS (
+       |  SELECT counter, i, sum(cnt)::DOUBLE AS n,
+       |         sum(cnt*(cnt-1)*(2*cnt+5))::DOUBLE AS ties
+       |  FROM mkw_n GROUP BY counter, i),
+       |mkw_z AS (
+       |  SELECT x.counter, x.ts, x.count,
+       |         CASE WHEN (t.n*(t.n-1)*(2*t.n+5) - t.ties) / 18.0 <= 0 THEN 0.0
+       |              WHEN coalesce(s.s, 0) > 0
+       |                THEN (s.s - 1) / sqrt((t.n*(t.n-1)*(2*t.n+5) - t.ties) / 18.0)
+       |              WHEN coalesce(s.s, 0) < 0
+       |                THEN (s.s + 1) / sqrt((t.n*(t.n-1)*(2*t.n+5) - t.ties) / 18.0)
+       |              ELSE 0.0 END AS z
+       |  FROM mk_idx x
+       |  LEFT JOIN mkw_s s ON x.counter = s.counter AND x.i = s.i
+       |  JOIN mkw_tie t ON x.counter = t.counter AND x.i = t.i),
+       |scored AS (
+       |  SELECT counter, ts, count, ${Rounding.trim2Sql("z")} AS eta
+       |  FROM mkw_z)""".stripMargin
+  }
 }

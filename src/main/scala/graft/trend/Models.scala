@@ -96,7 +96,11 @@ object Models {
       covar_pop(col("rn").cast("double"), col("averaged")).over(wReg) /
         var_pop(col("rn").cast("double")).over(wReg)
     val slopeNormed = if (normByMean) slope / avg(col("averaged")).over(wReg) else slope
-    val eta = when(col("rn") >= minPoints, slopeNormed).otherwise(lit(0.0))
+    // epsilon floor: a perfectly flat window yields slope ~1e-17 instead of
+    // 0 from fp accumulation, and the exact residue differs per engine;
+    // real slopes at any data scale are many orders above 1e-12
+    val eta = when(col("rn") >= minPoints && abs(slopeNormed) >= 1e-12, slopeNormed)
+      .otherwise(lit(0.0))
     analyzed(df, eta)
   }
 
@@ -122,6 +126,34 @@ object Models {
        |  FROM etas)""".stripMargin
   }
 
+  /** Poisson cycle with an arbitrary period_list (models.py:287): the
+    * period key partitions on each datetime attribute; DuckDB's
+    * hour/day/month/minute match Spark's extraction exactly.
+    */
+  def poissonCycleMultiOracleCtes(alpha: Double, periodList: Seq[String]): String = {
+    val attrs = periodList.map {
+      case "hour" => "hour(ts)"
+      case "day" => "day(ts)"
+      case "month" => "month(ts)"
+      case "minute" => "minute(ts)"
+      case p => throw new IllegalArgumentException(s"unsupported period attr $p")
+    }.mkString(", ")
+    val etaRaw = "CASE WHEN k.mean = 0 OR c.ci_w IS NULL OR c.ci_w = 0" +
+      " THEN 0.0 ELSE abs(k.count - k.mean) / c.ci_w END"
+    s"""keyed AS (
+       |  SELECT counter, ts, count,
+       |         sum(count) OVER (PARTITION BY counter, $attrs ORDER BY ts)
+       |           / count(*) OVER (PARTITION BY counter, $attrs ORDER BY ts) AS mean
+       |  FROM rebinned),
+       |${PoissonCi.widthSqlCte(alpha, "keyed", "mean")},
+       |etas AS (
+       |  SELECT k.counter, k.ts, k.count, $etaRaw AS eta_raw
+       |  FROM keyed k LEFT JOIN ci_width c ON k.mean = c.mean),
+       |scored AS (
+       |  SELECT counter, ts, count, ${Rounding.trim2Sql("eta_raw")} AS eta
+       |  FROM etas)""".stripMargin
+  }
+
   /** Same for Poisson cycle mode with period_list = [hour]. */
   def poissonCycleOracleCtes(alpha: Double = 0.99): String = {
     val etaRaw = "CASE WHEN k.mean = 0 OR c.ci_w IS NULL OR c.ci_w = 0" +
@@ -140,6 +172,34 @@ object Models {
        |  FROM etas)""".stripMargin
   }
 
+  /** Linear-regression model with a bounded regression window and
+    * norm_by_mean (models.py:81-89): slope of the trailing `regWindow`
+    * averaged counts, divided by their mean.
+    */
+  def linRegWindowedOracleCtes(minPoints: Int, avgWindow: Int,
+                               regWindow: Int, normByMean: Boolean): String = {
+    val frame = s"ROWS BETWEEN ${regWindow - 1} PRECEDING AND CURRENT ROW"
+    val w = s"PARTITION BY counter ORDER BY ts $frame"
+    val slope = s"covar_pop(rn, averaged) OVER ($w) / var_pop(rn) OVER ($w)"
+    val normed0 = if (normByMean) s"($slope) / avg(averaged) OVER ($w)" else slope
+    val normed = s"CASE WHEN abs($normed0) >= 1e-12 THEN $normed0 ELSE 0.0 END"
+    s"""avgd AS (
+       |  SELECT counter, ts, count,
+       |         row_number() OVER (PARTITION BY counter ORDER BY ts) AS rn,
+       |         CASE WHEN row_number() OVER (PARTITION BY counter ORDER BY ts) >= $avgWindow
+       |              THEN avg(count) OVER (PARTITION BY counter ORDER BY ts
+       |                                    ROWS BETWEEN ${avgWindow - 1} PRECEDING AND CURRENT ROW)
+       |              ELSE 0.0 END AS averaged
+       |  FROM rebinned),
+       |slopes AS (
+       |  SELECT counter, ts, count,
+       |         CASE WHEN rn >= $minPoints THEN $normed ELSE 0.0 END AS eta_raw
+       |  FROM avgd),
+       |scored AS (
+       |  SELECT counter, ts, count, ${Rounding.trim2Sql("eta_raw")} AS eta
+       |  FROM slopes)""".stripMargin
+  }
+
   /** Same for the linear-regression model (no norm, expanding window). */
   def linRegOracleCtes(minPoints: Int, avgWindow: Int): String =
     s"""avgd AS (
@@ -152,7 +212,12 @@ object Models {
        |  FROM rebinned),
        |slopes AS (
        |  SELECT counter, ts, count,
-       |         CASE WHEN rn >= $minPoints THEN
+       |         CASE WHEN rn >= $minPoints
+       |               AND abs(covar_pop(rn, averaged) OVER (PARTITION BY counter ORDER BY ts
+       |                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                       / var_pop(rn) OVER (PARTITION BY counter ORDER BY ts
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) >= 1e-12
+       |         THEN
        |           covar_pop(rn, averaged) OVER (PARTITION BY counter ORDER BY ts
        |                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |           / var_pop(rn) OVER (PARTITION BY counter ORDER BY ts

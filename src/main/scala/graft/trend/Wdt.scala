@@ -42,17 +42,30 @@ object Wdt {
   }
 
   /** Merge two libraries with the reference's no-duplicate rule: for each
-    * class, at most one side may be non-empty (library.py:86-97).
+    * class, at most one side may be non-empty (library.py:86-97). The rule
+    * is checked in a single Spark job over the tagged union.
     */
   def combine(a: DataFrame, b: DataFrame): DataFrame = {
-    val cnt = (df: DataFrame, t: Boolean) =>
-      df.where(col("is_trend") === t).limit(1).count()
-    require(cnt(a, true) == 0 || cnt(b, true) == 0,
+    val sides = a.select(col("is_trend"), lit("a").as("src"))
+      .unionByName(b.select(col("is_trend"), lit("b").as("src")))
+      .groupBy("is_trend").agg(count_distinct(col("src")).as("nsrc"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    require(sides.getOrElse(true, 0L) <= 1,
       "combine: both libraries have trends (library.py:92)")
-    require(cnt(a, false) == 0 || cnt(b, false) == 0,
+    require(sides.getOrElse(false, 0L) <= 1,
       "combine: both libraries have non_trends (library.py:96)")
     a.unionByName(b)
   }
+
+  /** Library persistence (library.py:176-193, pickle → parquet): a saved
+    * library is a plain (series_id, is_trend, points) parquet directory,
+    * loadable on any cluster and broadcast at score time.
+    */
+  def saveLibrary(library: DataFrame, path: String): Unit =
+    library.write.mode("overwrite").parquet(path)
+
+  def loadLibrary(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Score every point of every binned series against the library.
     * Warm-up: eta 0 until `referenceLength` points seen AND the running
