@@ -2,7 +2,7 @@ package graft
 
 import graft.ml.{Dedup, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
-import graft.sources.Csv
+import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -105,6 +105,10 @@ object SparkEntry {
           |alpha=0.99""".stripMargin)
       Pipeline.analyze(Pipeline.rebin(Tables.eventsAsCounts(s, dir), cfg), cfg)
     }),
+    // counters allowlist (S7): broadcast left-semi gate before rebin
+    "trend_rebin_allowlist" -> ((s, dir) =>
+      Rebin(Counters.allowlist(Tables.eventsAsCounts(s, dir),
+        Seq("click", "purchase", "view")), "hours", 1)),
     "trend_poisson_cycle" -> ((s, dir) =>
       Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99, periodList = Seq("hour"))),
     "trend_linreg" -> ((s, dir) =>
@@ -166,7 +170,11 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextStats.quality(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextStats.languageId(Tables.load(s, dir, "documents"))),
-    "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(Tables.load(s, dir, "documents"))))
+    "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(Tables.load(s, dir, "documents"))),
+    // counter-name sanitize (C10) exercised over real spaced strings
+    "text_sanitize" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Counters.sanitize(col("text")).as("name"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -205,6 +213,12 @@ object SparkEntry {
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
+    "trend_rebin_allowlist" -> {
+      val filtered = s"${Tables.eventsAsCountsSql.stripSuffix("FROM events")}FROM events " +
+        "WHERE event_type IN ('click', 'purchase', 'view')"
+      s"WITH raw_counts AS ($filtered),\n${Rebin.oracleCtes("hours", 1)}\n" +
+        "SELECT counter, ts, duration_sec, count FROM rebinned"
+    },
     "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_pipeline_cfg" -> withScored(Models.poissonLcOracleCtes(0.99),
@@ -247,5 +261,7 @@ object SparkEntry {
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,
-    "text_fingerprint" -> TextStats.fingerprintOracleSql)
+    "text_fingerprint" -> TextStats.fingerprintOracleSql,
+    "text_sanitize" ->
+      s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents")
 }

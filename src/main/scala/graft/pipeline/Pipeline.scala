@@ -110,8 +110,15 @@ object Pipeline {
     * (`cat example.csv | trend_rebin.py -c cfg | trend_analyze.py -c cfg`)
     * as one plan.
     */
-  def run(spark: SparkSession, cfg: Config, csvPaths: Seq[String]): DataFrame =
-    analyze(rebin(Csv.readCounts(spark, csvPaths), cfg), cfg)
+  def run(spark: SparkSession, cfg: Config, csvPaths: Seq[String]): DataFrame = {
+    val raw = Csv.readCounts(spark, csvPaths)
+    // counters allowlist (S7): trend_analyze_many.py:136-147 gates counters
+    // on a newline list file named in [rebin] before any processing
+    val gated = cfg.getOrElse("rebin", Map.empty).get("counters_file_name")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .fold(raw)(p => graft.sources.Counters.allowlistFromFile(raw, p))
+    analyze(rebin(gated, cfg), cfg)
+  }
 
   def runWithConfigFile(spark: SparkSession, configPath: String,
                         csvPaths: Seq[String]): DataFrame =
