@@ -10,10 +10,13 @@ object Rounding {
     * Reference: `round(x, -int(floor(log10(x)))+1)` guarded by `x > 0`
     * (analysis.py:189-196). Implemented as floor(x·10^d + 0.5)/10^d so the
     * identical expression is writable in DuckDB SQL (Spark's `round` only
-    * takes a literal scale). Half-up instead of Python's half-even — the
-    * divergence can only trigger when a value lands exactly on a half at
-    * the 2nd significant digit, which does not occur for the continuous
-    * figures of merit this is applied to.
+    * takes a literal scale). Half-up instead of Python's half-even: exact
+    * halves CAN occur (Poisson-lc eta is a ratio of an integer numerator to
+    * an integer CI width, e.g. 1/8 = 0.125 → 0.13 here vs 0.12 in the
+    * reference), so reference fidelity diverges on those inputs by one ulp
+    * of the 2nd significant digit. Engine and oracle use the identical
+    * expression on both sides, so the correctness gate is unaffected; this
+    * is a documented, deliberate divergence.
     */
   def trim2(x: Column): Column = {
     val d = lit(1) - floor(log10(x))

@@ -19,21 +19,29 @@ import org.apache.spark.sql.functions._
   *    count·overlap/size to each overlapped bin (analysis.py:110-126) — one
   *    proportional formula covers both (contained ⇒ overlap = size);
   *  - input reaching past the last grid stop is silently truncated
-  *    (the IndexError pass at analysis.py:123-124), which the overlap join
-  *    reproduces by construction;
+  *    (the IndexError pass at analysis.py:123-124) — the bin-index cap `iN`
+  *    reproduces it;
   *  - densify: grid bins with no data get count 0 (analysis.py:139-143);
   *  - zero-trim (analysis.py:131-154): a row is kept iff its count or its
   *    predecessor's count is nonzero (so only the FIRST zero of each zero
   *    run survives), and the kept list is then sliced to its first
-  *    (last_nonzero_grid_idx + 1) elements — the reference slices the
-  *    *compacted* list by a *grid* index, and we reproduce that exactly via
-  *    a running kept-row counter;
+  *    (last_touched_grid_idx + 1) elements — the reference slices the
+  *    *compacted* list by a *grid* index, and the bound is the last bin
+  *    TOUCHED by any input row (`idx in output_data`, analysis.py:140-142),
+  *    even one whose accumulated count is 0.0. We reproduce both quirks via
+  *    a running kept-row counter and a touched flag;
   *  - counts are truncated to int (analysis.py:146-150).
   *
-  * Scale: one broadcast-able grid join (grid is bins×counters, tiny
-  * relative to input), one hash aggregation on (counter, bin), and two
-  * window passes partitioned by counter. No driver-side collection; skew
-  * across counters is handled by AQE.
+  * Scale design: the overlapped bins of each input row are computed in
+  * closed form (bin index range relative to the counter's grid origin) and
+  * exploded — O(rows × bins overlapped), never O(rows × grid). The only
+  * joins are (a) input × per-counter extents (one tiny row per counter;
+  * AQE picks a broadcast at runtime — no unconditional hint, so a
+  * many-million-counter corpus degrades to a shuffle join instead of
+  * failing the driver) and (b) grid × binned sums for densify, an
+  * equi-join of two relations hash-partitioned on the same key. One hash
+  * aggregation on (counter, bin), two window passes partitioned by
+  * counter. No driver-side collection; skew across counters is AQE's.
   */
 object Rebin {
   private val unitSeconds = Map(
@@ -46,6 +54,7 @@ object Rebin {
             stopTime: String = "2100-01-01 00:00:00"): DataFrame = {
     val unit = binningUnit.stripSuffix("s")
     val binSec = unitSeconds(binningUnit) * nUnit
+    val binUsec = binSec * 1000000L
     val step = expr(s"INTERVAL '$binSec' SECOND")
 
     // range filter drops whole straddling rows (analysis.py:65-68)
@@ -54,15 +63,30 @@ object Rebin {
       .where(col("stop_ts") <= lit(stopTime).cast("timestamp") &&
              col("ts") >= lit(startTime).cast("timestamp"))
 
-    val grid = in.groupBy("counter")
+    // per-counter grid extent: origin = trunc(min start), last bin start =
+    // trunc(max stop) — one row per counter
+    val ext = in.groupBy("counter")
       .agg(min("ts").as("mn"), max("stop_ts").as("mx"))
       .select(col("counter"),
-        explode(sequence(date_trunc(unit, col("mn")), date_trunc(unit, col("mx")), step))
-          .as("bin_start"))
-      .withColumn("bin_stop", col("bin_start") + step)
+        date_trunc(unit, col("mn")).as("origin"),
+        date_trunc(unit, col("mx")).as("gend"))
 
-    val overlapped = in.join(broadcast(grid), Seq("counter"))
-      .where(col("ts") < col("bin_stop") && col("stop_ts") > col("bin_start"))
+    // the dense uniform grid, generated (not joined against input)
+    val grid = ext.select(col("counter"),
+      explode(sequence(col("origin"), col("gend"), step)).as("bin_start"))
+
+    // closed-form overlapped-bin range per input row: bins i with
+    // origin + i·bin < stop_ts and origin + (i+1)·bin > ts, capped to the
+    // grid (iN). origin <= min(ts) by construction so i0 >= 0.
+    val overlapped = in.join(ext, Seq("counter"))
+      .withColumn("i0", expr(s"(unix_micros(ts) - unix_micros(origin)) DIV $binUsec"))
+      .withColumn("i1", least(
+        expr(s"(unix_micros(stop_ts) - 1 - unix_micros(origin)) DIV $binUsec"),
+        expr(s"(unix_micros(gend) - unix_micros(origin)) DIV $binUsec")))
+      .where(col("i1") >= col("i0"))
+      .withColumn("bi", explode(sequence(col("i0"), col("i1"))))
+      .withColumn("bin_start", timestamp_micros(expr(s"unix_micros(origin) + bi * $binUsec")))
+      .withColumn("bin_stop", col("bin_start") + step)
       .select(col("counter"), col("bin_start"),
         (col("count") *
           (unix_micros(least(col("stop_ts"), col("bin_stop"))) -
@@ -74,11 +98,12 @@ object Rebin {
     val wOrd = Window.partitionBy("counter").orderBy("bin_start")
     val wAll = Window.partitionBy("counter")
     grid.join(sums, Seq("counter", "bin_start"), "left")
+      .withColumn("touched", col("fcount").isNotNull)
       .withColumn("fcount", coalesce(col("fcount"), lit(0.0)))
       .withColumn("idx", row_number().over(wOrd) - 1)
       .withColumn("prev", lag("fcount", 1, 0.0).over(wOrd))
       .withColumn("keep", col("fcount") =!= 0.0 || col("prev") =!= 0.0)
-      .withColumn("last_nz", max(when(col("fcount") =!= 0.0, col("idx"))).over(wAll))
+      .withColumn("last_nz", max(when(col("touched"), col("idx"))).over(wAll))
       .withColumn("krn", sum(when(col("keep"), 1L).otherwise(0L)).over(wOrd))
       .where(col("keep") && col("krn") <= col("last_nz") + 1)
       .select(col("counter"), col("bin_start").as("ts"),
@@ -122,17 +147,18 @@ object Rebin {
        |   AND i.ts < g.bin_stop AND i.stop_ts > g.bin_start
        |  GROUP BY i.counter, g.bin_start),
        |rb_dense AS (
-       |  SELECT g.counter, g.bin_start, coalesce(s.fcount, 0.0) AS fcount
+       |  SELECT g.counter, g.bin_start, coalesce(s.fcount, 0.0) AS fcount,
+       |         s.fcount IS NOT NULL AS touched
        |  FROM rb_grid2 g LEFT JOIN rb_sums s
        |    ON g.counter = s.counter AND g.bin_start = s.bin_start),
        |rb_flag AS (
-       |  SELECT counter, bin_start, fcount,
+       |  SELECT counter, bin_start, fcount, touched,
        |         row_number() OVER (PARTITION BY counter ORDER BY bin_start) - 1 AS idx,
        |         lag(fcount, 1, 0.0) OVER (PARTITION BY counter ORDER BY bin_start) AS prev
        |  FROM rb_dense),
        |rb_keep AS (
        |  SELECT *, (fcount != 0 OR prev != 0) AS keep,
-       |         max(CASE WHEN fcount != 0 THEN idx END) OVER (PARTITION BY counter) AS last_nz,
+       |         max(CASE WHEN touched THEN idx END) OVER (PARTITION BY counter) AS last_nz,
        |         sum(CASE WHEN (fcount != 0 OR prev != 0) THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY counter ORDER BY bin_start) AS krn
        |  FROM rb_flag),

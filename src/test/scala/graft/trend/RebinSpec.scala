@@ -76,6 +76,18 @@ class RebinSpec extends SparkSpec {
       ("b", "2024-01-02 00:00:00.0", 3600.0, 9.0)))
   }
 
+  test("trailing bin touched by a zero-count input bounds the trim") {
+    // reference: last_non_zero_ct_idx is set whenever the bin is TOUCHED by
+    // any input row, even with accumulated count 0.0 (analysis.py:140-142),
+    // so the compacted [5, 0] survives the final slice
+    val out = run(Seq(
+      ("2024-01-01 00:00:00", 3600L, 5.0, "a"),
+      ("2024-01-01 03:00:00", 3600L, 0.0, "a")))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01 00:00:00.0", 3600.0, 5.0),
+      ("a", "2024-01-01 01:00:00.0", 3600.0, 0.0)))
+  }
+
   test("total count is conserved for in-range input fully covered by grid") {
     val in = Seq(
       ("2024-01-01 00:07:00", 1234L, 10.0, "a"),
