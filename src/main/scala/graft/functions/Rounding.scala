@@ -24,6 +24,16 @@ object Rounding {
     when(x > 0, floor(x * r + lit(0.5)) / r).otherwise(lit(0.0))
   }
 
+  /** Scalar twin of [[trim2]] (used by the streaming scorers); JVM floor/
+    * log10/pow are what Spark's column functions call, so results are
+    * bit-identical to the batch path.
+    */
+  def trim2Scalar(x: Double): Double =
+    if (x > 0) {
+      val r = math.pow(10.0, 1 - math.floor(math.log10(x)))
+      math.floor(x * r + 0.5) / r
+    } else 0.0
+
   /** The same expression as SQL text, for DuckDB oracle queries. */
   def trim2Sql(x: String): String =
     s"CASE WHEN $x > 0 THEN floor($x * pow(10, 1 - floor(log10($x))) + 0.5)" +

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.functions.{PoissonCi, Rounding}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming variant of the trend pipeline (SURVEY.md §2.7,
+  * build-plan module 10). The reference's models are point-by-point by
+  * design ("each model to get updated point-by-point", README.md:163-166),
+  * so the streaming mapping is direct:
+  *
+  *  - rebin ⇒ tumbling event-time windows + watermark: the uniform grid IS
+  *    `window(ts, binSec)`; proportional splitting of straddling input
+  *    intervals is a batch-only concern (streaming input is per-event
+  *    rows, which never straddle a bin), and densify/zero-trim are
+  *    meaningless over an unbounded stream — untouched bins simply never
+  *    materialize;
+  *  - the analyze scan ⇒ `flatMapGroupsWithState` keyed by counter, whose
+  *    state is exactly the reference model's mutable members (Poisson lc:
+  *    the previous bin's count, models.py:274-282).
+  *
+  * The two stages are separate streaming jobs composed through a sink
+  * (parquet/Kafka/memory), mirroring the reference's stage files — Spark
+  * disallows a row-level stateful operator downstream of a windowed
+  * aggregation in one query, and the checkpoint boundary is where the
+  * reference's CSV handoff sat anyway.
+  *
+  * Scale: both stages shuffle once on `counter`; state per key is O(1)
+  * (one double) for the scorer and one window aggregate per open bin for
+  * rebin, bounded by watermark slack × counters, independent of event
+  * volume.
+  */
+object StreamingTrend {
+
+  final case class Binned(counter: String, ts: java.sql.Timestamp,
+                          duration_sec: Double, count: Double)
+  final case class Scored(counter: String, ts: java.sql.Timestamp,
+                          count: Double, eta: Double)
+  /** Scorer state: epoch micros + count of the latest bin folded in. */
+  final case class LcState(lastTsUs: Long, lastCount: Double)
+
+  private val unitSeconds = Map(
+    "minutes" -> 60L, "hours" -> 3600L, "days" -> 86400L, "weeks" -> 604800L)
+
+  /** Tumbling-window streaming rebin over per-event rows
+    * (ts, counter[, count]); emits finalized bins (append mode) once the
+    * watermark passes the bin end.
+    */
+  def rebinStream(events: DataFrame, binningUnit: String = "hours",
+                  nUnit: Int = 1, watermarkSlack: String = "0 seconds"): DataFrame = {
+    val binSec = unitSeconds(binningUnit) * nUnit
+    val withCount =
+      if (events.columns.contains("count")) events else events.withColumn("count", lit(1.0))
+    withCount
+      .withWatermark("ts", watermarkSlack)
+      .groupBy(col("counter"), window(col("ts"), s"$binSec seconds"))
+      .agg(sum("count").as("fcount"))
+      .select(col("counter"), col("window.start").as("ts"),
+        lit(binSec.toDouble).as("duration_sec"),
+        Rounding.stableIntTrunc(col("fcount")).as("count"))
+  }
+
+  /** Stateful point-by-point Poisson-lc scorer over a stream of finalized
+    * bins. Out-of-order bins older than the folded state are dropped (the
+    * upstream watermark makes them impossible in the composed pipeline).
+    */
+  def poissonLcStream(binned: DataFrame, alpha: Double = 0.99): Dataset[Scored] = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
+        "CAST(count AS DOUBLE) AS count").as[Binned]
+      .groupByKey(_.counter)
+      .flatMapGroupsWithState[LcState, Scored](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (counter, rows, state: GroupState[LcState]) =>
+          var st = state.getOption.getOrElse(LcState(Long.MinValue, -1.0))
+          val out = rows.toArray.sortBy(_.ts.getTime).iterator
+            .filter(_.ts.getTime * 1000L > st.lastTsUs)
+            .map { b =>
+              val mean = st.lastCount
+              val eta =
+                if (mean <= 0.0) 0.0 // no previous bin, or zero mean (models.py:306)
+                else {
+                  val w = PoissonCi.width(alpha, mean)
+                  if (w == 0.0) 0.0 else math.abs(b.count - mean) / w
+                }
+              st = LcState(b.ts.getTime * 1000L, b.count)
+              Scored(counter, b.ts, b.count, Rounding.trim2Scalar(eta))
+            }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+}

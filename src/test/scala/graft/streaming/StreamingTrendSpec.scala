@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.trend.{Models, Rebin}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming variant vs batch: a MemoryStream run through the tumbling
+  * rebin + stateful Poisson-lc scorer must reproduce the batch pipeline
+  * on the same (gap-free, aligned) data.
+  */
+class StreamingTrendSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // two counters, events every 20 min for 6 hours → gap-free hourly bins
+  private val events: Seq[(Timestamp, String, Double)] = for {
+    c <- Seq("a", "b")
+    h <- 0 until 6
+    m <- Seq(0, 20, 40)
+  } yield (ts(f"2024-01-01 $h%02d:$m%02d:00"), c,
+    (h * 3 + m / 20 + (if (c == "a") 1 else 2)).toDouble)
+
+  private def eventsAsRaw = events.toDF("ts", "counter", "count")
+    .withColumn("duration_sec", lit(1200L))
+    .select("ts", "duration_sec", "count", "counter")
+
+  test("streaming rebin over tumbling windows matches batch rebin") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingTrend.rebinStream(
+        input.toDF().toDF("ts", "counter", "count"), "hours", 1)
+      .writeStream.format("memory").queryName("srebin")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable() // watermark advances to max event time
+      input.addData(Seq((ts("2024-01-02 12:00:00"), "zz", 0.0))) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("srebin").where($"counter" =!= "zz")
+      .select("counter", "ts", "duration_sec", "count")
+    // batch rebin on the same rows: 20-min intervals never straddle hours
+    // and cover every hour, so densify/trim/split are all no-ops
+    val batch = Rebin(eventsAsRaw, "hours", 1)
+    assert(streamed.count() === 12)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful Poisson-lc scorer matches the batch model, incrementally") {
+    val binned = Rebin(eventsAsRaw, "hours", 1)
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, n) => StreamingTrend.Binned(c, t, d, n) }
+      .sortBy(b => (b.ts.getTime, b.counter))
+    val input = MemoryStream[StreamingTrend.Binned]
+    val q = StreamingTrend.poissonLcStream(input.toDF(), alpha = 0.99)
+      .writeStream.format("memory").queryName("sscore")
+      .outputMode("append").start()
+    try {
+      // deliver bins over three separate micro-batches: state must carry
+      val (b1, rest) = binned.splitAt(4)
+      val (b2, b3) = rest.splitAt(5)
+      Seq(b1, b2, b3).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("sscore")
+    val batch = Models.poissonLc(Rebin(eventsAsRaw, "hours", 1), alpha = 0.99)
+    assert(streamed.count() === 12)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
