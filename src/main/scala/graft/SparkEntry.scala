@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Dedup, Similarity, TextStats}
+import graft.ml.{Dedup, Multimodal, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -174,7 +174,15 @@ object SparkEntry {
     // counter-name sanitize (C10) exercised over real spaced strings
     "text_sanitize" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), Counters.sanitize(col("text")).as("name"))))
+        .select(col("doc_id"), Counters.sanitize(col("text")).as("name"))),
+
+    // --- multimodal: opaque binary payloads + batch decode plumbing ---
+    "mm_image_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 4, 4)),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 2)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -263,5 +271,8 @@ object SparkEntry {
     "text_langid" -> TextStats.languageIdOracleSql,
     "text_fingerprint" -> TextStats.fingerprintOracleSql,
     "text_sanitize" ->
-      s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents")
+      s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
+    "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
+    "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
+    "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2))
 }

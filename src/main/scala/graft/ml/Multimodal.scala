@@ -1,0 +1,217 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the batch-shaped decode → feature-extract /
+  * resize / frame-sample operators a training-data pipeline needs.
+  *
+  * Design (the Scala analogue of `mapInPandas` batch processing):
+  *  - media rows are `(media_id, kind, bytes, width, height, n_frames)` —
+  *    the payload stays opaque to Catalyst; only metadata is columnar;
+  *  - decode runs in `mapPartitions`, pulling rows through a pluggable
+  *    [[Decoder]] in bounded batches (`BatchSize`), so a real codec gets
+  *    amortized dispatch and bounded memory exactly like an Arrow batch;
+  *    partition parallelism is Spark's — no driver involvement;
+  *  - THE CODEC IS A STUB: this container has no image/audio libraries,
+  *    so [[FakeDecoder]] "decodes" by interpreting the raw payload bytes
+  *    as 8-bit gray pixels (deterministic, metadata-shaped). A production
+  *    build replaces ONE function (`Decoder.decode`) with e.g. TwelveMonkeys
+  *    ImageIO or ffmpeg bindings; every schema, batch shape, and operator
+  *    downstream is real and stays unchanged.
+  *
+  * The synthetic corpus ([[syntheticMedia]]) derives payload bytes from
+  * md5 chains of the media id — generated with Spark column expressions,
+  * reproducible bit-for-bit in DuckDB from the hex form, which is what
+  * makes the decode/feature/resize/frame operators oracle-checkable
+  * end-to-end despite the stubbed codec.
+  */
+object Multimodal {
+
+  /** 16×16 gray "image" = 256 bytes = 16 md5 blocks. */
+  val Width = 16
+  val Height = 16
+  val FrameBytes = 64 // video: 4 frames of 64 bytes over the same payload
+  val NFrames = 4
+  private val Blocks = Width * Height / 16
+
+  /** Bounded decode batch (the "Arrow batch" of the Scala path). */
+  val BatchSize = 64
+
+  final case class Media(media_id: Long, kind: String, bytes: Array[Byte],
+                         width: Int, height: Int, n_frames: Int)
+
+  /** Pluggable codec: payload bytes + metadata → row-major 8-bit pixels. */
+  trait Decoder extends Serializable {
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Int]
+  }
+
+  /** STUB codec — identity over the payload (bytes ARE the pixels).
+    * Replace with a real image library in production; nothing else moves.
+    */
+  object FakeDecoder extends Decoder {
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Int] = {
+      require(bytes.length >= width * height, "payload shorter than metadata shape")
+      Array.tabulate(width * height)(i => bytes(i) & 0xff)
+    }
+  }
+
+  /** Deterministic opaque payloads for every document id: 256 bytes from
+    * 16 chained md5 blocks, kind round-robined image/audio/video. Pure
+    * column expressions — distributed, no UDF, no driver state.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val hexCol = concat((0 until Blocks).map(b =>
+      md5(concat(col("doc_id").cast("string"), lit(s":media:$b")))): _*)
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      unhex(hexCol).as("bytes"),
+      lit(Width).as("width"), lit(Height).as("height"),
+      lit(NFrames).as("n_frames"))
+  }
+
+  /** The same payload in DuckDB as a hex string relation
+    * `media(media_id, kind, hex, width, height, n_frames)`.
+    */
+  val syntheticMediaSqlCte: String = {
+    val hexExpr = (0 until Blocks)
+      .map(b => s"md5(doc_id::VARCHAR || ':media:$b')").mkString(" || ")
+    s"""media AS (
+       |  SELECT doc_id AS media_id,
+       |         (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+       |         $hexExpr AS hex,
+       |         $Width AS width, $Height AS height, $NFrames AS n_frames
+       |  FROM documents)""".stripMargin
+  }
+
+  /** DuckDB pixel table from the hex payload: (media_id, i, px), i 0-based
+    * row-major — the oracle twin of Decoder.decode.
+    */
+  val pixelsSqlCte: String =
+    s"""pixels AS (
+       |  SELECT media_id, i,
+       |         ('0x' || substr(hex, 2 * i + 1, 2))::INT AS px
+       |  FROM media, unnest(range(0, width * height)) AS r(i))""".stripMargin
+
+  private def decodedPixels(media: DataFrame): Dataset[(Long, Array[Int])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes", "width", "height").as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        // bounded batches through the codec, like an Arrow batch would be
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes, w, h) =>
+            (id, FakeDecoder.decode(bytes, w, h))
+          }
+        }
+      }
+  }
+
+  /** Per-image features over the decoded pixels: count, mean (6 dp),
+    * min/max, and a polynomial rolling hash (order-sensitive content
+    * fingerprint, exact integer math).
+    */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val M = 1000000007L
+    decodedPixels(media).map { case (id, px) =>
+      var h = 0L
+      var s = 0L
+      var mn = 255
+      var mx = 0
+      px.foreach { p =>
+        h = (h * 31 + p) % M; s += p
+        if (p < mn) mn = p
+        if (p > mx) mx = p
+      }
+      (id, px.length.toLong,
+        math.floor(s.toDouble / px.length * 1e6 + 0.5) / 1e6,
+        mn.toLong, mx.toLong, h)
+    }.toDF("media_id", "n_px", "mean_px", "min_px", "max_px", "px_hash")
+  }
+
+  def imageFeaturesOracleSql: String = {
+    // closed form of the iterative hash: Σ px_i · 31^(n−1−i) mod M, with
+    // the 256 powers precomputed (1-indexed: pows[k] = 31^(k-1) mod M)
+    val M = 1000000007L
+    val pows = Iterator.iterate(1L)(p => p * 31 % M).take(Width * Height)
+      .mkString("[", ", ", "]")
+    s"""WITH $syntheticMediaSqlCte,
+       |$pixelsSqlCte,
+       |feat AS (
+       |  SELECT media_id, count(*) AS n_px,
+       |         floor(avg(px::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_px,
+       |         min(px)::BIGINT AS min_px, max(px)::BIGINT AS max_px,
+       |         sum((px::BIGINT * ($pows)[${Width * Height} - i]) % $M) % $M AS px_hash
+       |  FROM pixels GROUP BY media_id)
+       |SELECT media_id, n_px, mean_px, min_px, max_px, px_hash FROM feat""".stripMargin
+  }
+
+  /** Nearest-neighbor resize to `ow`×`oh`: out(y,x) = in(y·h/oh, x·w/ow)
+    * (the standard integer NN mapping). Long-form output keeps it
+    * columnar and oracle-friendly: (media_id, y, x, px).
+    */
+  def resize(media: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes", "width", "height").as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes, w, h) =>
+            val px = FakeDecoder.decode(bytes, w, h)
+            for (y <- 0 until oh; x <- 0 until ow)
+              yield (id, y.toLong, x.toLong, px((y * h / oh) * w + (x * w / ow)).toLong)
+          }
+        }
+      }.toDF("media_id", "y", "x", "px")
+  }
+
+  def resizeOracleSql(ow: Int, oh: Int): String =
+    s"""WITH $syntheticMediaSqlCte,
+       |$pixelsSqlCte,
+       |coords AS (
+       |  SELECT m.media_id, y.y, x.x,
+       |         ((y.y * m.height) // $oh) * m.width + ((x.x * m.width) // $ow) AS src_i
+       |  FROM media m, unnest(range(0, $oh)) AS y(y), unnest(range(0, $ow)) AS x(x))
+       |SELECT c.media_id, c.y, c.x, p.px::BIGINT AS px
+       |FROM coords c JOIN pixels p ON c.media_id = p.media_id AND c.src_i = p.i""".stripMargin
+
+  /** Frame sampling for video payloads: frame f = bytes
+    * [f·FrameBytes, (f+1)·FrameBytes); keep every `stride`-th frame and
+    * emit its mean level — the shape of a real key-frame extractor.
+    */
+  def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select("media_id", "bytes", "n_frames").as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes, nf) =>
+            (0 until nf by stride).map { f =>
+              val frame = bytes.slice(f * FrameBytes, (f + 1) * FrameBytes)
+              val mean = frame.map(_ & 0xff).sum.toDouble / frame.length
+              (id, f.toLong, math.floor(mean * 1e6 + 0.5) / 1e6)
+            }
+          }
+        }
+      }.toDF("media_id", "frame_idx", "mean_px")
+  }
+
+  def frameSampleOracleSql(stride: Int): String =
+    s"""WITH $syntheticMediaSqlCte,
+       |$pixelsSqlCte,
+       |frames AS (
+       |  SELECT p.media_id, p.i // $FrameBytes AS frame_idx, p.px
+       |  FROM pixels p JOIN media m ON p.media_id = m.media_id
+       |  WHERE m.kind = 'video' AND p.i < m.n_frames * $FrameBytes)
+       |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+       |       floor(avg(px::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_px
+       |FROM frames
+       |WHERE frame_idx % $stride = 0
+       |GROUP BY media_id, frame_idx""".stripMargin
+}

@@ -1,0 +1,66 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((0L, "x"), (1L, "y"), (2L, "z"), (5L, "w"))
+    .toDF("doc_id", "text")
+
+  test("synthetic payloads are deterministic, shaped, and kind-cycled") {
+    val m = Multimodal.syntheticMedia(docs).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        r.getAs[Array[Byte]]("bytes")))
+    assert(m.map(_._2).toSet === Set("image", "audio", "video"))
+    assert(m.forall(_._3.length === Multimodal.Width * Multimodal.Height))
+    val again = Multimodal.syntheticMedia(docs).collect()
+      .map(r => r.getAs[Array[Byte]]("bytes").toSeq)
+    assert(m.map(_._3.toSeq).toSeq === again.toSeq)
+  }
+
+  test("decoder rejects payloads shorter than the metadata shape") {
+    intercept[IllegalArgumentException] {
+      Multimodal.FakeDecoder.decode(Array[Byte](1, 2, 3), 2, 2)
+    }
+    assert(Multimodal.FakeDecoder.decode(Array[Byte](1, -1, 3, 4), 2, 2)
+      === Array(1, 255, 3, 4)) // unsigned interpretation
+  }
+
+  test("imageFeatures: mean/min/max/hash agree with a direct computation") {
+    val media = Multimodal.syntheticMedia(docs)
+    val feats = Multimodal.imageFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_px"), r.getAs[Double]("mean_px"), r.getAs[Long]("px_hash")))
+      .toMap
+    val raw = media.select("media_id", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    raw.foreach { case (id, bytes) =>
+      val px = bytes.map(_ & 0xff)
+      val (n, mean, h) = feats(id)
+      assert(n === 256L)
+      assert(mean === math.floor(px.sum.toDouble / 256 * 1e6 + 0.5) / 1e6)
+      assert(h === px.foldLeft(0L)((a, p) => (a * 31 + p) % 1000000007L))
+    }
+  }
+
+  test("resize 16x16 -> 4x4 picks nearest-neighbor sources") {
+    val media = Multimodal.syntheticMedia(docs.limit(1))
+    val px = media.select("bytes").head().getAs[Array[Byte]](0).map(_ & 0xff)
+    val out = Multimodal.resize(media, 4, 4).collect()
+      .map(r => ((r.getAs[Long]("y"), r.getAs[Long]("x")), r.getAs[Long]("px"))).toMap
+    assert(out.size === 16)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(out((y.toLong, x.toLong)) === px((y * 16 / 4) * 16 + (x * 16 / 4)).toLong)
+  }
+
+  test("frameSample keeps every stride-th frame of video payloads only") {
+    val media = Multimodal.syntheticMedia(docs)
+    val out = Multimodal.frameSample(media, 2).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")))
+    // only doc_id 2 and 5 are 'video' (doc_id % 3 == 2)
+    assert(out.map(_._1).toSet === Set(2L, 5L))
+    assert(out.filter(_._1 == 2L).map(_._2).sorted.toSeq === Seq(0L, 2L))
+  }
+}
