@@ -127,6 +127,8 @@ object SparkEntry {
     "trend_argmax" -> ((s, dir) =>
       Detect.argmax(Models.poissonLc(rebinnedEvents(s, dir)))),
     "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
+    // variance-pruned scale path: pair space bounded by top-k, not corpus
+    "trend_corr_topk" -> ((s, dir) => Detect.correlateTop(rebinnedEvents(s, dir), topK = 3)),
     "trend_wdt" -> ((s, dir) => {
       val binned = rebinnedEvents(s, dir)
       val lib = Wdt.buildLibrary(binned, length(col("counter")) % 2 === 0, wdtCfg)
@@ -252,6 +254,8 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored ORDER BY eta DESC, counter, ts LIMIT 1"),
     "trend_corr" ->
       s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",
+    "trend_corr_topk" ->
+      s"WITH $rebCtes,\n${Detect.correlateTopOracleCtes(3)}\nSELECT counter_a, counter_b, r FROM corr_pairs",
     "trend_wdt" -> withScored(Wdt.oracleCtes("length(counter) % 2 = 0", wdtCfg),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_wdt_persisted" -> withScored(Wdt.oracleCtes("length(counter) % 2 = 0", wdtCfg),

@@ -41,6 +41,16 @@ object Dedup {
        |  SELECT DISTINCT doc_id, unnest(${shinglesSql(k)}) AS shingle
        |  FROM doc_words)""".stripMargin
 
+  /** Universal-hash constants for the minhash seed family, derived from
+    * md5 so both engines embed identical literals: values in [1, P).
+    */
+  private val HashP = 1000000007L
+  private[ml] def seedConst(tag: String, s: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"mh:$tag:$s".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(14), 16) % (HashP - 1) + 1
+  }
+
   /** MinHash + LSH near-dup pairs: `numHashes` min-hashes of word-`k`-gram
     * shingles, banded into `bands` buckets (rows = numHashes/bands); pairs
     * sharing a band bucket are verified with exact Jaccard >= `threshold`.
@@ -48,18 +58,27 @@ object Dedup {
     *
     * Scale: shingles → shuffle by (doc, seed) for signatures; band self-
     * join is on the band-bucket key (tiny groups); the exact-verify join is
-    * per candidate pair only. No O(n²) stage.
+    * per candidate pair only. No O(n²) stage. Each shingle is md5-hashed
+    * ONCE; the `numHashes` seed hashes are universal-hash mixes
+    * (aᵢ·h + bᵢ mod P) of that digest with literal constants — hashing the
+    * shingle string per seed would multiply the dominant md5 cost by
+    * numHashes for no statistical gain.
     */
   def minHashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sh = shingleTable(docs, k)
+    val as = (0 until numHashes).map(seedConst("A", _))
+    val bs = (0 until numHashes).map(seedConst("B", _))
 
     val sig = sh
+      .withColumn("hm", h64(col("shingle")) % HashP)
       .withColumn("seed", explode(lit((0 until numHashes).toArray)))
       .groupBy("doc_id", "seed")
-      .agg(min(h64(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("mh"))
+      .agg(min(
+        (element_at(typedlit(as), col("seed") + 1) * col("hm") +
+          element_at(typedlit(bs), col("seed") + 1)) % HashP).as("mh"))
 
     val banded = sig
       .withColumn("band", floor(col("seed") / rows))
@@ -98,11 +117,15 @@ object Dedup {
   def minHashLshOracleSql(k: Int = 3, numHashes: Int = 16, bands: Int = 8,
                           threshold: Double = 0.5): String = {
     val rows = numHashes / bands
+    val as = (0 until numHashes).map(seedConst("A", _)).mkString("[", ", ", "]")
+    val bs = (0 until numHashes).map(seedConst("B", _)).mkString("[", ", ", "]")
     s"""WITH ${shingleTableSql(k)},
+       |hashed AS (
+       |  SELECT doc_id, ${h64Sql("shingle")} % $HashP AS hm FROM doc_shingles),
        |sig AS (
        |  SELECT doc_id, seed,
-       |         min(${h64Sql("shingle || '#' || seed")}) AS mh
-       |  FROM doc_shingles, unnest(range(0, $numHashes)) AS r(seed)
+       |         min((($as)[seed + 1] * hm + ($bs)[seed + 1]) % $HashP) AS mh
+       |  FROM hashed, unnest(range(0, $numHashes)) AS r(seed)
        |  GROUP BY doc_id, seed),
        |banded AS (
        |  SELECT doc_id, seed // $rows AS band,
@@ -132,42 +155,75 @@ object Dedup {
     *
     * Scale: shingles with document frequency > `maxDf` are excluded from
     * candidate GENERATION (a hot shingle like "of the same" would emit
-    * O(df²) pairs); verification still uses the full shingle sets, so any
-    * reported jaccard is exact. Pairs whose only shared shingles are hot
-    * ones are missed — by definition they share nothing distinctive.
+    * O(df²) pairs); verification is still exact. Pairs whose only shared
+    * shingles are hot ones are missed — by definition they share nothing
+    * distinctive.
+    *
+    * The exact intersection is assembled in two parts so no candidate pair
+    * is ever re-expanded against the full shingle table: the rare part
+    * falls straight out of the candidate-generation join (group the
+    * matches by pair), and the hot part joins candidates against the
+    * df>maxDf slice only — small per doc by construction (it's the df
+    * distribution's head).
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {
     val sh = shingleTable(docs, k)
-    val rare = sh.withColumn("df", count(lit(1)).over(
+      .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= maxDf).drop("df")
-    val cand = rare.as("sa").join(rare.as("sb"),
+    val rare = sh.where(col("df") <= maxDf).drop("df")
+    val hot = sh.where(col("df") > maxDf).drop("df")
+
+    val interRare = rare.as("sa").join(rare.as("sb"),
         col("sa.shingle") === col("sb.shingle") &&
           col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .distinct()
-    jaccardVerify(cand, sh, threshold)
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+
+    val interHot = interRare.select("doc_a", "doc_b")
+      .join(hot.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hot.as("hb"), col("doc_b") === col("hb.doc_id") &&
+        col("ha.shingle") === col("hb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_hot"))
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    interRare
+      .join(interHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("ninter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ninter").cast("double") /
+          (col("na.n") + col("nb.n") - col("ninter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   def ngramJaccardOracleSql(k: Int = 3, threshold: Double = 0.5,
                             maxDf: Int = 1000): String =
     s"""WITH ${shingleTableSql(k)},
-       |rare AS (
-       |  SELECT * FROM doc_shingles WHERE shingle IN (
-       |    SELECT shingle FROM doc_shingles GROUP BY shingle
-       |    HAVING count(*) <= $maxDf)),
+       |dfs AS (
+       |  SELECT doc_id, shingle,
+       |         count(*) OVER (PARTITION BY shingle) AS df
+       |  FROM doc_shingles),
+       |rare AS (SELECT doc_id, shingle FROM dfs WHERE df <= $maxDf),
+       |hot AS (SELECT doc_id, shingle FROM dfs WHERE df > $maxDf),
        |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
-       |cand AS (
-       |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+       |inter_rare AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter_rare
        |  FROM rare sa JOIN rare sb
-       |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+       |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY sa.doc_id, sb.doc_id),
+       |inter_hot AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter_hot
+       |  FROM inter_rare c
+       |  JOIN hot ha ON c.doc_a = ha.doc_id
+       |  JOIN hot hb ON c.doc_b = hb.doc_id AND ha.shingle = hb.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
        |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS ninter
-       |  FROM cand c
-       |  JOIN doc_shingles sa ON c.doc_a = sa.doc_id
-       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
-       |  GROUP BY c.doc_a, c.doc_b)
+       |  SELECT r.doc_a, r.doc_b,
+       |         r.inter_rare + coalesce(h.inter_hot, 0) AS ninter
+       |  FROM inter_rare r LEFT JOIN inter_hot h
+       |    ON r.doc_a = h.doc_a AND r.doc_b = h.doc_b)
        |SELECT i.doc_a, i.doc_b,
        |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
        |FROM inter i
@@ -228,18 +284,86 @@ object Dedup {
        |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
+  // Spark's encoder codegen needs public access
+  final case class VecBlock(bid: Int, ids: Array[Long], flat: Array[Double],
+                            norms: Array[Double])
+  final case class RawPair(vec_a: Long, vec_b: Long, cos_raw: Double)
+
   /** Embedding near-dup pairs: cosine >= threshold, computed in double
-    * with a left-to-right fold on both engines, rounded to 6 dp before the
+    * with a left-to-right sum on both engines, rounded to 6 dp before the
     * threshold. All-pairs here (exact baseline, O(n²) by definition);
     * [[Similarity.lshTopK]] is the candidate-pruned scale path.
+    *
+    * Physical design — distributed block nested loop: vectors are packed
+    * into `nBlocks` primitive-array blocks (one shuffle), the tiny block
+    * relation is cross-joined with itself on bid_a <= bid_b, and each of
+    * the ~nBlocks²/2 tasks runs a fused while-loop kernel over its pair of
+    * blocks. No driver-side collection, no per-pair array allocation or
+    * boxing — a row-level pair join evaluating aggregate/zip_with (or a
+    * boxing UDF) on n²/2 rows is 10-30× slower. The kernel emits raw
+    * cosines with a half-ulp margin; the exact 6-dp round + threshold is
+    * applied as column expressions so the filter matches the oracle
+    * bit-for-bit.
     */
-  def embeddingCosine(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+  def embeddingCosine(emb: DataFrame, threshold: Double,
+                      nBlocks: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val blocks = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .groupByKey { case (id, _) => (id % nBlocks).toInt }
+      .mapGroups { (bid, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val dim = if (rows.isEmpty) 0 else rows(0)._2.length
+        val flat = new Array[Double](rows.length * dim)
+        val norms = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          System.arraycopy(rows(i)._2, 0, flat, i * dim, dim)
+          var s = 0.0
+          var d = 0
+          while (d < dim) { val x = rows(i)._2(d); s += x * x; d += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        VecBlock(bid, rows.map(_._1), flat, norms)
+      }
+    val margin = threshold - 5.1e-7 // keep pairs that 6-dp-round up to threshold
+    val pairs = blocks.as("bl").joinWith(blocks.as("br"),
+        col("bl.bid") <= col("br.bid"), "inner")
+      .flatMap { case (a, b) =>
+        val dim = if (a.ids.length > 0 && a.flat.length > 0) a.flat.length / a.ids.length else 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[RawPair]
+        val sameBlock = a.bid == b.bid
+        var i = 0
+        while (i < a.ids.length) {
+          var j = 0
+          while (j < b.ids.length) {
+            val ia = a.ids(i)
+            val jb = b.ids(j)
+            // same block: each unordered pair once via id order; distinct
+            // blocks: every (i, j) combination is already unique — emit
+            // with ids ordered (products commute, so the cosine is
+            // bit-identical either way)
+            if (if (sameBlock) ia < jb else ia != jb) {
+              var s = 0.0
+              var d = 0
+              val oi = i * dim
+              val oj = j * dim
+              while (d < dim) { s += a.flat(oi + d) * b.flat(oj + d); d += 1 }
+              val c = s / (a.norms(i) * b.norms(j))
+              if (c >= margin)
+                out += RawPair(math.min(ia, jb), math.max(ia, jb), c)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    pairs.toDF()
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

@@ -57,6 +57,39 @@ object Detect {
       .select("counter", "ts", "count", "eta")
   }
 
+  /** Scale path for [[correlate]]: prune to the `topK` counters by count
+    * variance before forming any pair. All-pairs correlation is Θ(n²) in
+    * counters by definition — at corpus scale (10⁶ counters) the pair
+    * space must shrink first. Variance is the natural trend-candidate
+    * score (flat series cannot spike); the prune is one hash aggregation
+    * + a top-k (TakeOrdered, no full sort), the survivors' pair stage is
+    * k²-bounded regardless of corpus width, and the semi join broadcasts
+    * the tiny top-k set. Deterministic (variance, counter) tie-break keeps
+    * results reproducible.
+    */
+  def correlateTop(binned: DataFrame, topK: Int): DataFrame = {
+    val top = binned.groupBy("counter")
+      .agg(var_pop(col("count").cast("double")).as("v"))
+      .orderBy(desc("v"), asc("counter")).limit(topK)
+      .select("counter")
+    correlate(binned.join(broadcast(top), Seq("counter"), "left_semi"))
+  }
+
+  /** DuckDB CTE for correlateTop over `rebinned`. */
+  def correlateTopOracleCtes(topK: Int): String =
+    s"""corr_top AS (
+       |  SELECT counter FROM (
+       |    SELECT counter, var_pop(count) AS v FROM rebinned GROUP BY counter
+       |    ORDER BY v DESC, counter LIMIT $topK)),
+       |corr_pruned AS (
+       |  SELECT r.* FROM rebinned r SEMI JOIN corr_top t ON r.counter = t.counter),
+       |corr_pairs AS (
+       |  SELECT a.counter AS counter_a, b.counter AS counter_b,
+       |         round(corr(a.count, b.count), 6) AS r
+       |  FROM corr_pruned a JOIN corr_pruned b ON a.ts = b.ts
+       |  WHERE a.counter < b.counter
+       |  GROUP BY a.counter, b.counter)""".stripMargin
+
   /** DuckDB CTE for correlate over `rebinned`. */
   def correlateOracleCtes: String =
     s"""corr_pairs AS (
