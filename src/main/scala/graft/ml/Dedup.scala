@@ -243,14 +243,17 @@ object Dedup {
   def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
     val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word")).distinct()
+    // all 60 bit-sums as agg columns of ONE groupBy — exploding a row per
+    // (word, bit) would shuffle 60× the word table for the same result
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(wh, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
     val sims = dw
       .withColumn("wh", h64(concat(col("word"), lit("#s"))))
-      .withColumn("bit", explode(lit((0 until 60).toArray)))
-      .withColumn("contrib",
-        when(expr("shiftright(wh, bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val band = sims.withColumn("b", explode(lit((0 until 4).toArray)))
       .withColumn("bkey", expr("shiftright(simhash, 15 * b) & 32767"))
     band.as("a").join(band.as("b"),
@@ -262,19 +265,22 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  def simHashOracleSql(maxHamming: Int = 3): String =
+  def simHashOracleSql(maxHamming: Int = 3): String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (wh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val assemble = (0 until 60).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b}::BIGINT ELSE 0 END)").mkString(" + ")
     s"""WITH dw AS (
        |  SELECT DISTINCT doc_id, unnest($wordsSql) AS word FROM documents),
        |bitsum AS (
-       |  SELECT doc_id, bit,
-       |         sum(CASE WHEN (${h64Sql("word || '#s'")} >> bit) & 1 = 1
-       |                  THEN 1 ELSE -1 END) AS s
-       |  FROM dw, unnest(range(0, 60)) AS r(bit)
-       |  GROUP BY doc_id, bit),
-       |sims AS (
        |  SELECT doc_id,
-       |         sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
-       |  FROM bitsum GROUP BY doc_id),
+       |         $bitSums
+       |  FROM (SELECT doc_id, ${h64Sql("word || '#s'")} AS wh FROM dw)
+       |  GROUP BY doc_id),
+       |sims AS (
+       |  SELECT doc_id, $assemble AS simhash
+       |  FROM bitsum),
        |band AS (
        |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bkey
        |  FROM sims, unnest(range(0, 4)) AS r(b))
@@ -283,6 +289,7 @@ object Dedup {
        |FROM band a JOIN band b
        |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
 
   // Spark's encoder codegen needs public access
   final case class VecBlock(bid: Int, ids: Array[Long], flat: Array[Double],
