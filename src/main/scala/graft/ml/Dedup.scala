@@ -72,19 +72,23 @@ object Dedup {
     val as = (0 until numHashes).map(seedConst("A", _))
     val bs = (0 until numHashes).map(seedConst("B", _))
 
+    // all numHashes min-signatures as agg columns of ONE groupBy (no
+    // per-seed row explosion), band keys assembled directly from them
+    val minCols = (0 until numHashes).map(s =>
+      min((lit(as(s)) * col("hm") + lit(bs(s))) % HashP).as(s"mh$s"))
     val sig = sh
       .withColumn("hm", h64(col("shingle")) % HashP)
-      .withColumn("seed", explode(lit((0 until numHashes).toArray)))
-      .groupBy("doc_id", "seed")
-      .agg(min(
-        (element_at(typedlit(as), col("seed") + 1) * col("hm") +
-          element_at(typedlit(bs), col("seed") + 1)) % HashP).as("mh"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
 
+    val bandCols = (0 until bands).map { b =>
+      val key = md5(concat_ws("|",
+        (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+      struct(lit(b.toLong).as("band"), key.as("bkey"))
+    }
     val banded = sig
-      .withColumn("band", floor(col("seed") / rows))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        s => s.getField("mh").cast("string")), "|")).as("bkey"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -117,20 +121,24 @@ object Dedup {
   def minHashLshOracleSql(k: Int = 3, numHashes: Int = 16, bands: Int = 8,
                           threshold: Double = 0.5): String = {
     val rows = numHashes / bands
-    val as = (0 until numHashes).map(seedConst("A", _)).mkString("[", ", ", "]")
-    val bs = (0 until numHashes).map(seedConst("B", _)).mkString("[", ", ", "]")
+    val minExprs = (0 until numHashes)
+      .map(s => s"min((${seedConst("A", s)} * hm + ${seedConst("B", s)}) % $HashP) AS mh$s")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""WITH ${shingleTableSql(k)},
        |hashed AS (
        |  SELECT doc_id, ${h64Sql("shingle")} % $HashP AS hm FROM doc_shingles),
        |sig AS (
-       |  SELECT doc_id, seed,
-       |         min((($as)[seed + 1] * hm + ($bs)[seed + 1]) % $HashP) AS mh
-       |  FROM hashed, unnest(range(0, $numHashes)) AS r(seed)
-       |  GROUP BY doc_id, seed),
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM hashed
+       |  GROUP BY doc_id),
        |banded AS (
-       |  SELECT doc_id, seed // $rows AS band,
-       |         md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bkey
-       |  FROM sig GROUP BY doc_id, seed // $rows),
+       |  $bandSelects),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
