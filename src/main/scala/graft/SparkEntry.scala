@@ -167,6 +167,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -270,6 +273,7 @@ object SparkEntry {
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
     "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
+    "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

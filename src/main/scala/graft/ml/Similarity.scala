@@ -136,6 +136,90 @@ object Similarity {
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-Flat approximate top-k: a coarse quantizer (the `nCells` corpus
+    * vectors with smallest ids — deterministic seed centroids) partitions
+    * the corpus into inverted lists by nearest-centroid assignment; each
+    * query probes its `nProbe` closest cells and cosine-verifies only
+    * those lists. One linear assignment pass over the corpus (centroids
+    * broadcast), candidate volume ≈ corpus × nProbe / nCells. Assignment
+    * scores are rounded to 9 dp so both engines pick identical cells
+    * despite sub-ulp accumulation differences; ties break on cell id.
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = normed(emb)
+    val cents: Array[(Long, Array[Double], Double)] = e
+      .orderBy("vec_id").limit(nCells)
+      .select("vec_id", "v", "norm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val bc = e.sparkSession.sparkContext.broadcast(cents)
+
+    // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
+    // keep ranks <= nProbe as their probe set
+    val cellRanks = udf { (v: Seq[Double], norm: Double) =>
+      val va = v.toArray
+      bc.value.map { case (cid, cv, cn) =>
+        var s = 0.0
+        var d = 0
+        while (d < va.length) { s += va(d) * cv(d); d += 1 }
+        val c = s / (norm * cn)
+        (cid, math.floor(c * 1e9 + 0.5) / 1e9)
+      }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+    }
+    val ranked = e.withColumn("cells", cellRanks(col("v"), col("norm")))
+    val assigned = ranked.select(col("vec_id"), col("v"), col("norm"),
+      element_at(col("cells"), 1).as("cell"))
+    val probes = ranked.where(isQuery)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(col("cells"), 1, nProbe)).as("cell"))
+
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cand.join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+      .distinct() // a neighbor can surface via several probed cells
+    topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                       isQuerySql: String = defaultIsQuerySql): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+       |  ORDER BY vec_id LIMIT $nCells),
+       |ranks AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY floor(list_dot_product(e.v, c.cv) / (e.norm * c.cn) * 1e9 + 0.5) / 1e9 DESC,
+       |                    c.cid) AS rnk
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
+       |scored AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** The per-plane dot product as an explicit left-assoc SQL sum chain so
     * DuckDB's float order matches Spark's fold exactly.
     */

@@ -82,6 +82,23 @@ class MlSpec extends SparkSpec {
     lsh.foreach { case (id, c) => assert(brute(id) === c) } // same scores
   }
 
+  test("ivfTopK probes nearest cells and scores exactly like brute force") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") === 0, k = 40)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") === 0, k = 5,
+        nCells = 8, nProbe = 3)
+      .orderBy("rank")
+      .select($"neighbor_id", $"cosine", $"rank").as[(Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_._3).toSeq === (1 to ivf.length)) // contiguous ranks
+    ivf.foreach { case (id, c, _) => assert(brute(id) === c) } // exact scores
+    // cosines are non-increasing in rank
+    assert(ivf.map(_._2).toSeq === ivf.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("token stats and quality formulas") {
     val d = docs(1L -> "the cat sat on the mat")
     val ts = TextStats.tokenStats(d).collect().head
