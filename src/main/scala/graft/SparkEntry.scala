@@ -91,6 +91,14 @@ object SparkEntry {
       Rebin(Csv.readCounts(s, Seq(tmp)), "hours", 1)
     }),
     "trend_poisson_lc" -> ((s, dir) => Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99)),
+    // stage handoff through the bucketed columnar intermediate (S4):
+    // rebin → parquet store → load → score; oracle identical to
+    // trend_poisson_lc, so a hash match proves the round-trip is lossless
+    "trend_poisson_lc_stored" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_binned_${Integer.toHexString(dir.hashCode)}"
+      Tables.saveBinned(rebinnedEvents(s, dir), path)
+      Models.poissonLc(Tables.loadBinned(s, path), alpha = 0.99)
+    }),
     // the same plan driven through the ini-config pipeline (SURVEY §3):
     // proves section parsing + registry dispatch against the same oracle
     "trend_pipeline_cfg" -> ((s, dir) => {
@@ -235,6 +243,8 @@ object SparkEntry {
     "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_pipeline_cfg" -> withScored(Models.poissonLcOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_poisson_lc_stored" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_poisson_cycle" -> withScored(Models.poissonCycleOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),

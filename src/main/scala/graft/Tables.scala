@@ -39,4 +39,23 @@ object Tables {
   val eventsAsCountsSql: String =
     """SELECT date_trunc('second', ts) AS ts, 300 AS duration_sec,
       |       1.0 AS count, event_type AS counter FROM events""".stripMargin
+
+  /** Columnar intermediate store (S4) — the engine's replacement for the
+    * reference's JSON dict-of-series handoff between stages
+    * (trend_analyze_many.py:186,235). Counter-BUCKETED parquet, not
+    * partitionBy(counter): a million counters as directories would be a
+    * small-files disaster, while `nBuckets` hash buckets keep files
+    * bounded, give partition pruning for single-counter reads
+    * (bucket = hash(counter) % n is computable at lookup time), and let a
+    * downstream per-counter stage start from co-partitioned data.
+    */
+  def saveBinned(binned: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    binned
+      .withColumn("bucket", pmod(hash(col("counter")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def loadBinned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("bucket")
+      .select("counter", "ts", "duration_sec", "count")
 }

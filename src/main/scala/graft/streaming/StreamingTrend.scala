@@ -39,6 +39,11 @@ object StreamingTrend {
                           count: Double, eta: Double)
   /** Scorer state: epoch micros + count of the latest bin folded in. */
   final case class LcState(lastTsUs: Long, lastCount: Double)
+  /** Cycle-mode state: per period-key running (num, denom) accumulators —
+    * exactly the reference's periodic_data dict (models.py:284-298); size
+    * bounded by the period-key cardinality (e.g. 24 for hour-of-day).
+    */
+  final case class CycleState(lastTsUs: Long, keys: Map[String, (Double, Long)])
 
   private val unitSeconds = Map(
     "minutes" -> 60L, "hours" -> 3600L, "days" -> 86400L, "weeks" -> 604800L)
@@ -85,6 +90,52 @@ object StreamingTrend {
                   if (w == 0.0) 0.0 else math.abs(b.count - mean) / w
                 }
               st = LcState(b.ts.getTime * 1000L, b.count)
+              Scored(counter, b.ts, b.count, Rounding.trim2Scalar(eta))
+            }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Stateful cycle-mode Poisson scorer: the background mean is the
+    * running average of counts sharing the current bin's period key,
+    * INCLUDING the current point (models.py:284-298). Period keys are
+    * evaluated in UTC — matching the batch engine's session timezone.
+    */
+  def poissonCycleStream(binned: DataFrame, alpha: Double = 0.99,
+                         periodList: Seq[String] = Seq("hour")): Dataset[Scored] = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    def pkey(ts: java.sql.Timestamp): String = {
+      val t = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      periodList.map {
+        case "hour" => t.getHour.toString
+        case "day" => t.getDayOfMonth.toString
+        case "month" => t.getMonthValue.toString
+        case "minute" => t.getMinute.toString
+        case p => throw new IllegalArgumentException(s"unsupported period attr $p")
+      }.mkString(":")
+    }
+    binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
+        "CAST(count AS DOUBLE) AS count").as[Binned]
+      .groupByKey(_.counter)
+      .flatMapGroupsWithState[CycleState, Scored](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (counter, rows, state: GroupState[CycleState]) =>
+          var st = state.getOption.getOrElse(CycleState(Long.MinValue, Map.empty))
+          val out = rows.toArray.sortBy(_.ts.getTime).iterator
+            .filter(_.ts.getTime * 1000L > st.lastTsUs)
+            .map { b =>
+              val k = pkey(b.ts)
+              val (num, denom) = st.keys.getOrElse(k, (0.0, 0L))
+              val (n2, d2) = (num + b.count, denom + 1)
+              st = CycleState(b.ts.getTime * 1000L, st.keys.updated(k, (n2, d2)))
+              val mean = n2 / d2
+              val eta =
+                if (mean <= 0.0) 0.0
+                else {
+                  val w = PoissonCi.width(alpha, mean)
+                  if (w == 0.0) 0.0 else math.abs(b.count - mean) / w
+                }
               Scored(counter, b.ts, b.count, Rounding.trim2Scalar(eta))
             }.toVector
           state.update(st)

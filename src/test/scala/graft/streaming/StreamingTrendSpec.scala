@@ -73,4 +73,28 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.count() === 12)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stateful cycle-mode scorer matches the batch model") {
+    val binned = Rebin(eventsAsRaw, "hours", 1)
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, n) => StreamingTrend.Binned(c, t, d, n) }
+      .sortBy(b => (b.ts.getTime, b.counter))
+    val input = MemoryStream[StreamingTrend.Binned]
+    val q = StreamingTrend.poissonCycleStream(input.toDF(), alpha = 0.99,
+        periodList = Seq("hour"))
+      .writeStream.format("memory").queryName("scycle")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = binned.splitAt(7)
+      Seq(b1, b2).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("scycle")
+    val batch = Models.poissonCycle(Rebin(eventsAsRaw, "hours", 1),
+      alpha = 0.99, periodList = Seq("hour"))
+    assert(streamed.count() === 12)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
