@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.functions.{PoissonCi, Rounding}
+import graft.trend.{MannKendall, SeriesTransforms}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -44,6 +45,11 @@ object StreamingTrend {
     * bounded by the period-key cardinality (e.g. 24 for hour-of-day).
     */
   final case class CycleState(lastTsUs: Long, keys: Map[String, (Double, Long)])
+  /** Count-buffer state for MK / WDT: the trailing window (bounded when a
+    * window/reference length applies; otherwise the series so far, which
+    * is bounded by grid bins, not event volume).
+    */
+  final case class BufState(lastTsUs: Long, counts: List[Double], runsum: Double)
 
   private val unitSeconds = Map(
     "minutes" -> 60L, "hours" -> 3600L, "days" -> 86400L, "weeks" -> 604800L)
@@ -95,6 +101,59 @@ object StreamingTrend {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Generic buffer-state scorer: folds each finalized bin into the
+    * per-counter count buffer (trimmed to `keep` when bounded) and scores
+    * it with `etaOf(buffer, runsum)`.
+    */
+  private def bufferedScorer(binned: DataFrame, keep: Option[Int])(
+      etaOf: (List[Double], Double) => Double): Dataset[Scored] = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
+        "CAST(count AS DOUBLE) AS count").as[Binned]
+      .groupByKey(_.counter)
+      .flatMapGroupsWithState[BufState, Scored](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (counter, rows, state: GroupState[BufState]) =>
+          var st = state.getOption.getOrElse(BufState(Long.MinValue, Nil, 0.0))
+          val out = rows.toArray.sortBy(_.ts.getTime).iterator
+            .filter(_.ts.getTime * 1000L > st.lastTsUs)
+            .map { b =>
+              val grown = st.counts :+ b.count
+              val kept = keep.fold(grown)(k => grown.takeRight(k))
+              st = BufState(b.ts.getTime * 1000L, kept, st.runsum + b.count)
+              Scored(counter, b.ts, b.count,
+                Rounding.trim2Scalar(etaOf(kept, st.runsum)))
+            }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Stateful Mann-Kendall scorer: z over the (windowed) count history at
+    * every bin. State is the trailing `windowSize` counts when given,
+    * else the whole series so far (bounded by grid bins). Per-update cost
+    * is O(|buffer|²) — the streaming analogue of the reference's
+    * per-point recompute; the batch path keeps its O(n log n) Fenwick.
+    */
+  def mannKendallStream(binned: DataFrame,
+                        windowSize: Option[Int] = None): Dataset[Scored] =
+    bufferedScorer(binned, windowSize) { (buf, _) =>
+      MannKendall.windowZ(buf.toArray)
+    }
+
+  /** Stateful WeightedDataTemplates scorer: the trailing referenceLength
+    * counts (bounded state) scored against the broadcast library with the
+    * exact batch kernel, including the warm-up gates (models.py:158-161).
+    */
+  def wdtStream(binned: DataFrame, library: Array[(Boolean, Array[Double])],
+                cfg: graft.trend.SeriesTransforms.Config): Dataset[Scored] = {
+    val libB = binned.sparkSession.sparkContext.broadcast(library)
+    bufferedScorer(binned, Some(cfg.referenceLength)) { (buf, runsum) =>
+      if (buf.length < cfg.referenceLength || runsum == 0.0) 0.0
+      else graft.trend.Wdt.windowEta(buf.toArray, libB.value, cfg)
+    }
   }
 
   /** Stateful cycle-mode Poisson scorer: the background mean is the

@@ -76,8 +76,10 @@ object MannKendall {
     out
   }
 
-  /** Naive mk z over one window (used for the window_size variant). */
-  private[trend] def windowZ(xs: Array[Double]): Double = {
+  /** Naive mk z over one window (used by the window_size variant and the
+    * streaming scorer).
+    */
+  private[graft] def windowZ(xs: Array[Double]): Double = {
     val n = xs.length
     var s = 0.0
     var k = 0

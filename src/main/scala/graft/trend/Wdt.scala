@@ -72,29 +72,37 @@ object Wdt {
     * count sum is nonzero (models.py:158-161); SMALL_NUMBER floor for a
     * zero non-trend weight (models.py:189-190).
     */
+  /** Collect a (tiny) library DataFrame to the broadcastable array form. */
+  def collectLibrary(library: DataFrame): Array[(Boolean, Array[Double])] =
+    library.select("is_trend", "points").collect()
+      .map(r => (r.getBoolean(0), r.getSeq[Double](1).toArray))
+
+  /** Scalar eta for one trailing count window against a collected library
+    * (shared by the batch UDF and the streaming scorer).
+    */
+  def windowEta(window: Array[Double], lib: Array[(Boolean, Array[Double])],
+                cfg: Config): Double = {
+    val test = SeriesTransforms.testChain(window, cfg).takeRight(cfg.seriesLength)
+    var trendW = 0.0
+    var nonTrendW = 0.0
+    lib.foreach { case (isTrend, ref) =>
+      val d = SeriesTransforms.minSlidingL1(ref, test)
+      val wt = math.exp(-d * cfg.lambda)
+      if (isTrend) trendW += wt else nonTrendW += wt
+    }
+    if (nonTrendW == 0.0) nonTrendW = 0.001
+    trendW / nonTrendW
+  }
+
   def score(binned: DataFrame, library: DataFrame, cfg: Config): DataFrame = {
     val spark = binned.sparkSession
-    val lib: Array[(Boolean, Array[Double])] = library
-      .select("is_trend", "points").collect()
-      .map(r => (r.getBoolean(0), r.getSeq[Double](1).toArray))
+    val lib = collectLibrary(library)
     val libB = spark.sparkContext.broadcast(lib)
 
     val w = Window.partitionBy("counter").orderBy("ts")
     val wTrail = w.rowsBetween(-(cfg.referenceLength - 1), 0)
-    val etaUdf = udf((window: Seq[Double]) => {
-      val test = SeriesTransforms
-        .testChain(window.toArray, cfg)
-        .takeRight(cfg.seriesLength)
-      var trendW = 0.0
-      var nonTrendW = 0.0
-      libB.value.foreach { case (isTrend, ref) =>
-        val d = SeriesTransforms.minSlidingL1(ref, test)
-        val wt = math.exp(-d * cfg.lambda)
-        if (isTrend) trendW += wt else nonTrendW += wt
-      }
-      if (nonTrendW == 0.0) nonTrendW = 0.001
-      trendW / nonTrendW
-    })
+    val etaUdf = udf((window: Seq[Double]) =>
+      windowEta(window.toArray, libB.value, cfg))
 
     val df = binned
       .withColumn("rn", row_number().over(w))

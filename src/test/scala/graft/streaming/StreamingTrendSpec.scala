@@ -97,4 +97,48 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.count() === 12)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  private def binnedChunks(n: Int) = {
+    val binned = Rebin(eventsAsRaw, "hours", 1)
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, cnt) => StreamingTrend.Binned(c, t, d, cnt) }
+      .sortBy(b => (b.ts.getTime, b.counter))
+    binned.grouped(math.max(1, binned.length / n)).toSeq
+  }
+
+  test("stateful Mann-Kendall scorer matches batch, expanding and windowed") {
+    for ((ws, name) <- Seq(None -> "smk_full", Some(4) -> "smk_win")) {
+      val input = MemoryStream[StreamingTrend.Binned]
+      val q = StreamingTrend.mannKendallStream(input.toDF(), windowSize = ws)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try binnedChunks(3).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      val batch = graft.trend.MannKendall(Rebin(eventsAsRaw, "hours", 1), ws)
+      val streamed = spark.table(name)
+      assert(streamed.count() === 12)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    }
+  }
+
+  test("stateful WDT scorer matches batch") {
+    val cfg = graft.trend.SeriesTransforms.Config(seriesLength = 3,
+      referenceLength = 5, nSmooth = 2, baselineOffset = 1, lambda = 0.1)
+    val binned = Rebin(eventsAsRaw, "hours", 1)
+    val lib = graft.trend.Wdt.buildLibrary(binned,
+      org.apache.spark.sql.functions.length($"counter") === 1, cfg)
+    val libArr = graft.trend.Wdt.collectLibrary(lib)
+
+    val input = MemoryStream[StreamingTrend.Binned]
+    val q = StreamingTrend.wdtStream(input.toDF(), libArr, cfg)
+      .writeStream.format("memory").queryName("swdt")
+      .outputMode("append").start()
+    try binnedChunks(3).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+
+    val batch = graft.trend.Wdt.score(binned, lib, cfg)
+    val streamed = spark.table("swdt")
+    assert(streamed.count() === 12)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
