@@ -50,9 +50,14 @@ object Csv {
 
   /** 4-col positional CSV → logical counted-time-series rows (S1).
     * Duration accepts "3600.0" (`int(float(...))`, analysis.py:62).
+    * `quoteNone = true` disables quote processing, matching the
+    * many-counter driver's `csv.QUOTE_NONE` (trend_analyze_many.py:133:
+    * quotes are PART of the counter name there).
     */
-  def readCounts(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.schema(fourCol).csv(paths: _*)
+  def readCounts(spark: SparkSession, paths: Seq[String],
+                 quoteNone: Boolean = false): DataFrame = {
+    val reader = spark.read.schema(fourCol)
+    (if (quoteNone) reader.option("quote", "\u0000") else reader).csv(paths: _*)
       .select(
         // field-level trim mirrors Python's whitespace-tolerant float()/
         // dt parse (example.csv has ", 3600," with a leading space)
@@ -62,6 +67,7 @@ object Csv {
         col("c3").as("counter"))
       .where(col("ts").isNotNull && col("count").isNotNull &&
         col("duration_sec").isNotNull)
+  }
 
   /** Directory scan with postfix filter (S2, trend_rebin.py:61-65):
     * recursively reads every file under `baseDir` ending in `postfix`.

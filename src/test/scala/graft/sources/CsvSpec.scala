@@ -56,6 +56,14 @@ class CsvSpec extends SparkSpec {
     assert(got === 3.0)
   }
 
+  test("quoteNone keeps quotes as part of the counter name") {
+    val dir = tmpDir()
+    writeLines(dir, "q.counts", Seq("""20140824000000,3600,2,"weird" name"""))
+    val kept = Csv.readCounts(spark, Seq(s"$dir/q.counts"), quoteNone = true)
+      .select("counter").as[String].head()
+    assert(kept === "\"weird\" name") // csv.QUOTE_NONE semantics
+  }
+
   test("sink round-trip is lossless for second-precision data") {
     val dir = tmpDir()
     val src = Seq(
