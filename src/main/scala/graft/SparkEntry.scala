@@ -163,6 +163,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
+    // cluster assignment over the near-dup graph: min-label propagation
+    // to a fixpoint; keepers are the cluster minima
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.components(docs, Dedup.ngramJaccard(docs))
+    }),
     // embeddings are near-orthogonal synthetic vectors (max pairwise
     // cosine ~0.51 at sf0.01) — 0.45 yields a real, non-vacuous pair set
     "dedup_cosine" -> ((s, dir) =>
@@ -183,6 +189,7 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextStats.quality(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextStats.languageId(Tables.load(s, dir, "documents"))),
+    "text_corpus_stats" -> ((s, dir) => TextStats.corpusStats(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(Tables.load(s, dir, "documents"))),
     // counter-name sanitize (C10) exercised over real spaced strings
     "text_sanitize" -> ((s, dir) =>
@@ -281,12 +288,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
+    "dedup_clusters" -> Dedup.componentsOracleSql(Dedup.ngramJaccardOracleSql()),
     "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,
+    "text_corpus_stats" -> TextStats.corpusStatsOracleSql,
     "text_fingerprint" -> TextStats.fingerprintOracleSql,
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",

@@ -299,6 +299,62 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 
+  /** Connected components over a near-dup pair graph → cluster
+    * assignment: every document labeled with the min doc_id reachable
+    * through pair edges (its cluster id); docs in no pair are their own
+    * cluster. The keep-list of a dedup pass is `is_keeper = true`.
+    *
+    * Distribution: iterative min-label propagation — each round is one
+    * groupBy over the (undirected) edge list joined back to labels, state
+    * lives entirely in DataFrames, and the loop stops when a round
+    * changes nothing (checked with one count per round) or at `maxIter`.
+    * Rounds needed = graph diameter; near-dup clusters are shallow (stars
+    * around a template), so convergence is fast in practice. The result
+    * is iteration-order independent (min is idempotent/commutative), so
+    * it equals the oracle's recursive-CTE fixpoint exactly.
+    */
+  def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("nmin"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
+  /** DuckDB oracle: min reachable id via a recursive reachability CTE
+    * (fine at oracle scale; the engine iterates instead).
+    */
+  def componentsOracleSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.id, e.dst AS r
+       |  FROM reach JOIN edges e ON reach.r = e.src),
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+       |FROM labels""".stripMargin
+
   // Spark's encoder codegen needs public access
   final case class VecBlock(bid: Int, ids: Array[Long], flat: Array[Double],
                             norms: Array[Double])

@@ -123,6 +123,34 @@ object TextStats {
        |    FROM (SELECT doc_id, $wordsSql AS w FROM documents)))""".stripMargin
   }
 
+  /** Corpus rollup by predicted language — the summary a training-data
+    * curation run reports. Integer aggregates only (counts, word/char
+    * totals), so results are accumulation-order independent and hash
+    * stable across engines.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    languageId(docs)
+      .join(docs.select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars")), "doc_id")
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_chars").as("total_chars"))
+  }
+
+  val corpusStatsOracleSql: String =
+    s"""WITH lang AS ($languageIdOracleSql),
+       |stats AS (
+       |  SELECT doc_id, len($wordsSql)::BIGINT AS n_words,
+       |         length(text)::BIGINT AS n_chars
+       |  FROM documents)
+       |SELECT l.lang_pred, count(*) AS n_docs,
+       |       sum(s.n_words) AS total_words, sum(s.n_chars) AS total_chars
+       |FROM lang l JOIN stats s ON l.doc_id = s.doc_id
+       |GROUP BY l.lang_pred""".stripMargin
+
   /** Polynomial rolling-hash fingerprint over the first 200 words:
     * fp = Σᵢ (h64(wᵢ) mod M) · 31ⁱ mod M, all integer arithmetic so the
     * result is order-deterministic and engine-portable.

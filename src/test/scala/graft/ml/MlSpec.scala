@@ -82,6 +82,17 @@ class MlSpec extends SparkSpec {
     lsh.foreach { case (id, c) => assert(brute(id) === c) } // same scores
   }
 
+  test("components assigns min-id cluster labels, chains converge") {
+    val allDocs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)) // a 4-chain + a pair
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.components(allDocs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
+  }
+
   test("ivfTopK probes nearest cells and scores exactly like brute force") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
