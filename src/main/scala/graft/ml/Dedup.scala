@@ -314,8 +314,12 @@ object Dedup {
     * it equals the oracle's recursive-CTE fixpoint exactly.
     */
   def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every propagation round reuses it,
+    // and without this the (expensive) pair-generation plan would
+    // re-execute per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
     var iter = 0
