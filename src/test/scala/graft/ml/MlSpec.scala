@@ -93,6 +93,33 @@ class MlSpec extends SparkSpec {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("components matches an independent union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { i =>
+        // min id in component
+        val root = find(i)
+        (i.toLong, (0 until n).filter(j => find(j) == root).min.toLong)
+      }.toSet
+
+      val docsDf = (0L until n.toLong).map(i => (i, "x")).toDF("doc_id", "text")
+      val got = Dedup.components(docsDf, edges.toDF("doc_a", "doc_b"))
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"trial $trial edges $edges")
+    }
+  }
+
   test("ivfTopK probes nearest cells and scores exactly like brute force") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
