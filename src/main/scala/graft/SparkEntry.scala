@@ -27,6 +27,8 @@ object SparkEntry {
   private def withScored(modelCtes: String, finalSelect: String): String =
     s"WITH $rebCtes,\n$modelCtes\n$finalSelect"
 
+  private val RocThetas = Seq(0.1, 0.25, 0.5, 1.0, 2.0, 4.0)
+
   // WDT parameters sized to the hourly event grid (reference example uses
   // 150/150/1/40 on 2-min bins, config.cfg:60-78)
   private val wdtCfg = SeriesTransforms.Config(seriesLength = 24,
@@ -134,6 +136,13 @@ object SparkEntry {
       Detect(Models.poissonLc(rebinnedEvents(s, dir)), theta = 0.5)),
     "trend_argmax" -> ((s, dir) =>
       Detect.argmax(Models.poissonLc(rebinnedEvents(s, dir)))),
+    // the whitepaper's ROC evaluation: sweep theta over labeled series
+    "trend_roc" -> ((s, dir) => {
+      val scored = Models.poissonLc(rebinnedEvents(s, dir))
+      val labels = scored.select("counter").distinct()
+        .withColumn("is_trend", length(col("counter")) % 2 === 0)
+      Detect.rocSweep(scored, labels, RocThetas)
+    }),
     "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
     // variance-pruned scale path: pair space bounded by top-k, not corpus
     "trend_corr_topk" -> ((s, dir) => Detect.correlateTop(rebinnedEvents(s, dir), topK = 3)),
@@ -272,6 +281,10 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored WHERE eta > 0.5"),
     "trend_argmax" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored ORDER BY eta DESC, counter, ts LIMIT 1"),
+    "trend_roc" -> withScored(
+      Models.poissonLcOracleCtes(0.99) + ",\n" +
+        Detect.rocSweepOracleCtes("length(counter) % 2 = 0", RocThetas),
+      "SELECT theta, tp, fp, fn, tn FROM roc"),
     "trend_corr" ->
       s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",
     "trend_corr_topk" ->

@@ -75,6 +75,46 @@ object Detect {
     correlate(binned.join(broadcast(top), Seq("counter"), "left_semi"))
   }
 
+  /** ROC theta-sweep (the whitepaper's evaluation methodology,
+    * trends.tex:495-506): a labeled series is classified "trend" when its
+    * eta exceeds theta at any point (trends.tex:206); sweeping theta
+    * yields the confusion counts behind the ROC curve. Labels are a tiny
+    * per-counter relation (broadcast); the sweep explodes the literal
+    * theta grid over the per-counter maxima — counts are integers, so the
+    * output is accumulation-order independent.
+    */
+  def rocSweep(scored: DataFrame, labels: DataFrame,
+               thetas: Seq[Double]): DataFrame = {
+    val maxEta = scored.groupBy("counter").agg(max("eta").as("max_eta"))
+      .join(broadcast(labels.select("counter", "is_trend")), "counter")
+    maxEta
+      .withColumn("theta", explode(typedlit(thetas)))
+      .groupBy("theta")
+      .agg(
+        sum(when(col("max_eta") > col("theta") && col("is_trend"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("max_eta") > col("theta") && !col("is_trend"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("max_eta") <= col("theta") && col("is_trend"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("max_eta") <= col("theta") && !col("is_trend"), 1L)
+          .otherwise(0L)).as("tn"))
+  }
+
+  /** DuckDB CTE for rocSweep over `scored`; `isTrendSql` labels counters. */
+  def rocSweepOracleCtes(isTrendSql: String, thetas: Seq[Double]): String =
+    s"""roc_max AS (
+       |  SELECT counter, max(eta) AS max_eta, ($isTrendSql) AS is_trend
+       |  FROM scored GROUP BY counter),
+       |roc AS (
+       |  SELECT theta,
+       |         sum(CASE WHEN max_eta > theta AND is_trend THEN 1 ELSE 0 END) AS tp,
+       |         sum(CASE WHEN max_eta > theta AND NOT is_trend THEN 1 ELSE 0 END) AS fp,
+       |         sum(CASE WHEN max_eta <= theta AND is_trend THEN 1 ELSE 0 END) AS fn,
+       |         sum(CASE WHEN max_eta <= theta AND NOT is_trend THEN 1 ELSE 0 END) AS tn
+       |  FROM roc_max, unnest([${thetas.mkString(", ")}]) AS t(theta)
+       |  GROUP BY theta)""".stripMargin
+
   /** DuckDB CTE for correlateTop over `rebinned`. */
   def correlateTopOracleCtes(topK: Int): String =
     s"""corr_top AS (
