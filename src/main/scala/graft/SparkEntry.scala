@@ -211,7 +211,9 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) =>
       Multimodal.resize(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 4, 4)),
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 2)))
+      Multimodal.frameSample(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 2)),
+    "mm_audio_rms" -> ((s, dir) =>
+      Multimodal.audioRms(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -314,5 +316,6 @@ object SparkEntry {
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
-    "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2))
+    "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),
+    "mm_audio_rms" -> Multimodal.audioRmsOracleSql())
 }

@@ -180,6 +180,47 @@ object Multimodal {
        |SELECT c.media_id, c.y, c.x, p.px::BIGINT AS px
        |FROM coords c JOIN pixels p ON c.media_id = p.media_id AND c.src_i = p.i""".stripMargin
 
+  /** Windowed RMS levels for audio payloads (the shape of a loudness /
+    * silence-trim feature): window w = samples [w·n, (w+1)·n), rms =
+    * sqrt(mean(sample²)). All-exact arithmetic when n is a power of two
+    * (integer square sums, exact binary division, IEEE sqrt), so the
+    * 6-dp floor-round matches the oracle bit-for-bit.
+    */
+  def audioRms(media: DataFrame, windowSamples: Int = 32): DataFrame = {
+    require(Integer.bitCount(windowSamples) == 1, "power-of-two window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "audio")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            bytes.grouped(windowSamples).zipWithIndex
+              .filter(_._1.length == windowSamples) // drop trailing partial
+              .map { case (win, w) =>
+                var ss = 0L
+                win.foreach { b => val v = b & 0xff; ss += v.toLong * v }
+                val rms = math.sqrt(ss.toDouble / windowSamples)
+                (id, w.toLong, math.floor(rms * 1e6 + 0.5) / 1e6)
+              }
+          }
+        }
+      }.toDF("media_id", "win_idx", "rms")
+  }
+
+  def audioRmsOracleSql(windowSamples: Int = 32): String =
+    s"""WITH $syntheticMediaSqlCte,
+       |$pixelsSqlCte,
+       |wins AS (
+       |  SELECT p.media_id, p.i // $windowSamples AS win_idx,
+       |         sum(p.px::BIGINT * p.px::BIGINT) AS ss, count(*) AS n
+       |  FROM pixels p JOIN media m ON p.media_id = m.media_id
+       |  WHERE m.kind = 'audio'
+       |  GROUP BY p.media_id, p.i // $windowSamples)
+       |SELECT media_id, win_idx::BIGINT AS win_idx,
+       |       floor(sqrt(ss::DOUBLE / $windowSamples) * 1e6 + 0.5) / 1e6 AS rms
+       |FROM wins WHERE n = $windowSamples""".stripMargin
+
   /** Frame sampling for video payloads: frame f = bytes
     * [f·FrameBytes, (f+1)·FrameBytes); keep every `stride`-th frame and
     * emit its mean level — the shape of a real key-frame extractor.

@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkSpec {
       assert(out((y.toLong, x.toLong)) === px((y * 16 / 4) * 16 + (x * 16 / 4)).toLong)
   }
 
+  test("audioRms windows audio payloads with exact power-of-two math") {
+    val media = Multimodal.syntheticMedia(docs)
+    val out = Multimodal.audioRms(media, windowSamples = 32).collect()
+      .map(r => ((r.getAs[Long]("media_id"), r.getAs[Long]("win_idx")),
+        r.getAs[Double]("rms"))).toMap
+    // only doc_id 1 is 'audio' (doc_id % 3 == 1) among 0,1,2,5
+    assert(out.keys.map(_._1).toSet === Set(1L))
+    assert(out.size === 8) // 256 bytes / 32 samples
+    val bytes = media.where($"media_id" === 1).select("bytes")
+      .head().getAs[Array[Byte]](0)
+    val win0 = bytes.take(32).map(b => (b & 0xff).toLong)
+    val expect = math.sqrt(win0.map(v => v * v).sum.toDouble / 32)
+    assert(out((1L, 0L)) === math.floor(expect * 1e6 + 0.5) / 1e6)
+  }
+
   test("frameSample keeps every stride-th frame of video payloads only") {
     val media = Multimodal.syntheticMedia(docs)
     val out = Multimodal.frameSample(media, 2).collect()

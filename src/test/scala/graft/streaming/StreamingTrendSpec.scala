@@ -50,6 +50,30 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming rebin drops late data behind the watermark") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingTrend.rebinStream(
+        input.toDF().toDF("ts", "counter", "count"), "hours", 1)
+      .writeStream.format("memory").queryName("slate")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts("2024-01-01 05:00:00"), "a", 1.0)))
+      q.processAllAvailable() // watermark -> 05:00
+      // hour-3 window [03:00, 04:00) ended before the watermark: late row
+      input.addData(Seq(
+        (ts("2024-01-01 03:30:00"), "a", 99.0), // LATE -> dropped
+        (ts("2024-01-01 06:00:00"), "a", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq((ts("2024-01-02 12:00:00"), "zz", 0.0))) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("slate").where($"counter" === "a")
+      .select("ts", "count").as[(Timestamp, Double)].collect().toMap
+    assert(!rows.contains(ts("2024-01-01 03:00:00"))) // late bin absent
+    assert(rows(ts("2024-01-01 05:00:00")) === 1.0)
+    assert(rows(ts("2024-01-01 06:00:00")) === 2.0)
+  }
+
   test("stateful Poisson-lc scorer matches the batch model, incrementally") {
     val binned = Rebin(eventsAsRaw, "hours", 1)
       .as[(String, Timestamp, Double, Double)].collect()
