@@ -156,6 +156,91 @@ object StreamingTrend {
     }
   }
 
+  /** LinReg scorer state: row counter, the trailing `avgWindow` raw
+    * counts, and either the Welford/co-moment accumulators (expanding
+    * regression) or the trailing `regWindow` averaged values (bounded
+    * regression, recomputed per row exactly like Spark's sliding frame).
+    */
+  final case class LinRegState(lastTsUs: Long, rn: Long,
+                               recent: List[Double], avgBuf: List[Double],
+                               n: Long, xAvg: Double, yAvg: Double,
+                               ck: Double, xM2: Double, ySum: Double)
+
+  /** Stateful linear-regression scorer, bit-identical to the batch
+    * `Models.linReg`: the accumulators replicate Spark's Covariance /
+    * CentralMomentAgg / Average update order over rows in ts order, so
+    * expanding-frame results match exactly; bounded regression windows
+    * recompute over the buffer in frame order like a sliding
+    * WindowFunctionFrame does.
+    */
+  def linRegStream(binned: DataFrame, minPoints: Int, avgWindow: Int = 1,
+                   regWindow: Option[Int] = None,
+                   normByMean: Boolean = false): Dataset[Scored] = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
+        "CAST(count AS DOUBLE) AS count").as[Binned]
+      .groupByKey(_.counter)
+      .flatMapGroupsWithState[LinRegState, Scored](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (counter, rows, state: GroupState[LinRegState]) =>
+          var st = state.getOption.getOrElse(
+            LinRegState(Long.MinValue, 0L, Nil, Nil, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          val out = rows.toArray.sortBy(_.ts.getTime).iterator
+            .filter(_.ts.getTime * 1000L > st.lastTsUs)
+            .map { b =>
+              val rn = st.rn + 1
+              val recent = (st.recent :+ b.count).takeRight(avgWindow)
+              // Average agg over the trailing frame: ordered sum, then /count
+              val averaged =
+                if (rn >= avgWindow) recent.foldLeft(0.0)(_ + _) / avgWindow.toDouble
+                else 0.0
+              val x = rn.toDouble
+              val (slope, meanY, st2) = regWindow match {
+                case None =>
+                  // expanding frame: one Welford/co-moment step per row
+                  val n2 = st.n + 1
+                  val dx = x - st.xAvg
+                  val dxN = dx / n2
+                  val dy = averaged - st.yAvg
+                  val dyN = dy / n2
+                  val xAvg2 = st.xAvg + dxN
+                  val yAvg2 = st.yAvg + dyN
+                  val ck2 = st.ck + dx * (averaged - yAvg2)
+                  val xM22 = st.xM2 + dx * (x - xAvg2)
+                  val ySum2 = st.ySum + averaged
+                  val sl = (ck2 / n2) / (xM22 / n2)
+                  (sl, ySum2 / n2, st.copy(n = n2, xAvg = xAvg2, yAvg = yAvg2,
+                    ck = ck2, xM2 = xM22, ySum = ySum2))
+                case Some(w) =>
+                  // sliding frame: recompute over the buffer in frame order
+                  val buf = (st.avgBuf :+ averaged).takeRight(w)
+                  var (n2, xa, ya, ck2, m2, ys) = (0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+                  var xi = x - buf.length + 1
+                  buf.foreach { y =>
+                    n2 += 1
+                    val dx = xi - xa
+                    val dy = y - ya
+                    xa += dx / n2
+                    ya += dy / n2
+                    ck2 += dx * (y - ya)
+                    m2 += dx * (xi - xa)
+                    ys += y
+                    xi += 1
+                  }
+                  ((ck2 / n2) / (m2 / n2), ys / n2, st.copy(avgBuf = buf))
+              }
+              val slopeNormed = if (normByMean) slope / meanY else slope
+              val eta =
+                if (rn >= minPoints && math.abs(slopeNormed) >= 1e-12) slopeNormed
+                else 0.0
+              st = st2.copy(lastTsUs = b.ts.getTime * 1000L, rn = rn, recent = recent)
+              Scored(counter, b.ts, b.count, Rounding.trim2Scalar(eta))
+            }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stateful cycle-mode Poisson scorer: the background mean is the
     * running average of counts sharing the current bin's period key,
     * INCLUDING the current point (models.py:284-298). Period keys are

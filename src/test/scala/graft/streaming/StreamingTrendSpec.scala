@@ -145,6 +145,27 @@ class StreamingTrendSpec extends SparkSpec {
     }
   }
 
+  test("stateful LinReg scorer matches batch, expanding and windowed+normed") {
+    val configs = Seq(
+      ("slr_exp", None: Option[Int], false),
+      ("slr_win", Some(5): Option[Int], true))
+    for ((name, regWin, norm) <- configs) {
+      val input = MemoryStream[StreamingTrend.Binned]
+      val q = StreamingTrend.linRegStream(input.toDF(), minPoints = 3,
+          avgWindow = 2, regWindow = regWin, normByMean = norm)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try binnedChunks(3).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      val batch = Models.linReg(Rebin(eventsAsRaw, "hours", 1), minPoints = 3,
+        avgWindow = 2, regWindow = regWin, normByMean = norm)
+      val streamed = spark.table(name)
+      assert(streamed.count() === 12)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"config $name mismatch")
+    }
+  }
+
   test("stateful WDT scorer matches batch") {
     val cfg = graft.trend.SeriesTransforms.Config(seriesLength = 3,
       referenceLength = 5, nSmooth = 2, baselineOffset = 1, lambda = 0.1)
