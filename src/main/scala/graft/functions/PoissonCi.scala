@@ -45,21 +45,6 @@ object PoissonCi {
     (ppf(qHi, mu) - ppf(qLo, mu)).toDouble
   }
 
-  /** Memoized width: means repeat heavily (they are lagged integer counts
-    * or expanding averages over few distinct values), so each executor
-    * keeps a bounded cache. Called from both the interpreted eval and the
-    * generated Java of [[PoissonCiWidth]] (the Scala object compiles to
-    * static forwarders).
-    */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
-  def cachedWidth(alpha: Double, mu: Double): Double = {
-    if (cache.size > 65536) cache.clear() // crude bound; refill is cheap
-    var w = cache.get((alpha, mu))
-    if (w == null) { w = width(alpha, mu); cache.put((alpha, mu), w) }
-    w
-  }
-
   /** Null-safe column form: null/≤0 mean → null (callers map to eta 0,
     * matching models.py:306-307). Backed by the codegen'd
     * [[PoissonCiWidth]] expression — inside whole-stage codegen this is a

@@ -24,20 +24,41 @@ case class PoissonCiWidth(child: Expression, alpha: Double)
   override def nullable: Boolean = true
   override def prettyName: String = "poisson_ci_width"
 
-  protected override def nullSafeEval(mu: Any): Any = {
-    val m = mu.asInstanceOf[Double]
-    if (m <= 0.0) null else PoissonCi.cachedWidth(alpha, m)
+  // Per-expression-instance memo, re-created on each executor after
+  // deserialization. alpha is fixed per instance, so the key is the bare
+  // boxed mean — no tuple allocation — and the size bound is checked only
+  // on the (rare) miss path, keeping the hot hit path to one CHM get.
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Double, java.lang.Double]()
+
+  def widthOf(mu: Double): Double = {
+    val k = java.lang.Double.valueOf(mu)
+    val w = cache.get(k)
+    if (w != null) w
+    else {
+      val v = PoissonCi.width(alpha, mu)
+      if (cache.size > 65536) cache.clear() // crude bound; refill is cheap
+      cache.put(k, v)
+      v
+    }
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  protected override def nullSafeEval(mu: Any): Any = {
+    val m = mu.asInstanceOf[Double]
+    if (m <= 0.0) null else widthOf(m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("poissonCiWidth", this)
     nullSafeCodeGen(ctx, ev, c =>
       s"""
          |if ($c <= 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.PoissonCi.cachedWidth($alpha, $c);
+         |  ${ev.value} = $ref.widthOf($c);
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): PoissonCiWidth =
     copy(child = newChild)

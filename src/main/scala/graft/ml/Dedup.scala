@@ -328,9 +328,19 @@ object Dedup {
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nmin"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val hop = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer doubling: label ← label(label). With the one-hop step
+      // above this converges in O(log diameter) rounds, so maxIter = 20
+      // covers any realistic component (2^20-deep chains), instead of the
+      // one-hop-per-round O(diameter) that silently truncates long chains
+      val next = hop.as("h")
+        .join(hop.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("cc")).as("h2"), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint() // truncate the growing iterative lineage
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
@@ -339,6 +349,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter rounds — raise maxIter")
     labels.withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 

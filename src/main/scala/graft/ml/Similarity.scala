@@ -99,10 +99,10 @@ object Similarity {
     * vector, bkey = the `rowsPerBand` sign bits of that band packed into a
     * long. One linear pass over the corpus.
     */
-  private def bandTable(e: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
+  private def bandTable(e: DataFrame, nPlanes: Int, bands: Int,
+                        dim: Int): DataFrame = {
     require(nPlanes % bands == 0)
     val rows = nPlanes / bands
-    val dim = 64 // embeddings table vector width (TESTDATA.md)
     val pls = planes(nPlanes, dim)
     val bandCols = (0 until bands).map { b =>
       val key = (0 until rows).map { r =>
@@ -118,11 +118,19 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates share >= 1 band bucket
-    * with the query; cosine computed for candidates only.
+    * with the query; cosine computed for candidates only. `dim` MUST
+    * match the embedding width: the hyperplanes are literal vectors of
+    * that length, and a zip_with against a different width would
+    * null-pad — the runtime assert turns that silent degeneration (every
+    * vector in one bucket → full cross join) into an error.
     */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nPlanes: Int = 16, bands: Int = 4): DataFrame = {
-    val bt = bandTable(normed(emb), nPlanes, bands)
+              nPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val checked = normed(emb).withColumn("v",
+      when(size(col("v")) === dim, col("v"))
+        .otherwise(raise_error(concat(lit(s"lshTopK: embedding dim != $dim: "),
+          size(col("v")).cast("string")))))
+    val bt = bandTable(checked, nPlanes, bands, dim)
     val qt = bt.where(isQuery)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
     val cand = bt.join(broadcast(qt), Seq("band", "bkey"))

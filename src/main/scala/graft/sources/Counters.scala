@@ -28,9 +28,14 @@ object Counters {
   }
 
   /** Read a newline-delimited allowlist file (driver-side, tiny). */
-  def allowlistFromFile(df: DataFrame, path: String): DataFrame =
-    allowlist(df, scala.io.Source.fromFile(path, "UTF-8").getLines()
-      .map(_.stripLineEnd).filter(_.nonEmpty).toSeq)
+  def allowlistFromFile(df: DataFrame, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.map(_.stripLineEnd).filter(_.nonEmpty).toSeq
+    allowlist(df, lines)
+  }
 
   /** counter.replace(" ", "-")[0:100] (trend_analyze_many.py:256). */
   def sanitize(c: Column): Column =

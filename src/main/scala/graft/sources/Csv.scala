@@ -54,11 +54,9 @@ object Csv {
     * many-counter driver's `csv.QUOTE_NONE` (trend_analyze_many.py:133:
     * quotes are PART of the counter name there).
     */
-  def readCounts(spark: SparkSession, paths: Seq[String],
-                 quoteNone: Boolean = false): DataFrame = {
-    val reader = spark.read.schema(fourCol)
-    (if (quoteNone) reader.option("quote", "\u0000") else reader).csv(paths: _*)
-      .select(
+  /** 4-col raw frame -> logical schema with skip-on-error semantics. */
+  private def normalize4(raw: DataFrame): DataFrame =
+    raw.select(
         // field-level trim mirrors Python's whitespace-tolerant float()/
         // dt parse (example.csv has ", 3600," with a leading space)
         permissiveTs(trim(col("c0"))).as("ts"),
@@ -67,13 +65,25 @@ object Csv {
         col("c3").as("counter"))
       .where(col("ts").isNotNull && col("count").isNotNull &&
         col("duration_sec").isNotNull)
+
+  def readCounts(spark: SparkSession, paths: Seq[String],
+                 quoteNone: Boolean = false): DataFrame = {
+    val reader = spark.read.schema(fourCol)
+    normalize4((if (quoteNone) reader.option("quote", "\u0000") else reader)
+      .csv(paths: _*))
   }
 
   /** Directory scan with postfix filter (S2, trend_rebin.py:61-65):
-    * recursively reads every file under `baseDir` ending in `postfix`.
+    * reads every file under `baseDir` at ANY depth ending in `postfix` --
+    * Hadoop's `**` glob is not recursive descent, so this uses
+    * recursiveFileLookup + a glob filter, mirroring the reference's
+    * os.walk (and flat directories work too).
     */
   def scanDir(spark: SparkSession, baseDir: String, postfix: String): DataFrame =
-    readCounts(spark, Seq(s"$baseDir/**/*$postfix", s"$baseDir/*$postfix"))
+    normalize4(spark.read.schema(fourCol)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", s"*$postfix")
+      .csv(baseDir))
 
   /** Legacy 5-col stop-anchored CSV (S3, rebin.py:78-98); optional rule
     * filter with whitespace-normalized compare (utils.py:1-2).

@@ -57,15 +57,31 @@ object StreamingTrend {
   /** Tumbling-window streaming rebin over per-event rows
     * (ts, counter[, count]); emits finalized bins (append mode) once the
     * watermark passes the bin end.
+    *
+    * Grid alignment: batch Rebin anchors each counter's grid at
+    * date_trunc(unit, min ts) — a DATA-DEPENDENT origin that a stateless
+    * streaming groupBy cannot know. For single-unit bins the two coincide
+    * (epoch-aligned == unit-truncated for minutes/hours/days in the
+    * session zone; weeks need a Monday offset, applied below), so this
+    * rejects nUnit > 1 loudly instead of silently binning every count
+    * differently from the batch pipeline.
     */
   def rebinStream(events: DataFrame, binningUnit: String = "hours",
                   nUnit: Int = 1, watermarkSlack: String = "0 seconds"): DataFrame = {
+    require(nUnit == 1,
+      "streaming rebin supports single-unit bins only: batch grids for " +
+        "nUnit > 1 start at the per-counter truncated min ts, which is " +
+        "data-dependent — pre-aggregate single-unit streaming bins and " +
+        "coarsen in batch instead")
     val binSec = unitSeconds(binningUnit) * nUnit
+    // date_trunc('week') is Monday-aligned; the epoch is a Thursday
+    val offset = if (binningUnit == "weeks") "345600 seconds" else "0 seconds"
     val withCount =
       if (events.columns.contains("count")) events else events.withColumn("count", lit(1.0))
     withCount
       .withWatermark("ts", watermarkSlack)
-      .groupBy(col("counter"), window(col("ts"), s"$binSec seconds"))
+      .groupBy(col("counter"),
+        window(col("ts"), s"$binSec seconds", s"$binSec seconds", offset))
       .agg(sum("count").as("fcount"))
       .select(col("counter"), col("window.start").as("ts"),
         lit(binSec.toDouble).as("duration_sec"),
@@ -244,14 +260,17 @@ object StreamingTrend {
   /** Stateful cycle-mode Poisson scorer: the background mean is the
     * running average of counts sharing the current bin's period key,
     * INCLUDING the current point (models.py:284-298). Period keys are
-    * evaluated in UTC — matching the batch engine's session timezone.
+    * evaluated in the SESSION timezone — the same zone batch
+    * `hour(ts)`/`dayofmonth(ts)` use — so streaming and batch agree in
+    * any deployment, not just UTC sessions.
     */
   def poissonCycleStream(binned: DataFrame, alpha: Double = 0.99,
                          periodList: Seq[String] = Seq("hour")): Dataset[Scored] = {
     val spark = binned.sparkSession
     import spark.implicits._
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     def pkey(ts: java.sql.Timestamp): String = {
-      val t = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      val t = ts.toInstant.atZone(zone)
       periodList.map {
         case "hour" => t.getHour.toString
         case "day" => t.getDayOfMonth.toString

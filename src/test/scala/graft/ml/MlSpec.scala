@@ -93,6 +93,16 @@ class MlSpec extends SparkSpec {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("components converges on a deep chain (pointer doubling)") {
+    val n = 80 // path graph of diameter 79 — one-hop propagation would
+               // need 79 rounds; doubling needs ~log2(79)
+    val docsDf = (0L until n.toLong).map(i => (i, "x")).toDF("doc_id", "text")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(docsDf, chain, maxIter = 12)
+      .select("cluster_id").distinct().as[Long].collect()
+    assert(out.toSeq === Seq(0L))
+  }
+
   test("components matches an independent union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {

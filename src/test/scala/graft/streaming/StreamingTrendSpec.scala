@@ -50,6 +50,13 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming rebin rejects multi-unit bins (data-dependent batch origin)") {
+    val df = Seq((ts("2024-01-01 00:00:00"), "a", 1.0)).toDF("ts", "counter", "count")
+    intercept[IllegalArgumentException] {
+      StreamingTrend.rebinStream(df, "hours", 2)
+    }
+  }
+
   test("streaming rebin drops late data behind the watermark") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingTrend.rebinStream(
