@@ -56,6 +56,22 @@ class CsvSpec extends SparkSpec {
     assert(got === 3.0)
   }
 
+  test("golden: legacy scotus.txt rebins to the modern example.csv shifted by 1h") {
+    // scotus.txt carries the same hourly series as example.csv but
+    // STOP-anchored (rebin.py:87-89): start = stop - 3600. Rebinning both
+    // must therefore agree exactly once the modern result is shifted back
+    // one hour — a cross-format golden over the reference's own data.
+    import graft.trend.Rebin
+    import org.apache.spark.sql.functions.{col, expr}
+    val legacy = Rebin(
+      Csv.readLegacy(spark, Seq("/root/reference/example/scotus.txt")), "hours", 1)
+    val modern = Rebin(
+      Csv.readCounts(spark, Seq("/root/reference/example/example.csv")), "hours", 1)
+      .withColumn("ts", col("ts") - expr("INTERVAL '3600' SECOND"))
+    assert(legacy.count() === 737)
+    assert(legacy.exceptAll(modern).isEmpty && modern.exceptAll(legacy).isEmpty)
+  }
+
   test("quoteNone keeps quotes as part of the counter name") {
     val dir = tmpDir()
     writeLines(dir, "q.counts", Seq("""20140824000000,3600,2,"weird" name"""))
