@@ -123,4 +123,23 @@ object Pipeline {
   def runWithConfigFile(spark: SparkSession, configPath: String,
                         csvPaths: Seq[String]): DataFrame =
     run(spark, IniConfig.parseFile(configPath), csvPaths)
+
+  /** The trend_analyze_many.py flow: every counter rebinned and analyzed,
+    * with the rebinned stage persisted to a bucketed columnar
+    * intermediate (the engine's version of its JSON handoff,
+    * trend_analyze_many.py:186,235) so the analyze stage — or a later
+    * re-run with different model parameters — starts from stored bins
+    * instead of re-reading raw CSV. The reference's per-counter
+    * multiprocessing pool dissolves into the counter shuffle.
+    */
+  def runMany(spark: SparkSession, cfg: Config, csvPaths: Seq[String],
+              intermediatePath: String): DataFrame = {
+    val raw = Csv.readCounts(spark, csvPaths,
+      quoteNone = true) // the many-driver reads QUOTE_NONE (line 133)
+    val gated = cfg.getOrElse("rebin", Map.empty).get("counters_file_name")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .fold(raw)(p => graft.sources.Counters.allowlistFromFile(raw, p))
+    graft.Tables.saveBinned(rebin(gated, cfg), intermediatePath)
+    analyze(graft.Tables.loadBinned(spark, intermediatePath), cfg)
+  }
 }

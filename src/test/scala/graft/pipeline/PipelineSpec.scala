@@ -110,6 +110,29 @@ class PipelineSpec extends SparkSpec {
     assert(viaCfg.exceptAll(direct).isEmpty && direct.exceptAll(viaCfg).isEmpty)
   }
 
+  test("runMany: staged multi-counter flow equals the single-plan pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-many").toString
+    // two counters in one CSV + an allowlist keeping only one
+    val csv = java.nio.file.Paths.get(dir, "counts.csv")
+    val lines = (0 until 30).flatMap { i =>
+      Seq(f"20140101${i / 2}%02d${30 * (i % 2)}%02d00,1800,${i % 7 + 1},aa",
+        f"20140101${i / 2}%02d${30 * (i % 2)}%02d00,1800,${i % 5 + 2},bb")
+    }
+    java.nio.file.Files.write(csv, lines.mkString("\n").getBytes("UTF-8"))
+    val allow = java.nio.file.Paths.get(dir, "counters.txt")
+    java.nio.file.Files.write(allow, "aa\n".getBytes("UTF-8"))
+
+    val cfg: IniConfig.Config = Map(
+      "rebin" -> Map("binning_unit" -> "hours", "n_binning_unit" -> "1",
+        "counters_file_name" -> allow.toString),
+      "analyze" -> Map("model_name" -> "Poisson"),
+      "Poisson_model" -> Map("mode" -> "lc", "alpha" -> "0.99"))
+    val staged = Pipeline.runMany(spark, cfg, Seq(csv.toString), s"$dir/bins")
+    val direct = Pipeline.run(spark, cfg, Seq(csv.toString))
+    assert(staged.select("counter").distinct().as[String].collect().toSeq === Seq("aa"))
+    assert(staged.exceptAll(direct).isEmpty && direct.exceptAll(staged).isEmpty)
+  }
+
   test("combine enforces the one-sided merge rule in a single pass") {
     val t = Seq(("x", true, Seq(1.0))).toDF("series_id", "is_trend", "points")
     val n = Seq(("y", false, Seq(2.0))).toDF("series_id", "is_trend", "points")
