@@ -114,4 +114,31 @@ object Csv {
         col("count").cast("string"),
         col("counter"))
       .write.mode("overwrite").csv(path)
+
+  /** Analyzed-stage CSV sink/source pair (trend_analyze.py:52-59 writes
+    * `(ts, count, eta)` rows; the counter column keeps the sink useful
+    * for the multi-counter flow). Round-trip lossless: eta survives via
+    * the repr-style double formatting on write and a plain cast on read.
+    */
+  def writeScored(df: DataFrame, path: String): Unit =
+    df.select(
+        date_format(col("ts"), "yyyyMMddHHmmss"),
+        col("count").cast("string"),
+        col("eta").cast("string"),
+        col("counter"))
+      .write.mode("overwrite").csv(path)
+
+  private val scoredCols = StructType(Seq(
+    StructField("c0", StringType), StructField("c1", StringType),
+    StructField("c2", StringType), StructField("c3", StringType)))
+
+  def readScored(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(scoredCols).csv(paths: _*)
+      .select(
+        permissiveTs(trim(col("c0"))).as("ts"),
+        trim(col("c1")).cast("double").as("count"),
+        trim(col("c2")).cast("double").as("eta"),
+        col("c3").as("counter"))
+      .where(col("ts").isNotNull && col("count").isNotNull && col("eta").isNotNull)
+      .select("counter", "ts", "count", "eta")
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Physical-plan regression guards for the scale-critical shapes: these
+  * fail loudly if a future change reintroduces a known scale-killer.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("parquet scans push filters and prune columns (q01)") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment")) // untouched wide column never read
+  }
+
+  test("rebin has no nested-loop join (closed-form bin mapping)") {
+    // the old design joined every input row against the counter's whole
+    // grid; the closed-form rewrite must keep joins hash/broadcast-based
+    val p = plan("trend_rebin")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup candidate generators stay free of cross joins") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
+
+  test("argmax executes as TakeOrderedAndProject, not a full sort") {
+    assert(plan("trend_argmax").contains("TakeOrderedAndProject"))
+  }
+
+  test("allowlist gate is a broadcast semi join") {
+    val p = plan("trend_rebin_allowlist")
+    assert(p.contains("LeftSemi"))
+  }
+}

@@ -80,6 +80,19 @@ class CsvSpec extends SparkSpec {
     assert(kept === "\"weird\" name") // csv.QUOTE_NONE semantics
   }
 
+  test("scored sink round-trip is lossless") {
+    val dir = tmpDir()
+    val src = Seq(
+      ("a", "2014-08-24 02:00:00", 91.0, 0.34),
+      ("b", "2014-08-24 03:00:00", 12.0, 1.2345E-4))
+      .toDF("counter", "ts", "count", "eta")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    Csv.writeScored(src, s"$dir/scored")
+    val back = Csv.readScored(spark, Seq(s"$dir/scored"))
+    assert(back.count() === 2)
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+  }
+
   test("sink round-trip is lossless for second-precision data") {
     val dir = tmpDir()
     val src = Seq(
