@@ -110,15 +110,11 @@ object Pipeline {
     * (`cat example.csv | trend_rebin.py -c cfg | trend_analyze.py -c cfg`)
     * as one plan.
     */
-  def run(spark: SparkSession, cfg: Config, csvPaths: Seq[String]): DataFrame = {
-    val raw = Csv.readCounts(spark, csvPaths)
-    // counters allowlist (S7): trend_analyze_many.py:136-147 gates counters
-    // on a newline list file named in [rebin] before any processing
-    val gated = cfg.getOrElse("rebin", Map.empty).get("counters_file_name")
-      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      .fold(raw)(p => graft.sources.Counters.allowlistFromFile(raw, p))
-    analyze(rebin(gated, cfg), cfg)
-  }
+  def run(spark: SparkSession, cfg: Config, csvPaths: Seq[String]): DataFrame =
+    // NOTE: no allowlist here — trend_rebin.py/trend_analyze.py ignore the
+    // [rebin] counters_file_name key (the config's own comment marks it
+    // "to be used with trend_analyze_many.py"); only runMany gates.
+    analyze(rebin(Csv.readCounts(spark, csvPaths), cfg), cfg)
 
   def runWithConfigFile(spark: SparkSession, configPath: String,
                         csvPaths: Seq[String]): DataFrame =
@@ -136,10 +132,17 @@ object Pipeline {
               intermediatePath: String): DataFrame = {
     val raw = Csv.readCounts(spark, csvPaths,
       quoteNone = true) // the many-driver reads QUOTE_NONE (line 133)
+    // counters allowlist (S7, trend_analyze_many.py:136-147). A named but
+    // unreadable file fails loudly (the reference's open() raises too —
+    // silently processing ALL counters would be wrong output, not a
+    // fallback).
     val gated = cfg.getOrElse("rebin", Map.empty).get("counters_file_name")
-      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .fold(raw)(p => graft.sources.Counters.allowlistFromFile(raw, p))
-    graft.Tables.saveBinned(rebin(gated, cfg), intermediatePath)
+    val binned = rebin(gated, cfg)
+    // validate the [analyze] section (registry dispatch + required model
+    // params) BEFORE the expensive rebin-and-store pass runs
+    analyze(binned.limit(0), cfg)
+    graft.Tables.saveBinned(binned, intermediatePath)
     analyze(graft.Tables.loadBinned(spark, intermediatePath), cfg)
   }
 }

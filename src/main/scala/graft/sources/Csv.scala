@@ -48,12 +48,6 @@ object Csv {
     StructField("c3", StringType), // duplicate count (ignored, rebin.py:86)
     StructField("c4", StringType))) // duration seconds
 
-  /** 4-col positional CSV → logical counted-time-series rows (S1).
-    * Duration accepts "3600.0" (`int(float(...))`, analysis.py:62).
-    * `quoteNone = true` disables quote processing, matching the
-    * many-counter driver's `csv.QUOTE_NONE` (trend_analyze_many.py:133:
-    * quotes are PART of the counter name there).
-    */
   /** 4-col raw frame -> logical schema with skip-on-error semantics. */
   private def normalize4(raw: DataFrame): DataFrame =
     raw.select(
@@ -66,6 +60,12 @@ object Csv {
       .where(col("ts").isNotNull && col("count").isNotNull &&
         col("duration_sec").isNotNull)
 
+  /** 4-col positional CSV → logical counted-time-series rows (S1).
+    * Duration accepts "3600.0" (`int(float(...))`, analysis.py:62).
+    * `quoteNone = true` disables quote processing, matching the
+    * many-counter driver's `csv.QUOTE_NONE` (trend_analyze_many.py:133:
+    * quotes are PART of the counter name there).
+    */
   def readCounts(spark: SparkSession, paths: Seq[String],
                  quoteNone: Boolean = false): DataFrame = {
     val reader = spark.read.schema(fourCol)
@@ -128,12 +128,8 @@ object Csv {
         col("counter"))
       .write.mode("overwrite").csv(path)
 
-  private val scoredCols = StructType(Seq(
-    StructField("c0", StringType), StructField("c1", StringType),
-    StructField("c2", StringType), StructField("c3", StringType)))
-
   def readScored(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.schema(scoredCols).csv(paths: _*)
+    spark.read.schema(fourCol).csv(paths: _*) // same 4-string-column shape
       .select(
         permissiveTs(trim(col("c0"))).as("ts"),
         trim(col("c1")).cast("double").as("count"),

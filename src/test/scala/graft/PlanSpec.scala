@@ -40,5 +40,8 @@ class PlanSpec extends SparkSpec {
   test("allowlist gate is a broadcast semi join") {
     val p = plan("trend_rebin_allowlist")
     assert(p.contains("LeftSemi"))
+    // must stay a BROADCAST semi join — a shuffle-based semi join over the
+    // fact side is exactly the regression this suite exists to block
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
 }

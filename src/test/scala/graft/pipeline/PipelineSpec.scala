@@ -128,7 +128,10 @@ class PipelineSpec extends SparkSpec {
       "analyze" -> Map("model_name" -> "Poisson"),
       "Poisson_model" -> Map("mode" -> "lc", "alpha" -> "0.99"))
     val staged = Pipeline.runMany(spark, cfg, Seq(csv.toString), s"$dir/bins")
+    // run() deliberately ignores the allowlist (trend_rebin.py does too);
+    // grids are per-counter, so post-filtering it is equivalent to gating
     val direct = Pipeline.run(spark, cfg, Seq(csv.toString))
+      .where(col("counter") === "aa")
     assert(staged.select("counter").distinct().as[String].collect().toSeq === Seq("aa"))
     assert(staged.exceptAll(direct).isEmpty && direct.exceptAll(staged).isEmpty)
   }
