@@ -106,6 +106,17 @@ object Pipeline {
     if (k <= 1) scored else Detect.coarsen(scored, k)
   }
 
+  /** The plot-stage parameter box text (analysis.py:333-341): the model
+    * name plus every key of its config section, one per line — emitted so
+    * a plotting front end has the same annotation the reference renders.
+    */
+  def plotParamsText(cfg: Config): String = {
+    val name = cfg.getOrElse("analyze", Map.empty).getOrElse("model_name", "Poisson")
+    val pars = cfg.getOrElse(s"${name}_model", Map.empty)
+      .map { case (k, v) => s"$k: $v\n" }.mkString
+    s"model: $name\n$pars"
+  }
+
   /** Full CSV-to-scored pipeline: the README walkthrough
     * (`cat example.csv | trend_rebin.py -c cfg | trend_analyze.py -c cfg`)
     * as one plan.

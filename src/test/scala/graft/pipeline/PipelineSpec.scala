@@ -66,6 +66,13 @@ class PipelineSpec extends SparkSpec {
     rows.toDF("counter", "ts", "duration_sec", "count")
   }
 
+  test("plotParamsText mirrors the reference's parameter box") {
+    val cfg = IniConfig.parseFile("/root/reference/example/config.cfg")
+    val txt = Pipeline.plotParamsText(cfg)
+    assert(txt.startsWith("model: Poisson\n"))
+    assert(txt.contains("mode: lc\n") && txt.contains("alpha: 0.99\n"))
+  }
+
   test("registry dispatch equals direct model calls") {
     def same(a: DataFrame, b: DataFrame): Unit =
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
