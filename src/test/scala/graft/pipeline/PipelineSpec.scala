@@ -66,6 +66,17 @@ class PipelineSpec extends SparkSpec {
     rows.toDF("counter", "ts", "duration_sec", "count")
   }
 
+  test("walkthrough runs under the config's other model sections") {
+    val base = IniConfig.parseFile("/root/reference/example/config.cfg")
+    for (model <- Seq("MannKendall", "LinearRegressionModel")) {
+      val cfg = base.updated("analyze", base("analyze").updated("model_name", model))
+      val out = Pipeline.run(spark, cfg,
+        Seq("/root/reference/example/example.csv"))
+      assert(out.count() === 369, s"$model row count")
+      assert(out.where(col("eta").isNull).count() === 0, s"$model null etas")
+    }
+  }
+
   test("plotParamsText mirrors the reference's parameter box") {
     val cfg = IniConfig.parseFile("/root/reference/example/config.cfg")
     val txt = Pipeline.plotParamsText(cfg)
