@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Two entry points with identical output schema
   * (query_id, neighbor_id, cosine, rank):
   *
-  *  - [[bruteForceTopK]]: exact top-k — broadcast the (small) query set
-  *    against the full corpus; two-phase ranking so no single partition
-  *    ever holds a whole query's corpus-sized candidate list.
+  *  - [[bruteForceTopK]]: exact top-k — the query set joins the full
+  *    corpus (no explicit broadcast hint: the query relation is
+  *    query-proportional, so AQE broadcasts it when it is actually small
+  *    instead of a hint forcing an OOM on a huge query set); two-phase
+  *    ranking so no single partition ever holds a whole query's
+  *    corpus-sized candidate list.
   *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by banded
   *    sign signatures (one linear pass), candidates = vectors sharing at
   *    least one band bucket with the query, cosine-verified within
@@ -68,7 +71,7 @@ object Similarity {
     val e = normed(emb)
     val q = e.where(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = e.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
@@ -133,12 +136,12 @@ object Similarity {
     val bt = bandTable(checked, nPlanes, bands, dim)
     val qt = bt.where(isQuery)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
-    val cand = bt.join(broadcast(qt), Seq("band", "bkey"))
+    val cand = bt.join(qt, Seq("band", "bkey"))
       .where(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "v", "norm").distinct()
     val q = normed(emb).where(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = cand.join(broadcast(q), "query_id")
+    val scored = cand.join(q, "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
@@ -181,11 +184,11 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         explode(slice(col("cells"), 1, nProbe)).as("cell"))
 
-    val cand = assigned.join(broadcast(probes), Seq("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
     val q = e.where(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = cand.join(broadcast(q), "query_id")
+    val scored = cand.join(q, "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
       .distinct() // a neighbor can surface via several probed cells
