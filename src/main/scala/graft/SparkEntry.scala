@@ -172,6 +172,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
+    // near-exact dedup by content fingerprint (robust to tail edits —
+    // the rolling hash covers the first 200 words): every group with its
+    // keeper; a downstream pass drops rows where doc_id != keep_id
+    "dedup_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(Tables.load(s, dir, "documents"))
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))),
     // cluster assignment over the near-dup graph: min-label propagation
     // to a fixpoint; keepers are the cluster minima
     "dedup_clusters" -> ((s, dir) => {
@@ -304,6 +311,10 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
     "dedup_clusters" -> Dedup.componentsOracleSql(Dedup.ngramJaccardOracleSql()),
+    "dedup_fingerprint" ->
+      s"""WITH fp AS (${TextStats.fingerprintOracleSql})
+         |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM fp GROUP BY fingerprint""".stripMargin,
     "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
