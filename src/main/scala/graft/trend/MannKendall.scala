@@ -37,7 +37,9 @@ object MannKendall {
 
   private final class Fenwick(n: Int) {
     private val a = new Array[Int](n + 1)
-    def add(i: Int): Unit = { var x = i + 1; while (x <= n) { a(x) += 1; x += x & -x } }
+    def add(i: Int, delta: Int = 1): Unit = {
+      var x = i + 1; while (x <= n) { a(x) += delta; x += x & -x }
+    }
     /** count of inserted ranks <= i */
     def cumLe(i: Int): Int = { var x = i + 1; var s = 0; while (x > 0) { s += a(x); x -= x & -x }; s }
   }
@@ -76,8 +78,58 @@ object MannKendall {
     out
   }
 
-  /** Naive mk z over one window (used by the window_size variant and the
-    * streaming scorer).
+  /** z per point over the trailing `w` values — incremental sliding
+    * window: one Fenwick insert, one delete, and O(1) tie-sum deltas per
+    * step ⇒ O(n log n) per series, vs the O(n·w²) of recomputing every
+    * window (a real scale-killer at large window_size). All S/tie terms
+    * are exact integers in doubles, so results are bit-identical to the
+    * per-window recompute.
+    */
+  private[trend] def slidingZ(xs: Array[Double], w: Int): Array[Double] = {
+    val n = xs.length
+    val sorted = xs.distinct.sorted
+    val rank = sorted.zipWithIndex.toMap
+    val bit = new Fenwick(sorted.length)
+    val tieCount = scala.collection.mutable.HashMap.empty[Double, Long]
+    val out = new Array[Double](n)
+    var s = 0.0
+    var tieSum = 0.0
+    var i = 0
+    while (i < n) {
+      if (i >= w) { // evict the element leaving the window
+        val o = xs(i - w)
+        val r = rank(o)
+        bit.add(r, -1)
+        val c = tieCount(o)
+        tieSum += fTie(c - 1) - fTie(c)
+        tieCount.update(o, c - 1)
+        // o was the EARLIEST element: every pair it joined had it first,
+        // contributing sign(x_j - o) — count over the remaining w-1
+        val less = if (r == 0) 0 else bit.cumLe(r - 1)
+        val leq = bit.cumLe(r)
+        val greater = (w - 1) - leq
+        s -= (greater - less)
+      }
+      val r = rank(xs(i))
+      val inWindow = math.min(i, w) - (if (i >= w) 1 else 0) // size before insert
+      val less = if (r == 0) 0 else bit.cumLe(r - 1)
+      val leq = bit.cumLe(r)
+      val greater = inWindow - leq
+      s += (less - greater)
+      val c = tieCount.getOrElse(xs(i), 0L)
+      tieSum += fTie(c + 1) - fTie(c)
+      tieCount.update(xs(i), c + 1)
+      bit.add(r, 1)
+      val nn = math.min(i + 1, w).toDouble
+      val varS = (nn * (nn - 1) * (2 * nn + 5) - tieSum) / 18.0
+      out(i) = if (varS <= 0) 0.0 else zOf(s, varS)
+      i += 1
+    }
+    out
+  }
+
+  /** Naive mk z over one window (used by the streaming scorer's bounded
+    * buffers and as the test cross-check for [[slidingZ]]).
     */
   private[graft] def windowZ(xs: Array[Double]): Double = {
     val n = xs.length
@@ -104,10 +156,7 @@ object MannKendall {
         val xs = pts.map(_.count)
         val zs = windowSize match {
           case None => expandingZ(xs)
-          case Some(ws) =>
-            Array.tabulate(xs.length) { i =>
-              windowZ(xs.slice(math.max(0, i + 1 - ws), i + 1))
-            }
+          case Some(ws) => slidingZ(xs, ws)
         }
         pts.indices.iterator.map(i => Scored(counter, pts(i).ts, pts(i).count, zs(i)))
       }

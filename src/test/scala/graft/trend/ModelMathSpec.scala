@@ -43,6 +43,18 @@ class ModelMathSpec extends SparkSpec {
     assert(MannKendall.windowZ(xs) == got.last)
   }
 
+  test("incremental sliding MK equals per-window recomputation (random, ties)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5; w <- Seq(1, 3, 8, 20)) {
+      val xs = Array.fill(60)(rnd.nextInt(9).toDouble) // heavy ties
+      val fast = MannKendall.slidingZ(xs, w)
+      xs.indices.foreach { i =>
+        val naive = MannKendall.windowZ(xs.slice(math.max(0, i + 1 - w), i + 1))
+        assert(fast(i) === naive, s"trial $trial w $w i $i")
+      }
+    }
+  }
+
   test("linreg slope column math equals closed-form OLS") {
     val rows = Seq(0.0, 0.0, 2.0, 3.0, 5.0, 4.0).zipWithIndex.map { case (c, i) =>
       (new Timestamp(i * 3600000L), c, "a")
