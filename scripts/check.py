@@ -16,11 +16,43 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def type_canon(t) -> str:
+    """Arrow type → canonical label. STRICT about decimal-vs-int/float: the
+    driver's hash fails DuckDB HUGEINT (→ decimal128(38,0)) against Spark
+    int64 (r02 evidence), so those must fail here too. Integer WIDTHS fold:
+    the driver passed ann_* with spark int32 rank vs oracle int64 in r02.
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_canon(t.value_type)}>"
+    return str(t)
+
+
+def types_match(name: str, spark_tbl: pa.Table, oracle_tbl: pa.Table) -> bool:
+    ok = True
+    s_types = {f.name: type_canon(f.type) for f in spark_tbl.schema}
+    o_types = {f.name: type_canon(f.type) for f in oracle_tbl.schema}
+    for c in sorted(set(s_types) & set(o_types)):
+        if s_types[c] != o_types[c]:
+            print(f"[{name}] TYPE mismatch col {c}: spark={s_types[c]} "
+                  f"oracle={o_types[c]}")
+            ok = False
+    return ok
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -63,7 +95,6 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
                     print(f"[{name}] col {c}: {bad.sum()} mismatches, "
                           f"first: spark={sv[bad].iloc[0]!r} oracle={ov[bad].iloc[0]!r}")
                     ok = False
-    print(f"[{name}] {'OK' if ok else 'FAIL'} ({len(spark_df)} rows)")
     return ok
 
 
@@ -80,18 +111,22 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_df = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
+            spark_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
         except Exception as e:
             print(f"[{name}] spark result unreadable: {e}")
             n_fail += 1
             continue
         try:
-            oracle_df = con.execute(sql).df()
+            oracle_tbl = con.execute(sql).arrow()
         except Exception as e:
             print(f"[{name}] oracle SQL failed: {e}")
             n_fail += 1
             continue
-        if compare(name, spark_df, oracle_df):
+        t_ok = types_match(name, spark_tbl, oracle_tbl)
+        v_ok = compare(name, spark_tbl.to_pandas(), oracle_tbl.to_pandas())
+        print(f"[{name}] {'OK' if t_ok and v_ok else 'FAIL'} "
+              f"({spark_tbl.num_rows} rows)")
+        if t_ok and v_ok:
             n_ok += 1
         else:
             n_fail += 1

@@ -25,18 +25,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) => // warm-up (untimed)
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) => // warm-up (untimed)
+      try materialize(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up FAILED $name: $e")
+      }
     }
+    // A failed query reports -1 (never a plausible small wall-time) and is
+    // listed in "failed" — a regression that breaks a query must not
+    // masquerade as a speedup.
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(fn(spark, sfDir))
+        (name, (System.nanoTime() - t0) / 1e9, true)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+          (name, -1.0, false)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

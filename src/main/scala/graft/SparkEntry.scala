@@ -29,6 +29,14 @@ object SparkEntry {
 
   private val RocThetas = Seq(0.1, 0.25, 0.5, 1.0, 2.0, 4.0)
 
+  /** Per-run scratch path: keyed by application id + input dir so two
+    * concurrent driver runs on one machine never clobber each other's
+    * intermediates mid-read.
+    */
+  private def tmpPath(s: SparkSession, tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${s.sparkContext.applicationId}_" +
+      Integer.toHexString(dir.hashCode)
+
   // WDT parameters sized to the hourly event grid (reference example uses
   // 150/150/1/40 on 2-min bins, config.cfg:60-78)
   private val wdtCfg = SeriesTransforms.Config(seriesLength = 24,
@@ -88,7 +96,7 @@ object SparkEntry {
     // the parquet-path rebin oracle, so a hash match proves the CSV
     // round-trip is lossless.
     "trend_rebin_csv" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_${Integer.toHexString(dir.hashCode)}"
+      val tmp = tmpPath(s, "csv", dir)
       Csv.writeCounts(Tables.eventsAsCounts(s, dir), tmp)
       Rebin(Csv.readCounts(s, Seq(tmp)), "hours", 1)
     }),
@@ -97,7 +105,7 @@ object SparkEntry {
     // rebin → parquet store → load → score; oracle identical to
     // trend_poisson_lc, so a hash match proves the round-trip is lossless
     "trend_poisson_lc_stored" -> ((s, dir) => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_binned_${Integer.toHexString(dir.hashCode)}"
+      val path = tmpPath(s, "binned", dir)
       Tables.saveBinned(rebinnedEvents(s, dir), path)
       Models.poissonLc(Tables.loadBinned(s, path), alpha = 0.99)
     }),
@@ -121,6 +129,37 @@ object SparkEntry {
         Seq("click", "purchase", "view")), "hours", 1)),
     "trend_poisson_cycle" -> ((s, dir) =>
       Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99, periodList = Seq("hour"))),
+    // the reference accepts ANY datetime attribute as a period key
+    // (models.py:287 getattr) — weekly-diurnal seasonality here
+    "trend_poisson_cycle_weekday" -> ((s, dir) =>
+      Models.poissonCycle(rebinnedEvents(s, dir), alpha = 0.99,
+        periodList = Seq("weekday", "hour"))),
+    // legacy 5-col stop-anchored ingestion (S3) + rule filter (F2) with
+    // whitespace-normalized compare (C9): events → legacy CSV export →
+    // read-back → rebin; oracle is the parquet-path rebin restricted to
+    // the rule, so a hash match proves the whole legacy edge
+    "trend_rebin_legacy" -> ((s, dir) => {
+      val tmp = tmpPath(s, "legacy", dir)
+      Csv.writeLegacy(Tables.eventsAsCounts(s, dir), tmp)
+      Rebin(Csv.readLegacy(s, Seq(tmp), rule = Some(" click ")), "hours", 1)
+    }),
+    // recursive directory scan with postfix filter (S2) + malformed-row
+    // skip (F3): the corpus is split across nested subdirs, a decoy file
+    // with the wrong postfix and malformed rows inside a matching file are
+    // both planted — the oracle (full-events rebin) only hash-matches if
+    // the scan unions exactly the right files and skips the bad rows
+    "trend_rebin_scandir" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = tmpPath(s, "scandir", dir)
+      val counts = Tables.eventsAsCounts(s, dir)
+      Csv.writeCounts(counts.where(length(col("counter")) % 2 === 0), s"$base/a/even")
+      Csv.writeCounts(counts.where(length(col("counter")) % 2 =!= 0), s"$base/b")
+      Files.writeString(Paths.get(s"$base/a/decoy.txt"),
+        "20250101000000,300,999.0,click\n")
+      Files.writeString(Paths.get(s"$base/b/bad.csv"),
+        "not-a-date,300,999.0,click\n20250101000000,oops,999.0,click\n")
+      Rebin(Csv.scanDir(s, base, ".csv"), "hours", 1)
+    }),
     "trend_linreg" -> ((s, dir) =>
       Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3)),
     "trend_mk" -> ((s, dir) => MannKendall(rebinnedEvents(s, dir))),
@@ -158,7 +197,7 @@ object SparkEntry {
       val binned = rebinnedEvents(s, dir)
       val full = Wdt.buildLibrary(binned, length(col("counter")) % 2 === 0, wdtCfg)
       val lib = Wdt.combine(full.where(col("is_trend")), full.where(!col("is_trend")))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_lib_${Integer.toHexString(dir.hashCode)}"
+      val path = tmpPath(s, "lib", dir)
       Wdt.saveLibrary(lib, path)
       Wdt.score(binned, Wdt.loadLibrary(s, path), wdtCfg)
     }),
@@ -273,6 +312,17 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_poisson_cycle" -> withScored(Models.poissonCycleOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
+    "trend_poisson_cycle_weekday" -> withScored(
+      Models.poissonCycleMultiOracleCtes(0.99, Seq("weekday", "hour")),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_rebin_legacy" -> {
+      val filtered = s"${Tables.eventsAsCountsSql.stripSuffix("FROM events")}FROM events " +
+        "WHERE event_type = 'click'"
+      s"WITH raw_counts AS ($filtered),\n${Rebin.oracleCtes("hours", 1)}\n" +
+        "SELECT counter, ts, duration_sec, count FROM rebinned"
+    },
+    "trend_rebin_scandir" ->
+      s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_linreg" -> withScored(Models.linRegOracleCtes(minPoints = 10, avgWindow = 3),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_mk" -> withScored(MannKendall.oracleCtes,

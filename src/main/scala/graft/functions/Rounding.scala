@@ -47,4 +47,10 @@ object Rounding {
   def stableIntTrunc(x: Column): Column = floor(round(x, 9)).cast("double")
 
   def stableIntTruncSql(x: String): String = s"floor(round($x, 9))"
+
+  /** Scalar twin of [[stableIntTrunc]] (streaming coarsen): BigDecimal
+    * HALF_UP at scale 9 is exactly what Spark's ROUND does on doubles.
+    */
+  def stableIntTruncScalar(x: Double): Double =
+    math.floor(BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
 }

@@ -329,23 +329,25 @@ object Dedup {
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nmin"))
       val hop = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
       // pointer doubling: label ← label(label). With the one-hop step
       // above this converges in O(log diameter) rounds, so maxIter = 20
       // covers any realistic component (2^20-deep chains), instead of the
-      // one-hop-per-round O(diameter) that silently truncates long chains
+      // one-hop-per-round O(diameter) that silently truncates long chains.
+      // The previous label rides along as `old`, so the convergence check
+      // is a flag scan of the checkpointed result — no second join/shuffle
+      // per round.
+      val newLabel = least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
       val next = hop.as("h")
         .join(hop.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("cc")).as("h2"), Seq("cluster_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
-            .as("cluster_id"))
+        .select(col("doc_id"), newLabel.as("cluster_id"),
+          (newLabel =!= col("old")).as("chg"))
         .localCheckpoint() // truncate the growing iterative lineage
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.where(col("chg")).limit(1).count()
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       iter += 1
     }

@@ -81,7 +81,7 @@ object Multimodal {
       .map(b => s"md5(doc_id::VARCHAR || ':media:$b')").mkString(" || ")
     s"""media AS (
        |  SELECT doc_id AS media_id,
-       |         (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+       |         (['image','audio','video'])[(((doc_id % 3) + 3) % 3)::INT + 1] AS kind,
        |         $hexExpr AS hex,
        |         $Width AS width, $Height AS height, $NFrames AS n_frames
        |  FROM documents)""".stripMargin
@@ -146,7 +146,7 @@ object Multimodal {
        |  SELECT media_id, count(*) AS n_px,
        |         floor(avg(px::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_px,
        |         min(px)::BIGINT AS min_px, max(px)::BIGINT AS max_px,
-       |         sum((px::BIGINT * ($pows)[${Width * Height} - i]) % $M) % $M AS px_hash
+       |         (sum((px::BIGINT * ($pows)[${Width * Height} - i]) % $M) % $M)::BIGINT AS px_hash
        |  FROM pixels GROUP BY media_id)
        |SELECT media_id, n_px, mean_px, min_px, max_px, px_hash FROM feat""".stripMargin
   }

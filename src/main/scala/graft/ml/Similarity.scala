@@ -79,7 +79,9 @@ object Similarity {
 
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
-  val defaultIsQuerySql: String = "vec_id % 50 = 0"
+  // ((x % 50) + 50) % 50 mirrors Spark's pmod: DuckDB % is sign-following,
+  // so a negative vec_id would otherwise classify differently per engine
+  val defaultIsQuerySql: String = "((vec_id % 50) + 50) % 50 = 0"
 
   def bruteForceTopKOracleSql(k: Int, dim: Int = 64,
                               isQuerySql: String = defaultIsQuerySql): String =

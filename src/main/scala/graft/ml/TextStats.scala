@@ -147,7 +147,8 @@ object TextStats {
        |         length(text)::BIGINT AS n_chars
        |  FROM documents)
        |SELECT l.lang_pred, count(*) AS n_docs,
-       |       sum(s.n_words) AS total_words, sum(s.n_chars) AS total_chars
+       |       sum(s.n_words)::BIGINT AS total_words,
+       |       sum(s.n_chars)::BIGINT AS total_chars
        |FROM lang l JOIN stats s ON l.doc_id = s.doc_id
        |GROUP BY l.lang_pred""".stripMargin
 
@@ -167,9 +168,11 @@ object TextStats {
 
   val fingerprintOracleSql: String = {
     val powsList = pow31.mkString("[", ", ", "]")
+    // outer ::BIGINT: DuckDB list_sum returns HUGEINT; the driver's hash is
+    // type-sensitive, so the oracle must declare int64 like the engine does
     s"""SELECT doc_id,
-       |  list_sum(list_transform(w, (x, i) ->
-       |    ((${h64Sql("x")} % $M) * ($powsList)[i]) % $M)) % $M AS fingerprint,
+       |  (list_sum(list_transform(w, (x, i) ->
+       |    ((${h64Sql("x")} % $M) * ($powsList)[i]) % $M)) % $M)::BIGINT AS fingerprint,
        |  len(w)::BIGINT AS fp_words
        |FROM (SELECT doc_id, ($wordsSql)[1:$FpMaxWords] AS w FROM documents)""".stripMargin
   }

@@ -115,6 +115,21 @@ object Csv {
         col("counter"))
       .write.mode("overwrite").csv(path)
 
+  /** Legacy 5-col sink (the layout rebin.py:78-98 consumes): stop-time
+    * anchored `(stop_time, rule, count, count_dup, duration)`. Exists so a
+    * round-trip through [[readLegacy]] can be oracle-checked; count_dup is
+    * written as 0 — the reference ignores it (rebin.py:86).
+    */
+  def writeLegacy(df: DataFrame, path: String): Unit =
+    df.select(
+        date_format(col("ts") + expr("make_interval(0,0,0,0,0,0,duration_sec)"),
+          "yyyyMMddHHmmss"),
+        col("counter"),
+        col("count").cast("string"),
+        lit("0"),
+        col("duration_sec").cast("string"))
+      .write.mode("overwrite").csv(path)
+
   /** Analyzed-stage CSV sink/source pair (trend_analyze.py:52-59 writes
     * `(ts, count, eta)` rows; the counter column keeps the sink useful
     * for the multi-counter flow). Round-trip lossless: eta survives via

@@ -60,32 +60,128 @@ object StreamingTrend {
     *
     * Grid alignment: batch Rebin anchors each counter's grid at
     * date_trunc(unit, min ts) — a DATA-DEPENDENT origin that a stateless
-    * streaming groupBy cannot know. For single-unit bins the two coincide
-    * (epoch-aligned == unit-truncated for minutes/hours/days in the
-    * session zone; weeks need a Monday offset, applied below), so this
-    * rejects nUnit > 1 loudly instead of silently binning every count
-    * differently from the batch pipeline.
+    * streaming groupBy cannot know. For single-unit bins the two coincide:
+    * every unit-truncated instant is a fixed offset from the epoch grid,
+    * PROVIDED the session zone's UTC offset is constant. Spark's window()
+    * aligns to the epoch in UTC while batch date_trunc works in the
+    * session zone, so the window startTime below shifts the grid by the
+    * zone offset (weeks also get the epoch-Thursday → Monday shift). A
+    * DST zone has no fixed offset — its local 'days' cannot be an
+    * epoch-periodic window — so non-fixed zones are rejected loudly
+    * rather than silently diverging from batch.
+    *
+    * nUnit > 1 grids start at the per-counter truncated MIN ts
+    * (data-dependent): compose this single-unit stream with
+    * [[coarsenStream]] (separate stage, like the scorers) instead.
     */
   def rebinStream(events: DataFrame, binningUnit: String = "hours",
                   nUnit: Int = 1, watermarkSlack: String = "0 seconds"): DataFrame = {
     require(nUnit == 1,
       "streaming rebin supports single-unit bins only: batch grids for " +
         "nUnit > 1 start at the per-counter truncated min ts, which is " +
-        "data-dependent — pre-aggregate single-unit streaming bins and " +
-        "coarsen in batch instead")
+        "data-dependent — compose rebinStream(nUnit=1) with coarsenStream")
     val binSec = unitSeconds(binningUnit) * nUnit
+    val zoneOffSec = fixedZoneOffsetSec(events.sparkSession)
     // date_trunc('week') is Monday-aligned; the epoch is a Thursday
-    val offset = if (binningUnit == "weeks") "345600 seconds" else "0 seconds"
+    val baseOff = if (binningUnit == "weeks") 345600L else 0L
+    val startSec = java.lang.Math.floorMod(baseOff - zoneOffSec, binSec)
     val withCount =
       if (events.columns.contains("count")) events else events.withColumn("count", lit(1.0))
     withCount
       .withWatermark("ts", watermarkSlack)
       .groupBy(col("counter"),
-        window(col("ts"), s"$binSec seconds", s"$binSec seconds", offset))
+        window(col("ts"), s"$binSec seconds", s"$binSec seconds", s"$startSec seconds"))
       .agg(sum("count").as("fcount"))
       .select(col("counter"), col("window.start").as("ts"),
         lit(binSec.toDouble).as("duration_sec"),
         Rounding.stableIntTrunc(col("fcount")).as("count"))
+  }
+
+  /** The session zone's constant UTC offset in seconds; rejects DST zones
+    * loudly — their wall-clock grids are not epoch-periodic, so batch
+    * date_trunc and streaming window() could not agree silently.
+    */
+  private def fixedZoneOffsetSec(spark: org.apache.spark.sql.SparkSession): Long = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    require(zone.getRules.isFixedOffset,
+      s"streaming rebin requires a fixed-offset session timezone (got $zone): " +
+        "a DST zone's local bin grid is not expressible as an epoch-aligned " +
+        "tumbling window — set spark.sql.session.timeZone to UTC or a " +
+        "fixed offset")
+    zone.getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds.toLong
+  }
+
+  /** Coarsen-state per counter: grid origin (unit-truncated first-seen
+    * ts), the coarse-bin index being accumulated, and its running sum.
+    */
+  final case class CoarseState(originUs: Long, idx: Long, accum: Double,
+                               hasPending: Boolean)
+
+  /** Stateful nUnit-coarsening of a finalized single-unit bin stream —
+    * the streaming analogue of the batch nUnit > 1 grid (so the
+    * walkthrough's 2-hour-bin config runs end-to-end streaming). Keyed
+    * state resolves the data-dependent origin exactly like batch Rebin:
+    * origin = date_trunc(unit, first-seen ts) per counter (bins arrive in
+    * ts order per key once the upstream watermark finalized them; the
+    * first seen IS the min). A coarse bin [origin + i·n·unit, …+(i+1)·n·unit)
+    * is emitted when a bin of a LATER coarse index arrives, or when the
+    * watermark passes its end (event-time timeout) — whichever is first.
+    * Runs as its own stage over the single-unit sink, exactly like the
+    * scorers (Spark disallows row-stateful ops under a windowed agg in
+    * one query). State per key is O(1).
+    */
+  def coarsenStream(binned: DataFrame, binningUnit: String, nUnit: Int,
+                    watermarkSlack: String = "0 seconds"): Dataset[Binned] = {
+    require(nUnit >= 1, "nUnit must be positive")
+    val spark = binned.sparkSession
+    import spark.implicits._
+    val unitUs = unitSeconds(binningUnit) * 1000000L
+    val coarseUs = unitUs * nUnit
+    val binSecOut = (unitSeconds(binningUnit) * nUnit).toDouble
+    val zoneOffUs = fixedZoneOffsetSec(spark) * 1000000L
+    val weekOffUs = if (binningUnit == "weeks") 345600L * 1000000L else 0L
+    // unit-truncation in the session zone, µs domain (batch date_trunc twin)
+    def truncUs(tsUs: Long): Long = {
+      val local = tsUs + zoneOffUs - weekOffUs
+      java.lang.Math.floorDiv(local, unitUs) * unitUs - zoneOffUs + weekOffUs
+    }
+    def emit(counter: String, st: CoarseState): Binned = {
+      val startUs = st.originUs + st.idx * coarseUs
+      Binned(counter, new java.sql.Timestamp(startUs / 1000L), binSecOut,
+        Rounding.stableIntTruncScalar(st.accum))
+    }
+    binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
+        "CAST(count AS DOUBLE) AS count").as[Binned]
+      .withWatermark("ts", watermarkSlack)
+      .groupByKey(_.counter)
+      .flatMapGroupsWithState[CoarseState, Binned](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (counter, rows, state: GroupState[CoarseState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open coarse bin's end: flush it
+            val st = state.get
+            val out = if (st.hasPending) Seq(emit(counter, st)) else Nil
+            state.update(st.copy(accum = 0.0, hasPending = false))
+            out.iterator
+          } else {
+            var st = state.getOption.getOrElse(CoarseState(Long.MinValue, 0L, 0.0, false))
+            val out = Vector.newBuilder[Binned]
+            rows.toArray.sortBy(_.ts.getTime).foreach { b =>
+              val tsUs = b.ts.getTime * 1000L
+              if (st.originUs == Long.MinValue)
+                st = st.copy(originUs = truncUs(tsUs))
+              val idx = java.lang.Math.floorDiv(tsUs - st.originUs, coarseUs)
+              if (idx > st.idx && st.hasPending) { out += emit(counter, st); st = st.copy(accum = 0.0) }
+              if (idx >= st.idx)
+                st = st.copy(idx = idx, accum = st.accum + b.count, hasPending = true)
+              // idx < st.idx is impossible post-watermark (bins are final)
+            }
+            state.update(st)
+            if (st.hasPending)
+              state.setTimeoutTimestamp((st.originUs + (st.idx + 1) * coarseUs) / 1000L)
+            out.result().iterator
+          }
+      }
   }
 
   /** Stateful point-by-point Poisson-lc scorer over a stream of finalized
@@ -276,6 +372,10 @@ object StreamingTrend {
         case "day" => t.getDayOfMonth.toString
         case "month" => t.getMonthValue.toString
         case "minute" => t.getMinute.toString
+        case "second" => t.getSecond.toString
+        case "year" => t.getYear.toString
+        // Monday = 0 .. Sunday = 6, like batch Models.periodKey
+        case "weekday" => (t.getDayOfWeek.getValue - 1).toString
         case p => throw new IllegalArgumentException(s"unsupported period attr $p")
       }.mkString(":")
     }

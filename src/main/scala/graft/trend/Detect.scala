@@ -107,13 +107,13 @@ object Detect {
        |  SELECT counter, max(eta) AS max_eta, ($isTrendSql) AS is_trend
        |  FROM scored GROUP BY counter),
        |roc AS (
-       |  SELECT theta,
-       |         sum(CASE WHEN max_eta > theta AND is_trend THEN 1 ELSE 0 END) AS tp,
-       |         sum(CASE WHEN max_eta > theta AND NOT is_trend THEN 1 ELSE 0 END) AS fp,
-       |         sum(CASE WHEN max_eta <= theta AND is_trend THEN 1 ELSE 0 END) AS fn,
-       |         sum(CASE WHEN max_eta <= theta AND NOT is_trend THEN 1 ELSE 0 END) AS tn
-       |  FROM roc_max, unnest([${thetas.mkString(", ")}]) AS t(theta)
-       |  GROUP BY theta)""".stripMargin
+       |  SELECT th::DOUBLE AS theta,
+       |         sum(CASE WHEN max_eta > th AND is_trend THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |         sum(CASE WHEN max_eta > th AND NOT is_trend THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |         sum(CASE WHEN max_eta <= th AND is_trend THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |         sum(CASE WHEN max_eta <= th AND NOT is_trend THEN 1 ELSE 0 END)::BIGINT AS tn
+       |  FROM roc_max, unnest([${thetas.mkString(", ")}]) AS t(th)
+       |  GROUP BY th)""".stripMargin
 
   /** DuckDB CTE for correlateTop over `rebinned`. */
   def correlateTopOracleCtes(topK: Int): String =

@@ -51,6 +51,10 @@ object Models {
       case "day"   => dayofmonth(ts).cast("string")
       case "month" => month(ts).cast("string")
       case "minute" => minute(ts).cast("string")
+      case "second" => second(ts).cast("string")
+      case "year"  => year(ts).cast("string")
+      // Python datetime convention: Monday = 0 .. Sunday = 6
+      case "weekday" => weekday(ts).cast("string")
       case p => throw new IllegalArgumentException(s"unsupported period attr $p")
     }: _*)
 
@@ -136,6 +140,9 @@ object Models {
       case "day" => "day(ts)"
       case "month" => "month(ts)"
       case "minute" => "minute(ts)"
+      case "second" => "second(ts)"
+      case "year" => "year(ts)"
+      case "weekday" => "(isodow(ts) - 1)" // Monday = 0, like Python/Spark weekday
       case p => throw new IllegalArgumentException(s"unsupported period attr $p")
     }.mkString(", ")
     val etaRaw = "CASE WHEN k.mean = 0 OR c.ci_w IS NULL OR c.ci_w = 0" +

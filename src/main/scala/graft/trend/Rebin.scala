@@ -57,11 +57,15 @@ object Rebin {
     val binUsec = binSec * 1000000L
     val step = expr(s"INTERVAL '$binSec' SECOND")
 
-    // range filter drops whole straddling rows (analysis.py:65-68)
+    // range filter drops whole straddling rows (analysis.py:65-68);
+    // stop_ts > ts also drops degenerate zero-duration rows, which the
+    // proportional split (count·overlap/size) cannot define — filtered
+    // identically in the oracle CTE so both engines agree on such input
     val in = raw
       .withColumn("stop_ts", col("ts") + expr("make_interval(0,0,0,0,0,0,duration_sec)"))
       .where(col("stop_ts") <= lit(stopTime).cast("timestamp") &&
-             col("ts") >= lit(startTime).cast("timestamp"))
+             col("ts") >= lit(startTime).cast("timestamp") &&
+             col("stop_ts") > col("ts"))
 
     // per-counter grid extent: origin = trunc(min start), last bin start =
     // trunc(max stop) — one row per counter
@@ -125,7 +129,8 @@ object Rebin {
        |  SELECT counter, ts, ts + to_seconds(duration_sec) AS stop_ts, count
        |  FROM raw_counts
        |  WHERE ts + to_seconds(duration_sec) <= TIMESTAMP '$stopTime'
-       |    AND ts >= TIMESTAMP '$startTime'),
+       |    AND ts >= TIMESTAMP '$startTime'
+       |    AND ts + to_seconds(duration_sec) > ts),
        |rb_grid AS (
        |  SELECT counter,
        |         unnest(generate_series(date_trunc('$unit', min(ts)),
