@@ -129,12 +129,19 @@ object StreamingTrend {
     * Runs as its own stage over the single-unit sink, exactly like the
     * scorers (Spark disallows row-stateful ops under a windowed agg in
     * one query). State per key is O(1).
+    *
+    * Watermark slack defaults to ONE upstream unit: upstream finalizes all
+    * keys' hour-h bins in the same micro-batch, but if a replay or
+    * repartition interleaves keys across batches, a bin whose ts equals
+    * this stage's watermark would be dropped as late — one unit of slack
+    * absorbs any single-batch interleaving.
     */
   def coarsenStream(binned: DataFrame, binningUnit: String, nUnit: Int,
-                    watermarkSlack: String = "0 seconds"): Dataset[Binned] = {
+                    watermarkSlack: Option[String] = None): Dataset[Binned] = {
     require(nUnit >= 1, "nUnit must be positive")
     val spark = binned.sparkSession
     import spark.implicits._
+    val slack = watermarkSlack.getOrElse(s"${unitSeconds(binningUnit)} seconds")
     val unitUs = unitSeconds(binningUnit) * 1000000L
     val coarseUs = unitUs * nUnit
     val binSecOut = (unitSeconds(binningUnit) * nUnit).toDouble
@@ -152,7 +159,7 @@ object StreamingTrend {
     }
     binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
         "CAST(count AS DOUBLE) AS count").as[Binned]
-      .withWatermark("ts", watermarkSlack)
+      .withWatermark("ts", slack)
       .groupByKey(_.counter)
       .flatMapGroupsWithState[CoarseState, Binned](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -174,7 +181,15 @@ object StreamingTrend {
               if (idx > st.idx && st.hasPending) { out += emit(counter, st); st = st.copy(accum = 0.0) }
               if (idx >= st.idx)
                 st = st.copy(idx = idx, accum = st.accum + b.count, hasPending = true)
-              // idx < st.idx is impossible post-watermark (bins are final)
+              else
+                // a bin for a coarse index already rolled past: upstream
+                // delivered finalized bins out of order beyond the slack —
+                // appending a duplicate coarse ts or dropping the count
+                // would both be silent corruption, so fail loudly
+                throw new IllegalStateException(
+                  s"coarsenStream: bin ${b.ts} for $counter arrived after " +
+                    s"coarse index ${st.idx} was already finalized — " +
+                    "increase watermarkSlack to cover upstream disorder")
             }
             state.update(st)
             if (st.hasPending)

@@ -81,6 +81,68 @@ class StreamingTrendSpec extends SparkSpec {
     assert(rows(ts("2024-01-01 06:00:00")) === 2.0)
   }
 
+  test("coarsenStream composes single-unit bins into the batch nUnit=2 grid") {
+    // stage 1 output (finalized hourly bins), delivered as the coarsen
+    // stage's input stream across micro-batches
+    val binned = Rebin(eventsAsRaw, "hours", 1)
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, n) => StreamingTrend.Binned(c, t, d, n) }
+      .sortBy(b => (b.ts.getTime, b.counter))
+    val input = MemoryStream[StreamingTrend.Binned]
+    val q = StreamingTrend.coarsenStream(input.toDF(), "hours", 2)
+      .writeStream.format("memory").queryName("scoarse")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = binned.splitAt(7)
+      Seq(b1, b2).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // advance the watermark past the last open coarse bin to flush it
+      input.addData(Seq(StreamingTrend.Binned("zz", ts("2024-01-02 12:00:00"), 3600.0, 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingTrend.Binned("zz", ts("2024-01-03 12:00:00"), 3600.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("scoarse").where($"counter" =!= "zz")
+      .select("counter", "ts", "duration_sec", "count")
+    // batch 2-hour rebin on the same raw rows: same grid (origin = hour-
+    // truncated min ts = 00:00), same sums — bit-equal
+    val batch = Rebin(eventsAsRaw, "hours", 2)
+    assert(streamed.count() === 6) // 2 counters × 3 two-hour bins
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming rebin rejects DST session timezones loudly") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq((ts("2024-01-01 00:00:00"), "a", 1.0)).toDF("ts", "counter", "count")
+      intercept[IllegalArgumentException] {
+        StreamingTrend.rebinStream(df, "days", 1)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("stateful cycle-mode scorer matches batch on weekday period keys") {
+    val binned = Rebin(eventsAsRaw, "hours", 1)
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, n) => StreamingTrend.Binned(c, t, d, n) }
+      .sortBy(b => (b.ts.getTime, b.counter))
+    val input = MemoryStream[StreamingTrend.Binned]
+    val q = StreamingTrend.poissonCycleStream(input.toDF(), alpha = 0.99,
+        periodList = Seq("weekday", "hour"))
+      .writeStream.format("memory").queryName("scycle_wd")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = binned.splitAt(7)
+      Seq(b1, b2).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = Models.poissonCycle(Rebin(eventsAsRaw, "hours", 1),
+      alpha = 0.99, periodList = Seq("weekday", "hour"))
+    val streamed = spark.table("scycle_wd")
+    assert(streamed.count() === 12)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful Poisson-lc scorer matches the batch model, incrementally") {
     val binned = Rebin(eventsAsRaw, "hours", 1)
       .as[(String, Timestamp, Double, Double)].collect()
