@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -251,6 +251,19 @@ object SparkEntry {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), Counters.sanitize(col("text")).as("name"))),
 
+    // --- corpus curation: decontamination, splits, sampling, vocabulary ---
+    // benchmark set = every 97th doc; their 8-gram shingles mark
+    // contamination (the doc itself and any near-copy of it)
+    "cur_decontaminate" -> ((s, dir) =>
+      Curation.decontaminate(Tables.load(s, dir, "documents"),
+        pmod(col("doc_id"), lit(97)) === 0)),
+    "cur_split" -> ((s, dir) => Curation.assignSplit(Tables.load(s, dir, "documents"))),
+    // rebalance: halve the dominant language, keep the rest
+    "cur_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(Tables.load(s, dir, "documents"),
+        Map("en" -> 0.5, "de" -> 0.8))),
+    "cur_top_terms" -> ((s, dir) => Curation.topTerms(Tables.load(s, dir, "documents"))),
+
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
       Multimodal.imageFeatures(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))),
@@ -375,6 +388,12 @@ object SparkEntry {
     "text_fingerprint" -> TextStats.fingerprintOracleSql,
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
+    "cur_decontaminate" ->
+      Curation.decontaminateOracleSql("((doc_id % 97) + 97) % 97 = 0"),
+    "cur_split" -> Curation.assignSplitOracleSql(),
+    "cur_stratified_sample" ->
+      Curation.stratifiedSampleOracleSql(Map("en" -> 0.5, "de" -> 0.8)),
+    "cur_top_terms" -> Curation.topTermsOracleSql(),
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

@@ -1,0 +1,61 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the corpus-curation operators on micro-corpora (the
+  * sf-scale oracle check is the driver's t2 gate).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate flags benchmark docs and their shingle-sharers only") {
+    val d = docs(
+      1L -> "one two three four five six seven eight nine", // benchmark
+      2L -> "zz one two three four five six seven eight yy", // shares an 8-gram
+      3L -> "totally different words with no overlap at all nine")
+    val out = Curation.decontaminate(d, col("doc_id") === 1L, k = 8)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("assignSplit is deterministic, exhaustive, and threshold-consistent") {
+    val d = docs((0L until 100L).map(i => i -> s"doc $i"): _*)
+    val a = Curation.assignSplit(d, trainPct = 80, valPct = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    val b = Curation.assignSplit(d, trainPct = 80, valPct = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1))) // rerun-stable
+    assert(a.length === 100)
+    a.foreach { case (_, bucket, split) =>
+      val expected = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split === expected)
+    }
+  }
+
+  test("stratifiedSample keeps unlisted strata whole and rate-0 strata empty") {
+    // "the a is of and" markers -> en; "der die das und ist" -> de
+    val en = (0L until 20L).map(i => i -> "the a is of and common words here")
+    val de = (100L until 120L).map(i => i -> "der die das und ist andere woerter")
+    val d = docs((en ++ de): _*)
+    val kept = Curation.stratifiedSample(d, Map("de" -> 0.0), defaultRate = 1.0)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en"))
+    assert(kept.length === 20) // every en doc kept at rate 1.0
+  }
+
+  test("topTerms ranks by count with word tie-break, capped at k") {
+    val d = docs(
+      1L -> "the the the aa aa bb",
+      2L -> "the aa cc cc cc cc")
+    val out = Curation.topTerms(d, k = 2)
+      .select("lang_pred", "word", "n", "rank")
+      .as[(String, String, Long, Long)].collect().sortBy(_._4)
+    // counts: the=4, cc=4, aa=3, bb=1 -> tie on 4 broken by word order
+    assert(out.toSeq === Seq(("en", "cc", 4L, 1L), ("en", "the", 4L, 2L)))
+  }
+}
