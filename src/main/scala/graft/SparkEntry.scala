@@ -263,6 +263,10 @@ object SparkEntry {
       Curation.stratifiedSample(Tables.load(s, dir, "documents"),
         Map("en" -> 0.5, "de" -> 0.8))),
     "cur_top_terms" -> ((s, dir) => Curation.topTerms(Tables.load(s, dir, "documents"))),
+    "cur_pack" -> ((s, dir) =>
+      Curation.packSequences(Tables.load(s, dir, "documents"))),
+    "cur_len_quantiles" -> ((s, dir) =>
+      Curation.lengthQuantiles(Tables.load(s, dir, "documents"))),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -394,6 +398,8 @@ object SparkEntry {
     "cur_stratified_sample" ->
       Curation.stratifiedSampleOracleSql(Map("en" -> 0.5, "de" -> 0.8)),
     "cur_top_terms" -> Curation.topTermsOracleSql(),
+    "cur_pack" -> Curation.packSequencesOracleSql(),
+    "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

@@ -110,6 +110,78 @@ object Curation {
        |      < (CASE $cases ELSE ${(defaultRate * M).toLong} END)""".stripMargin
   }
 
+  /** Sequence packing: concatenate documents and chop into fixed
+    * `maxTokens` windows — the final step that turns a curated corpus
+    * into pretraining examples. Documents are assigned a deterministic
+    * md5 shard; packing runs INDEPENDENTLY per shard (order = doc_id
+    * within shard), so a document's pack is a pure function of the
+    * corpus, rerun-stable, and no global sequential pass exists.
+    * Output: (shard, doc_id, n_tokens, pack_id, pack_off) — pack_id is
+    * the window the document STARTS in, pack_off its offset there
+    * (documents straddle window boundaries, as concat-and-chop does).
+    *
+    * Scale: the only ordered operation is a running sum windowed by
+    * shard — `nShards` independent sorted partitions, each ~corpus/nShards;
+    * raise nShards with corpus size to bound per-partition volume. No
+    * global sort, no driver state.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int = 512,
+                    nShards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        pmod(h64(concat(col("doc_id").cast("string"), lit(":pack"))), lit(nShards))
+          .as("shard"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        floor(col("start_off") / maxTokens).as("pack_id"),
+        pmod(col("start_off"), lit(maxTokens.toLong)).as("pack_off"))
+  }
+
+  def packSequencesOracleSql(maxTokens: Int = 512, nShards: Int = 64): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len($wordsSql)::BIGINT AS n_tokens,
+       |         ${h64Sql("doc_id::VARCHAR || ':pack'")} % $nShards AS shard
+       |  FROM documents),
+       |cum AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_off
+       |  FROM t)
+       |SELECT shard::BIGINT AS shard, doc_id, n_tokens,
+       |       (start_off // $maxTokens)::BIGINT AS pack_id,
+       |       (start_off % $maxTokens)::BIGINT AS pack_off
+       |FROM cum""".stripMargin
+
+  /** Per-language document-length quantiles (exact, linear-interpolated —
+    * the curation report's length distribution). One hash aggregation;
+    * exact percentile needs the per-group values, which is fine for a
+    * bounded-cardinality stratum key like language.
+    * Output: (lang_pred, q25, q50, q95), 6 dp.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    TextStats.languageId(docs)
+      .join(docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words")), "doc_id")
+      .groupBy("lang_pred")
+      .agg(
+        round(percentile(col("n_words"), lit(0.25)), 6).as("q25"),
+        round(percentile(col("n_words"), lit(0.5)), 6).as("q50"),
+        round(percentile(col("n_words"), lit(0.95)), 6).as("q95"))
+
+  def lengthQuantilesOracleSql: String =
+    s"""WITH lang AS (${TextStats.languageIdOracleSql}),
+       |n AS (SELECT doc_id, len($wordsSql)::BIGINT AS n_words FROM documents)
+       |SELECT l.lang_pred,
+       |       round(quantile_cont(n.n_words, 0.25), 6) AS q25,
+       |       round(quantile_cont(n.n_words, 0.5), 6) AS q50,
+       |       round(quantile_cont(n.n_words, 0.95), 6) AS q95
+       |FROM lang l JOIN n ON l.doc_id = n.doc_id
+       |GROUP BY l.lang_pred""".stripMargin
+
   /** Corpus top-terms per predicted language: the k most frequent words
     * with deterministic (count desc, word) tie-break — the vocabulary
     * report of a curation run. Two hash aggregations (doc→lang, then

@@ -44,4 +44,26 @@ class PlanSpec extends SparkSpec {
     // fact side is exactly the regression this suite exists to block
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("decontamination joins the benchmark shingle set by broadcast") {
+    // the corpus side must stream map-side against the (tiny) benchmark
+    // set; a shuffle join here would shuffle every (doc, shingle) pair
+    val p = plan("cur_decontaminate")
+    assert(p.contains("BroadcastExchange"), "benchmark set not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("stratified sample is a pure scan — no join, no shuffle aggregation") {
+    val p = plan("cur_stratified_sample")
+    assert(!p.contains("Join"), "rate lookup must compile to a CASE chain")
+    assert(!p.contains("Exchange"), "sampling must not shuffle")
+  }
+
+  test("sequence packing windows by shard, never a single global sort") {
+    val p = plan("cur_pack")
+    // a Window with an empty partition spec would serialize the corpus
+    // through one task — the shard column must appear in the partition spec
+    assert(p.contains("Window") && p.contains("shard"))
+    assert(!p.contains("partitionBy=[]") && !p.contains("SinglePartition"))
+  }
 }

@@ -48,6 +48,36 @@ class CurationSpec extends SparkSpec {
     assert(kept.length === 20) // every en doc kept at rate 1.0
   }
 
+  test("packSequences: contiguous offsets per shard, windows chop at maxTokens") {
+    val d = docs((0L until 30L).map(i => i -> ("w " * 7).trim): _*) // 7 tokens each
+    val out = Curation.packSequences(d, maxTokens = 10, nShards = 4)
+      .select("shard", "doc_id", "n_tokens", "pack_id", "pack_off")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 30)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      // within a shard (doc_id order): start offsets are the running sum
+      var off = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, packId, packOff) =>
+        assert(packId === off / 10)
+        assert(packOff === off % 10)
+        off += n
+      }
+    }
+  }
+
+  test("lengthQuantiles: exact interpolated quantiles per language") {
+    // single-language corpus with word counts 2, 4, 6, 8 -> q50 = 5
+    val d = docs(
+      1L -> "the a", 2L -> "the a is of", 3L -> "the a is of and w",
+      4L -> "the a is of and w x y")
+    val out = Curation.lengthQuantiles(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("lang_pred") === "en")
+    assert(r.getAs[Double]("q50") === 5.0)
+    assert(r.getAs[Double]("q25") === 3.5) // 2 + 0.75*(4-2)
+  }
+
   test("topTerms ranks by count with word tie-break, capped at k") {
     val d = docs(
       1L -> "the the the aa aa bb",
