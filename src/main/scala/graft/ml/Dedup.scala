@@ -176,9 +176,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {
-    val sh = shingleTable(docs, k)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+    // df via hash aggregation + same-key join, NOT a window: both sides
+    // partition on shingle (one shuffle, reused), and no per-partition
+    // sort — a hot shingle's partition would otherwise sort-spill at
+    // corpus scale
+    val shBase = shingleTable(docs, k)
+    val dfs = shBase.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sh = shBase.join(dfs, "shingle")
     val rare = sh.where(col("df") <= maxDf).drop("df")
     val hot = sh.where(col("df") > maxDf).drop("df")
 

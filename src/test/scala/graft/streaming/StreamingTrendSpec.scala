@@ -111,6 +111,61 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("walkthrough shape end-to-end: rebin -> coarsen -> score at 2-hour bins") {
+    // stage 1: per-event rows -> finalized hourly bins
+    val in1 = MemoryStream[(Timestamp, String, Double)]
+    val q1 = StreamingTrend.rebinStream(
+        in1.toDF().toDF("ts", "counter", "count"), "hours", 1)
+      .writeStream.format("memory").queryName("e2e_bins")
+      .outputMode("append").start()
+    try {
+      // split on the TIME axis: a key-ordered split would stream one
+      // counter's whole history first and watermark out the other's past
+      val ordered = events.sortBy(_._1.getTime)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      Seq(a, b).foreach { c => in1.addData(c); q1.processAllAvailable() }
+      in1.addData(Seq((ts("2024-01-02 12:00:00"), "zz", 0.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val bins = spark.table("e2e_bins").where($"counter" =!= "zz")
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, n) => StreamingTrend.Binned(c, t, d, n) }
+      .sortBy(x => (x.ts.getTime, x.counter))
+
+    // stage 2: hourly bins -> 2-hour bins (the walkthrough's config grid)
+    val in2 = MemoryStream[StreamingTrend.Binned]
+    val q2 = StreamingTrend.coarsenStream(in2.toDF(), "hours", 2)
+      .writeStream.format("memory").queryName("e2e_coarse")
+      .outputMode("append").start()
+    try {
+      val (a, b) = bins.splitAt(bins.length / 2)
+      Seq(a, b).foreach { c => in2.addData(c.toSeq); q2.processAllAvailable() }
+      in2.addData(Seq(StreamingTrend.Binned("zz", ts("2024-01-02 12:00:00"), 3600.0, 0.0)))
+      q2.processAllAvailable()
+      in2.addData(Seq(StreamingTrend.Binned("zz", ts("2024-01-03 12:00:00"), 3600.0, 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val coarse = spark.table("e2e_coarse").where($"counter" =!= "zz")
+      .as[(String, Timestamp, Double, Double)].collect()
+      .map { case (c, t, d, n) => StreamingTrend.Binned(c, t, d, n) }
+      .sortBy(x => (x.ts.getTime, x.counter))
+
+    // stage 3: stateful scorer over the coarse bins
+    val in3 = MemoryStream[StreamingTrend.Binned]
+    val q3 = StreamingTrend.poissonLcStream(in3.toDF(), alpha = 0.99)
+      .writeStream.format("memory").queryName("e2e_scored")
+      .outputMode("append").start()
+    try {
+      val (a, b) = coarse.splitAt(coarse.length / 2)
+      Seq(a, b).foreach { c => in3.addData(c.toSeq); q3.processAllAvailable() }
+    } finally q3.stop()
+
+    val streamed = spark.table("e2e_scored")
+    val batch = Models.poissonLc(Rebin(eventsAsRaw, "hours", 2), alpha = 0.99)
+    assert(streamed.count() === 6)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming rebin rejects DST session timezones loudly") {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
