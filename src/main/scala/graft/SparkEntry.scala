@@ -265,6 +265,8 @@ object SparkEntry {
     "cur_top_terms" -> ((s, dir) => Curation.topTerms(Tables.load(s, dir, "documents"))),
     "cur_pack" -> ((s, dir) =>
       Curation.packSequences(Tables.load(s, dir, "documents"))),
+    "cur_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
       Curation.lengthQuantiles(Tables.load(s, dir, "documents"))),
 
@@ -399,6 +401,7 @@ object SparkEntry {
       Curation.stratifiedSampleOracleSql(Map("en" -> 0.5, "de" -> 0.8)),
     "cur_top_terms" -> Curation.topTermsOracleSql(),
     "cur_pack" -> Curation.packSequencesOracleSql(),
+    "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),

@@ -110,6 +110,58 @@ object Curation {
        |      < (CASE $cases ELSE ${(defaultRate * M).toLong} END)""".stripMargin
   }
 
+  /** Repetition statistics (the Gopher-rule family of quality filters):
+    * per document, the total and most-frequent word-bigram counts, the
+    * top-bigram fraction, and the duplicate-word fraction — high values
+    * mean boilerplate/spam. Two hash aggregations over the exploded
+    * bigram table, both keyed by doc_id(+gram): partial aggregation
+    * combines map-side, the shuffle carries one row per distinct
+    * (doc, gram). Short docs (< 2 words) are reported with zero grams,
+    * not dropped. Output: (doc_id, n_grams, max_gram_n, top_gram_frac,
+    * dup_word_frac, flagged).
+    */
+  def repetitionStats(docs: DataFrame, flagThreshold: Double = 0.2): DataFrame = {
+    val w = words(col("text"))
+    val grams = docs.select(col("doc_id"),
+        explode(shingles(w, 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("gn"))
+      .groupBy("doc_id").agg(sum("gn").as("n_grams"), max("gn").as("max_gram_n"))
+    docs.select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct"))
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_gram_n"), lit(0L)).as("max_gram_n"),
+        round(coalesce(col("max_gram_n").cast("double") / col("n_grams"), lit(0.0)), 6)
+          .as("top_gram_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        (coalesce(col("max_gram_n").cast("double") / col("n_grams"), lit(0.0))
+          > flagThreshold).as("flagged"))
+  }
+
+  def repetitionStatsOracleSql(flagThreshold: Double = 0.2): String =
+    s"""WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(${shinglesSql(2)}) AS gram FROM dw),
+       |gcnt AS (
+       |  SELECT doc_id, gram, count(*) AS gn FROM grams GROUP BY doc_id, gram),
+       |gagg AS (
+       |  SELECT doc_id, sum(gn)::BIGINT AS n_grams, max(gn)::BIGINT AS max_gram_n
+       |  FROM gcnt GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, len(w)::BIGINT AS n_words,
+       |         len(list_distinct(w))::BIGINT AS n_distinct
+       |  FROM dw)
+       |SELECT b.doc_id,
+       |       coalesce(g.n_grams, 0)::BIGINT AS n_grams,
+       |       coalesce(g.max_gram_n, 0)::BIGINT AS max_gram_n,
+       |       round(coalesce(g.max_gram_n::DOUBLE / g.n_grams, 0.0), 6) AS top_gram_frac,
+       |       round(1.0 - b.n_distinct::DOUBLE / b.n_words, 6) AS dup_word_frac,
+       |       coalesce(g.max_gram_n::DOUBLE / g.n_grams, 0.0) > $flagThreshold AS flagged
+       |FROM base b LEFT JOIN gagg g USING (doc_id)""".stripMargin
+
   /** Sequence packing: concatenate documents and chop into fixed
     * `maxTokens` windows — the final step that turns a curated corpus
     * into pretraining examples. Documents are assigned a deterministic

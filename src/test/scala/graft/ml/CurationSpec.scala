@@ -48,6 +48,19 @@ class CurationSpec extends SparkSpec {
     assert(kept.length === 20) // every en doc kept at rate 1.0
   }
 
+  test("repetitionStats flags repeated-bigram docs, handles short docs") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam", // one bigram repeated 5x
+      2L -> "all words here are fully distinct tokens",
+      3L -> "x") // too short for bigrams
+    val out = Curation.repetitionStats(d)
+      .select("doc_id", "n_grams", "max_gram_n", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, 5L, true)))   // 5 grams, all "spam spam"
+    assert(out(2L)._4 === false)
+    assert(out(3L) === ((3L, 0L, 0L, false)))  // zero grams, not dropped
+  }
+
   test("packSequences: contiguous offsets per shard, windows chop at maxTokens") {
     val d = docs((0L until 30L).map(i => i -> ("w " * 7).trim): _*) // 7 tokens each
     val out = Curation.packSequences(d, maxTokens = 10, nShards = 4)
