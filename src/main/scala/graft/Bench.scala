@@ -24,7 +24,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args restrict the run (local profiling aid; the driver
+    // always calls with no args)
+    val only = args.toSet
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }.sortBy(_._1)
     ordered.foreach { case (name, fn) => // warm-up (untimed)
       try materialize(fn(spark, sfDir)) catch {
         case e: Throwable =>

@@ -25,11 +25,13 @@ object Curation {
     * of the text column.
     */
   def decontaminate(docs: DataFrame, isBenchmark: Column, k: Int = 8): DataFrame = {
-    val sh = explode(shingles(words(col("text")), k))
-    val benchShingles = docs.where(isBenchmark)
-      .select(sh.as("s")).select(h64(col("s")).as("sh")).distinct()
-    val hits = docs.select(col("doc_id"), sh.as("s"))
+    // words materialized BEFORE the shingle lambda (see Dedup.shingleTable)
+    def docShingles(d: DataFrame) = d
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), k)).as("s"))
       .select(col("doc_id"), h64(col("s")).as("sh"))
+    val benchShingles = docShingles(docs.where(isBenchmark)).select("sh").distinct()
+    val hits = docShingles(docs)
       .join(broadcast(benchShingles), "sh")
       .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
     docs.select("doc_id").join(hits, Seq("doc_id"), "left")
@@ -121,14 +123,15 @@ object Curation {
     * dup_word_frac, flagged).
     */
   def repetitionStats(docs: DataFrame, flagThreshold: Double = 0.2): DataFrame = {
-    val w = words(col("text"))
-    val grams = docs.select(col("doc_id"),
-        explode(shingles(w, 2)).as("gram"))
+    // words materialized BEFORE the shingle lambda (see Dedup.shingleTable)
+    val grams = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), 2)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("gn"))
       .groupBy("doc_id").agg(sum("gn").as("n_grams"), max("gn").as("max_gram_n"))
-    docs.select(col("doc_id"),
-        size(w).cast("long").as("n_words"),
-        size(array_distinct(w)).cast("long").as("n_distinct"))
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"))
       .join(grams, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -30,9 +30,17 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** Distinct (doc_id, shingle) long table. */
+  /** Distinct (doc_id, shingle) long table. The words array is
+    * materialized in its own projection BEFORE the shingle lambda: a
+    * split() inlined into the lambda body re-executes per element_at
+    * (k splits per shingle — measured 40× slower), because higher-order
+    * functions are interpreted and get no common-subexpression
+    * elimination. CollapseProject keeps the multi-referenced non-cheap
+    * alias out of the lambda.
+    */
   private def shingleTable(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(words(col("text")), k)).as("shingle"))
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), k)).as("shingle"))
       .distinct()
 
   private def shingleTableSql(k: Int): String =

@@ -35,16 +35,20 @@ object TextStats {
   /** Token & char statistics: (doc_id, n_words, n_tokens, n_chars_obs,
     * sum_word_len, avg_word_len).
     */
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+  def tokenStats(docs: DataFrame): DataFrame =
+    // staged projections: the words array and the aggregate() sum are
+    // each materialized once — inlined, the interpreted HOFs re-evaluate
+    // per reference (split per element_at; see Dedup.shingleTable)
     docs.select(col("doc_id"),
-      size(w).cast("long").as("n_words"),
-      size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars_obs"),
-      sumLen.as("sum_word_len"),
-      round(sumLen / size(w), 6).as("avg_word_len"))
-  }
+        size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"),
+        words(col("text")).as("w"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars_obs"),
+        col("sum_word_len"),
+        round(col("sum_word_len") / col("n_words"), 6).as("avg_word_len"))
 
   val tokenStatsOracleSql: String =
     s"""SELECT doc_id,
@@ -60,17 +64,19 @@ object TextStats {
     * score = (1 - stop_ratio) * min(1, n_words/50) — long-enough docs that
     * aren't stopword soup score near 1.
     */
-  def quality(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val nWords = size(w).cast("double")
-    val nStop = size(filter(w, x => x.isin(stopwords: _*))).cast("double")
-    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
-    val stopRatio = nStop / nWords
-    docs.select(col("doc_id"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(punct / length(col("text")), 6).as("punct_ratio"),
-      round((lit(1.0) - stopRatio) * least(lit(1.0), nWords / 50.0), 6).as("quality_score"))
-  }
+  def quality(docs: DataFrame): DataFrame =
+    // staged projections: one split, one filter() pass (see tokenStats)
+    docs.select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("double").as("nwords"),
+        size(filter(col("w"), x => x.isin(stopwords: _*))).cast("double").as("nstop"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double").as("npunct"),
+        length(col("text")).cast("double").as("nchars"))
+      .select(col("doc_id"),
+        round(col("nstop") / col("nwords"), 6).as("stop_ratio"),
+        round(col("npunct") / col("nchars"), 6).as("punct_ratio"),
+        round((lit(1.0) - col("nstop") / col("nwords")) *
+          least(lit(1.0), col("nwords") / 50.0), 6).as("quality_score"))
 
   val qualityOracleSql: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -92,16 +98,20 @@ object TextStats {
     * Output: (doc_id, lang_pred, lang_score).
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val scores = markers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => x.isin(ms: _*))).cast("long")
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // staged projections: each marker filter() runs ONCE — inlined into
+    // the best/pred when-chains the interpreted HOFs would re-run per
+    // reference (see tokenStats)
+    val scored = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id") +: markers.map { case (lang, ms) =>
+        size(filter(col("w"), x => x.isin(ms: _*))).cast("long").as(s"s_$lang")
+      }: _*)
+      .withColumn("best",
+        markers.map(m => col(s"s_${m._1}")).reduce((a, b) => greatest(a, b)))
     // foldRight nests the first language outermost → first-match-wins ties
-    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), el) =>
-      when(s === best && best > 0, lit(lang)).otherwise(el)
+    val pred = markers.foldRight(lit("und"): Column) { case ((lang, _), el) =>
+      when(col(s"s_$lang") === col("best") && col("best") > 0, lit(lang)).otherwise(el)
     }
-    docs.select(col("doc_id"), pred.as("lang_pred"), best.as("lang_score"))
+    scored.select(col("doc_id"), pred.as("lang_pred"), col("best").as("lang_score"))
   }
 
   val languageIdOracleSql: String = {
@@ -158,12 +168,13 @@ object TextStats {
     * Output: (doc_id, fingerprint, fp_words).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val w = slice(words(col("text")), 1, FpMaxWords)
-    val terms = transform(w, (x, i) =>
+    // staged projection: the sliced words array materializes once
+    val terms = transform(col("w"), (x, i) =>
       pmod((h64(x) % M) * element_at(typedlit(pow31), i + 1), lit(M)))
-    docs.select(col("doc_id"),
-      pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(M)).as("fingerprint"),
-      size(w).cast("long").as("fp_words"))
+    docs.select(col("doc_id"), slice(words(col("text")), 1, FpMaxWords).as("w"))
+      .select(col("doc_id"),
+        pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(M)).as("fingerprint"),
+        size(col("w")).cast("long").as("fp_words"))
   }
 
   val fingerprintOracleSql: String = {
