@@ -88,6 +88,16 @@ class RebinSpec extends SparkSpec {
       ("a", "2024-01-01 01:00:00.0", 3600.0, 0.0)))
   }
 
+  test("zero-duration rows are dropped, not divided by zero") {
+    // count·overlap/size is undefined at size 0; engine and oracle filter
+    // stop_ts > ts identically, so such input contributes nothing (and
+    // does not extend the grid or mark bins touched)
+    val out = run(Seq(
+      ("2024-01-01 00:10:00", 600L, 5.0, "a"),
+      ("2024-01-01 02:30:00", 0L, 99.0, "a"))) // degenerate: zero duration
+    assert(out.toSeq == Seq(("a", "2024-01-01 00:00:00.0", 3600.0, 5.0)))
+  }
+
   test("total count is conserved for in-range input fully covered by grid") {
     val in = Seq(
       ("2024-01-01 00:07:00", 1234L, 10.0, "a"),
