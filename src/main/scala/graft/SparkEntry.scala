@@ -29,13 +29,26 @@ object SparkEntry {
 
   private val RocThetas = Seq(0.1, 0.25, 0.5, 1.0, 2.0, 4.0)
 
-  /** Per-run scratch path: keyed by application id + input dir so two
-    * concurrent driver runs on one machine never clobber each other's
-    * intermediates mid-read.
+  /** Per-run scratch root: keyed by application id so two concurrent
+    * driver runs on one machine never clobber each other's intermediates
+    * mid-read. A shutdown hook removes the whole root — without it every
+    * run would leave sf-scale CSV/parquet copies in java.io.tmpdir.
     */
-  private def tmpPath(s: SparkSession, tag: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${s.sparkContext.applicationId}_" +
-      Integer.toHexString(dir.hashCode)
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def tmpPath(s: SparkSession, tag: String, dir: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_run_${s.sparkContext.applicationId}")
+    if (cleanupRegistered.compareAndSet(false, true))
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+    s"$root/${tag}_${Integer.toHexString(dir.hashCode)}"
+  }
 
   // WDT parameters sized to the hourly event grid (reference example uses
   // 150/150/1/40 on 2-min bins, config.cfg:60-78)

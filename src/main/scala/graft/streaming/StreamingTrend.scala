@@ -112,23 +112,33 @@ object StreamingTrend {
   }
 
   /** Coarsen-state per counter: grid origin (unit-truncated first-seen
-    * ts), the coarse-bin index being accumulated, and its running sum.
+    * ts), the open coarse bins (index → running sum), and the event
+    * times already folded (dedup under at-least-once redelivery; pruned
+    * below the watermark as bins finalize).
     */
-  final case class CoarseState(originUs: Long, idx: Long, accum: Double,
-                               hasPending: Boolean)
+  final case class CoarseState(originUs: Long, open: Map[Long, Double],
+                               seen: Set[Long])
 
   /** Stateful nUnit-coarsening of a finalized single-unit bin stream —
     * the streaming analogue of the batch nUnit > 1 grid (so the
     * walkthrough's 2-hour-bin config runs end-to-end streaming). Keyed
     * state resolves the data-dependent origin exactly like batch Rebin:
-    * origin = date_trunc(unit, first-seen ts) per counter (bins arrive in
-    * ts order per key once the upstream watermark finalized them; the
-    * first seen IS the min). A coarse bin [origin + i·n·unit, …+(i+1)·n·unit)
-    * is emitted when a bin of a LATER coarse index arrives, or when the
-    * watermark passes its end (event-time timeout) — whichever is first.
+    * origin = date_trunc(unit, first-seen ts) per counter.
+    *
+    * Emission is PURELY watermark-driven: a coarse bin
+    * [origin + i·n·unit, origin + (i+1)·n·unit) is emitted once the
+    * watermark passes its end (checked on every data arrival and via
+    * event-time timeout). Because the watermark also gates Spark's
+    * late-row filter, no row for an already-emitted bin can ever be
+    * delivered — bounded out-of-order input within the slack lands in a
+    * still-open bin, never in a finalized one. Duplicate redelivery
+    * (at-least-once sinks) is absorbed by the seen-ts set, which is
+    * pruned as the watermark advances, so state per key stays
+    * O(open bins + slack/unit), independent of stream length.
+    *
     * Runs as its own stage over the single-unit sink, exactly like the
     * scorers (Spark disallows row-stateful ops under a windowed agg in
-    * one query). State per key is O(1).
+    * one query).
     *
     * Watermark slack defaults to ONE upstream unit: upstream finalizes all
     * keys' hour-h bins in the same micro-batch, but if a replay or
@@ -152,11 +162,9 @@ object StreamingTrend {
       val local = tsUs + zoneOffUs - weekOffUs
       java.lang.Math.floorDiv(local, unitUs) * unitUs - zoneOffUs + weekOffUs
     }
-    def emit(counter: String, st: CoarseState): Binned = {
-      val startUs = st.originUs + st.idx * coarseUs
-      Binned(counter, new java.sql.Timestamp(startUs / 1000L), binSecOut,
-        Rounding.stableIntTruncScalar(st.accum))
-    }
+    def emit(counter: String, originUs: Long, idx: Long, accum: Double): Binned =
+      Binned(counter, new java.sql.Timestamp((originUs + idx * coarseUs) / 1000L),
+        binSecOut, Rounding.stableIntTruncScalar(accum))
     binned.selectExpr("counter", "ts", "CAST(duration_sec AS DOUBLE) AS duration_sec",
         "CAST(count AS DOUBLE) AS count").as[Binned]
       .withWatermark("ts", slack)
@@ -164,38 +172,35 @@ object StreamingTrend {
       .flatMapGroupsWithState[CoarseState, Binned](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (counter, rows, state: GroupState[CoarseState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the open coarse bin's end: flush it
-            val st = state.get
-            val out = if (st.hasPending) Seq(emit(counter, st)) else Nil
-            state.update(st.copy(accum = 0.0, hasPending = false))
-            out.iterator
-          } else {
-            var st = state.getOption.getOrElse(CoarseState(Long.MinValue, 0L, 0.0, false))
-            val out = Vector.newBuilder[Binned]
-            rows.toArray.sortBy(_.ts.getTime).foreach { b =>
-              val tsUs = b.ts.getTime * 1000L
-              if (st.originUs == Long.MinValue)
-                st = st.copy(originUs = truncUs(tsUs))
+          var st = state.getOption.getOrElse(CoarseState(Long.MinValue, Map.empty, Set.empty))
+          // fold arrivals (none on a pure timeout invocation); the seen
+          // set drops at-least-once redeliveries of the same bin
+          rows.toArray.sortBy(_.ts.getTime).foreach { b =>
+            val tsUs = b.ts.getTime * 1000L
+            if (!st.seen(tsUs)) {
+              if (st.originUs == Long.MinValue) st = st.copy(originUs = truncUs(tsUs))
               val idx = java.lang.Math.floorDiv(tsUs - st.originUs, coarseUs)
-              if (idx > st.idx && st.hasPending) { out += emit(counter, st); st = st.copy(accum = 0.0) }
-              if (idx >= st.idx)
-                st = st.copy(idx = idx, accum = st.accum + b.count, hasPending = true)
-              else
-                // a bin for a coarse index already rolled past: upstream
-                // delivered finalized bins out of order beyond the slack —
-                // appending a duplicate coarse ts or dropping the count
-                // would both be silent corruption, so fail loudly
-                throw new IllegalStateException(
-                  s"coarsenStream: bin ${b.ts} for $counter arrived after " +
-                    s"coarse index ${st.idx} was already finalized — " +
-                    "increase watermarkSlack to cover upstream disorder")
+              st = st.copy(
+                open = st.open.updated(idx, st.open.getOrElse(idx, 0.0) + b.count),
+                seen = st.seen + tsUs)
             }
-            state.update(st)
-            if (st.hasPending)
-              state.setTimeoutTimestamp((st.originUs + (st.idx + 1) * coarseUs) / 1000L)
-            out.result().iterator
           }
+          // emit every open bin whose end the watermark has passed; rows
+          // for those bins are now behind the late filter, so finalized
+          // bins can never receive data again
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, stillOpen) = st.open.partition { case (idx, _) =>
+            st.originUs + (idx + 1) * coarseUs <= wmUs
+          }
+          val out = done.toSeq.sortBy(_._1)
+            .map { case (idx, acc) => emit(counter, st.originUs, idx, acc) }
+          st = st.copy(open = stillOpen, seen = st.seen.filter(_ >= wmUs))
+          state.update(st)
+          if (st.open.nonEmpty)
+            // wake when the watermark passes the oldest open bin's end
+            state.setTimeoutTimestamp(
+              (st.originUs + (st.open.keys.min + 1) * coarseUs) / 1000L)
+          out.iterator
       }
   }
 

@@ -62,8 +62,11 @@ class PlanSpec extends SparkSpec {
   test("sequence packing windows by shard, never a single global sort") {
     val p = plan("cur_pack")
     // a Window with an empty partition spec would serialize the corpus
-    // through one task — the shard column must appear in the partition spec
-    assert(p.contains("Window") && p.contains("shard"))
-    assert(!p.contains("partitionBy=[]") && !p.contains("SinglePartition"))
+    // through one task — the Window node must list shard in its partition
+    // spec ("Window [aggs], [shard#N], [order]") and the plan must not
+    // fall back to a single partition
+    assert("""Window \[[^]]*\], \[shard#\d+""".r.findFirstIn(p).isDefined,
+      "Window is not partitioned by shard")
+    assert(!p.contains("SinglePartition"))
   }
 }

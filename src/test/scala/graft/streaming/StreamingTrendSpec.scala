@@ -94,7 +94,10 @@ class StreamingTrendSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       val (b1, b2) = binned.splitAt(7)
-      Seq(b1, b2).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData(b1.toSeq); q.processAllAvailable()
+      // redeliver b1 alongside b2 (at-least-once replay): the seen-set
+      // must absorb the duplicates or coarse counts double
+      input.addData((b1 ++ b2).toSeq); q.processAllAvailable()
       // advance the watermark past the last open coarse bin to flush it
       input.addData(Seq(StreamingTrend.Binned("zz", ts("2024-01-02 12:00:00"), 3600.0, 0.0)))
       q.processAllAvailable()
