@@ -204,6 +204,35 @@ object StreamingTrend {
       }
   }
 
+  /** First-seen record for streaming dedup output. */
+  final case class FirstSeen(content_key: String, doc_id: Long)
+
+  /** Streaming exact dedup: emit only the FIRST document carrying each
+    * content key (md5 of text) — the ingestion-time counterpart of batch
+    * `Dedup.exact`. Keyed state is one boolean per distinct content key;
+    * within a micro-batch the lowest doc_id wins (deterministic), across
+    * batches the earlier batch wins (first-seen semantics). State grows
+    * with DISTINCT corpus content — production deployments bound it with
+    * a state-store TTL or an upstream time-windowed scope; there is no
+    * watermark because content keys never expire by event time.
+    */
+  def dedupStream(docs: DataFrame): Dataset[FirstSeen] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("md5(text) AS content_key", "doc_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(FirstSeen(key, rows.map(_._2).min))
+          }
+      }
+  }
+
   /** Stateful point-by-point Poisson-lc scorer over a stream of finalized
     * bins. Out-of-order bins older than the folded state are dropped (the
     * upstream watermark makes them impossible in the composed pipeline).

@@ -201,6 +201,27 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming exact dedup emits each content key once, first doc wins") {
+    val docRows = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
+      (4L, "gamma delta"), (5L, "epsilon"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTrend.dedupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // dup of doc 1 arrives in the SAME batch; dup of doc 3 in a LATER one
+      input.addData(docRows.take(3)); q.processAllAvailable()
+      input.addData(docRows.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("sdedup").as[(String, Long)].collect().map(_._2).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 5L))
+    // same keepers as batch exact dedup on the full corpus
+    val batchKeep = graft.ml.Dedup.exact(docRows.toDF("doc_id", "text"))
+      .select("keep_id").as[Long].collect().sorted
+    assert(kept.toSeq === batchKeep.toSeq)
+  }
+
   test("stateful Poisson-lc scorer matches the batch model, incrementally") {
     val binned = Rebin(eventsAsRaw, "hours", 1)
       .as[(String, Timestamp, Double, Double)].collect()
