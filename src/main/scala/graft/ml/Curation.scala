@@ -190,8 +190,10 @@ object Curation {
         pmod(h64(concat(col("doc_id").cast("string"), lit(":pack"))), lit(nShards))
           .as("shard"))
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      // integer DIV, not floor(double /): a shard's running offset can
+      // exceed 2^53 at corpus scale, where double division loses ulps
       .select(col("shard"), col("doc_id"), col("n_tokens"),
-        floor(col("start_off") / maxTokens).as("pack_id"),
+        expr(s"start_off DIV $maxTokens").as("pack_id"),
         pmod(col("start_off"), lit(maxTokens.toLong)).as("pack_off"))
   }
 
