@@ -201,6 +201,21 @@ class StreamingTrendSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateless text-analysis operators apply to streams unchanged") {
+    // quality/langid/token-stats are narrow projections — the SAME batch
+    // functions run on a streaming frame with no state and no rewrite
+    val docRows = Seq((1L, "the a is of and fox"), (2L, "der die das und ist"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ml.TextStats.quality(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("squality")
+      .outputMode("append").start()
+    try { input.addData(docRows); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("squality")
+    val batch = graft.ml.TextStats.quality(docRows.toDF("doc_id", "text"))
+    assert(streamed.count() === 2)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming exact dedup emits each content key once, first doc wins") {
     val docRows = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
