@@ -31,21 +31,27 @@ object SparkEntry {
 
   /** Per-run scratch root: keyed by application id so two concurrent
     * driver runs on one machine never clobber each other's intermediates
-    * mid-read. A shutdown hook removes the whole root — without it every
-    * run would leave sf-scale CSV/parquet copies in java.io.tmpdir.
+    * mid-read. One shutdown hook PER ROOT (a JVM can host several
+    * sessions) removes it; deletion is best-effort per path so a file
+    * landing mid-shutdown can't abort the rest of the cleanup.
     */
-  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val cleanupRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def tmpPath(s: SparkSession, tag: String, dir: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_run_${s.sparkContext.applicationId}")
-    if (cleanupRegistered.compareAndSet(false, true))
+    if (cleanupRoots.add(root.toString))
       sys.addShutdownHook {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
+        import scala.util.Try
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Try(Files.deleteIfExists(p)); () })
+          finally walk.close()
+        }
       }
     s"$root/${tag}_${Integer.toHexString(dir.hashCode)}"
   }

@@ -30,6 +30,38 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** First-seen record for streaming dedup output. */
+  final case class FirstSeen(content_key: String, doc_id: Long)
+
+  /** Streaming counterpart of [[exact]]: emit only the FIRST document
+    * carrying each content key (md5 of text) at ingestion time. Keyed
+    * state is one boolean per distinct content key; within a micro-batch
+    * the lowest doc_id wins (deterministic), across batches the earlier
+    * batch wins — so keepers equal the batch pass when arrival order
+    * follows doc_id, and otherwise differ only in WHICH copy represents
+    * the group. State grows with DISTINCT corpus content — production
+    * deployments bound it with a state-store TTL or an upstream
+    * time-windowed scope; there is no watermark because content keys
+    * never expire by event time.
+    */
+  def exactStream(docs: DataFrame): org.apache.spark.sql.Dataset[FirstSeen] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("md5(text) AS content_key", "doc_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(FirstSeen(key, rows.map(_._2).min))
+          }
+      }
+  }
+
   /** Distinct (doc_id, shingle) long table. The words array is
     * materialized in its own projection BEFORE the shingle lambda: a
     * split() inlined into the lambda body re-executes per element_at

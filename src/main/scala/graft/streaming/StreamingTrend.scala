@@ -111,13 +111,14 @@ object StreamingTrend {
     zone.getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds.toLong
   }
 
-  /** Coarsen-state per counter: grid origin (unit-truncated first-seen
-    * ts), the open coarse bins (index → running sum), and the event
-    * times already folded (dedup under at-least-once redelivery; pruned
-    * below the watermark as bins finalize).
+  /** Coarsen-state per counter: grid origin (unit-truncated MIN seen ts)
+    * and the open single-unit bins (ts → count). Keeping unit-level
+    * granularity (not pre-summed coarse bins) lets the origin re-anchor
+    * downward when bounded disorder delivers an earlier bin after a later
+    * one, and makes redelivery idempotent (same ts overwrites with the
+    * same finalized count).
     */
-  final case class CoarseState(originUs: Long, open: Map[Long, Double],
-                               seen: Set[Long])
+  final case class CoarseState(originUs: Long, openUnit: Map[Long, Double])
 
   /** Stateful nUnit-coarsening of a finalized single-unit bin stream —
     * the streaming analogue of the batch nUnit > 1 grid (so the
@@ -131,10 +132,15 @@ object StreamingTrend {
     * event-time timeout). Because the watermark also gates Spark's
     * late-row filter, no row for an already-emitted bin can ever be
     * delivered — bounded out-of-order input within the slack lands in a
-    * still-open bin, never in a finalized one. Duplicate redelivery
-    * (at-least-once sinks) is absorbed by the seen-ts set, which is
-    * pruned as the watermark advances, so state per key stays
-    * O(open bins + slack/unit), independent of stream length.
+    * still-open bin, never in a finalized one. The origin is the
+    * unit-truncation of the MINIMUM ts seen; an earlier bin arriving
+    * after a later one (within the slack) re-anchors it downward, which
+    * is safe because coarse indexes are assigned only at emission time,
+    * and once anything has been emitted the late filter makes
+    * below-origin arrivals impossible. Duplicate redelivery
+    * (at-least-once sinks) overwrites the same (ts, count) entry —
+    * idempotent by construction. State per key is the open unit bins:
+    * O(coarse window + slack, in units), independent of stream length.
     *
     * Runs as its own stage over the single-unit sink, exactly like the
     * scorers (Spark disallows row-stateful ops under a windowed agg in
@@ -172,64 +178,42 @@ object StreamingTrend {
       .flatMapGroupsWithState[CoarseState, Binned](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (counter, rows, state: GroupState[CoarseState]) =>
-          var st = state.getOption.getOrElse(CoarseState(Long.MinValue, Map.empty, Set.empty))
-          // fold arrivals (none on a pure timeout invocation); the seen
-          // set drops at-least-once redeliveries of the same bin
-          rows.toArray.sortBy(_.ts.getTime).foreach { b =>
+          var st = state.getOption.getOrElse(CoarseState(Long.MinValue, Map.empty))
+          // fold arrivals (none on a pure timeout invocation): overwrite
+          // by ts — upstream bins are finalized, so redelivery is a no-op;
+          // a ts below the current origin re-anchors it (emission hasn't
+          // touched anything below the watermark yet, see docstring)
+          rows.foreach { b =>
             val tsUs = b.ts.getTime * 1000L
-            if (!st.seen(tsUs)) {
-              if (st.originUs == Long.MinValue) st = st.copy(originUs = truncUs(tsUs))
-              val idx = java.lang.Math.floorDiv(tsUs - st.originUs, coarseUs)
-              st = st.copy(
-                open = st.open.updated(idx, st.open.getOrElse(idx, 0.0) + b.count),
-                seen = st.seen + tsUs)
-            }
+            val origin =
+              if (st.originUs == Long.MinValue || truncUs(tsUs) < st.originUs) truncUs(tsUs)
+              else st.originUs
+            st = CoarseState(origin, st.openUnit.updated(tsUs, b.count))
           }
-          // emit every open bin whose end the watermark has passed; rows
+          // emit every coarse bin whose end the watermark has passed; rows
           // for those bins are now behind the late filter, so finalized
           // bins can never receive data again
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (done, stillOpen) = st.open.partition { case (idx, _) =>
+          val (done, stillOpen) = st.openUnit.partition { case (tsUs, _) =>
+            val idx = java.lang.Math.floorDiv(tsUs - st.originUs, coarseUs)
             st.originUs + (idx + 1) * coarseUs <= wmUs
           }
-          val out = done.toSeq.sortBy(_._1)
-            .map { case (idx, acc) => emit(counter, st.originUs, idx, acc) }
-          st = st.copy(open = stillOpen, seen = st.seen.filter(_ >= wmUs))
+          val out = done.toSeq
+            .groupBy { case (tsUs, _) => java.lang.Math.floorDiv(tsUs - st.originUs, coarseUs) }
+            .toSeq.sortBy(_._1)
+            .map { case (idx, bins) =>
+              // ts-ordered summation: deterministic even for fractional counts
+              emit(counter, st.originUs, idx, bins.sortBy(_._1).map(_._2).sum)
+            }
+          st = st.copy(openUnit = stillOpen)
           state.update(st)
-          if (st.open.nonEmpty)
-            // wake when the watermark passes the oldest open bin's end
-            state.setTimeoutTimestamp(
-              (st.originUs + (st.open.keys.min + 1) * coarseUs) / 1000L)
-          out.iterator
-      }
-  }
-
-  /** First-seen record for streaming dedup output. */
-  final case class FirstSeen(content_key: String, doc_id: Long)
-
-  /** Streaming exact dedup: emit only the FIRST document carrying each
-    * content key (md5 of text) — the ingestion-time counterpart of batch
-    * `Dedup.exact`. Keyed state is one boolean per distinct content key;
-    * within a micro-batch the lowest doc_id wins (deterministic), across
-    * batches the earlier batch wins (first-seen semantics). State grows
-    * with DISTINCT corpus content — production deployments bound it with
-    * a state-store TTL or an upstream time-windowed scope; there is no
-    * watermark because content keys never expire by event time.
-    */
-  def dedupStream(docs: DataFrame): Dataset[FirstSeen] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.selectExpr("md5(text) AS content_key", "doc_id")
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, FirstSeen](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key, rows, state: GroupState[Boolean]) =>
-          if (state.getOption.contains(true)) Iterator.empty
-          else {
-            state.update(true)
-            Iterator.single(FirstSeen(key, rows.map(_._2).min))
+          if (st.openUnit.nonEmpty) {
+            // wake when the watermark passes the oldest open coarse end
+            val minIdx = st.openUnit.keys
+              .map(t => java.lang.Math.floorDiv(t - st.originUs, coarseUs)).min
+            state.setTimeoutTimestamp((st.originUs + (minIdx + 1) * coarseUs) / 1000L)
           }
+          out.iterator
       }
   }
 

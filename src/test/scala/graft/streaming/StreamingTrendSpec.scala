@@ -221,7 +221,7 @@ class StreamingTrendSpec extends SparkSpec {
       (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
       (4L, "gamma delta"), (5L, "epsilon"))
     val input = MemoryStream[(Long, String)]
-    val q = StreamingTrend.dedupStream(input.toDF().toDF("doc_id", "text"))
+    val q = graft.ml.Dedup.exactStream(input.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("sdedup")
       .outputMode("append").start()
     try {
