@@ -201,6 +201,13 @@ object SparkEntry {
         .withColumn("is_trend", length(col("counter")) % 2 === 0)
       Detect.rocSweep(scored, labels, RocThetas)
     }),
+    // the whitepaper's AUC summary over the same sweep
+    "trend_roc_auc" -> ((s, dir) => {
+      val scored = Models.poissonLc(rebinnedEvents(s, dir))
+      val labels = scored.select("counter").distinct()
+        .withColumn("is_trend", length(col("counter")) % 2 === 0)
+      Detect.rocAuc(Detect.rocSweep(scored, labels, RocThetas))
+    }),
     "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
     // variance-pruned scale path: pair space bounded by top-k, not corpus
     "trend_corr_topk" -> ((s, dir) => Detect.correlateTop(rebinnedEvents(s, dir), topK = 3)),
@@ -382,6 +389,11 @@ object SparkEntry {
       Models.poissonLcOracleCtes(0.99) + ",\n" +
         Detect.rocSweepOracleCtes("length(counter) % 2 = 0", RocThetas),
       "SELECT theta, tp, fp, fn, tn FROM roc"),
+    "trend_roc_auc" -> withScored(
+      Models.poissonLcOracleCtes(0.99) + ",\n" +
+        Detect.rocSweepOracleCtes("length(counter) % 2 = 0", RocThetas) + ",\n" +
+        Detect.rocAucOracleCtes,
+      "SELECT auc FROM auc"),
     "trend_corr" ->
       s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",
     "trend_corr_topk" ->

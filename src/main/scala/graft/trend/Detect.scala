@@ -101,6 +101,44 @@ object Detect {
           .otherwise(0L)).as("tn"))
   }
 
+  /** Area under the ROC curve from a [[rocSweep]] confusion table — the
+    * whitepaper's headline evaluation metric ("large area under the ROC
+    * curve", trends.tex:505, reported there only as a figure). Trapezoid
+    * rule over the theta points plus the (0,0) and (1,1) endpoints.
+    * The global window is by design over #thetas + 2 rows (the sweep
+    * grid is a constant), never data-sized, so the single partition it
+    * implies is not a scale concern.
+    */
+  def rocAuc(roc: DataFrame): DataFrame = {
+    val spark = roc.sparkSession
+    import spark.implicits._
+    val pts = roc.select(
+        (col("fp").cast("double") / (col("fp") + col("tn"))).as("fpr"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("tpr"))
+      .unionByName(Seq((0.0, 0.0), (1.0, 1.0)).toDF("fpr", "tpr"))
+    val w = Window.orderBy("fpr", "tpr")
+    pts
+      .withColumn("pfpr", lag("fpr", 1).over(w))
+      .withColumn("ptpr", lag("tpr", 1).over(w))
+      .agg(round(sum((col("fpr") - col("pfpr")) * (col("tpr") + col("ptpr")) / 2), 6)
+        .as("auc"))
+  }
+
+  /** DuckDB CTE for rocAuc, appended after [[rocSweepOracleCtes]]. */
+  val rocAucOracleCtes: String =
+    s"""auc_pts AS (
+       |  SELECT fp::DOUBLE / (fp + tn) AS fpr, tp::DOUBLE / (tp + fn) AS tpr
+       |  FROM roc
+       |  UNION ALL SELECT 0.0, 0.0 UNION ALL SELECT 1.0, 1.0),
+       |auc_lag AS (
+       |  SELECT fpr, tpr,
+       |         lag(fpr) OVER (ORDER BY fpr, tpr) AS pfpr,
+       |         lag(tpr) OVER (ORDER BY fpr, tpr) AS ptpr
+       |  FROM auc_pts),
+       |auc AS (
+       |  SELECT round(sum((fpr - pfpr) * (tpr + ptpr) / 2), 6) AS auc
+       |  FROM auc_lag)""".stripMargin
+
   /** DuckDB CTE for rocSweep over `scored`; `isTrendSql` labels counters. */
   def rocSweepOracleCtes(isTrendSql: String, thetas: Seq[Double]): String =
     s"""roc_max AS (
