@@ -120,6 +120,14 @@ object SparkEntry {
       Rebin(Csv.readCounts(s, Seq(tmp)), "hours", 1)
     }),
     "trend_poisson_lc" -> ((s, dir) => Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99)),
+    // the analyze-stage CSV handoff (trend_analyze.py:52-59): score →
+    // scored-CSV export → read-back; oracle identical to trend_poisson_lc,
+    // so a hash match proves the scored edge lossless (incl. eta doubles)
+    "trend_scored_csv" -> ((s, dir) => {
+      val tmp = tmpPath(s, "scored", dir)
+      Csv.writeScored(Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99), tmp)
+      Csv.readScored(s, Seq(tmp))
+    }),
     // stage handoff through the bucketed columnar intermediate (S4):
     // rebin → parquet store → load → score; oracle identical to
     // trend_poisson_lc, so a hash match proves the round-trip is lossless
@@ -350,6 +358,8 @@ object SparkEntry {
         "SELECT counter, ts, duration_sec, count FROM rebinned"
     },
     "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
+      "SELECT counter, ts, count, eta FROM scored"),
+    "trend_scored_csv" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_pipeline_cfg" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
