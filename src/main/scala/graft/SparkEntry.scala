@@ -189,6 +189,16 @@ object SparkEntry {
     }),
     "trend_linreg" -> ((s, dir) =>
       Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3)),
+    // spike normalization (library.py:116-127) as a first-class column
+    // op: |pt − prev|^alpha per counter in ts order, zeros pass through
+    "trend_spike_norm" -> ((s, dir) => {
+      val w = Window.partitionBy("counter").orderBy("ts")
+      rebinnedEvents(s, dir)
+        .withColumn("prev", lag("count", 1, 0.0).over(w))
+        .select(col("counter"), col("ts"), col("count"),
+          round(when(col("count") === 0.0, 0.0)
+            .otherwise(pow(abs(col("count") - col("prev")), 1.2)), 6).as("spiked"))
+    }),
     "trend_mk" -> ((s, dir) => MannKendall(rebinnedEvents(s, dir))),
     "trend_mk_windowed" -> ((s, dir) =>
       MannKendall(rebinnedEvents(s, dir), windowSize = Some(24))),
@@ -380,6 +390,16 @@ object SparkEntry {
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_linreg" -> withScored(Models.linRegOracleCtes(minPoints = 10, avgWindow = 3),
       "SELECT counter, ts, count, eta FROM scored"),
+    "trend_spike_norm" ->
+      s"""WITH $rebCtes,
+         |sn AS (
+         |  SELECT counter, ts, count,
+         |         lag(count, 1, 0.0) OVER (PARTITION BY counter ORDER BY ts) AS prev
+         |  FROM rebinned)
+         |SELECT counter, ts, count,
+         |       round(CASE WHEN count = 0 THEN 0.0
+         |                  ELSE pow(abs(count - prev), 1.2) END, 6) AS spiked
+         |FROM sn""".stripMargin,
     "trend_mk" -> withScored(MannKendall.oracleCtes,
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_mk_windowed" -> withScored(MannKendall.windowedOracleCtes(24),
