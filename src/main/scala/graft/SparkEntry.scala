@@ -28,6 +28,21 @@ object SparkEntry {
     s"WITH $rebCtes,\n$modelCtes\n$finalSelect"
 
   private val RocThetas = Seq(0.1, 0.25, 0.5, 1.0, 2.0, 4.0)
+  private val SpikeAlpha = 1.2 // = SeriesTransforms.Config default
+
+  /** Shared ROC input: scored series + even-length-name labels — used by
+    * both trend_roc and trend_roc_auc so the sweep can never drift.
+    */
+  private def rocInput(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val scored = Models.poissonLc(rebinnedEvents(s, dir))
+    val labels = scored.select("counter").distinct()
+      .withColumn("is_trend", length(col("counter")) % 2 === 0)
+    (scored, labels)
+  }
+
+  private val rocCtes: String =
+    Models.poissonLcOracleCtes(0.99) + ",\n" +
+      Detect.rocSweepOracleCtes("length(counter) % 2 = 0", RocThetas)
 
   /** Per-run scratch root: keyed by application id so two concurrent
     * driver runs on one machine never clobber each other's intermediates
@@ -189,16 +204,9 @@ object SparkEntry {
     }),
     "trend_linreg" -> ((s, dir) =>
       Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3)),
-    // spike normalization (library.py:116-127) as a first-class column
-    // op: |pt − prev|^alpha per counter in ts order, zeros pass through
-    "trend_spike_norm" -> ((s, dir) => {
-      val w = Window.partitionBy("counter").orderBy("ts")
-      rebinnedEvents(s, dir)
-        .withColumn("prev", lag("count", 1, 0.0).over(w))
-        .select(col("counter"), col("ts"), col("count"),
-          round(when(col("count") === 0.0, 0.0)
-            .otherwise(pow(abs(col("count") - col("prev")), 1.2)), 6).as("spiked"))
-    }),
+    // spike normalization (library.py:116-127) as a first-class column op
+    "trend_spike_norm" -> ((s, dir) =>
+      Detect.spikeNorm(rebinnedEvents(s, dir), SpikeAlpha)),
     "trend_mk" -> ((s, dir) => MannKendall(rebinnedEvents(s, dir))),
     "trend_mk_windowed" -> ((s, dir) =>
       MannKendall(rebinnedEvents(s, dir), windowSize = Some(24))),
@@ -214,16 +222,12 @@ object SparkEntry {
       Detect.argmax(Models.poissonLc(rebinnedEvents(s, dir)))),
     // the whitepaper's ROC evaluation: sweep theta over labeled series
     "trend_roc" -> ((s, dir) => {
-      val scored = Models.poissonLc(rebinnedEvents(s, dir))
-      val labels = scored.select("counter").distinct()
-        .withColumn("is_trend", length(col("counter")) % 2 === 0)
+      val (scored, labels) = rocInput(s, dir)
       Detect.rocSweep(scored, labels, RocThetas)
     }),
     // the whitepaper's AUC summary over the same sweep
     "trend_roc_auc" -> ((s, dir) => {
-      val scored = Models.poissonLc(rebinnedEvents(s, dir))
-      val labels = scored.select("counter").distinct()
-        .withColumn("is_trend", length(col("counter")) % 2 === 0)
+      val (scored, labels) = rocInput(s, dir)
       Detect.rocAuc(Detect.rocSweep(scored, labels, RocThetas))
     }),
     "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
@@ -391,15 +395,8 @@ object SparkEntry {
     "trend_linreg" -> withScored(Models.linRegOracleCtes(minPoints = 10, avgWindow = 3),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_spike_norm" ->
-      s"""WITH $rebCtes,
-         |sn AS (
-         |  SELECT counter, ts, count,
-         |         lag(count, 1, 0.0) OVER (PARTITION BY counter ORDER BY ts) AS prev
-         |  FROM rebinned)
-         |SELECT counter, ts, count,
-         |       round(CASE WHEN count = 0 THEN 0.0
-         |                  ELSE pow(abs(count - prev), 1.2) END, 6) AS spiked
-         |FROM sn""".stripMargin,
+      (s"WITH $rebCtes,\n${Detect.spikeNormOracleCtes(SpikeAlpha)}\n" +
+        "SELECT counter, ts, count, spiked FROM spiked"),
     "trend_mk" -> withScored(MannKendall.oracleCtes,
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_mk_windowed" -> withScored(MannKendall.windowedOracleCtes(24),
@@ -415,14 +412,9 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored WHERE eta > 0.5"),
     "trend_argmax" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored ORDER BY eta DESC, counter, ts LIMIT 1"),
-    "trend_roc" -> withScored(
-      Models.poissonLcOracleCtes(0.99) + ",\n" +
-        Detect.rocSweepOracleCtes("length(counter) % 2 = 0", RocThetas),
+    "trend_roc" -> withScored(rocCtes,
       "SELECT theta, tp, fp, fn, tn FROM roc"),
-    "trend_roc_auc" -> withScored(
-      Models.poissonLcOracleCtes(0.99) + ",\n" +
-        Detect.rocSweepOracleCtes("length(counter) % 2 = 0", RocThetas) + ",\n" +
-        Detect.rocAucOracleCtes,
+    "trend_roc_auc" -> withScored(rocCtes + ",\n" + Detect.rocAucOracleCtes,
       "SELECT auc FROM auc"),
     "trend_corr" ->
       s"WITH $rebCtes,\n${Detect.correlateOracleCtes}\nSELECT counter_a, counter_b, r FROM corr_pairs",

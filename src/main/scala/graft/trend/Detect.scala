@@ -112,7 +112,13 @@ object Detect {
   def rocAuc(roc: DataFrame): DataFrame = {
     val spark = roc.sparkSession
     import spark.implicits._
-    val pts = roc.select(
+    // degenerate sweeps (a single-class label set ⇒ zero positives or
+    // negatives) have no defined rate: drop those rows — identically in
+    // the oracle — rather than let 0/0 produce NaN (Spark) vs NULL
+    // (DuckDB); an all-degenerate sweep leaves the endpoints ⇒ auc 0.5
+    val pts = roc
+      .where((col("fp") + col("tn")) > 0 && (col("tp") + col("fn")) > 0)
+      .select(
         (col("fp").cast("double") / (col("fp") + col("tn"))).as("fpr"),
         (col("tp").cast("double") / (col("tp") + col("fn"))).as("tpr"))
       .unionByName(Seq((0.0, 0.0), (1.0, 1.0)).toDF("fpr", "tpr"))
@@ -128,7 +134,7 @@ object Detect {
   val rocAucOracleCtes: String =
     s"""auc_pts AS (
        |  SELECT fp::DOUBLE / (fp + tn) AS fpr, tp::DOUBLE / (tp + fn) AS tpr
-       |  FROM roc
+       |  FROM roc WHERE (fp + tn) > 0 AND (tp + fn) > 0
        |  UNION ALL SELECT 0.0, 0.0 UNION ALL SELECT 1.0, 1.0),
        |auc_lag AS (
        |  SELECT fpr, tpr,
@@ -138,6 +144,32 @@ object Detect {
        |auc AS (
        |  SELECT round(sum((fpr - pfpr) * (tpr + ptpr) / 2), 6) AS auc
        |  FROM auc_lag)""".stripMargin
+
+  /** Spike normalization as a column op (library.py:116-127):
+    * |pt − prev|^alpha per counter in ts order, zeros pass through,
+    * prev defaults to 0 — the same kernel `SeriesTransforms
+    * .spikeNormalization` applies inside the WDT chains. 6 dp.
+    */
+  def spikeNorm(binned: DataFrame, alpha: Double): DataFrame = {
+    val w = Window.partitionBy("counter").orderBy("ts")
+    binned
+      .withColumn("prev", lag("count", 1, 0.0).over(w))
+      .select(col("counter"), col("ts"), col("count"),
+        round(when(col("count") === 0.0, 0.0)
+          .otherwise(pow(abs(col("count") - col("prev")), alpha)), 6).as("spiked"))
+  }
+
+  /** DuckDB CTEs for spikeNorm over `rebinned`; yields `spiked`. */
+  def spikeNormOracleCtes(alpha: Double): String =
+    s"""sn_prev AS (
+       |  SELECT counter, ts, count,
+       |         lag(count, 1, 0.0) OVER (PARTITION BY counter ORDER BY ts) AS prev
+       |  FROM rebinned),
+       |spiked AS (
+       |  SELECT counter, ts, count,
+       |         round(CASE WHEN count = 0 THEN 0.0
+       |                    ELSE pow(abs(count - prev), $alpha) END, 6) AS spiked
+       |  FROM sn_prev)""".stripMargin
 
   /** DuckDB CTE for rocSweep over `scored`; `isTrendSql` labels counters. */
   def rocSweepOracleCtes(isTrendSql: String, thetas: Seq[Double]): String =
