@@ -287,6 +287,13 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // the deployment-quality metric: LSH recall against the exact ranking
+    "ann_lsh_recall" -> ((s, dir) =>
+      Similarity.lshRecall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+    // int8 storage path for the vector corpus
+    "ann_quantize" -> ((s, dir) =>
+      Similarity.quantize(Tables.load(s, dir, "embeddings"))),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -440,6 +447,8 @@ object SparkEntry {
     "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
+    "ann_lsh_recall" -> Similarity.lshRecallOracleSql(k = 10),
+    "ann_quantize" -> Similarity.quantizeOracleSql,
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

@@ -77,6 +77,67 @@ object Similarity {
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path of a vector pipeline (4× smaller than float32, dot products
+    * stay sign-correct). Per vector: scale = max |x|; q_i = round-half-up
+    * of x_i·127/scale (floor(z + 0.5), written identically in the oracle
+    * so no engine rounding-mode difference can leak in). Long-form
+    * output (vec_id, i, q, scale6) keeps the compare columnar. One
+    * linear scan + explode, no shuffle.
+    */
+  def quantize(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), v.as("v"))
+      .withColumn("scale", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        floor(col("x") * 127.0 / col("scale") + 0.5).cast("long").as("q"),
+        round(col("scale"), 6).as("scale6"))
+  }
+
+  def quantizeOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+       |  FROM embeddings)
+       |SELECT vec_id, (i - 1)::BIGINT AS i,
+       |       floor(v[i] * 127.0 / scale + 0.5)::BIGINT AS q,
+       |       round(scale, 6) AS scale6
+       |FROM e, unnest(range(1, len(v) + 1)) AS r(i)""".stripMargin
+
+  /** Recall@k of the LSH index against the exact brute-force ranking —
+    * the evaluation metric an ANN deployment reports. Per query: fraction
+    * of the true top-k found by LSH; output is the average over queries
+    * (one row), 6 dp. Integer intersection counts make it
+    * accumulation-order independent.
+    */
+  def lshRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val exact = bruteForceTopK(emb, isQuery, k).select("query_id", "neighbor_id")
+    val approx = lshTopK(emb, isQuery, k).select(
+      col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val hits = exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(round(avg(coalesce(col("n_hit"), lit(0L)) / k.toDouble), 6)
+        .as("recall_at_k"))
+  }
+
+  def lshRecallOracleSql(k: Int): String =
+    s"""WITH bf AS (SELECT * FROM (${bruteForceTopKOracleSql(k)})),
+       |ap AS (SELECT * FROM (${lshTopKOracleSql(k)})),
+       |hits AS (
+       |  SELECT bf.query_id, count(*) AS n_hit
+       |  FROM bf SEMI JOIN ap ON bf.query_id = ap.query_id
+       |                      AND bf.neighbor_id = ap.neighbor_id
+       |  GROUP BY bf.query_id),
+       |qs AS (SELECT DISTINCT query_id FROM bf)
+       |SELECT round(avg(coalesce(h.n_hit, 0) / ${k.toDouble}), 6) AS recall_at_k
+       |FROM qs LEFT JOIN hits h USING (query_id)""".stripMargin
+
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
   // ((x % 50) + 50) % 50 mirrors Spark's pmod: DuckDB % is sign-following,
