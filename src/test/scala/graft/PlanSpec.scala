@@ -59,6 +59,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "sampling must not shuffle")
   }
 
+  test("embedding quantization is a pure scan — no shuffle") {
+    val p = plan("ann_quantize")
+    assert(!p.contains("Exchange"), "quantization must stay map-side")
+  }
+
   test("sequence packing windows by shard, never a single global sort") {
     val p = plan("cur_pack")
     // a Window with an empty partition spec would serialize the corpus
