@@ -291,6 +291,9 @@ object SparkEntry {
     "ann_lsh_recall" -> ((s, dir) =>
       Similarity.lshRecall(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    "ann_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
     // int8 storage path for the vector corpus
     "ann_quantize" -> ((s, dir) =>
       Similarity.quantize(Tables.load(s, dir, "embeddings"))),
@@ -448,6 +451,7 @@ object SparkEntry {
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
     "ann_lsh_recall" -> Similarity.lshRecallOracleSql(k = 10),
+    "ann_ivf_recall" -> Similarity.ivfRecallOracleSql(k = 10),
     "ann_quantize" -> Similarity.quantizeOracleSql,
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,

@@ -107,15 +107,16 @@ object Similarity {
        |       round(scale, 6) AS scale6
        |FROM e, unnest(range(1, len(v) + 1)) AS r(i)""".stripMargin
 
-  /** Recall@k of the LSH index against the exact brute-force ranking —
-    * the evaluation metric an ANN deployment reports. Per query: fraction
-    * of the true top-k found by LSH; output is the average over queries
-    * (one row), 6 dp. Integer intersection counts make it
+  /** Recall@k of an approximate ranking against the exact brute-force
+    * one — the evaluation metric an ANN deployment reports. Per query:
+    * fraction of the true top-k found; output is the average over
+    * queries (one row), 6 dp. Integer intersection counts make it
     * accumulation-order independent.
     */
-  def lshRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val exact = bruteForceTopK(emb, isQuery, k).select("query_id", "neighbor_id")
-    val approx = lshTopK(emb, isQuery, k).select(
+  private def recallVs(exactTopK: DataFrame, approxTopK: DataFrame,
+                       k: Int): DataFrame = {
+    val exact = exactTopK.select("query_id", "neighbor_id")
+    val approx = approxTopK.select(
       col("query_id").as("aq"), col("neighbor_id").as("an"))
     val hits = exact.join(approx,
         col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left_semi")
@@ -126,9 +127,16 @@ object Similarity {
         .as("recall_at_k"))
   }
 
-  def lshRecallOracleSql(k: Int): String =
-    s"""WITH bf AS (SELECT * FROM (${bruteForceTopKOracleSql(k)})),
-       |ap AS (SELECT * FROM (${lshTopKOracleSql(k)})),
+  def lshRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, isQuery, k), lshTopK(emb, isQuery, k), k)
+
+  def ivfRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, isQuery, k), ivfTopK(emb, isQuery, k), k)
+
+  /** Shared oracle for [[recallVs]]: both args are full SELECTs. */
+  private def recallOracleSql(exactSql: String, approxSql: String, k: Int): String =
+    s"""WITH bf AS (SELECT * FROM ($exactSql)),
+       |ap AS (SELECT * FROM ($approxSql)),
        |hits AS (
        |  SELECT bf.query_id, count(*) AS n_hit
        |  FROM bf SEMI JOIN ap ON bf.query_id = ap.query_id
@@ -137,6 +145,12 @@ object Similarity {
        |qs AS (SELECT DISTINCT query_id FROM bf)
        |SELECT round(avg(coalesce(h.n_hit, 0) / ${k.toDouble}), 6) AS recall_at_k
        |FROM qs LEFT JOIN hits h USING (query_id)""".stripMargin
+
+  def lshRecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), lshTopKOracleSql(k), k)
+
+  def ivfRecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), ivfTopKOracleSql(k), k)
 
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
