@@ -323,6 +323,22 @@ object SparkEntry {
     "cur_top_terms" -> ((s, dir) => Curation.topTerms(Tables.load(s, dir, "documents"))),
     "cur_pack" -> ((s, dir) =>
       Curation.packSequences(Tables.load(s, dir, "documents"))),
+    // the capstone composition: quality gate ∧ exact-dedup keeper ∧ not
+    // contaminated → split assignment, all in ONE Catalyst plan (the
+    // manifest a real curation run ships). Semi joins keep the doc table
+    // single-scanned per stage and nothing materializes in between.
+    "cur_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val good = TextStats.quality(docs)
+        .where(col("quality_score") >= 0.5).select("doc_id")
+      val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val clean = Curation.decontaminate(docs, pmod(col("doc_id"), lit(97)) === 0)
+        .where(!col("contaminated")).select("doc_id")
+      Curation.assignSplit(docs)
+        .join(good, Seq("doc_id"), "left_semi")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi")
+    }),
     "cur_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
@@ -467,6 +483,22 @@ object SparkEntry {
       Curation.stratifiedSampleOracleSql(Map("en" -> 0.5, "de" -> 0.8)),
     "cur_top_terms" -> Curation.topTermsOracleSql(),
     "cur_pack" -> Curation.packSequencesOracleSql(),
+    "cur_pipeline" ->
+      (s"""WITH good AS (
+          |  SELECT doc_id FROM (${TextStats.qualityOracleSql})
+          |  WHERE quality_score >= 0.5),
+          |keepers AS (
+          |  SELECT keep_id AS doc_id FROM (${Dedup.exactOracleSql})),
+          |clean AS (
+          |  SELECT doc_id
+          |  FROM (${Curation.decontaminateOracleSql("((doc_id % 97) + 97) % 97 = 0")})
+          |  WHERE NOT contaminated),
+          |assigned AS (${Curation.assignSplitOracleSql()})
+          |SELECT a.doc_id, a.bucket, a.split
+          |FROM assigned a
+          |SEMI JOIN good g ON a.doc_id = g.doc_id
+          |SEMI JOIN keepers k ON a.doc_id = k.doc_id
+          |SEMI JOIN clean c ON a.doc_id = c.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
