@@ -93,6 +93,22 @@ class CsvSpec extends SparkSpec {
     assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
   }
 
+  test("legacy sink round-trip is lossless, incl. the stop-anchor shift") {
+    val dir = tmpDir()
+    val src = Seq(
+      ("2014-08-24 00:00:00", 3600L, 12.0, "rule a"),
+      ("2014-08-24 01:30:00", 1800L, 3.0, "other"))
+      .toDF("ts", "duration_sec", "count", "counter")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    Csv.writeLegacy(src, s"$dir/leg")
+    val back = Csv.readLegacy(spark, Seq(s"$dir/leg"))
+    assert(back.count() === 2)
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+    // whitespace-normalized rule filter (C9) composes with the round-trip
+    val one = Csv.readLegacy(spark, Seq(s"$dir/leg"), rule = Some("  rule a "))
+    assert(one.select("counter").as[String].collect().toSeq === Seq("rule a"))
+  }
+
   test("sink round-trip is lossless for second-precision data") {
     val dir = tmpDir()
     val src = Seq(
