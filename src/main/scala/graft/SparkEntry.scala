@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Multimodal, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -352,7 +352,12 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 2)),
     "mm_audio_rms" -> ((s, dir) =>
-      Multimodal.audioRms(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))))
+      Multimodal.audioRms(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))),
+
+    // --- event-stream relational ops: sessionize / as-of / range join ---
+    "evt_sessionize" -> ((s, dir) => Events.sessionize(Events.canonical(s, dir))),
+    "evt_asof" -> ((s, dir) => Events.asofPurchase(Events.canonical(s, dir))),
+    "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -504,5 +509,8 @@ object SparkEntry {
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),
-    "mm_audio_rms" -> Multimodal.audioRmsOracleSql())
+    "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
+    "evt_sessionize" -> Events.sessionizeOracleSql(),
+    "evt_asof" -> Events.asofPurchaseOracleSql,
+    "evt_range_join" -> Events.rangeJoinCountOracleSql())
 }

@@ -1,0 +1,99 @@
+package graft.ml
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+
+/** Semantics + plan-shape tests for the event-stream relational operators.
+  * Values are hand-computed on a tiny fixture; the sf-scale equivalence is
+  * covered by the DuckDB oracle rows (evt_sessionize / evt_asof /
+  * evt_range_join).
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // (event_id, ts, user_id, event_type, value)
+  private def fixture: DataFrame = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), 1L, "purchase", 50.0),
+    (3L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0), // same-second as purchase
+    (4L, ts("2024-01-01 11:30:00"), 1L, "click", 3.0), // > 30 min gap: session 2
+    (5L, ts("2024-01-01 10:05:00"), 2L, "click", 4.0), // user 2: never purchased
+    (6L, ts("2024-01-01 12:00:00"), 2L, "purchase", 150.0),
+    (7L, ts("2024-01-01 12:59:59"), 2L, "view", 5.0), // inside u2's big window
+    (8L, ts("2024-01-01 13:00:00"), 2L, "view", 6.0)  // exactly at hi: excluded
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize: gap starts a new session, aggregates per session") {
+    val out = Events.sessionize(fixture, gapSec = 1800L)
+      .orderBy("user_id", "session_idx")
+      .collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 3L, 53.0), // events 1,2,3
+      (1L, 2L, 1L, 3.0),  // event 4 after the 80-min gap
+      (2L, 1L, 1L, 4.0),  // event 5
+      (2L, 2L, 1L, 150.0), // event 6 (59:59 to event 7 exceeds the gap)
+      (2L, 3L, 2L, 11.0)  // events 7,8 (1-second gap)
+    ))
+    val s11 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L).get
+    assert(s11.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+    assert(s11.getTimestamp(3) == ts("2024-01-01 10:10:00"))
+  }
+
+  test("sessionize: window + final aggregation share one shuffle") {
+    val p = Events.sessionize(fixture).queryExecution.executedPlan.toString
+    // HashPartitioning(user_id) must satisfy groupBy(user_id, session_idx):
+    // exactly one exchange in the whole plan
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected a single shuffle, plan:\n$p")
+  }
+
+  test("asof: clicks see the latest prior-or-equal purchase, else null") {
+    val out = Events.asofPurchase(fixture)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      (1L, None),        // before any purchase
+      (3L, Some(50.0)),  // equal-ts purchase IS visible
+      (4L, Some(50.0)),  // later click still sees the 10:10 purchase
+      (5L, None)         // user 2 purchase is later
+    ))
+  }
+
+  test("asof: plan is a windowed scan — no join operator at all") {
+    val p = Events.asofPurchase(fixture).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"asof must not compile to a join:\n$p")
+  }
+
+  test("range join: bucketed equi-join counts exact containment") {
+    val out = Events.rangeJoinCount(fixture, threshold = 100.0, winSec = 3600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only event 6 (value 150) opens a window [12:00, 13:00): events 6,7
+    // are inside (event 8 at exactly 13:00 is out), both user 2
+    assert(out.toSeq == Seq((6L, 2L, 1L)))
+  }
+
+  test("range join: no cartesian / nested-loop in the physical plan") {
+    val p = Events.rangeJoinCount(fixture).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in range join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in range join:\n$p")
+  }
+
+  test("range join: straddling window is found via its second bucket") {
+    // window [10:30, 11:30) crosses the 11:00 bucket boundary; the event
+    // at 11:29:59 lives in bucket 11 while the interval starts in bucket 10
+    val df = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1L, "purchase", 200.0),
+      (2L, ts("2024-01-01 11:29:59"), 2L, "view", 1.0),
+      (3L, ts("2024-01-01 11:30:00"), 2L, "view", 1.0) // at hi: excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.rangeJoinCount(df, threshold = 100.0, winSec = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // purchase itself + event 2
+  }
+}
