@@ -343,6 +343,9 @@ object SparkEntry {
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
       Curation.lengthQuantiles(Tables.load(s, dir, "documents"))),
+    "cur_redact" -> ((s, dir) => Curation.redact(Tables.load(s, dir, "documents"))),
+    "cur_tfidf_terms" -> ((s, dir) =>
+      Curation.tfidfTerms(Tables.load(s, dir, "documents"))),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -506,6 +509,8 @@ object SparkEntry {
           |SEMI JOIN clean c ON a.doc_id = c.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
+    "cur_redact" -> Curation.redactOracleSql,
+    "cur_tfidf_terms" -> Curation.tfidfTermsOracleSql(),
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

@@ -269,4 +269,141 @@ object Curation {
        |                            ORDER BY n DESC, word) AS rank
        |  FROM counts)
        |SELECT lang_pred, word, n, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------------
+
+  // conservative patterns chosen to evaluate identically under Java's
+  // regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround, greedy
+  // character classes only
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  private val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** The synthetic-PII enrichment both engines apply before redaction:
+    * the corpus text is synthetic words, so deterministic doc_id-derived
+    * email/URL/IP spans are appended to a subset of documents to give the
+    * scrubber real work. Pure string concat — no shuffle.
+    */
+  private def withPii(docs: DataFrame): Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.org"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" see https://docs.example.net/p/"),
+        col("doc_id").cast("string"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), (pmod(col("doc_id"), lit(250)) + 1).cast("string")))
+      .otherwise(lit("")))
+
+  // single line: this fragment is interpolated into SQL templates that
+  // apply their own stripMargin, which would re-strip multi-line text
+  private val withPiiSql: String =
+    "text || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR " +
+      "|| '@mail.example.org' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' see https://docs.example.net/p/' " +
+      "|| doc_id::VARCHAR ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' " +
+      "|| (doc_id % 256)::VARCHAR || '.' || (doc_id % 250 + 1)::VARCHAR " +
+      "ELSE '' END)"
+
+  /** PII redaction — the safety-scrub pass of corpus curation: replace
+    * emails, URLs and IPv4 addresses with typed placeholder tokens and
+    * report per-document match counts plus an md5 signature of the
+    * scrubbed text (so the oracle checks the full rewrite without
+    * shipping the text back). Email → URL → IP replacement order is part
+    * of the contract: each later pattern runs on the previous pass's
+    * output, and the counts are taken on the pre-redaction text. One
+    * codegen'd linear scan — no shuffle, no UDF.
+    */
+  def redact(docs: DataFrame): DataFrame = {
+    val pii = withPii(docs)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(pii, lit(EmailRe), lit("<EMAIL>")),
+        lit(UrlRe), lit("<URL>")),
+      lit(IpRe), lit("<IP>"))
+    docs.select(col("doc_id"),
+      regexp_count(pii, lit(EmailRe)).as("n_emails"),
+      regexp_count(pii, lit(UrlRe)).as("n_urls"),
+      regexp_count(pii, lit(IpRe)).as("n_ips"),
+      length(red).as("n_chars_red"),
+      md5(red).as("sig"))
+  }
+
+  /** DuckDB oracle for [[redact]] (regexp_replace needs the explicit
+    * global flag; Spark replaces all matches by default).
+    */
+  val redactOracleSql: String = {
+    // the Scala constants already hold the literal regex text, and DuckDB
+    // single-quoted literals don't process backslashes — embed verbatim
+    val email = EmailRe; val url = UrlRe; val ip = IpRe
+    s"""WITH pii AS (SELECT doc_id, $withPiiSql AS t FROM documents),
+       |red AS (
+       |  SELECT doc_id, t,
+       |         regexp_replace(
+       |           regexp_replace(
+       |             regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |             '$url', '<URL>', 'g'),
+       |           '$ip', '<IP>', 'g') AS r
+       |  FROM pii)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(t, '$email'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(t, '$url'))::BIGINT AS n_urls,
+       |       len(regexp_extract_all(t, '$ip'))::BIGINT AS n_ips,
+       |       length(r)::BIGINT AS n_chars_red,
+       |       md5(r) AS sig
+       |FROM red""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // TF-IDF top terms
+  // ---------------------------------------------------------------------
+
+  /** Per-document top-k terms by tf·idf (idf = ln(N/df)) — the keyword
+    * extraction step of corpus analytics. Scores are rounded to 6 dp
+    * BEFORE ranking (ties then break on the term's binary collation) so
+    * the ranking is deterministic across engines despite last-ulp ln()
+    * differences. Shape: one shuffle for per-doc term counts, one
+    * vocabulary-sized df aggregation joined back on the term, one window
+    * by doc — the raw exploded token table never crosses a window.
+    * N (corpus size) is a driver-side scalar from a distributed count,
+    * like the IVF centroid collect: constant-bounded, not per-row.
+    */
+  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
+
+  def tfidfTermsOracleSql(k: Int = 3): String =
+    s"""WITH wds AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM wds GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+       |                          / df.df), 6) AS score
+       |  FROM tf JOIN df ON tf.term = df.term),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, score, rank::BIGINT AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
 }

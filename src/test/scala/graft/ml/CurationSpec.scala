@@ -101,4 +101,45 @@ class CurationSpec extends SparkSpec {
     // counts: the=4, cc=4, aa=3, bb=1 -> tie on 4 broken by word order
     assert(out.toSeq === Seq(("en", "cc", 4L, 1L), ("en", "the", 4L, 2L)))
   }
+
+  test("redact counts and scrubs injected emails, urls and ips") {
+    // doc 105 = 3·5·7 → all three injections; doc 1 → none
+    val d = docs(105L -> "plain words", 1L -> "plain words")
+    val out = Curation.redact(d)
+      .select("doc_id", "n_emails", "n_urls", "n_ips")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 0L, 0L, 0L), (105L, 1L, 1L, 1L)))
+    // the redacted text must contain no residual pii (sig over the
+    // scrubbed form equals the sig over a manually scrubbed string)
+    val sig = Curation.redact(d).where(col("doc_id") === 105)
+      .select("sig").as[String].head()
+    val expected = "plain words reach <EMAIL> see <URL> from <IP>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sig === md)
+  }
+
+  test("redact is a pure scan: no exchange in the plan") {
+    val p = Curation.redact(docs(1L -> "a")).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"))
+  }
+
+  test("tfidfTerms ranks per-doc terms by tf*idf with term tie-break") {
+    // 'rare' appears only in doc 1 (idf ln(3)), 'the' in all (idf 0)
+    val d = docs(
+      1L -> "the the rare",
+      2L -> "the boat",
+      3L -> "the fish fish")
+    val out = Curation.tfidfTerms(d, k = 2)
+      .select("doc_id", "term", "rank")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(out.toSeq === Seq(
+      (1L, "rare", 1L), (1L, "the", 2L),   // idf(the)=0 < idf(rare)
+      (2L, "boat", 1L), (2L, "the", 2L),
+      (3L, "fish", 1L), (3L, "the", 2L)))
+    // doc 3: tf(fish)=2 · ln(3) ranks above tf(the)=1 · ln(1)=0
+    val score = Curation.tfidfTerms(d, k = 1)
+      .where(col("doc_id") === 3).select("score").as[Double].head()
+    assert(math.abs(score - math.round(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
 }
