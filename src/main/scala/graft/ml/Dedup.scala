@@ -75,6 +75,16 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("w"), k)).as("shingle"))
       .distinct()
 
+  /** Per-doc DISTINCT-shingle count as a map-only projection — the same
+    * number the 3-stage explode→distinct→count aggregation over
+    * [[shingleTable]] produces, without its two shuffles. Used for the
+    * |A|/|B| terms of Jaccard verification.
+    */
+  private def shingleSizes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(array_distinct(shingles(col("w"), k))).cast("long").as("n"))
+
   private def shingleTableSql(k: Int): String =
     s"""doc_words AS (SELECT doc_id, $wordsSql AS w FROM documents),
        |doc_shingles AS (
@@ -108,7 +118,10 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sh = shingleTable(docs, k)
+    // three consumers (signature agg + both sides of the exact-verify
+    // join) — materialize the scan→explode→md5→distinct subtree once,
+    // as in ngramJaccard
+    val sh = shingleTable(docs, k).localCheckpoint()
     val as = (0 until numHashes).map(seedConst("A", _))
     val bs = (0 until numHashes).map(seedConst("B", _))
 
@@ -137,13 +150,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    jaccardVerify(cand, sh, threshold)
+    jaccardVerify(cand, sh, shingleSizes(docs, k), threshold)
   }
 
-  /** Exact jaccard for candidate pairs via the shared-shingle join. */
+  /** Exact jaccard for candidate pairs via the shared-shingle join;
+    * `sizes` is the (doc_id, n) distinct-shingle-count relation
+    * ([[shingleSizes]] — map-only, no shuffle).
+    */
   private def jaccardVerify(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+                            sizes: DataFrame, threshold: Double): DataFrame = {
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
@@ -222,7 +237,13 @@ object Dedup {
     // corpus scale
     val shBase = shingleTable(docs, k)
     val dfs = shBase.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sh = shBase.join(dfs, "shingle")
+    // materialize the df-annotated inverted index ONCE: five downstream
+    // consumers (rare×2, hot×2, and the candidate re-expansion) would
+    // otherwise each re-run the scan→explode→md5→distinct subtree — the
+    // query's dominant cost. Spill-safe (MEMORY_AND_DISK blocks); at
+    // cluster scale this is the explicit index-materialization step every
+    // MinHash/Jaccard pipeline has (cf. the S4 columnar intermediate).
+    val sh = shBase.join(dfs, "shingle").localCheckpoint()
     val rare = sh.where(col("df") <= maxDf).drop("df")
     val hot = sh.where(col("df") > maxDf).drop("df")
 
@@ -238,7 +259,7 @@ object Dedup {
         col("ha.shingle") === col("hb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_hot"))
 
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleSizes(docs, k)
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("ninter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
