@@ -327,6 +327,9 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+      // per-doc signatures (tiny); both sides of the band self-join would
+      // otherwise re-run the word-explode + 60-column aggregation
+      .localCheckpoint()
     val band = sims.withColumn("b", explode(lit((0 until 4).toArray)))
       .withColumn("bkey", expr("shiftright(simhash, 15 * b) & 32767"))
     band.as("a").join(band.as("b"),
