@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Joins, Multimodal, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -360,7 +360,19 @@ object SparkEntry {
     // --- event-stream relational ops: sessionize / as-of / range join ---
     "evt_sessionize" -> ((s, dir) => Events.sessionize(Events.canonical(s, dir))),
     "evt_asof" -> ((s, dir) => Events.asofPurchase(Events.canonical(s, dir))),
-    "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))))
+    "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))),
+    // salted hot-key join: events (fact) x per-user spend (dim too big to
+    // assume broadcastable at corpus scale, too hot-keyed for AQE alone);
+    // identical result to the plain join — the oracle IS the plain join
+    "evt_salted_join" -> ((s, dir) => {
+      val ev = Events.canonical(s, dir)
+      val profile = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(round(sum("value"), 6).as("user_spend"))
+      Joins.saltedJoin(ev, profile, "user_id", col("event_id"))
+        .select("event_id", "user_id", "user_spend")
+    }),
+    "text_entropy" -> ((s, dir) =>
+      TextStats.charEntropy(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -517,5 +529,12 @@ object SparkEntry {
     "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
     "evt_sessionize" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
-    "evt_range_join" -> Events.rangeJoinCountOracleSql())
+    "evt_range_join" -> Events.rangeJoinCountOracleSql(),
+    "evt_salted_join" ->
+      s"""WITH ev AS (${Events.canonicalSql}),
+         |p AS (SELECT user_id, round(sum(value), 6) AS user_spend
+         |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, p.user_spend
+         |FROM ev e JOIN p USING (user_id)""".stripMargin,
+    "text_entropy" -> TextStats.charEntropyOracleSql)
 }

@@ -187,4 +187,46 @@ object TextStats {
        |  len(w)::BIGINT AS fp_words
        |FROM (SELECT doc_id, ($wordsSql)[1:$FpMaxWords] AS w FROM documents)""".stripMargin
   }
+
+  /** Character-distribution Shannon entropy per document (nats) — a
+    * compression-style quality signal: gibberish and boilerplate sit at
+    * the distribution's tails. H = ln(n) − (Σ c·ln c)/n over per-char
+    * counts c. The char split is `regexp_extract_all(text, '.')` — the
+    * one splitter that behaves identically under Java regex and RE2
+    * (split-on-empty-string does not). Two hash aggregations, counts
+    * exact; the fp sum is rounded to 6 dp. Empty docs report entropy 0.
+    * Output: (doc_id, n_chars, n_distinct, char_entropy).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), length(col("text")).as("n"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+    val ent = cnt.groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("clnc"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        round(log(col("n")) - col("clnc") / col("n"), 6).as("char_entropy"))
+    docs.select("doc_id").join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+  }
+
+  val charEntropyOracleSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         unnest(regexp_extract_all(text, '.')) AS ch
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, n, ch, count(*) AS c
+      |        FROM ch GROUP BY doc_id, n, ch),
+      |ent AS (
+      |  SELECT doc_id, n, count(*)::BIGINT AS n_distinct,
+      |         round(ln(n) - sum(c * ln(c)) / n, 6) AS char_entropy
+      |  FROM cnt GROUP BY doc_id, n)
+      |SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_chars,
+      |       coalesce(e.n_distinct, 0)::BIGINT AS n_distinct,
+      |       coalesce(e.char_entropy, 0.0) AS char_entropy
+      |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
 }

@@ -177,4 +177,33 @@ class MlSpec extends SparkSpec {
     assert(fp(1L) !== fp(2L))
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("charEntropy: hand-computed values, empty doc reports zero") {
+    val d = Seq(1L -> "aabb", 2L -> "aaaa", 3L -> "")
+      .toDF("doc_id", "text")
+    val out = TextStats.charEntropy(d)
+      .select("doc_id", "n_chars", "n_distinct", "char_entropy")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // "aabb": ln4 - (2ln2 + 2ln2)/4 = ln2; "aaaa": uniform single char = 0
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L, math.round(math.log(2) * 1e6) / 1e6),
+      (2L, 4L, 1L, 0.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
+  test("saltedJoin equals the plain join on a hot-keyed fixture") {
+    val big = (1L to 100L).map(i => (i, i % 3, i.toDouble)) // key 0/1/2, hot
+      .toDF("event_id", "k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "never"))
+      .toDF("k", "tag")
+    val salted = Joins.saltedJoin(big, small, "k", col("event_id"), nSalts = 4)
+      .select("event_id", "k", "v", "tag")
+    val plain = big.join(small, "k").select("event_id", "k", "v", "tag")
+    assert(salted.count() === 100)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the join must actually run on the widened key
+    val p = Joins.saltedJoin(big, small, "k", col("event_id"), 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt key absent from join plan:\n$p")
+  }
 }
