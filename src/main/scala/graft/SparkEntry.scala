@@ -372,7 +372,9 @@ object SparkEntry {
         .select("event_id", "user_id", "user_spend")
     }),
     "text_entropy" -> ((s, dir) =>
-      TextStats.charEntropy(Tables.load(s, dir, "documents"))))
+      TextStats.charEntropy(Tables.load(s, dir, "documents"))),
+    "evt_funnel" -> ((s, dir) => Events.funnel(Events.canonical(s, dir))),
+    "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -536,5 +538,7 @@ object SparkEntry {
          |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id)
          |SELECT e.event_id, e.user_id, p.user_spend
          |FROM ev e JOIN p USING (user_id)""".stripMargin,
-    "text_entropy" -> TextStats.charEntropyOracleSql)
+    "text_entropy" -> TextStats.charEntropyOracleSql,
+    "evt_funnel" -> Events.funnelOracleSql,
+    "evt_retention" -> Events.retentionOracleSql)
 }

@@ -194,4 +194,88 @@ object Events {
        |       count(DISTINCT e.user_id)::BIGINT AS n_users
        |FROM iv JOIN ev e ON e.ts >= iv.lo AND e.ts < iv.hi
        |GROUP BY iv.interval_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Funnel analysis
+  // ---------------------------------------------------------------------
+
+  /** Ordered three-stage funnel signup → click → purchase: per user, the
+    * first signup, the first click strictly after it, the first purchase
+    * strictly after that; report how many users reach each stage.
+    * Output one row: (n_stage1, n_stage2, n_stage3).
+    *
+    * Scale shape: three conditional-min aggregations, all keyed by
+    * user_id — after the first shuffle every later groupBy/join reuses
+    * the same hash partitioning, so the funnel costs ONE data shuffle
+    * plus the final single-row rollup.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val t1 = events.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = events.where(col("event_type") === "click")
+      .join(t1, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = events.where(col("event_type") === "purchase")
+      .join(t2, "user_id").where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_stage1"),
+        count(col("t2")).as("n_stage2"),
+        count(col("t3")).as("n_stage3"))
+  }
+
+  val funnelOracleSql: String =
+    s"""WITH ev AS ($canonicalSql),
+       |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+       |       WHERE event_type = 'signup' GROUP BY user_id),
+       |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+       |       FROM ev e JOIN t1 ON e.user_id = t1.user_id
+       |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+       |       GROUP BY e.user_id),
+       |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+       |       FROM ev e JOIN t2 ON e.user_id = t2.user_id
+       |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+       |       GROUP BY e.user_id)
+       |SELECT count(t1.t1)::BIGINT AS n_stage1,
+       |       count(t2.t2)::BIGINT AS n_stage2,
+       |       count(t3.t3)::BIGINT AS n_stage3
+       |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+       |        LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cohort retention
+  // ---------------------------------------------------------------------
+
+  /** Weekly cohort retention: users are cohorted by their first-ever
+    * event day; each later event lands in week-offset
+    * floor(days-since-cohort-day / 7). Output: (cohort_day, week_offset,
+    * n_users) — the retention matrix of product analytics.
+    *
+    * Scale shape: the per-user first day is one aggregation on user_id;
+    * joining it back to events stays on the user_id key (no second
+    * shuffle of the fact table until the small cohort-cell rollup).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val first = events.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort_day"))
+    events.join(first, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(date_trunc('day', ts), cohort_day) DIV 7"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionOracleSql: String =
+    s"""WITH ev AS ($canonicalSql),
+       |first AS (
+       |  -- date_trunc('day') yields DATE in DuckDB; cast back so the
+       |  -- output column is a timestamp like the engine's
+       |  SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS cohort_day
+       |  FROM ev GROUP BY user_id)
+       |SELECT f.cohort_day,
+       |       (datediff('day', f.cohort_day, date_trunc('day', e.ts)::TIMESTAMP)
+       |        // 7)::BIGINT AS week_offset,
+       |       count(DISTINCT e.user_id)::BIGINT AS n_users
+       |FROM ev e JOIN first f ON e.user_id = f.user_id
+       |GROUP BY 1, 2""".stripMargin
 }

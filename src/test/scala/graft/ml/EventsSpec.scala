@@ -84,6 +84,42 @@ class EventsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in range join:\n$p")
   }
 
+  test("funnel: stages require strict temporal order") {
+    val df = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 09:00:00"), 1L, "signup", 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 0.0),
+      // user 2: purchase BEFORE the first post-signup click → stage 2 only
+      (4L, ts("2024-01-01 09:00:00"), 2L, "signup", 0.0),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "purchase", 0.0),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0),
+      // user 3: click precedes signup → stage 1 only
+      (7L, ts("2024-01-01 08:00:00"), 3L, "click", 0.0),
+      (8L, ts("2024-01-01 09:00:00"), 3L, "signup", 0.0),
+      // user 4: never signed up → not in the funnel at all
+      (9L, ts("2024-01-01 09:00:00"), 4L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(df).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((3L, 2L, 1L)))
+  }
+
+  test("retention: cohort day from first event, weekly offsets floor-divided") {
+    val df = Seq(
+      (1L, ts("2024-01-01 23:00:00"), 1L, "view", 0.0), // cohort Jan 1
+      (2L, ts("2024-01-07 01:00:00"), 1L, "view", 0.0), // day 6 → week 0
+      (3L, ts("2024-01-08 01:00:00"), 1L, "view", 0.0), // day 7 → week 1
+      (4L, ts("2024-01-03 05:00:00"), 2L, "view", 0.0)  // cohort Jan 3
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.retention(df)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-03", 0L, 1L)))
+  }
+
   test("range join: straddling window is found via its second bucket") {
     // window [10:30, 11:30) crosses the 11:00 bucket boundary; the event
     // at 11:29:59 lives in bucket 11 while the interval starts in bucket 10
