@@ -388,7 +388,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // iterate ONLY over vertices that appear in an edge: un-paired docs
+    // are their own cluster by definition and must not ride through every
+    // propagation round (at corpus scale near-dup pairs touch a small
+    // fraction of docs; shuffling the full label table per round would
+    // dominate). They rejoin via the final left join below.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -422,7 +428,10 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"components did not converge in $maxIter rounds — raise maxIter")
-    labels.withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
   /** DuckDB oracle: min reachable id via a recursive reachability CTE
