@@ -74,4 +74,23 @@ class PlanSpec extends SparkSpec {
       "Window is not partitioned by shard")
     assert(!p.contains("SinglePartition"))
   }
+
+  test("range join compiles to an equi join, as-of to a joinless window") {
+    val rj = plan("evt_range_join")
+    assert(!rj.contains("CartesianProduct") &&
+      !rj.contains("BroadcastNestedLoopJoin"),
+      "interval join degraded to a nested loop")
+    assert(!plan("evt_asof").contains("Join"),
+      "as-of must stay a windowed scan, not a join")
+  }
+
+  test("sessionize runs on a single shuffle of the fact table") {
+    // window + final aggregation must share HashPartitioning(user_id)
+    assert("Exchange".r.findAllIn(plan("evt_sessionize")).size == 1)
+  }
+
+  test("redaction is a pure scan — no shuffle, no UDF") {
+    val p = plan("cur_redact")
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"))
+  }
 }
