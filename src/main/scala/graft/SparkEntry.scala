@@ -344,6 +344,10 @@ object SparkEntry {
     "cur_len_quantiles" -> ((s, dir) =>
       Curation.lengthQuantiles(Tables.load(s, dir, "documents"))),
     "cur_redact" -> ((s, dir) => Curation.redact(Tables.load(s, dir, "documents"))),
+    "cur_perplexity" -> ((s, dir) =>
+      Curation.perplexity(Tables.load(s, dir, "documents"))),
+    "cur_dataset_card" -> ((s, dir) =>
+      Curation.datasetCard(Tables.load(s, dir, "documents"))),
     "cur_tfidf_terms" -> ((s, dir) =>
       Curation.tfidfTerms(Tables.load(s, dir, "documents"))),
 
@@ -524,6 +528,8 @@ object SparkEntry {
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "cur_redact" -> Curation.redactOracleSql,
+    "cur_perplexity" -> Curation.perplexityOracleSql(),
+    "cur_dataset_card" -> Curation.datasetCardOracleSql,
     "cur_tfidf_terms" -> Curation.tfidfTermsOracleSql(),
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),

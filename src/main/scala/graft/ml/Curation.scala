@@ -406,4 +406,107 @@ object Curation {
        |  FROM scored)
        |SELECT doc_id, term, tf, score, rank::BIGINT AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM perplexity filter
+  // ---------------------------------------------------------------------
+
+  /** CCNet-style perplexity quality filter with the corpus's own unigram
+    * LM: per document the average negative log-likelihood (nats/token)
+    * under p(w) = count(w)/T, i.e. xent = ln T − (Σ ln c_w)/n. High xent
+    * = tokens the corpus rarely sees (gibberish / OCR noise); low =
+    * boilerplate. Deterministic: counts are exact integers, the one fp
+    * sum is rounded to 6 dp, and `flagged` compares the ROUNDED value.
+    *
+    * Scale shape: vocabulary aggregation + token-key join (both on the
+    * word key, one shuffle each), per-doc rollup on doc_id. T is a
+    * driver-side scalar from a distributed count, like tfidf's N.
+    * Output: (doc_id, n_tokens, xent_nats, flagged).
+    */
+  def perplexity(docs: DataFrame, flagThreshold: Double = 9.0): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val t = toks.count()
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val perDoc = toks.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(log(col("c"))).as("slc"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(when(col("n_tokens") > 0,
+          lit(math.log(t.toDouble)) - col("slc") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("xent_nats"))
+      .withColumn("flagged", col("xent_nats") > flagThreshold)
+  }
+
+  def perplexityOracleSql(flagThreshold: Double = 9.0): String =
+    s"""WITH wds AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |vocab AS (SELECT w, count(*) AS c FROM wds GROUP BY w),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ln(c)) AS slc
+       |  FROM wds JOIN vocab USING (w) GROUP BY doc_id),
+       |x AS (
+       |  SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |         round(CASE WHEN coalesce(n_tokens, 0) > 0
+       |               THEN ln((SELECT count(*)::DOUBLE FROM wds)) - slc / n_tokens
+       |               ELSE 0.0 END, 6) AS xent_nats
+       |  FROM documents d LEFT JOIN per USING (doc_id))
+       |SELECT doc_id, n_tokens, xent_nats,
+       |       xent_nats > $flagThreshold AS flagged
+       |FROM x""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Dataset card
+  // ---------------------------------------------------------------------
+
+  /** One-row dataset card — the corpus-level summary a curation run
+    * publishes: doc/token totals, exact-dup rate, mean quality score,
+    * and the language distribution's count and entropy. Everything
+    * integer-exact except the two rounded fp summaries. The two
+    * single-row aggregates are combined with a 1×1 cross join (constant
+    * size — not a data cross product).
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), md5(col("text")).as("sig"),
+        words(col("text")).as("w"))
+      .select(col("doc_id"), col("sig"), size(col("w")).cast("long").as("nw"))
+    val joined = base
+      .join(TextStats.quality(docs).select("doc_id", "quality_score"), "doc_id")
+      .join(TextStats.languageId(docs).select("doc_id", "lang_pred"), "doc_id")
+    val totals = joined.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nw")).as("n_tokens"),
+      count_distinct(col("sig")).as("n_unique_texts"),
+      round(lit(1.0) - count_distinct(col("sig")) / count(lit(1)).cast("double"), 6)
+        .as("dup_rate"),
+      round(avg(col("quality_score")), 6).as("mean_quality"))
+    val langH = joined.groupBy("lang_pred").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+          .as("lang_entropy"))
+    totals.crossJoin(langH)
+  }
+
+  val datasetCardOracleSql: String =
+    s"""WITH q AS (${TextStats.qualityOracleSql}),
+       |l AS (${TextStats.languageIdOracleSql}),
+       |base AS (
+       |  SELECT doc_id, md5(text) AS sig, len($wordsSql)::BIGINT AS nw
+       |  FROM documents),
+       |j AS (
+       |  SELECT b.doc_id, b.sig, b.nw, q.quality_score, l.lang_pred
+       |  FROM base b JOIN q USING (doc_id) JOIN l USING (doc_id)),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_tokens,
+       |         count(DISTINCT sig)::BIGINT AS n_unique_texts,
+       |         round(1.0 - count(DISTINCT sig)::DOUBLE / count(*), 6) AS dup_rate,
+       |         round(avg(quality_score), 6) AS mean_quality
+       |  FROM j),
+       |lc AS (SELECT lang_pred, count(*) AS c FROM j GROUP BY lang_pred),
+       |h AS (
+       |  SELECT count(*)::BIGINT AS n_langs,
+       |         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS lang_entropy
+       |  FROM lc)
+       |SELECT a.*, h.* FROM a, h""".stripMargin
 }

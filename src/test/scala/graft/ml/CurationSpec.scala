@@ -142,4 +142,30 @@ class CurationSpec extends SparkSpec {
       .where(col("doc_id") === 3).select("score").as[Double].head()
     assert(math.abs(score - math.round(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
   }
+
+  test("perplexity: hand-computed cross-entropy under the corpus unigram LM") {
+    // tokens: a×3, b×1, c×1 → T = 5
+    val d = docs(1L -> "a a b", 2L -> "a c")
+    val out = Curation.perplexity(d)
+      .select("doc_id", "n_tokens", "xent_nats")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val ln = math.log _
+    assert(out.toSeq === Seq(
+      (1L, 3L, r6(ln(5) - 2 * ln(3) / 3)), // slc = ln3+ln3+ln1
+      (2L, 2L, r6(ln(5) - ln(3) / 2))))    // slc = ln3+ln1
+  }
+
+  test("datasetCard: one-row corpus summary with exact counts") {
+    val d = docs(1L -> "the cat", 2L -> "the cat", 3L -> "der hund und")
+    val row = Curation.datasetCard(d).collect().head
+    assert(row.getAs[Long]("n_docs") === 3L)
+    assert(row.getAs[Long]("n_tokens") === 7L)
+    assert(row.getAs[Long]("n_unique_texts") === 2L)
+    assert(row.getAs[Double]("dup_rate") === 0.333333)
+    assert(row.getAs[Long]("n_langs") === 2L) // en (×2), de
+    // H = ln3 - (2·ln2)/3 over lang counts {en:2, de:1}
+    val h = math.round((math.log(3) - 2 * math.log(2) / 3) * 1e6) / 1e6
+    assert(row.getAs[Double]("lang_entropy") === h)
+  }
 }
