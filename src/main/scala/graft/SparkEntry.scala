@@ -259,6 +259,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistance(Tables.load(s, dir, "documents"))),
     // near-exact dedup by content fingerprint (robust to tail edits —
     // the rolling hash covers the first 200 words): every group with its
     // keeper; a downstream pass drops rows where doc_id != keep_id
@@ -483,6 +485,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minHashLshOracleSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
+    "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
     "dedup_clusters" -> Dedup.componentsOracleSql(Dedup.ngramJaccardOracleSql()),
     "dedup_fingerprint" ->

@@ -367,6 +367,45 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 
+  /** Edit-distance near-dup pairs: candidates from the SimHash band
+    * prefilter (tail edits barely move a word-level SimHash), verified
+    * with exact character Levenshtein ≤ `maxDist`. Output:
+    * (doc_a, doc_b, edit_dist) — the classic small-edit dedup family
+    * (ads/spam variants, OCR rescans) that Jaccard misses when the edit
+    * splits a shingle.
+    *
+    * Scale: candidate volume is the banded SimHash join's (tiny bucket
+    * groups), and the O(len²) Levenshtein kernel runs per CANDIDATE
+    * only — never all pairs. Both engines compute unit-cost Levenshtein
+    * natively, so the verdict is integer-exact.
+    */
+  def editDistance(docs: DataFrame, maxDist: Int = 8,
+                   simHashHamming: Int = 3): DataFrame = {
+    val cand = simHash(docs, simHashHamming).select("doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      // result-equivalent prefilters that keep the kernel off hopeless
+      // pairs: dist ≤ maxDist implies |len(a) − len(b)| ≤ maxDist; and
+      // the THRESHOLD Levenshtein variant runs the banded O(len·maxDist)
+      // algorithm (returning −1 over budget) instead of the full
+      // O(len²) table — on KB-scale docs that is a ~len/maxDist speedup
+      .where(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist + 1).cast("long")
+          .as("edit_dist"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+  }
+
+  def editDistanceOracleSql(maxDist: Int = 8, simHashHamming: Int = 3): String =
+    s"""WITH cand AS (${simHashOracleSql(simHashHamming)})
+       |SELECT c.doc_a, c.doc_b,
+       |       levenshtein(a.text, b.text)::BIGINT AS edit_dist
+       |FROM cand c
+       |JOIN documents a ON c.doc_a = a.doc_id
+       |JOIN documents b ON c.doc_b = b.doc_id
+       |WHERE levenshtein(a.text, b.text) <= $maxDist""".stripMargin
+
   /** Connected components over a near-dup pair graph → cluster
     * assignment: every document labeled with the min doc_id reachable
     * through pair edges (its cluster id); docs in no pair are their own

@@ -178,6 +178,19 @@ class MlSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
 
+  test("editDistance verifies simhash candidates with exact levenshtein") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      1L -> base,
+      2L -> base.replace("kappa", "kappo"), // 1 char edit, simhash-close
+      3L -> "totally different words entirely here now then") // far
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistance(d, maxDist = 8)
+      .select("doc_a", "doc_b", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L)))
+  }
+
   test("charEntropy: hand-computed values, empty doc reports zero") {
     val d = Seq(1L -> "aabb", 2L -> "aaaa", 3L -> "")
       .toDF("doc_id", "text")
