@@ -362,6 +362,11 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 2)),
     "mm_audio_rms" -> ((s, dir) =>
       Multimodal.audioRms(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))),
+    // perceptual-hash image near-dup over the grouped-payload corpus
+    // (docs in groups of 7 share an image, so there are real dups to find)
+    "mm_phash_pairs" -> ((s, dir) =>
+      Multimodal.imagePHash(
+        Multimodal.syntheticMediaGrouped(Tables.load(s, dir, "documents")))),
 
     // --- event-stream relational ops: sessionize / as-of / range join ---
     "evt_sessionize" -> ((s, dir) => Events.sessionize(Events.canonical(s, dir))),
@@ -538,6 +543,7 @@ object SparkEntry {
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),
     "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
+    "mm_phash_pairs" -> Multimodal.imagePHashOracleSql(),
     "evt_sessionize" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),

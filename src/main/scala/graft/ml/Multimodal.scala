@@ -255,4 +255,98 @@ object Multimodal {
        |FROM frames
        |WHERE frame_idx % $stride = 0
        |GROUP BY media_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Perceptual-hash image near-dup
+  // ---------------------------------------------------------------------
+
+  /** Synthetic media variant where docs in groups of `groupSize` share
+    * one payload (seed = doc_id DIV groupSize) — gives the perceptual-
+    * hash dedup real duplicate images to find; the per-doc media_id
+    * stays unique. Same shape as [[syntheticMedia]].
+    */
+  def syntheticMediaGrouped(docs: DataFrame, groupSize: Int = 7): DataFrame = {
+    val hexCol = concat((0 until Blocks).map(b =>
+      md5(concat(expr(s"doc_id DIV $groupSize").cast("string"),
+        lit(s":media:$b")))): _*)
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      unhex(hexCol).as("bytes"),
+      lit(Width).as("width"), lit(Height).as("height"),
+      lit(NFrames).as("n_frames"))
+  }
+
+  def syntheticMediaGroupedSqlCte(groupSize: Int = 7): String = {
+    val hexExpr = (0 until Blocks)
+      .map(b => s"md5((doc_id // $groupSize)::VARCHAR || ':media:$b')")
+      .mkString(" || ")
+    s"""media AS (
+       |  SELECT doc_id AS media_id, 'image' AS kind, $hexExpr AS hex,
+       |         $Width AS width, $Height AS height, $NFrames AS n_frames
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Perceptual average-hash (aHash) near-dup pairs over decoded images:
+    * 16×16 pixels → 8×8 block sums → bit j = "block j brighter than the
+    * image mean" (the integer-exact compare s_j·64 > Σs), packed into the
+    * 60-bit convention shared with [[Dedup.simHash]]; candidate pairs
+    * from the same 15-bit-band pigeonhole (exact for hamming ≤ 3).
+    * Output: (media_a, media_b, hamming).
+    *
+    * This is the multimodal twin of text SimHash: decode runs in batched
+    * mapPartitions through the pluggable codec, everything after the
+    * hash is columnar. A production build swaps the codec only.
+    */
+  def imagePHash(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    val hashes = decodedPixels(media.where(col("kind") === "image"))
+      .map { case (id, px) =>
+        val s = Array.tabulate(64) { b =>
+          val r = b / 8; val c = b % 8; val base = 2 * r * Width + 2 * c
+          px(base) + px(base + 1) + px(base + Width) + px(base + Width + 1)
+        }
+        val tot = s.map(_.toLong).sum
+        var h = 0L; var b = 0
+        while (b < 60) { if (s(b) * 64L > tot) h |= 1L << b; b += 1 }
+        (id, h)
+      }.toDF("media_id", "phash")
+      .localCheckpoint() // both band-join sides reuse the decode+hash pass
+    val band = hashes.withColumn("b", explode(lit((0 until 4).toArray)))
+      .withColumn("bkey", expr("shiftright(phash, 15 * b) & 32767"))
+    band.as("a").join(band.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  def imagePHashOracleSql(maxHamming: Int = 3, groupSize: Int = 7): String = {
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN s$b * 64 > tot THEN ${1L << b}::BIGINT ELSE 0 END)")
+      .mkString(" + ")
+    val sCols = (0 until 60).map { b =>
+      val r = b / 8; val c = b % 8; val base = 2 * r * Width + 2 * c
+      s"sum(CASE WHEN i IN ($base, ${base + 1}, ${base + Width}, ${base + Width + 1}) THEN px ELSE 0 END) AS s$b"
+    }.mkString(",\n         ")
+    s"""WITH ${syntheticMediaGroupedSqlCte(groupSize)},
+       |$pixelsSqlCte,
+       |blocks AS (
+       |  SELECT media_id, sum(px) AS tot,
+       |         $sCols
+       |  FROM pixels GROUP BY media_id),
+       |hashes AS (SELECT media_id, $bits AS phash FROM blocks),
+       |band AS (
+       |  SELECT media_id, phash, b, (phash >> (15 * b)) & 32767 AS bkey
+       |  FROM hashes, unnest(range(0, 4)) AS r(b))
+       |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       |FROM band a JOIN band b
+       |  ON a.b = b.b AND a.bkey = b.bkey AND a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+  }
 }

@@ -78,4 +78,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._1).toSet === Set(2L, 5L))
     assert(out.filter(_._1 == 2L).map(_._2).sorted.toSeq === Seq(0L, 2L))
   }
+
+  test("imagePHash pairs shared-payload images at hamming 0, noise finds none") {
+    // groupSize 3 over ids 0..5 → payload groups {0,1,2} and {3,4,5}
+    val six = Seq.tabulate(6)(i => (i.toLong, "t")).toDF("doc_id", "text")
+    val out = Multimodal.imagePHash(Multimodal.syntheticMediaGrouped(six, 3))
+      .select("media_a", "media_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // identical payloads hash identically; distinct md5 noise payloads
+    // land 30 expected bit flips apart — far beyond hamming 3
+    assert(out === Seq((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L),
+      (3L, 4L, 0L), (3L, 5L, 0L), (4L, 5L, 0L)))
+  }
 }
