@@ -122,6 +122,24 @@ object SparkEntry {
         .where(col("rn") <= 5)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
     }),
+    // ROLLUP grouping sets (Catalyst Expand operator); NULL group markers
+    // made explicit so both engines label subtotal rows identically
+    "q05_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))),
+    // anti join (LeftAnti plan): customers that never placed a
+    // high-value order — the filter keeps the result non-trivial at sf
+    "q06_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
 
     // --- the reference's own pipeline over the events stream table ---
     "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
@@ -420,6 +438,18 @@ object SparkEntry {
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |) WHERE rn <= 5""".stripMargin,
+    "q05_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        |       coalesce(l_linestatus, '<all>') AS l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q06_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)""".stripMargin,
     "trend_rebin" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
