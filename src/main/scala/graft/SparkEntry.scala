@@ -359,6 +359,20 @@ object SparkEntry {
         .join(keepers, Seq("doc_id"), "left_semi")
         .join(clean, Seq("doc_id"), "left_semi")
     }),
+    // the round-4 gates composed in ONE plan: perplexity ∧ quality ∧
+    // language rebalance → split assignment for the survivors
+    "cur_pipeline2" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fluent = Curation.perplexity(docs)
+        .where(!col("flagged")).select("doc_id")
+      val good = TextStats.quality(docs)
+        .where(col("quality_score") >= 0.5).select("doc_id")
+      val sampled = Curation.stratifiedSample(docs, Map("en" -> 0.5))
+      Curation.assignSplit(docs).join(sampled, "doc_id")
+        .join(fluent, Seq("doc_id"), "left_semi")
+        .join(good, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang_pred", "split")
+    }),
     "cur_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
@@ -563,6 +577,20 @@ object SparkEntry {
           |SEMI JOIN good g ON a.doc_id = g.doc_id
           |SEMI JOIN keepers k ON a.doc_id = k.doc_id
           |SEMI JOIN clean c ON a.doc_id = c.doc_id""".stripMargin),
+    "cur_pipeline2" ->
+      (s"""WITH fluent AS (
+          |  SELECT doc_id FROM (${Curation.perplexityOracleSql()})
+          |  WHERE NOT flagged),
+          |good AS (
+          |  SELECT doc_id FROM (${TextStats.qualityOracleSql})
+          |  WHERE quality_score >= 0.5),
+          |sampled AS (${Curation.stratifiedSampleOracleSql(Map("en" -> 0.5))}),
+          |assigned AS (${Curation.assignSplitOracleSql()})
+          |SELECT a.doc_id, s.lang_pred, a.split
+          |FROM assigned a
+          |JOIN sampled s ON a.doc_id = s.doc_id
+          |SEMI JOIN fluent f ON a.doc_id = f.doc_id
+          |SEMI JOIN good g ON a.doc_id = g.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "cur_redact" -> Curation.redactOracleSql,
