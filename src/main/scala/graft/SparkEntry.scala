@@ -140,6 +140,15 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
+    // PIVOT with an explicit value list (no extra distinct-values job;
+    // Catalyst rewrites to one aggregate over pivot-CASE columns)
+    "q07_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 4))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))),
 
     // --- the reference's own pipeline over the events stream table ---
     "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
@@ -296,6 +305,13 @@ object SparkEntry {
     // cosine ~0.51 at sf0.01) — 0.45 yields a real, non-vacuous pair set
     "dedup_cosine" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.load(s, dir, "embeddings"), threshold = 0.45)),
+    // cell-scoped SemDeDup scale path; 0.4 is non-vacuous within cells
+    // (11 pairs at sf0.01, max within-cell cosine 0.49)
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.load(s, dir, "embeddings"), threshold = 0.4)),
+    // span-level dup signal: linear cost, no pair materialization
+    "dedup_ngram_coverage" -> ((s, dir) =>
+      Dedup.ngramCoverage(Tables.load(s, dir, "documents"))),
 
     // --- similarity search (ANN) over embeddings ---
     "ann_brute_topk" -> ((s, dir) =>
@@ -384,6 +400,10 @@ object SparkEntry {
       Curation.datasetCard(Tables.load(s, dir, "documents"))),
     "cur_tfidf_terms" -> ((s, dir) =>
       Curation.tfidfTerms(Tables.load(s, dir, "documents"))),
+    "cur_chunk" -> ((s, dir) =>
+      Curation.chunk(Tables.load(s, dir, "documents"))),
+    "cur_vocab_oov" -> ((s, dir) =>
+      Curation.vocabOov(Tables.load(s, dir, "documents"))),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -464,6 +484,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 400000)""".stripMargin,
+    "q07_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 4) AS qty_a,
+        |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 4) AS qty_n,
+        |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 4) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "trend_rebin" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
@@ -536,6 +562,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
+    "dedup_semantic" -> Similarity.semanticDedupOracleSql(0.4),
+    "dedup_ngram_coverage" -> Dedup.ngramCoverageOracleSql(),
     "dedup_clusters" -> Dedup.componentsOracleSql(Dedup.ngramJaccardOracleSql()),
     "dedup_fingerprint" ->
       s"""WITH fp AS (${TextStats.fingerprintOracleSql})
@@ -597,6 +625,8 @@ object SparkEntry {
     "cur_perplexity" -> Curation.perplexityOracleSql(),
     "cur_dataset_card" -> Curation.datasetCardOracleSql,
     "cur_tfidf_terms" -> Curation.tfidfTermsOracleSql(),
+    "cur_chunk" -> Curation.chunkOracleSql(),
+    "cur_vocab_oov" -> Curation.vocabOovOracleSql(),
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

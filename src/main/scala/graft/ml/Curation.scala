@@ -456,6 +456,86 @@ object Curation {
        |FROM x""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Document chunking
+  // ---------------------------------------------------------------------
+
+  /** Overlapping fixed-window chunking: split each document into word
+    * windows of `window` tokens every `stride` tokens — the step that
+    * turns curated documents into retrieval/pretraining units (stride <
+    * window gives the standard overlapped context). The chunk text is
+    * reported as an md5 signature plus its token count, so the oracle
+    * checks the full chunk content without shipping text back. Pure
+    * per-row explode — no shuffle, no state; chunk identity
+    * (doc_id, chunk_id) is a pure function of the document.
+    * Output: (doc_id, chunk_id, start_word, n_tokens, sig).
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      "need stride >= 1 and window >= stride (no uncovered gaps)")
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start_word")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_word").cast("long").as("start_word"),
+        least(lit(window), size(col("w")) - col("start_word")).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start_word") + 1, lit(window))))
+          .as("sig"))
+  }
+
+  def chunkOracleSql(window: Int = 64, stride: Int = 48): String =
+    s"""WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |st AS (
+       |  SELECT doc_id, w, i AS start_word
+       |  FROM dw, unnest(range(0, len(w), $stride)) AS r(i))
+       |SELECT doc_id, (start_word // $stride)::BIGINT AS chunk_id,
+       |       start_word::BIGINT AS start_word,
+       |       least($window, len(w) - start_word)::BIGINT AS n_tokens,
+       |       md5(array_to_string(w[start_word + 1 : start_word + $window], ' ')) AS sig
+       |FROM st""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Vocabulary build + OOV rate
+  // ---------------------------------------------------------------------
+
+  /** Fixed-size vocabulary coverage: build the corpus top-`vocabSize`
+    * word vocabulary (count desc, word asc — deterministic) and report
+    * each document's out-of-vocabulary token fraction, the coverage
+    * number a tokenizer/vocab decision is made on. The vocabulary
+    * selection is a distributed top-k (TakeOrdered over the
+    * vocabulary-sized count relation — never a single-partition window
+    * over the corpus), broadcast back against the token table; the OOV
+    * rollup is one hash aggregation on doc_id.
+    * Output: (doc_id, n_tokens, n_oov, oov_rate).
+    */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("word")).limit(vocabSize)
+      .select(col("word"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  def vocabOovOracleSql(vocabSize: Int = 1000): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+       |counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+       |vocab AS (SELECT word FROM counts ORDER BY c DESC, word LIMIT $vocabSize),
+       |per AS (
+       |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |         sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+       |  FROM toks t LEFT JOIN vocab v ON t.word = v.word
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |       round(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
+       |FROM per""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Dataset card
   // ---------------------------------------------------------------------
 

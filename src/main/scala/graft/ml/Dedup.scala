@@ -406,6 +406,57 @@ object Dedup {
        |JOIN documents b ON c.doc_b = b.doc_id
        |WHERE levenshtein(a.text, b.text) <= $maxDist""".stripMargin
 
+  /** Per-document duplicated-n-gram coverage — the span-level dedup
+    * signal (cf. Lee et al. 2022's substring dedup): for every document,
+    * the fraction of its distinct word-`k`-grams that also occur in at
+    * least one OTHER document. A high fraction means the doc is largely
+    * assembled from corpus-repeated spans even when no whole-document
+    * near-dup pair exists (the case pairwise Jaccard misses). Output:
+    * (doc_id, n_shingles, n_dup, dup_frac) for EVERY document; short docs
+    * (< k words) report zero shingles.
+    *
+    * Scale: one shingle-keyed aggregation for document frequency — the
+    * same shuffle key the inverted index uses — rejoined to the
+    * (doc, shingle) table, then a doc-keyed rollup. No pair
+    * materialization at all: cost is linear in the shingle table, so this
+    * runs where the O(pairs) operators need candidate pruning.
+    */
+  def ngramCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    val sh = shingleTable(docs, k)
+    // df on the 60-bit shingle hash, not the string: the shuffle carries
+    // 8 bytes per key instead of ~8 words of text
+    val hashed = sh.select(col("doc_id"), h64(col("shingle")).as("sh"))
+    val dfs = hashed.groupBy("sh").agg(count(lit(1)).as("df"))
+    val per = hashed.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_shingles")), 6)
+          .as("dup_frac"))
+  }
+
+  def ngramCoverageOracleSql(k: Int = 8): String =
+    s"""WITH ${shingleTableSql(k)},
+       |hashed AS (
+       |  SELECT doc_id, ${h64Sql("shingle")} AS sh FROM doc_shingles),
+       |dfs AS (SELECT sh, count(*) AS df FROM hashed GROUP BY sh),
+       |per AS (
+       |  SELECT h.doc_id, count(*)::BIGINT AS n_shingles,
+       |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+       |  FROM hashed h JOIN dfs d ON h.sh = d.sh
+       |  GROUP BY h.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+       |       coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+       |       round(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+       |             ELSE p.n_dup::DOUBLE / p.n_shingles END, 6) AS dup_frac
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+
   /** Connected components over a near-dup pair graph → cluster
     * assignment: every document labeled with the min doc_id reachable
     * through pair edges (its cluster id); docs in no pair are their own

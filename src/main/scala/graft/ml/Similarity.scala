@@ -233,17 +233,18 @@ object Similarity {
     * scores are rounded to 9 dp so both engines pick identical cells
     * despite sub-ulp accumulation differences; ties break on cell id.
     */
-  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = normed(emb)
+  /** Adds a `cells` column: the `nCells` seed-centroid ids ordered by
+    * similarity (9-dp-rounded, tie on cell id) — element 1 is the
+    * nearest-centroid assignment. Centroids are the `nCells` smallest-id
+    * corpus vectors (deterministic seeds), collected driver-side
+    * (constant-bounded) and broadcast.
+    */
+  private def withCellRanks(e: DataFrame, nCells: Int): DataFrame = {
     val cents: Array[(Long, Array[Double], Double)] = e
       .orderBy("vec_id").limit(nCells)
       .select("vec_id", "v", "norm").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     val bc = e.sparkSession.sparkContext.broadcast(cents)
-
-    // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
-    // keep ranks <= nProbe as their probe set
     val cellRanks = udf { (v: Seq[Double], norm: Double) =>
       val va = v.toArray
       bc.value.map { case (cid, cv, cn) =>
@@ -254,7 +255,15 @@ object Similarity {
         (cid, math.floor(c * 1e9 + 0.5) / 1e9)
       }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
     }
-    val ranked = e.withColumn("cells", cellRanks(col("v"), col("norm")))
+    e.withColumn("cells", cellRanks(col("v"), col("norm")))
+  }
+
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = normed(emb)
+    // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
+    // keep ranks <= nProbe as their probe set
+    val ranked = withCellRanks(e, nCells)
     val assigned = ranked.select(col("vec_id"), col("v"), col("norm"),
       element_at(col("cells"), 1).as("cell"))
     val probes = ranked.where(isQuery)
@@ -272,9 +281,13 @@ object Similarity {
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
-                       isQuerySql: String = defaultIsQuerySql): String =
-    s"""WITH e AS (
+  /** Shared oracle CTE block: normalized vectors, seed centroids, and the
+    * per-vector centroid similarity ranking (defines `e`, `cents`,
+    * `ranks`) — the coarse-quantizer assignment both [[ivfTopK]] and
+    * [[semanticDedup]] build on.
+    */
+  private def cellCtesSql(nCells: Int): String =
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings),
@@ -287,7 +300,50 @@ object Similarity {
        |           PARTITION BY e.vec_id
        |           ORDER BY floor(list_dot_product(e.v, c.cv) / (e.norm * c.cn) * 1e9 + 0.5) / 1e9 DESC,
        |                    c.cid) AS rnk
-       |  FROM e CROSS JOIN cents c),
+       |  FROM e CROSS JOIN cents c)""".stripMargin
+
+  /** SemDeDup-style semantic near-dup pairs: assign every vector to its
+    * nearest seed centroid (the same coarse quantizer as [[ivfTopK]]),
+    * then compare pairs WITHIN a cell only — cosine >= `threshold` after
+    * 6-dp rounding. This is the scale path for embedding dedup: candidate
+    * volume drops from n²/2 to Σ|cell|²/2 ≈ n²/(2·nCells), and each cell
+    * is an independent hash-partitioned self-join — no all-pairs stage,
+    * no driver state beyond the constant centroid collect. Cross-cell
+    * near-dups are missed by construction (the SemDeDup trade-off);
+    * [[Dedup.embeddingCosine]] remains the exact baseline.
+    * Output: (cell, vec_a, vec_b, cosine).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+                    nCells: Int = 16): DataFrame = {
+    val e = normed(emb)
+    val assigned = withCellRanks(e, nCells)
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  def semanticDedupOracleSql(threshold: Double, nCells: Int = 16): String =
+    s"""WITH ${cellCtesSql(nCells)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1)
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6) AS cosine
+       |FROM assigned a
+       |JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |JOIN e ea ON ea.vec_id = a.vec_id
+       |JOIN e eb ON eb.vec_id = b.vec_id
+       |WHERE round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6)
+       |      >= $threshold""".stripMargin
+
+  def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                       isQuerySql: String = defaultIsQuerySql): String =
+    s"""WITH ${cellCtesSql(nCells)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (

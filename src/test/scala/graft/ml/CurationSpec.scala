@@ -168,4 +168,35 @@ class CurationSpec extends SparkSpec {
     val h = math.round((math.log(3) - 2 * math.log(2) / 3) * 1e6) / 1e6
     assert(row.getAs[Double]("lang_entropy") === h)
   }
+
+  test("chunk: overlapped windows cover every word, tail chunk short") {
+    // 10 words, window 4, stride 3 -> starts 0,3,6,9
+    val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "), 2L -> "a")
+    val out = Curation.chunk(d, window = 4, stride = 3)
+      .select("doc_id", "chunk_id", "start_word", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 1L)))
+    // the chunk signature really is the windowed text: md5("w4 w5 w6 w7")
+    val sig = Curation.chunk(d, window = 4, stride = 3)
+      .where($"doc_id" === 1L && $"chunk_id" === 1L)
+      .select("sig").as[String].collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("w4 w5 w6 w7".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(sig === expect)
+  }
+
+  test("vocabOov: top-V vocabulary with count/word tie-break, per-doc rate") {
+    val d = docs(
+      1L -> "the the the cat cat dog",
+      2L -> "rare words only here")
+    // vocabSize 2 -> vocab = {the(3), cat(2)}; doc1 oov = dog (1/6)
+    val out = Curation.vocabOov(d, vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 6L, 1L, 0.166667)))
+    assert(out(2L) === ((2L, 4L, 4L, 1.0))) // nothing in vocab
+  }
 }

@@ -147,6 +147,40 @@ class MlSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq === ivf.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("semanticDedup finds within-cell pairs with exact cosines") {
+    // two exact-duplicate vectors (cosine 1.0) plus distinct fillers —
+    // the dup pair must land in one cell and surface; cross-checked
+    // against the brute-force scorer
+    val emb = ((0L until 20L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    } :+ (20L, Array.tabulate(64)(d => math.sin(5 * 17.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    // sin(i·17+d) is near-periodic: (i, i+17) pairs also score ~0.9996,
+    // so assert at 0.9999 where only the exact duplicate survives
+    val pairs = Similarity.semanticDedup(emb, threshold = 0.9999, nCells = 4)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((5L, 20L, 1.0)))
+    // ordering invariant: vec_a < vec_b always
+    val loose = Similarity.semanticDedup(emb, threshold = 0.0, nCells = 4)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    assert(loose.forall { case (a, b) => a < b })
+  }
+
+  test("ngramCoverage: dup fraction of shared spans, short docs zero") {
+    val d = docs(
+      1L -> "one two three four five six seven eight nine",   // 2 shingles
+      2L -> "one two three four five six seven eight ten",    // shares 1st
+      3L -> "totally different words with nothing shared here at all",
+      4L -> "short")
+    val out = Dedup.ngramCoverage(d, k = 8)
+      .select("doc_id", "n_shingles", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 1L, 0.5))) // "one..eight" shared with doc 2
+    assert(out(2L) === ((2L, 2L, 1L, 0.5)))
+    assert(out(3L)._3 === 0L)
+    assert(out(4L) === ((4L, 0L, 0L, 0.0))) // < k words
+  }
+
   test("token stats and quality formulas") {
     val d = docs(1L -> "the cat sat on the mat")
     val ts = TextStats.tokenStats(d).collect().head
