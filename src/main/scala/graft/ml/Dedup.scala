@@ -62,23 +62,34 @@ object Dedup {
       }
   }
 
-  /** Distinct (doc_id, shingle) long table. The words array is
-    * materialized in its own projection BEFORE the shingle lambda: a
-    * split() inlined into the lambda body re-executes per element_at
-    * (k splits per shingle — measured 40× slower), because higher-order
-    * functions are interpreted and get no common-subexpression
-    * elimination. CollapseProject keeps the multi-referenced non-cheap
-    * alias out of the lambda.
+  /** Distinct (doc_id, sh) table of 60-bit shingle HASHES. The words
+    * array is materialized in its own projection BEFORE the shingle
+    * lambda: a split() inlined into the lambda body re-executes per
+    * element_at (k splits per shingle — measured 40× slower), because
+    * higher-order functions are interpreted and get no common-
+    * subexpression elimination. CollapseProject keeps the multi-
+    * referenced non-cheap alias out of the lambda.
+    *
+    * Hashing happens BEFORE the distinct: every downstream consumer
+    * (distinct, df aggregation, inverted-index joins, minhash mixes)
+    * keys on the shingle, and an 8-byte int64 key shuffles ~10× fewer
+    * bytes than the k-word string it replaces. The 60-bit space makes
+    * collisions negligible, and the DuckDB oracle hashes at the same
+    * point so both engines see identical keys.
     */
   private def shingleTable(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), k)).as("shingle"))
+      .select(col("doc_id"), h64(col("shingle")).as("sh"))
       .distinct()
 
   /** Per-doc DISTINCT-shingle count as a map-only projection — the same
     * number the 3-stage explode→distinct→count aggregation over
-    * [[shingleTable]] produces, without its two shuffles. Used for the
-    * |A|/|B| terms of Jaccard verification.
+    * [[shingleTable]] produces, without its two shuffles. Distinctness is
+    * counted on the STRINGS (same count as the table's 60-bit hashes,
+    * collisions aside) — hashing here would run md5 inside an interpreted
+    * lambda, re-paying the whole hash pass per consumer for a number the
+    * strings already give. Used for the Jaccard denominator.
     */
   private def shingleSizes(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("w"))
@@ -88,8 +99,8 @@ object Dedup {
   private def shingleTableSql(k: Int): String =
     s"""doc_words AS (SELECT doc_id, $wordsSql AS w FROM documents),
        |doc_shingles AS (
-       |  SELECT DISTINCT doc_id, unnest(${shinglesSql(k)}) AS shingle
-       |  FROM doc_words)""".stripMargin
+       |  SELECT DISTINCT doc_id, ${h64Sql("s")} AS sh
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(k)}) AS s FROM doc_words))""".stripMargin
 
   /** Universal-hash constants for the minhash seed family, derived from
     * md5 so both engines embed identical literals: values in [1, P).
@@ -126,11 +137,13 @@ object Dedup {
     val bs = (0 until numHashes).map(seedConst("B", _))
 
     // all numHashes min-signatures as agg columns of ONE groupBy (no
-    // per-seed row explosion), band keys assembled directly from them
+    // per-seed row explosion), band keys assembled directly from them;
+    // the universal-hash mixes reuse the table's 60-bit key — no second
+    // md5 pass over the shingles
     val minCols = (0 until numHashes).map(s =>
       min((lit(as(s)) * col("hm") + lit(bs(s))) % HashP).as(s"mh$s"))
     val sig = sh
-      .withColumn("hm", h64(col("shingle")) % HashP)
+      .withColumn("hm", col("sh") % HashP)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
 
@@ -162,7 +175,7 @@ object Dedup {
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
+        col("sa.sh") === col("sb.sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
     inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
@@ -186,7 +199,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH ${shingleTableSql(k)},
        |hashed AS (
-       |  SELECT doc_id, ${h64Sql("shingle")} % $HashP AS hm FROM doc_shingles),
+       |  SELECT doc_id, sh % $HashP AS hm FROM doc_shingles),
        |sig AS (
        |  SELECT doc_id,
        |         $minExprs
@@ -203,7 +216,7 @@ object Dedup {
        |  SELECT c.doc_a, c.doc_b, count(*) AS ninter
        |  FROM cand c
        |  JOIN doc_shingles sa ON c.doc_a = sa.doc_id
-       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
        |  GROUP BY c.doc_a, c.doc_b)
        |SELECT i.doc_a, i.doc_b,
        |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
@@ -236,19 +249,19 @@ object Dedup {
     // sort — a hot shingle's partition would otherwise sort-spill at
     // corpus scale
     val shBase = shingleTable(docs, k)
-    val dfs = shBase.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfs = shBase.groupBy("sh").agg(count(lit(1)).as("df"))
     // materialize the df-annotated inverted index ONCE: five downstream
     // consumers (rare×2, hot×2, and the candidate re-expansion) would
     // otherwise each re-run the scan→explode→md5→distinct subtree — the
     // query's dominant cost. Spill-safe (MEMORY_AND_DISK blocks); at
     // cluster scale this is the explicit index-materialization step every
     // MinHash/Jaccard pipeline has (cf. the S4 columnar intermediate).
-    val sh = shBase.join(dfs, "shingle").localCheckpoint()
+    val sh = shBase.join(dfs, "sh").localCheckpoint()
     val rare = sh.where(col("df") <= maxDf).drop("df")
     val hot = sh.where(col("df") > maxDf).drop("df")
 
     val interRare = rare.as("sa").join(rare.as("sb"),
-        col("sa.shingle") === col("sb.shingle") &&
+        col("sa.sh") === col("sb.sh") &&
           col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_rare"))
@@ -256,7 +269,7 @@ object Dedup {
     val interHot = interRare.select("doc_a", "doc_b")
       .join(hot.as("ha"), col("doc_a") === col("ha.doc_id"))
       .join(hot.as("hb"), col("doc_b") === col("hb.doc_id") &&
-        col("ha.shingle") === col("hb.shingle"))
+        col("ha.sh") === col("hb.sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_hot"))
 
     val sizes = shingleSizes(docs, k)
@@ -275,22 +288,22 @@ object Dedup {
                             maxDf: Int = 1000): String =
     s"""WITH ${shingleTableSql(k)},
        |dfs AS (
-       |  SELECT doc_id, shingle,
-       |         count(*) OVER (PARTITION BY shingle) AS df
+       |  SELECT doc_id, sh,
+       |         count(*) OVER (PARTITION BY sh) AS df
        |  FROM doc_shingles),
-       |rare AS (SELECT doc_id, shingle FROM dfs WHERE df <= $maxDf),
-       |hot AS (SELECT doc_id, shingle FROM dfs WHERE df > $maxDf),
+       |rare AS (SELECT doc_id, sh FROM dfs WHERE df <= $maxDf),
+       |hot AS (SELECT doc_id, sh FROM dfs WHERE df > $maxDf),
        |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
        |inter_rare AS (
        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter_rare
        |  FROM rare sa JOIN rare sb
-       |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |    ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
        |  GROUP BY sa.doc_id, sb.doc_id),
        |inter_hot AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter_hot
        |  FROM inter_rare c
        |  JOIN hot ha ON c.doc_a = ha.doc_id
-       |  JOIN hot hb ON c.doc_b = hb.doc_id AND ha.shingle = hb.shingle
+       |  JOIN hot hb ON c.doc_b = hb.doc_id AND ha.sh = hb.sh
        |  GROUP BY c.doc_a, c.doc_b),
        |inter AS (
        |  SELECT r.doc_a, r.doc_b,
@@ -422,10 +435,9 @@ object Dedup {
     * runs where the O(pairs) operators need candidate pruning.
     */
   def ngramCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
-    val sh = shingleTable(docs, k)
-    // df on the 60-bit shingle hash, not the string: the shuffle carries
-    // 8 bytes per key instead of ~8 words of text
-    val hashed = sh.select(col("doc_id"), h64(col("shingle")).as("sh"))
+    // the shingle table keys on the 60-bit hash already — the df shuffle
+    // carries 8 bytes per key instead of ~k words of text
+    val hashed = shingleTable(docs, k)
     val dfs = hashed.groupBy("sh").agg(count(lit(1)).as("df"))
     val per = hashed.join(dfs, "sh")
       .groupBy("doc_id")
@@ -442,13 +454,11 @@ object Dedup {
 
   def ngramCoverageOracleSql(k: Int = 8): String =
     s"""WITH ${shingleTableSql(k)},
-       |hashed AS (
-       |  SELECT doc_id, ${h64Sql("shingle")} AS sh FROM doc_shingles),
-       |dfs AS (SELECT sh, count(*) AS df FROM hashed GROUP BY sh),
+       |dfs AS (SELECT sh, count(*) AS df FROM doc_shingles GROUP BY sh),
        |per AS (
        |  SELECT h.doc_id, count(*)::BIGINT AS n_shingles,
        |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
-       |  FROM hashed h JOIN dfs d ON h.sh = d.sh
+       |  FROM doc_shingles h JOIN dfs d ON h.sh = d.sh
        |  GROUP BY h.doc_id)
        |SELECT d.doc_id,
        |       coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,

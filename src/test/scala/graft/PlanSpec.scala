@@ -93,4 +93,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("cur_redact")
     assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"))
   }
+
+  test("chunking is a pure explode — no shuffle, no join") {
+    val p = plan("cur_chunk")
+    assert(!p.contains("Exchange"), "chunking must stay map-side")
+    assert(!p.contains("Join"))
+  }
+
+  test("semantic dedup joins within cells — no all-pairs stage") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cell self-join degraded to an all-pairs nested loop")
+  }
+
+  test("vocabulary joins back by broadcast; top-V is a TakeOrdered") {
+    val p = plan("cur_vocab_oov")
+    // the constant-size vocabulary must broadcast against the token
+    // table — a shuffle join would repartition every token occurrence
+    assert(p.contains("BroadcastExchange"), "vocab not broadcast")
+    // and the top-V selection must be a distributed TakeOrdered, never a
+    // single-partition global sort of the word counts
+    assert(p.contains("TakeOrderedAndProject"), "top-V is not TakeOrdered")
+  }
+
+  test("ngram coverage never materializes pairs — only key-partitioned ops") {
+    val p = plan("dedup_ngram_coverage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
