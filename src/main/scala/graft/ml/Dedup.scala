@@ -328,13 +328,16 @@ object Dedup {
     */
   def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
-    val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word")).distinct()
+    // hash before the distinct (cf. shingleTable): the distinct shuffles
+    // 8-byte keys, and the bit-sum aggregation reads the key directly
+    val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), h64(concat(col("word"), lit("#s"))).as("wh"))
+      .distinct()
     // all 60 bit-sums as agg columns of ONE groupBy — exploding a row per
     // (word, bit) would shuffle 60× the word table for the same result
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"shiftright(wh, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
     val sims = dw
-      .withColumn("wh", h64(concat(col("word"), lit("#s"))))
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
@@ -361,11 +364,12 @@ object Dedup {
     val assemble = (0 until 60).map(b =>
       s"(CASE WHEN s$b > 0 THEN ${1L << b}::BIGINT ELSE 0 END)").mkString(" + ")
     s"""WITH dw AS (
-       |  SELECT DISTINCT doc_id, unnest($wordsSql) AS word FROM documents),
+       |  SELECT DISTINCT doc_id, ${h64Sql("word || '#s'")} AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents)),
        |bitsum AS (
        |  SELECT doc_id,
        |         $bitSums
-       |  FROM (SELECT doc_id, ${h64Sql("word || '#s'")} AS wh FROM dw)
+       |  FROM dw
        |  GROUP BY doc_id),
        |sims AS (
        |  SELECT doc_id, $assemble AS simhash

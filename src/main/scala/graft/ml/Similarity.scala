@@ -302,29 +302,90 @@ object Similarity {
        |                    c.cid) AS rnk
        |  FROM e CROSS JOIN cents c)""".stripMargin
 
+  // Spark's encoder codegen needs public access (cf. Dedup.VecBlock)
+  final case class CellBlock(cell: Long, sub: Int, ids: Array[Long],
+                             flat: Array[Double], norms: Array[Double])
+  final case class CellPair(cell: Long, vec_a: Long, vec_b: Long,
+                            cos_raw: Double)
+
   /** SemDeDup-style semantic near-dup pairs: assign every vector to its
     * nearest seed centroid (the same coarse quantizer as [[ivfTopK]]),
     * then compare pairs WITHIN a cell only — cosine >= `threshold` after
     * 6-dp rounding. This is the scale path for embedding dedup: candidate
-    * volume drops from n²/2 to Σ|cell|²/2 ≈ n²/(2·nCells), and each cell
-    * is an independent hash-partitioned self-join — no all-pairs stage,
-    * no driver state beyond the constant centroid collect. Cross-cell
-    * near-dups are missed by construction (the SemDeDup trade-off);
+    * volume drops from n²/2 to Σ|cell|²/2 ≈ n²/(2·nCells), no driver
+    * state beyond the constant centroid collect. Cross-cell near-dups are
+    * missed by construction (the SemDeDup trade-off);
     * [[Dedup.embeddingCosine]] remains the exact baseline.
-    * Output: (cell, vec_a, vec_b, cosine).
+    *
+    * Physical design: each cell's vectors pack into `nSub` primitive-array
+    * sub-blocks (bounding any one task's memory even on a skewed cell);
+    * block pairs join on the cell key with sub_a <= sub_b and run the same
+    * fused while-loop kernel as the exact baseline — no per-pair array
+    * allocation, no interpreted fold over a row-level self-join. The
+    * kernel emits raw cosines with a half-ulp margin; the exact 6-dp
+    * round + threshold applies as column expressions, matching the oracle
+    * bit-for-bit. Output: (cell, vec_a, vec_b, cosine).
     */
   def semanticDedup(emb: DataFrame, threshold: Double,
-                    nCells: Int = 16): DataFrame = {
+                    nCells: Int = 16, nSub: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = normed(emb)
-    val assigned = withCellRanks(e, nCells)
+    val blocks = withCellRanks(e, nCells)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.cell").as("cell"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
-          .as("cosine"))
+      .as[(Long, Array[Double], Double, Long)]
+      .groupByKey { case (id, _, _, cell) => (cell, (id % nSub).toInt) }
+      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Array[Double], Double, Long)]) =>
+        val (cell, sub) = key
+        val rows = it.toArray.sortBy(_._1)
+        val dim = if (rows.isEmpty) 0 else rows(0)._2.length
+        val flat = new Array[Double](rows.length * dim)
+        val norms = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          System.arraycopy(rows(i)._2, 0, flat, i * dim, dim)
+          norms(i) = rows(i)._3
+          i += 1
+        }
+        CellBlock(cell, sub, rows.map(_._1), flat, norms)
+      }
+    val margin = threshold - 5.1e-7 // keep pairs that 6-dp-round up
+    val pairs = blocks.as("bl").joinWith(blocks.as("br"),
+        col("bl.cell") === col("br.cell") && col("bl.sub") <= col("br.sub"),
+        "inner")
+      .flatMap { case (a, b) =>
+        val dim = if (a.ids.length > 0) a.flat.length / a.ids.length else 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[CellPair]
+        val sameSub = a.sub == b.sub
+        var i = 0
+        while (i < a.ids.length) {
+          var j = 0
+          while (j < b.ids.length) {
+            val ia = a.ids(i)
+            val jb = b.ids(j)
+            // same sub-block: each unordered pair once via id order;
+            // distinct sub-blocks: every (i, j) combination is unique —
+            // emit with ids ordered (products commute bit-exactly)
+            if (if (sameSub) ia < jb else ia != jb) {
+              var s = 0.0
+              var d = 0
+              val oi = i * dim
+              val oj = j * dim
+              while (d < dim) { s += a.flat(oi + d) * b.flat(oj + d); d += 1 }
+              val c = s / (a.norms(i) * b.norms(j))
+              if (c >= margin)
+                out += CellPair(a.cell, math.min(ia, jb), math.max(ia, jb), c)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    pairs.toDF()
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        round(col("cos_raw"), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
