@@ -419,6 +419,12 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.imagePHash(
         Multimodal.syntheticMediaGrouped(Tables.load(s, dir, "documents")))),
+    // audio-fingerprint near-dup over grouped audio payloads — the audio
+    // twin of mm_phash_pairs (integer energy-delta signature, banded)
+    "mm_audio_fp_pairs" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.syntheticMediaGrouped(Tables.load(s, dir, "documents"),
+          kind = "audio"))),
 
     // --- event-stream relational ops: sessionize / as-of / range join ---
     "evt_sessionize" -> ((s, dir) => Events.sessionize(Events.canonical(s, dir))),
@@ -632,6 +638,7 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),
     "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
     "mm_phash_pairs" -> Multimodal.imagePHashOracleSql(),
+    "mm_audio_fp_pairs" -> Multimodal.audioFingerprintOracleSql(),
     "evt_sessionize" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),

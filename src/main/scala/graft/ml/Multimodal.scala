@@ -265,24 +265,26 @@ object Multimodal {
     * hash dedup real duplicate images to find; the per-doc media_id
     * stays unique. Same shape as [[syntheticMedia]].
     */
-  def syntheticMediaGrouped(docs: DataFrame, groupSize: Int = 7): DataFrame = {
+  def syntheticMediaGrouped(docs: DataFrame, groupSize: Int = 7,
+                            kind: String = "image"): DataFrame = {
     val hexCol = concat((0 until Blocks).map(b =>
       md5(concat(expr(s"doc_id DIV $groupSize").cast("string"),
         lit(s":media:$b")))): _*)
     docs.select(
       col("doc_id").as("media_id"),
-      lit("image").as("kind"),
+      lit(kind).as("kind"),
       unhex(hexCol).as("bytes"),
       lit(Width).as("width"), lit(Height).as("height"),
       lit(NFrames).as("n_frames"))
   }
 
-  def syntheticMediaGroupedSqlCte(groupSize: Int = 7): String = {
+  def syntheticMediaGroupedSqlCte(groupSize: Int = 7,
+                                  kind: String = "image"): String = {
     val hexExpr = (0 until Blocks)
       .map(b => s"md5((doc_id // $groupSize)::VARCHAR || ':media:$b')")
       .mkString(" || ")
     s"""media AS (
-       |  SELECT doc_id AS media_id, 'image' AS kind, $hexExpr AS hex,
+       |  SELECT doc_id AS media_id, '$kind' AS kind, $hexExpr AS hex,
        |         $Width AS width, $Height AS height, $NFrames AS n_frames
        |  FROM documents)""".stripMargin
   }
@@ -323,6 +325,83 @@ object Multimodal {
         expr("bit_count(a.phash ^ b.phash)").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------------
+  // Audio fingerprint near-dup
+  // ---------------------------------------------------------------------
+
+  /** Audio-fingerprint near-dup pairs — the audio twin of [[imagePHash]]
+    * (and of text SimHash): per payload, 64 windows of `winSamples`
+    * samples each yield an energy (sum of squares — INTEGER, so the
+    * "energy rising" compare needs no sqrt and no float rounding);
+    * signature bit w = energy(w+1) > energy(w), the classic
+    * spectral-delta fingerprint shape collapsed to the time domain the
+    * stub codec exposes. 60 delta bits pack into the shared 60-bit
+    * convention; candidates come from the same 15-bit-band pigeonhole
+    * (exact for hamming ≤ 3). Output: (media_a, media_b, hamming).
+    */
+  def audioFingerprint(media: DataFrame, maxHamming: Int = 3,
+                       winSamples: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    val hashes = media.where(col("kind") === "audio")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val ss = bytes.grouped(winSamples).map { win =>
+              var s = 0L
+              win.foreach { b => val v = b & 0xff; s += v.toLong * v }
+              s
+            }.toArray
+            var h = 0L
+            var w = 0
+            while (w < 60 && w + 1 < ss.length) {
+              if (ss(w + 1) > ss(w)) h |= 1L << w
+              w += 1
+            }
+            (id, h)
+          }
+        }
+      }.toDF("media_id", "afp")
+      .localCheckpoint() // both band-join sides reuse the decode+hash pass
+    val band = hashes.withColumn("b", explode(lit((0 until 4).toArray)))
+      .withColumn("bkey", expr("shiftright(afp, 15 * b) & 32767"))
+    band.as("a").join(band.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.afp ^ b.afp)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  def audioFingerprintOracleSql(maxHamming: Int = 3, winSamples: Int = 4,
+                                groupSize: Int = 7): String = {
+    val nWins = Width * Height / winSamples
+    val ssCols = (0 until nWins).map(w =>
+      s"sum(CASE WHEN i // $winSamples = $w THEN px::BIGINT * px::BIGINT ELSE 0 END) AS ss$w")
+      .mkString(",\n         ")
+    val bits = (0 until 60).map(w =>
+      s"(CASE WHEN ss${w + 1} > ss$w THEN ${1L << w}::BIGINT ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${syntheticMediaGroupedSqlCte(groupSize, "audio")},
+       |$pixelsSqlCte,
+       |wins AS (
+       |  SELECT media_id,
+       |         $ssCols
+       |  FROM pixels GROUP BY media_id),
+       |hashes AS (SELECT media_id, $bits AS afp FROM wins),
+       |band AS (
+       |  SELECT media_id, afp, b, (afp >> (15 * b)) & 32767 AS bkey
+       |  FROM hashes, unnest(range(0, 4)) AS r(b))
+       |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |       bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+       |FROM band a JOIN band b
+       |  ON a.b = b.b AND a.bkey = b.bkey AND a.media_id < b.media_id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= $maxHamming""".stripMargin
   }
 
   def imagePHashOracleSql(maxHamming: Int = 3, groupSize: Int = 7): String = {

@@ -90,4 +90,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Seq((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L),
       (3L, 4L, 0L), (3L, 5L, 0L), (4L, 5L, 0L)))
   }
+
+  test("audioFingerprint pairs shared payloads, delta bits match direct calc") {
+    val six = Seq.tabulate(6)(i => (i.toLong, "t")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMediaGrouped(six, 3, kind = "audio")
+    val out = Multimodal.audioFingerprint(media)
+      .select("media_a", "media_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L),
+      (3L, 4L, 0L), (3L, 5L, 0L), (4L, 5L, 0L)))
+    // the signature really is the energy-delta bits of the payload
+    val bytes = media.where($"media_id" === 0).select("bytes")
+      .head().getAs[Array[Byte]](0)
+    val ss = bytes.grouped(4)
+      .map(_.map(b => { val v = b & 0xff; v.toLong * v }).sum).toArray
+    val risingBits = (0 until 60).count(w => ss(w + 1) > ss(w))
+    // payload bytes are md5 noise: deltas must be a non-degenerate mix
+    assert(risingBits > 10 && risingBits < 50)
+  }
 }
