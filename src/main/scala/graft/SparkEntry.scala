@@ -404,6 +404,8 @@ object SparkEntry {
       Curation.chunk(Tables.load(s, dir, "documents"))),
     "cur_vocab_oov" -> ((s, dir) =>
       Curation.vocabOov(Tables.load(s, dir, "documents"))),
+    "cur_source_mix" -> ((s, dir) =>
+      Curation.sourceMix(Tables.load(s, dir, "documents"))),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -443,7 +445,9 @@ object SparkEntry {
     "text_entropy" -> ((s, dir) =>
       TextStats.charEntropy(Tables.load(s, dir, "documents"))),
     "evt_funnel" -> ((s, dir) => Events.funnel(Events.canonical(s, dir))),
-    "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))))
+    "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))),
+    // semi-structured metadata: JSON props field extraction + rollup
+    "evt_props_agg" -> ((s, dir) => Events.propsAgg(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -633,6 +637,7 @@ object SparkEntry {
     "cur_tfidf_terms" -> Curation.tfidfTermsOracleSql(),
     "cur_chunk" -> Curation.chunkOracleSql(),
     "cur_vocab_oov" -> Curation.vocabOovOracleSql(),
+    "cur_source_mix" -> Curation.sourceMixOracleSql,
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),
@@ -650,5 +655,6 @@ object SparkEntry {
          |FROM ev e JOIN p USING (user_id)""".stripMargin,
     "text_entropy" -> TextStats.charEntropyOracleSql,
     "evt_funnel" -> Events.funnelOracleSql,
-    "evt_retention" -> Events.retentionOracleSql)
+    "evt_retention" -> Events.retentionOracleSql,
+    "evt_props_agg" -> Events.propsAggOracleSql)
 }

@@ -496,6 +496,47 @@ object Curation {
        |FROM st""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Source mixing report
+  // ---------------------------------------------------------------------
+
+  /** Per-source mixing report — the numbers a domain-reweighting decision
+    * is made on: document and token counts, each source's token share,
+    * and the sampling weight that would equalize token mass across
+    * sources (uniform target / actual share). One source-keyed hash
+    * aggregation; the corpus totals are a single-row aggregate combined
+    * by a constant-size 1×1 cross join (cf. [[datasetCard]]).
+    * Output: (source, n_docs, n_tokens, token_share, uniform_weight).
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val share = col("n_tokens").cast("double") / col("tot_tokens")
+    per.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("token_share"),
+        round((lit(1.0) / col("n_sources")) / share, 6).as("uniform_weight"))
+  }
+
+  val sourceMixOracleSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |         sum(len($wordsSql))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+       |         count(*)::BIGINT AS n_sources
+       |  FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |       round(n_tokens::DOUBLE / tot_tokens, 6) AS token_share,
+       |       round((1.0::DOUBLE / n_sources)
+       |             / (n_tokens::DOUBLE / tot_tokens), 6) AS uniform_weight
+       |FROM per, tot""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Vocabulary build + OOV rate
   // ---------------------------------------------------------------------
 

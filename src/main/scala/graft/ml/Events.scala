@@ -278,4 +278,34 @@ object Events {
        |       count(DISTINCT e.user_id)::BIGINT AS n_users
        |FROM ev e JOIN first f ON e.user_id = f.user_id
        |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Semi-structured metadata extraction
+  // ---------------------------------------------------------------------
+
+  /** Semi-structured props rollup: extract the integer `k` attribute from
+    * the JSON `props` column and aggregate per event type — the
+    * metadata-column pattern of real event/web corpora (properties land
+    * as a JSON string; queries pull typed fields out). get_json_object is
+    * a codegen'd path expression, so extraction is a pure scan; the
+    * rollup is one hash aggregation on a tiny key. Rows whose props lack
+    * `k` are excluded on both engines. Output: (event_type, n, sum_k,
+    * avg_k).
+    */
+  def propsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"))
+
+  val propsAggOracleSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+      |       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY event_type""".stripMargin
 }

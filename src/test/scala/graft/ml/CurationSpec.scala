@@ -188,6 +188,18 @@ class CurationSpec extends SparkSpec {
     assert(sig === expect)
   }
 
+  test("sourceMix: token shares and the uniform-rebalance weights") {
+    val d = Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b", "s1"), // s1: 8 tokens
+      (3L, "x y", "s2"))                            // s2: 2 tokens
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceMix(d)
+      .select("source", "n_docs", "n_tokens", "token_share", "uniform_weight")
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("s1") === (("s1", 2L, 8L, 0.8, 0.625)))  // 0.5 / 0.8
+    assert(out("s2") === (("s2", 1L, 2L, 0.2, 2.5)))    // 0.5 / 0.2
+  }
+
   test("vocabOov: top-V vocabulary with count/word tie-break, per-doc rate") {
     val d = docs(
       1L -> "the the the cat cat dog",

@@ -132,4 +132,18 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L))) // purchase itself + event 2
   }
+
+  test("propsAgg extracts the JSON field and skips rows without it") {
+    val dir = java.nio.file.Files.createTempDirectory("evtprops").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 10}"""),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, """{"k": 4}"""),
+      (3L, ts("2024-01-01 10:02:00"), 2L, "view", 1.0, """{"other": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.propsAgg(spark, dir)
+      .select("event_type", "n", "sum_k", "avg_k")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("click", 2L, 14L, 7.0))) // view row has no k
+  }
 }
