@@ -333,6 +333,9 @@ object SparkEntry {
     // int8 storage path for the vector corpus
     "ann_quantize" -> ((s, dir) =>
       Similarity.quantize(Tables.load(s, dir, "embeddings"))),
+    // product-quantization codes: the compressed-codebook storage path
+    "ann_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(Tables.load(s, dir, "embeddings"))),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -585,6 +588,7 @@ object SparkEntry {
     "ann_lsh_recall" -> Similarity.lshRecallOracleSql(k = 10),
     "ann_ivf_recall" -> Similarity.ivfRecallOracleSql(k = 10),
     "ann_quantize" -> Similarity.quantizeOracleSql,
+    "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

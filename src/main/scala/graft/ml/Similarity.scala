@@ -402,6 +402,77 @@ object Similarity {
        |WHERE round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6)
        |      >= $threshold""".stripMargin
 
+  /** Product-quantization codes — the storage path beyond int8: split
+    * each vector into `nSub` contiguous subvectors and assign every
+    * subvector to its nearest codeword (L2, 9-dp-rounded with code-id
+    * tie-break). Codebooks reuse the seed-vector convention of the IVF
+    * coarse quantizer: codebook m = subvector m of the `k` smallest-id
+    * corpus vectors — deterministic, collected driver-side
+    * (constant-bounded) and broadcast; assignment is one linear scan.
+    * Output long-form: (vec_id, sub, code) — nSub·k·dim/nSub work per
+    * row, no shuffle. A production build swaps the seed codebooks for
+    * k-means ones; every shape downstream is unchanged.
+    */
+  def pqCodes(emb: DataFrame, nSub: Int = 8, k: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = normed(emb)
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy("vec_id").limit(k)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(cents)
+    val codes = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      val sub = va.length / nSub
+      Array.tabulate(nSub) { m =>
+        var bestCode = -1L
+        var bestD = Double.MaxValue
+        bc.value.foreach { case (cid, cv) =>
+          var d2 = 0.0
+          var d = 0
+          while (d < sub) {
+            val diff = va(m * sub + d) - cv(m * sub + d)
+            d2 += diff * diff
+            d += 1
+          }
+          val r = math.floor(d2 * 1e9 + 0.5) / 1e9
+          if (r < bestD || (r == bestD && cid < bestCode)) {
+            bestD = r; bestCode = cid
+          }
+        }
+        bestCode
+      }
+    }
+    e.select(col("vec_id"), posexplode(codes(col("v"))).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  def pqCodesOracleSql(nSub: Int = 8, k: Int = 16, dim: Int = 64): String = {
+    val sub = dim / nSub
+    val branches = (0 until nSub).map { m =>
+      val d2 = (0 until sub).map { d =>
+        val i = m * sub + d + 1
+        s"(e.v[$i] - c.cv[$i]) * (e.v[$i] - c.cv[$i])"
+      }.mkString(" + ")
+      s"SELECT e.vec_id, $m AS sub, c.cid, $d2 AS d2 FROM e CROSS JOIN cents c"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |dists AS (
+       |  $branches),
+       |ranked AS (
+       |  SELECT vec_id, sub, cid,
+       |         row_number() OVER (
+       |           PARTITION BY vec_id, sub
+       |           ORDER BY floor(d2 * 1e9 + 0.5) / 1e9, cid) AS rnk
+       |  FROM dists)
+       |SELECT vec_id, sub::BIGINT AS sub, cid AS code
+       |FROM ranked WHERE rnk = 1""".stripMargin
+  }
+
   def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                        isQuerySql: String = defaultIsQuerySql): String =
     s"""WITH ${cellCtesSql(nCells)},

@@ -181,6 +181,21 @@ class MlSpec extends SparkSpec {
     assert(out(4L) === ((4L, 0L, 0L, 0.0))) // < k words
   }
 
+  test("pqCodes: seed vectors self-assign, every vector gets nSub codes") {
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(emb, nSub = 8, k = 4)
+      .select($"vec_id", $"sub", $"code").as[(Long, Long, Long)].collect()
+    assert(out.length === 24 * 8)
+    // a codebook seed vector is its own nearest codeword in EVERY subspace
+    // (d2 = 0 exactly)
+    for (seed <- 0L until 4L)
+      assert(out.filter(_._1 == seed).forall(_._3 == seed))
+    // codes come from the codebook id set only
+    assert(out.map(_._3).toSet.subsetOf((0L until 4L).toSet))
+  }
+
   test("token stats and quality formulas") {
     val d = docs(1L -> "the cat sat on the mat")
     val ts = TextStats.tokenStats(d).collect().head
