@@ -392,6 +392,21 @@ object SparkEntry {
         .join(good, Seq("doc_id"), "left_semi")
         .select("doc_id", "lang_pred", "split")
     }),
+    // the full pretraining-example path in ONE plan: quality gate ∧
+    // span-dup gate (ngram coverage) ∧ exact-dedup keeper → overlapped
+    // chunking of the survivors — raw corpus in, training units out
+    "cur_pipeline3" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val good = TextStats.quality(docs)
+        .where(col("quality_score") >= 0.5).select("doc_id")
+      val fresh = Dedup.ngramCoverage(docs)
+        .where(col("dup_frac") < 0.5).select("doc_id")
+      val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      Curation.chunk(docs)
+        .join(good, Seq("doc_id"), "left_semi")
+        .join(fresh, Seq("doc_id"), "left_semi")
+        .join(keepers, Seq("doc_id"), "left_semi")
+    }),
     "cur_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
@@ -633,6 +648,21 @@ object SparkEntry {
           |JOIN sampled s ON a.doc_id = s.doc_id
           |SEMI JOIN fluent f ON a.doc_id = f.doc_id
           |SEMI JOIN good g ON a.doc_id = g.doc_id""".stripMargin),
+    "cur_pipeline3" ->
+      (s"""WITH good AS (
+          |  SELECT doc_id FROM (${TextStats.qualityOracleSql})
+          |  WHERE quality_score >= 0.5),
+          |fresh AS (
+          |  SELECT doc_id FROM (${Dedup.ngramCoverageOracleSql()})
+          |  WHERE dup_frac < 0.5),
+          |keepers AS (
+          |  SELECT keep_id AS doc_id FROM (${Dedup.exactOracleSql})),
+          |chunks AS (${Curation.chunkOracleSql()})
+          |SELECT c.doc_id, c.chunk_id, c.start_word, c.n_tokens, c.sig
+          |FROM chunks c
+          |SEMI JOIN good g ON c.doc_id = g.doc_id
+          |SEMI JOIN fresh f ON c.doc_id = f.doc_id
+          |SEMI JOIN keepers k ON c.doc_id = k.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "cur_redact" -> Curation.redactOracleSql,

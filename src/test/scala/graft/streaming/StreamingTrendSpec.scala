@@ -214,6 +214,18 @@ class StreamingTrendSpec extends SparkSpec {
     val batch = graft.ml.TextStats.quality(docRows.toDF("doc_id", "text"))
     assert(streamed.count() === 2)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // chunking is likewise a per-row explode — runs on a stream as-is
+    val cinput = MemoryStream[(Long, String)]
+    val cq = graft.ml.Curation.chunk(
+        cinput.toDF().toDF("doc_id", "text"), window = 3, stride = 2)
+      .writeStream.format("memory").queryName("schunk")
+      .outputMode("append").start()
+    try { cinput.addData(docRows); cq.processAllAvailable() } finally cq.stop()
+    val cstreamed = spark.table("schunk")
+    val cbatch = graft.ml.Curation.chunk(
+      docRows.toDF("doc_id", "text"), window = 3, stride = 2)
+    assert(cstreamed.count() === cbatch.count())
+    assert(cstreamed.exceptAll(cbatch).isEmpty && cbatch.exceptAll(cstreamed).isEmpty)
   }
 
   test("streaming exact dedup emits each content key once, first doc wins") {
