@@ -122,4 +122,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("pq encoding is a broadcast scan — no shuffle") {
+    assert(!plan("ann_pq_codes").contains("Exchange"),
+      "PQ assignment must stay map-side (codebooks are broadcast)")
+  }
+
+  test("json props rollup is one aggregation over a pure extraction scan") {
+    // one shuffle for the groupBy; extraction itself must not add more
+    assert("Exchange".r.findAllIn(plan("evt_props_agg")).size == 1)
+  }
+
+  test("banded fingerprint joins stay free of nested loops") {
+    for (q <- Seq("mm_phash_pairs", "mm_audio_fp_pairs", "dedup_editdist")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
 }
