@@ -496,9 +496,15 @@ object Dedup {
     // are their own cluster by definition and must not ride through every
     // propagation round (at corpus scale near-dup pairs touch a small
     // fraction of docs; shuffling the full label table per round would
-    // dominate). They rejoin via the final left join below.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // dominate). They rejoin via the final left join below. The initial
+    // label is already min(self, neighbors) — the same aggregation the
+    // vertex-set distinct would shuffle anyway, pre-applying round 1's
+    // one-hop step so star graphs (the common near-dup shape) converge
+    // one full round earlier.
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min("dst").as("nmin"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nmin")).as("cluster_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
