@@ -336,6 +336,10 @@ object SparkEntry {
     // product-quantization codes: the compressed-codebook storage path
     "ann_pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(Tables.load(s, dir, "embeddings"))),
+    // the full compressed-index ANN query: IVF cells + ADC over PQ codes
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -604,6 +608,7 @@ object SparkEntry {
     "ann_ivf_recall" -> Similarity.ivfRecallOracleSql(k = 10),
     "ann_quantize" -> Similarity.quantizeOracleSql,
     "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
+    "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

@@ -473,6 +473,122 @@ object Similarity {
        |FROM ranked WHERE rnk = 1""".stripMargin
   }
 
+  /** IVF-PQ approximate top-k — the full compressed-index ANN query:
+    * candidates come from the query's `nProbe` nearest IVF cells, and
+    * ranking uses asymmetric-distance computation (ADC) over the PQ
+    * codes: a per-query lookup table of squared L2 distances from each
+    * query subvector to every codeword (nSub·nCode entries, a
+    * constant-size relation), gathered per candidate through its codes
+    * and summed. No full vector is touched after indexing — exactly the
+    * IVF-PQ engine shape, expressed relationally.
+    *
+    * Determinism: every LUT entry is scaled to an int64
+    * (floor(d2·1e9 + 0.5)), so the per-candidate ADC sum is an
+    * order-independent INTEGER — no float-summation ambiguity between
+    * engines; ties break on neighbor id. Output:
+    * (query_id, neighbor_id, adc_e9, rank) with adc_e9 the scaled
+    * integer distance (smaller = closer).
+    */
+  def ivfPqTopK(emb: DataFrame, isQuery: Column, k: Int, nCells: Int = 16,
+                nProbe: Int = 4, nSub: Int = 8, nCode: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = normed(emb)
+    val ranked = withCellRanks(e, nCells)
+    val assigned = ranked.select(col("vec_id"),
+      element_at(col("cells"), 1).as("cell"))
+    val probes = ranked.where(isQuery)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(col("cells"), 1, nProbe)).as("cell"))
+    val codes = pqCodes(emb, nSub, nCode)
+
+    // (sub, code, codeword-subvector) — constant-size relation from the
+    // same seed codebooks pqCodes assigns against
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy("vec_id").limit(nCode)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dim = if (cents.nonEmpty) cents(0)._2.length else 0
+    val sub = dim / nSub
+    val cwRows = for {
+      m <- 0 until nSub
+      (cid, cv) <- cents
+    } yield (m.toLong, cid, cv.slice(m * sub, (m + 1) * sub).toSeq)
+    val cw = spark.createDataset(cwRows).toDF("sub", "code", "cw")
+
+    // per-query ADC lookup table: d2(query subvector, codeword), scaled
+    // to an exact int64
+    val qv = e.where(isQuery).select(col("vec_id").as("query_id"), col("v"))
+    val qsub = slice(col("v"), col("sub").cast("int") * sub + 1, lit(sub))
+    val d2 = aggregate(zip_with(qsub, col("cw"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val lut = qv.crossJoin(broadcast(cw))
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(d2 * 1e9 + 0.5).cast("long").as("d2i"))
+
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val adc = cand
+      .join(codes, "vec_id")
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d2i").as("adc_e9"))
+    // two-phase rank (cf. topK), ascending by integer distance
+    val byDist = Seq(asc("adc_e9"), asc("neighbor_id"))
+    val pre = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
+      .orderBy(byDist: _*)
+    val fin = Window.partitionBy("query_id").orderBy(byDist: _*)
+    adc
+      .withColumn("r1", row_number().over(pre)).where(col("r1") <= k).drop("r1")
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_e9", "rank")
+  }
+
+  def ivfPqTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                         nSub: Int = 8, nCode: Int = 16, dim: Int = 64,
+                         isQuerySql: String = defaultIsQuerySql): String = {
+    val sub = dim / nSub
+    val lutBranches = (0 until nSub).map { m =>
+      val d2 = (0 until sub).map { d =>
+        val i = m * sub + d + 1
+        s"(q.v[$i] - c.cv[$i]) * (q.v[$i] - c.cv[$i])"
+      }.mkString(" + ")
+      s"""SELECT q.vec_id AS query_id, $m AS sub, c.cid AS code,
+         |         floor(($d2) * 1e9 + 0.5)::BIGINT AS d2i
+         |  FROM q, pqcents c""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${cellCtesSql(nCells)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |q AS (SELECT vec_id, v FROM e WHERE $isQuerySql),
+       |pqcents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nCode),
+       |codes AS (SELECT * FROM (${pqCodesOracleSql(nSub, nCode, dim)})),
+       |lut AS (
+       |  $lutBranches),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |         sum(l.d2i)::BIGINT AS adc_e9
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id
+       |            AND l.sub = co.sub AND l.code = co.code
+       |  GROUP BY cd.query_id, cd.vec_id),
+       |rankedq AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc_e9, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc_e9, rank
+       |FROM rankedq WHERE rank <= $k""".stripMargin
+  }
+
   def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                        isQuerySql: String = defaultIsQuerySql): String =
     s"""WITH ${cellCtesSql(nCells)},

@@ -196,6 +196,27 @@ class MlSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf((0L until 4L).toSet))
   }
 
+  test("ivfPqTopK: exact duplicate of a seed ranks first at ADC zero") {
+    // vec 20 duplicates vec 0 (a codebook seed): its PQ codes are 0's
+    // self-assignments, so the query-0 lookup gathers distance 0 exactly
+    val emb = ((0L until 20L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    } :+ (20L, Array.tabulate(64)(d => math.sin(0 * 17.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(emb, col("vec_id") === 0, k = 21,
+        nCells = 4, nProbe = 2, nSub = 8, nCode = 4)
+      .orderBy("rank")
+      .select($"neighbor_id", $"adc_e9", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    // the duplicate gathers distance 0 exactly; other vectors whose every
+    // code collapses to codeword 0 legitimately tie (ADC quantization),
+    // with ties broken on the smaller id
+    assert(out.exists(r => r._1 == 20L && r._2 == 0L))
+    assert(out.map(_._3).toSeq === (1 to out.length)) // contiguous ranks
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq) // non-decreasing
+  }
+
   test("token stats and quality formulas") {
     val d = docs(1L -> "the cat sat on the mat")
     val ts = TextStats.tokenStats(d).collect().head
