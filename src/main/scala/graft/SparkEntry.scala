@@ -330,6 +330,9 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    "ann_ivfpq_recall" -> ((s, dir) =>
+      Similarity.ivfPqRecall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
     // int8 storage path for the vector corpus
     "ann_quantize" -> ((s, dir) =>
       Similarity.quantize(Tables.load(s, dir, "embeddings"))),
@@ -606,6 +609,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
     "ann_lsh_recall" -> Similarity.lshRecallOracleSql(k = 10),
     "ann_ivf_recall" -> Similarity.ivfRecallOracleSql(k = 10),
+    "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracleSql(k = 10),
     "ann_quantize" -> Similarity.quantizeOracleSql,
     "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),

@@ -133,6 +133,13 @@ object Similarity {
   def ivfRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
     recallVs(bruteForceTopK(emb, isQuery, k), ivfTopK(emb, isQuery, k), k)
 
+  /** Recall of the compressed-index ranking (IVF-PQ ADC) against the
+    * exact one — quantifies what PQ compression costs on top of cell
+    * probing, the number an IVF-PQ deployment tunes nProbe/nSub against.
+    */
+  def ivfPqRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, isQuery, k), ivfPqTopK(emb, isQuery, k), k)
+
   /** Shared oracle for [[recallVs]]: both args are full SELECTs. */
   private def recallOracleSql(exactSql: String, approxSql: String, k: Int): String =
     s"""WITH bf AS (SELECT * FROM ($exactSql)),
@@ -151,6 +158,9 @@ object Similarity {
 
   def ivfRecallOracleSql(k: Int): String =
     recallOracleSql(bruteForceTopKOracleSql(k), ivfTopKOracleSql(k), k)
+
+  def ivfPqRecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), ivfPqTopKOracleSql(k), k)
 
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
