@@ -431,6 +431,19 @@ object SparkEntry {
       Curation.vocabOov(Tables.load(s, dir, "documents"))),
     "cur_source_mix" -> ((s, dir) =>
       Curation.sourceMix(Tables.load(s, dir, "documents"))),
+    // snapshot diff via FULL OUTER join: snapshot B deterministically
+    // drops every 11th doc, edits every 13th, and adds a shifted copy of
+    // every 17th — so all four statuses appear and are oracle-checked
+    "cur_snapshot_diff" -> ((s, dir) => {
+      val a = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val b = a.where(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(a.where(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.snapshotDiff(a, b)
+    }),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -681,6 +694,15 @@ object SparkEntry {
     "cur_chunk" -> Curation.chunkOracleSql(),
     "cur_vocab_oov" -> Curation.vocabOovOracleSql(),
     "cur_source_mix" -> Curation.sourceMixOracleSql,
+    "cur_snapshot_diff" -> Curation.snapshotDiffOracleSql(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id,
+        |       CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN text || ' v2'
+        |            ELSE text END AS text
+        |FROM documents WHERE ((doc_id % 11) + 11) % 11 != 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, text FROM documents
+        |WHERE ((doc_id % 17) + 17) % 17 = 0""".stripMargin),
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

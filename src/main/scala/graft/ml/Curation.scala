@@ -496,6 +496,40 @@ object Curation {
        |FROM st""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Corpus snapshot diff
+  // ---------------------------------------------------------------------
+
+  /** Snapshot diff between two corpus versions — the refresh-ops question
+    * "what changed since the last crawl": every doc_id classified as
+    * added / removed / modified / unchanged by a FULL OUTER join of the
+    * two (doc_id, md5) relations. Content compare is by signature, so
+    * the join carries 16 bytes per side, never the text. One
+    * hash-partitioned join on the id key — scale-safe.
+    * Inputs are (doc_id, text) frames; output: (doc_id, status).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val sa = a.select(col("doc_id").as("id_a"), md5(col("text")).as("sig_a"))
+    val sb = b.select(col("doc_id").as("id_b"), md5(col("text")).as("sig_b"))
+    sa.join(sb, col("id_a") === col("id_b"), "full_outer")
+      .select(coalesce(col("id_a"), col("id_b")).as("doc_id"),
+        when(col("id_b").isNull, "removed")
+          .when(col("id_a").isNull, "added")
+          .when(col("sig_a") =!= col("sig_b"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Oracle twin; `aSql`/`bSql` each select (doc_id, text). */
+  def snapshotDiffOracleSql(aSql: String, bSql: String): String =
+    s"""WITH sa AS (SELECT doc_id, md5(text) AS sig FROM ($aSql)),
+       |sb AS (SELECT doc_id, md5(text) AS sig FROM ($bSql))
+       |SELECT coalesce(sa.doc_id, sb.doc_id) AS doc_id,
+       |       CASE WHEN sb.doc_id IS NULL THEN 'removed'
+       |            WHEN sa.doc_id IS NULL THEN 'added'
+       |            WHEN sa.sig != sb.sig THEN 'modified'
+       |            ELSE 'unchanged' END AS status
+       |FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Source mixing report
   // ---------------------------------------------------------------------
 

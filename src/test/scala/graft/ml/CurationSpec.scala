@@ -200,6 +200,15 @@ class CurationSpec extends SparkSpec {
     assert(out("s2") === (("s2", 1L, 2L, 0.2, 2.5)))    // 0.5 / 0.2
   }
 
+  test("snapshotDiff classifies added/removed/modified/unchanged") {
+    val a = docs(1L -> "same", 2L -> "old text", 3L -> "gone")
+    val b = docs(1L -> "same", 2L -> "new text", 4L -> "brand new")
+    val out = Curation.snapshotDiff(a, b)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("vocabOov: top-V vocabulary with count/word tie-break, per-doc rate") {
     val d = docs(
       1L -> "the the the cat cat dog",
