@@ -361,6 +361,11 @@ object SparkEntry {
     "cur_decontaminate" -> ((s, dir) =>
       Curation.decontaminate(Tables.load(s, dir, "documents"),
         pmod(col("doc_id"), lit(97)) === 0)),
+    // Bloom-prefiltered twin: bit-identical result (exact join removes
+    // the Bloom's false positives), so it shares the exact oracle
+    "cur_decontaminate_bloom" -> ((s, dir) =>
+      Curation.decontaminateBloom(Tables.load(s, dir, "documents"),
+        pmod(col("doc_id"), lit(97)) === 0)),
     "cur_split" -> ((s, dir) => Curation.assignSplit(Tables.load(s, dir, "documents"))),
     // rebalance: halve the dominant language, keep the rest
     "cur_stratified_sample" -> ((s, dir) =>
@@ -634,6 +639,8 @@ object SparkEntry {
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->
+      Curation.decontaminateOracleSql("((doc_id % 97) + 97) % 97 = 0"),
+    "cur_decontaminate_bloom" ->
       Curation.decontaminateOracleSql("((doc_id % 97) + 97) % 97 = 0"),
     "cur_split" -> Curation.assignSplitOracleSql(),
     "cur_stratified_sample" ->

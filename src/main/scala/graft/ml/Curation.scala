@@ -40,6 +40,39 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — identical output to
+    * [[decontaminate]] (same oracle): a Bloom filter of the benchmark
+    * shingle set prunes the corpus shingle stream BEFORE the exact
+    * broadcast semi-join, so only probable hits reach the join at all.
+    * False positives are eliminated by the exact join that follows;
+    * false negatives are impossible — which is why the result is
+    * bit-identical and the scale win is free. At 100 TB this is the
+    * difference between broadcasting a hash relation of every benchmark
+    * shingle and broadcasting a bit array ~10× smaller — the standard
+    * pushdown when the reference set outgrows a comfortable broadcast.
+    */
+  def decontaminateBloom(docs: DataFrame, isBenchmark: Column,
+                         k: Int = 8, fpp: Double = 0.01): DataFrame = {
+    def docShingles(d: DataFrame) = d
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), k)).as("s"))
+      .select(col("doc_id"), h64(col("s")).as("sh"))
+    val benchShingles = docShingles(docs.where(isBenchmark)).select("sh").distinct()
+    val nBench = benchShingles.count() // benchmark-sized: bounded, one job
+    val bloom = benchShingles.stat.bloomFilter("sh", math.max(nBench, 1L), fpp)
+    val spark = docs.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((sh: Long) => bloomB.value.mightContainLong(sh))
+    val hits = docShingles(docs)
+      .where(mightContain(col("sh"))) // bits-only prefilter, map-side
+      .join(broadcast(benchShingles), "sh") // exact verify removes FPs
+      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** DuckDB oracle for [[decontaminate]]; `isBenchmarkSql` selects the
     * benchmark rows of `documents` (over columns doc_id/text).
     */

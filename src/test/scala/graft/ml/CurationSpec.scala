@@ -23,6 +23,16 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("decontaminateBloom equals the exact pass bit-for-bit") {
+    val d = docs(
+      1L -> "one two three four five six seven eight nine",
+      2L -> "zz one two three four five six seven eight yy",
+      3L -> "totally different words with no overlap at all nine")
+    val exact = Curation.decontaminate(d, col("doc_id") === 1L, k = 8).collect()
+    val bloom = Curation.decontaminateBloom(d, col("doc_id") === 1L, k = 8).collect()
+    assert(exact.map(_.toSeq).toSet === bloom.map(_.toSeq).toSet)
+  }
+
   test("assignSplit is deterministic, exhaustive, and threshold-consistent") {
     val d = docs((0L until 100L).map(i => i -> s"doc $i"): _*)
     val a = Curation.assignSplit(d, trainPct = 80, valPct = 10).collect()
