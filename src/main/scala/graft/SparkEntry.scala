@@ -423,6 +423,9 @@ object SparkEntry {
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
       Curation.lengthQuantiles(Tables.load(s, dir, "documents"))),
+    // two-phase global decile assignment (boundaries → literal compare)
+    "cur_quality_buckets" -> ((s, dir) =>
+      Curation.qualityBuckets(Tables.load(s, dir, "documents"))),
     "cur_redact" -> ((s, dir) => Curation.redact(Tables.load(s, dir, "documents"))),
     "cur_perplexity" -> ((s, dir) =>
       Curation.perplexity(Tables.load(s, dir, "documents"))),
@@ -694,6 +697,7 @@ object SparkEntry {
           |SEMI JOIN keepers k ON c.doc_id = k.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
+    "cur_quality_buckets" -> Curation.qualityBucketsOracleSql(),
     "cur_redact" -> Curation.redactOracleSql,
     "cur_perplexity" -> Curation.perplexityOracleSql(),
     "cur_dataset_card" -> Curation.datasetCardOracleSql,

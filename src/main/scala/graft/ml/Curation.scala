@@ -529,6 +529,48 @@ object Curation {
        |FROM st""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Global quality bucketing
+  // ---------------------------------------------------------------------
+
+  /** Global quantile bucketing of the quality score — equal-population
+    * quality tiers WITHOUT a global sort: phase 1 computes the
+    * `nBuckets−1` interpolated quantile boundaries (one distributed
+    * aggregation to a constant-size result), phase 2 assigns each
+    * document by counting boundaries below its score (a broadcast-free
+    * literal comparison chain). This is the standard two-phase global
+    * bucketing shape — an ntile() window here would serialize the corpus
+    * through one partition. Boundaries are 9-dp-rounded before the
+    * compare so a last-ulp interpolation difference between engines
+    * cannot flip a boundary-sitting document.
+    * Output: (doc_id, quality_score, bucket) — bucket in [1, nBuckets].
+    */
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val q = TextStats.quality(docs).select("doc_id", "quality_score")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = q
+      .agg(percentile(col("quality_score"),
+        typedlit(probs)).as("bs"))
+      .head().getSeq[Double](0)
+      .map(b => math.floor(b * 1e9 + 0.5) / 1e9)
+    val bucket = bounds
+      .map(b => when(col("quality_score") > lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L)) + lit(1L)
+    q.select(col("doc_id"), col("quality_score"), bucket.as("bucket"))
+  }
+
+  def qualityBucketsOracleSql(nBuckets: Int = 10): String = {
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+      .mkString("[", ", ", "]")
+    val terms = (1 until nBuckets).map(i =>
+      s"(CASE WHEN quality_score > floor(b[$i] * 1e9 + 0.5) / 1e9 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT doc_id, quality_score FROM (${TextStats.qualityOracleSql})),
+       |bs AS (SELECT quantile_cont(quality_score, $probs) AS b FROM q)
+       |SELECT doc_id, quality_score, (1 + $terms)::BIGINT AS bucket
+       |FROM q, bs""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Corpus snapshot diff
   // ---------------------------------------------------------------------
 

@@ -210,6 +210,23 @@ class CurationSpec extends SparkSpec {
     assert(out("s2") === (("s2", 1L, 2L, 0.2, 2.5)))    // 0.5 / 0.2
   }
 
+  test("qualityBuckets: equal-population tiers, monotone in score") {
+    // 20 docs with spread-out word counts -> spread-out quality scores
+    val d = docs((1L to 20L).map(i =>
+      i -> (Seq.fill(i.toInt * 3)("w" + i).mkString(" ") + " extra unique words here")): _*)
+    val out = Curation.qualityBuckets(d, nBuckets = 4)
+      .select("doc_id", "quality_score", "bucket")
+      .as[(Long, Double, Long)].collect()
+    assert(out.length === 20)
+    assert(out.map(_._3).forall(b => b >= 1 && b <= 4))
+    // bucket is monotone in the score
+    val sorted = out.sortBy(_._2)
+    assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    // roughly equal population (interpolated quantiles: 5 +/- 1 per tier)
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(n => n >= 3 && n <= 7), sizes.toString)
+  }
+
   test("snapshotDiff classifies added/removed/modified/unchanged") {
     val a = docs(1L -> "same", 2L -> "old text", 3L -> "gone")
     val b = docs(1L -> "same", 2L -> "new text", 4L -> "brand new")
