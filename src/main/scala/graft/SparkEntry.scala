@@ -140,6 +140,15 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
+    // CUBE grouping sets (all 4 combinations through one Expand)
+    "q08_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))),
     // PIVOT with an explicit value list (no extra distinct-values job;
     // Catalyst rewrites to one aggregate over pivot-CASE columns)
     "q07_pivot" -> ((s, dir) =>
@@ -540,6 +549,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 400000)""".stripMargin,
+    "q08_cube" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        |       coalesce(l_linestatus, '<all>') AS l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q07_pivot" ->
       """SELECT l_linestatus,
         |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 4) AS qty_a,

@@ -542,6 +542,12 @@ object Curation {
     * through one partition. Boundaries are 9-dp-rounded before the
     * compare so a last-ulp interpolation difference between engines
     * cannot flip a boundary-sitting document.
+    *
+    * Scale note: `percentile` here is EXACT and buffers the score values
+    * in its aggregation buffer — right for the oracle-checked contract,
+    * but at 100-TB corpus scale phase 1 swaps to `approx_percentile`
+    * (t-digest, bounded memory); phase 2 is unchanged since only the
+    * constant-size boundary vector leaves the aggregation.
     * Output: (doc_id, quality_score, bucket) — bucket in [1, nBuckets].
     */
   def qualityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
