@@ -553,11 +553,13 @@ object Curation {
   def qualityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
     val q = TextStats.quality(docs).select("doc_id", "quality_score")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val bounds = q
-      .agg(percentile(col("quality_score"),
-        typedlit(probs)).as("bs"))
-      .head().getSeq[Double](0)
-      .map(b => math.floor(b * 1e9 + 0.5) / 1e9)
+    val row = q
+      .agg(percentile(col("quality_score"), typedlit(probs)).as("bs"))
+      .head()
+    // empty corpus: percentile yields NULL — no boundaries, no rows
+    val bounds =
+      if (row.isNullAt(0)) Seq.empty[Double]
+      else row.getSeq[Double](0).map(b => math.floor(b * 1e9 + 0.5) / 1e9)
     val bucket = bounds
       .map(b => when(col("quality_score") > lit(b), 1L).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L)) + lit(1L)

@@ -227,6 +227,11 @@ class CurationSpec extends SparkSpec {
     assert(sizes.values.forall(n => n >= 3 && n <= 7), sizes.toString)
   }
 
+  test("qualityBuckets returns an empty frame on an empty corpus") {
+    val empty = docs().where($"doc_id" > 0)
+    assert(Curation.qualityBuckets(empty).collect().isEmpty)
+  }
+
   test("snapshotDiff classifies added/removed/modified/unchanged") {
     val a = docs(1L -> "same", 2L -> "old text", 3L -> "gone")
     val b = docs(1L -> "same", 2L -> "new text", 4L -> "brand new")
