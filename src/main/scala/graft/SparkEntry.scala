@@ -170,6 +170,14 @@ object SparkEntry {
       Csv.writeCounts(Tables.eventsAsCounts(s, dir), tmp)
       Rebin(Csv.readCounts(s, Seq(tmp)), "hours", 1)
     }),
+    // the many-counter JSON container edge (trend_analyze_many.py:130-147):
+    // rebin → JSON container export → read-back; oracle identical to
+    // trend_rebin, so a hash match proves the round trip lossless
+    "trend_rebin_json" -> ((s, dir) => {
+      val tmp = tmpPath(s, "json", dir)
+      graft.sources.JsonContainer.write(rebinnedEvents(s, dir), tmp)
+      graft.sources.JsonContainer.read(s, tmp)
+    }),
     "trend_poisson_lc" -> ((s, dir) => Models.poissonLc(rebinnedEvents(s, dir), alpha = 0.99)),
     // the analyze-stage CSV handoff (trend_analyze.py:52-59): score →
     // scored-CSV export → read-back; oracle identical to trend_poisson_lc,
@@ -565,6 +573,8 @@ object SparkEntry {
     "trend_rebin" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
+      s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
+    "trend_rebin_json" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_allowlist" -> {
       val filtered = s"${Tables.eventsAsCountsSql.stripSuffix("FROM events")}FROM events " +
