@@ -452,6 +452,15 @@ object SparkEntry {
       Curation.tfidfTerms(Tables.load(s, dir, "documents"))),
     "cur_chunk" -> ((s, dir) =>
       Curation.chunk(Tables.load(s, dir, "documents"))),
+    // chunk-granular exact dedup (the RAG-index unit): group chunks by
+    // content signature, keep the (doc, chunk) minimum of each group
+    "dedup_chunks" -> ((s, dir) =>
+      Curation.chunk(Tables.load(s, dir, "documents"))
+        .groupBy("sig")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"),
+          count(lit(1)).as("n_copies"))
+        .select(col("sig"), col("keep.doc_id").as("keep_doc"),
+          col("keep.chunk_id").as("keep_chunk"), col("n_copies"))),
     "cur_vocab_oov" -> ((s, dir) =>
       Curation.vocabOov(Tables.load(s, dir, "documents"))),
     "cur_source_mix" -> ((s, dir) =>
@@ -729,6 +738,17 @@ object SparkEntry {
     "cur_dataset_card" -> Curation.datasetCardOracleSql,
     "cur_tfidf_terms" -> Curation.tfidfTermsOracleSql(),
     "cur_chunk" -> Curation.chunkOracleSql(),
+    "dedup_chunks" ->
+      s"""WITH chunks AS (${Curation.chunkOracleSql()}),
+         |keyed AS (
+         |  SELECT sig, doc_id, chunk_id,
+         |         row_number() OVER (PARTITION BY sig
+         |                            ORDER BY doc_id, chunk_id) AS rn,
+         |         count(*) OVER (PARTITION BY sig) AS n_copies
+         |  FROM chunks)
+         |SELECT sig, doc_id AS keep_doc, chunk_id AS keep_chunk,
+         |       n_copies::BIGINT AS n_copies
+         |FROM keyed WHERE rn = 1""".stripMargin,
     "cur_vocab_oov" -> Curation.vocabOovOracleSql(),
     "cur_source_mix" -> Curation.sourceMixOracleSql,
     "cur_snapshot_diff" -> Curation.snapshotDiffOracleSql(
