@@ -329,6 +329,9 @@ object SparkEntry {
     // span-level dup signal: linear cost, no pair materialization
     "dedup_ngram_coverage" -> ((s, dir) =>
       Dedup.ngramCoverage(Tables.load(s, dir, "documents"))),
+    // token-position coverage of duplicated spans (what removal deletes)
+    "dedup_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(Tables.load(s, dir, "documents"))),
 
     // --- similarity search (ANN) over embeddings ---
     "ann_brute_topk" -> ((s, dir) =>
@@ -655,6 +658,7 @@ object SparkEntry {
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),
     "dedup_semantic" -> Similarity.semanticDedupOracleSql(0.4),
     "dedup_ngram_coverage" -> Dedup.ngramCoverageOracleSql(),
+    "dedup_span_coverage" -> Dedup.spanCoverageOracleSql(),
     "dedup_clusters" -> Dedup.componentsOracleSql(Dedup.ngramJaccardOracleSql()),
     "dedup_fingerprint" ->
       s"""WITH fp AS (${TextStats.fingerprintOracleSql})

@@ -471,6 +471,69 @@ object Dedup {
        |             ELSE p.n_dup::DOUBLE / p.n_shingles END, 6) AS dup_frac
        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
 
+  /** Token-level duplicated-SPAN coverage — the Lee-et-al-style span
+    * dedup signal at token granularity: for each document, the fraction
+    * of token positions lying inside at least one word-`k`-gram that
+    * also occurs in ≥ 2 distinct documents. Where [[ngramCoverage]]
+    * counts duplicated shingles, this measures how much of the TEXT the
+    * duplicated spans actually cover (the quantity a span-removal pass
+    * would delete). Output: (doc_id, n_tokens, n_covered, covered_frac).
+    *
+    * The union length of the fixed-length spans is computed with a
+    * lead() interval merge over each doc's sorted duplicate-span starts
+    * — contribution of start s = min(next_start − s, k), last = k —
+    * instead of exploding k positions per span: exact, one window over
+    * the (small) duplicate-start relation, linear everywhere else.
+    */
+  def spanCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(shingles(col("w"), k)).as(Seq("p", "s")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), h64(col("s")).as("sh"))
+    val dup = pos.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select("sh")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val covered = pos.join(dup, "sh")
+      .select(col("doc_id"), col("p")).distinct()
+      .withColumn("contrib",
+        least(coalesce(lead(col("p"), 1).over(w) - col("p"), lit(k.toLong)),
+          lit(k.toLong)))
+      .groupBy("doc_id").agg(sum("contrib").as("n_covered"))
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("covered_frac"))
+  }
+
+  def spanCoverageOracleSql(k: Int = 8): String =
+    s"""WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i - 1 AS p, ${h64Sql("s")} AS sh
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(k)}) AS s,
+       |               generate_subscripts(${shinglesSql(k)}, 1) AS i
+       |        FROM dw)),
+       |dup AS (
+       |  SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+       |starts AS (
+       |  SELECT DISTINCT doc_id, p FROM pos SEMI JOIN dup ON pos.sh = dup.sh),
+       |contribs AS (
+       |  SELECT doc_id,
+       |         least(coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p,
+       |                        $k), $k) AS contrib
+       |  FROM starts),
+       |cov AS (
+       |  SELECT doc_id, sum(contrib)::BIGINT AS n_covered
+       |  FROM contribs GROUP BY doc_id)
+       |SELECT d.doc_id, len($wordsSql)::BIGINT AS n_tokens,
+       |       coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+       |       round(coalesce(c.n_covered, 0)::DOUBLE
+       |             / len($wordsSql), 6) AS covered_frac
+       |FROM documents d LEFT JOIN cov c USING (doc_id)""".stripMargin
+
   /** Connected components over a near-dup pair graph → cluster
     * assignment: every document labeled with the min doc_id reachable
     * through pair edges (its cluster id); docs in no pair are their own

@@ -166,6 +166,24 @@ class MlSpec extends SparkSpec {
     assert(loose.forall { case (a, b) => a < b })
   }
 
+  test("spanCoverage: interval merge of overlapping duplicate spans") {
+    val d = docs(
+      1L -> "a b c d e f g h X",  // shares 8-gram [0,8) with doc 2
+      2L -> "a b c d e f g h Y",
+      3L -> "p q r s t u v w x y", // identical to doc 4: starts 0,1,2 dup
+      4L -> "p q r s t u v w x y",
+      5L -> "nothing here repeats across documents at all ok")
+    val out = Dedup.spanCoverage(d, k = 8)
+      .select("doc_id", "n_tokens", "n_covered", "covered_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 9L, 8L, 0.888889))) // one span of 8
+    assert(out(2L) === ((2L, 9L, 8L, 0.888889)))
+    // overlapping spans 0,1,2 merge to cover all 10 positions, not 24
+    assert(out(3L) === ((3L, 10L, 10L, 1.0)))
+    assert(out(4L) === ((4L, 10L, 10L, 1.0)))
+    assert(out(5L) === ((5L, 8L, 0L, 0.0)))
+  }
+
   test("ngramCoverage: dup fraction of shared spans, short docs zero") {
     val d = docs(
       1L -> "one two three four five six seven eight nine",   // 2 shingles
