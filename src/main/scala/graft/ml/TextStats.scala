@@ -229,4 +229,21 @@ object TextStats {
       |       coalesce(e.n_distinct, 0)::BIGINT AS n_distinct,
       |       coalesce(e.char_entropy, 0.0) AS char_entropy
       |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
+
+  /** Approximate distinct-vocabulary size per language via HyperLogLog++
+    * (`approx_count_distinct`) — the sketch a 100-TB corpus report uses
+    * where the exact distinct count would shuffle the full vocabulary.
+    * Bounded memory per group (one HLL register set), map-side
+    * mergeable. NOT oracle-checked: DuckDB's approx sketch is a
+    * different implementation with different estimates; the unit test
+    * pins the relative-error contract against the exact count instead.
+    * Output: (lang_pred, n_docs, approx_vocab).
+    */
+  def vocabSketch(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    languageId(docs)
+      .join(docs.select(col("doc_id"), explode(words(col("text"))).as("word")),
+        "doc_id")
+      .groupBy("lang_pred")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        approx_count_distinct(col("word"), rsd).as("approx_vocab"))
 }

@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan("evt_props_agg")).size == 1)
   }
 
+  test("span coverage windows by doc, never a single partition") {
+    val p = plan("dedup_span_coverage")
+    assert("""Window \[[^]]*\], \[doc_id#\d+""".r.findFirstIn(p).isDefined,
+      "interval-merge window is not partitioned by doc_id")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("banded fingerprint joins stay free of nested loops") {
     for (q <- Seq("mm_phash_pairs", "mm_audio_fp_pairs", "dedup_editdist")) {
       val p = plan(q)

@@ -235,6 +235,18 @@ class MlSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq) // non-decreasing
   }
 
+  test("vocabSketch: HLL estimate within the rsd contract of exact") {
+    // one language, 2000 distinct words spread over docs
+    val d = docs((0L until 40L).map(i =>
+      i -> ((i * 50) until (i * 50 + 50)).map(j => s"word$j")
+        .mkString("the a is of and ", " ", "")): _*)
+    val row = TextStats.vocabSketch(d, rsd = 0.02).collect().head
+    val approx = row.getAs[Long]("approx_vocab")
+    val exact = 2000 + 5 // 2000 unique + the 5 en markers
+    assert(math.abs(approx - exact).toDouble / exact < 3 * 0.02,
+      s"approx=$approx exact=$exact")
+  }
+
   test("token stats and quality formulas") {
     val d = docs(1L -> "the cat sat on the mat")
     val ts = TextStats.tokenStats(d).collect().head
