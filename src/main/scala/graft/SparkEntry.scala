@@ -489,6 +489,9 @@ object SparkEntry {
       Multimodal.resize(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 4, 4)),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")), 2)),
+    // temporal shot-boundary detection over the video frames
+    "mm_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))),
     "mm_audio_rms" -> ((s, dir) =>
       Multimodal.audioRms(Multimodal.syntheticMedia(Tables.load(s, dir, "documents")))),
     // perceptual-hash image near-dup over the grouped-payload corpus
@@ -767,6 +770,7 @@ object SparkEntry {
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),
+    "mm_scene_cuts" -> Multimodal.sceneCutsOracleSql(),
     "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
     "mm_phash_pairs" -> Multimodal.imagePHashOracleSql(),
     "mm_audio_fp_pairs" -> Multimodal.audioFingerprintOracleSql(),

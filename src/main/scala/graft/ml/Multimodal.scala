@@ -327,6 +327,41 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Scene-cut detection over video payloads: per video, the mean level
+    * of every frame (stride-1 [[frameSample]]), then a lag() delta along
+    * the frame axis — a cut is a frame whose mean jumps more than
+    * `threshold` from its predecessor (the shape of a key-frame /
+    * shot-boundary extractor). The first frame has no predecessor: delta
+    * 0, never a cut. One batched decode pass + one window partitioned by
+    * media_id. Output: (media_id, frame_idx, delta, is_cut).
+    */
+  def sceneCuts(media: DataFrame, threshold: Double = 8.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val delta = round(abs(col("mean_px") - lag(col("mean_px"), 1).over(w)), 6)
+    frameSample(media, 1)
+      .select(col("media_id"), col("frame_idx"),
+        coalesce(delta, lit(0.0)).as("delta"))
+      .withColumn("is_cut", col("delta") > threshold)
+  }
+
+  def sceneCutsOracleSql(threshold: Double = 8.0): String =
+    s"""WITH $syntheticMediaSqlCte,
+       |$pixelsSqlCte,
+       |frames AS (
+       |  SELECT p.media_id, p.i // $FrameBytes AS frame_idx,
+       |         floor(avg(p.px::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_px
+       |  FROM pixels p JOIN media m ON p.media_id = m.media_id
+       |  WHERE m.kind = 'video' AND p.i < m.n_frames * $FrameBytes
+       |  GROUP BY p.media_id, p.i // $FrameBytes),
+       |deltas AS (
+       |  SELECT media_id, frame_idx::BIGINT AS frame_idx,
+       |         coalesce(round(abs(mean_px - lag(mean_px) OVER (
+       |           PARTITION BY media_id ORDER BY frame_idx)), 6), 0.0) AS delta
+       |  FROM frames)
+       |SELECT media_id, frame_idx, delta, delta > $threshold AS is_cut
+       |FROM deltas""".stripMargin
+
   // ---------------------------------------------------------------------
   // Audio fingerprint near-dup
   // ---------------------------------------------------------------------

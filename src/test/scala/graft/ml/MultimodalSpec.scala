@@ -91,6 +91,24 @@ class MultimodalSpec extends SparkSpec {
       (3L, 4L, 0L), (3L, 5L, 0L), (4L, 5L, 0L)))
   }
 
+  test("sceneCuts: first frame never a cut, deltas match frame means") {
+    val media = Multimodal.syntheticMedia(docs)
+    val frames = Multimodal.frameSample(media, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val out = Multimodal.sceneCuts(media, threshold = 8.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, f, delta, isCut) =>
+      if (f == 0L) assert(delta === 0.0 && !isCut)
+      else {
+        val expect = math.round(
+          math.abs(frames((id, f)) - frames((id, f - 1))) * 1e6) / 1e6.toDouble
+        assert(delta === expect)
+        assert(isCut === (delta > 8.0))
+      }
+    }
+  }
+
   test("audioFingerprint pairs shared payloads, delta bits match direct calc") {
     val six = Seq.tabulate(6)(i => (i.toLong, "t")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMediaGrouped(six, 3, kind = "audio")
