@@ -11,8 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * across rounds.
   */
 object Bench {
-  private def materialize(df: DataFrame): Unit =
+  private def materialize(df: DataFrame): Unit = {
     df.write.mode("overwrite").format("noop").save()
+    // drop this query's localCheckpoint blocks: across ~100 queries in
+    // one JVM they otherwise accumulate until GC happens to collect the
+    // RDD refs, and the resulting eviction churn showed up as 3x
+    // wall-time spikes on checkpoint-heavy queries
+    val sc = df.sparkSession.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
