@@ -522,6 +522,11 @@ object SparkEntry {
     }),
     "text_entropy" -> ((s, dir) =>
       TextStats.charEntropy(Tables.load(s, dir, "documents"))),
+    // HLL vocabulary estimate — deliberately NO oracleSql entry: approx
+    // sketches differ across engines, so the driver records the weaker
+    // rows-only check; the rsd contract is unit-tested in MlSpec
+    "text_vocab_sketch" -> ((s, dir) =>
+      TextStats.vocabSketch(Tables.load(s, dir, "documents"))),
     "evt_funnel" -> ((s, dir) => Events.funnel(Events.canonical(s, dir))),
     "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))),
     // semi-structured metadata: JSON props field extraction + rollup
