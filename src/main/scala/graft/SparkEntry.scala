@@ -439,6 +439,21 @@ object SparkEntry {
         .join(fresh, Seq("doc_id"), "left_semi")
         .join(keepers, Seq("doc_id"), "left_semi")
     }),
+    // cross-modal capstone: the embedding table gates the document
+    // table in ONE plan — semantic near-dups (drop the higher id of each
+    // within-cell pair, vec_id ≡ doc_id) anti-join the quality-gated
+    // split assignment. The curation decision consumes BOTH modalities.
+    "cur_pipeline4" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val drops = Similarity.semanticDedup(emb, threshold = 0.4)
+        .select(col("vec_b").as("doc_id")).distinct()
+      val good = TextStats.quality(docs)
+        .where(col("quality_score") >= 0.5).select("doc_id")
+      Curation.assignSplit(docs)
+        .join(good, Seq("doc_id"), "left_semi")
+        .join(drops, Seq("doc_id"), "left_anti")
+    }),
     "cur_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
@@ -742,6 +757,18 @@ object SparkEntry {
           |SEMI JOIN good g ON c.doc_id = g.doc_id
           |SEMI JOIN fresh f ON c.doc_id = f.doc_id
           |SEMI JOIN keepers k ON c.doc_id = k.doc_id""".stripMargin),
+    "cur_pipeline4" ->
+      (s"""WITH drops AS (
+          |  SELECT DISTINCT vec_b AS doc_id
+          |  FROM (${Similarity.semanticDedupOracleSql(0.4)})),
+          |good AS (
+          |  SELECT doc_id FROM (${TextStats.qualityOracleSql})
+          |  WHERE quality_score >= 0.5),
+          |assigned AS (${Curation.assignSplitOracleSql()})
+          |SELECT a.doc_id, a.bucket, a.split
+          |FROM assigned a
+          |SEMI JOIN good g ON a.doc_id = g.doc_id
+          |ANTI JOIN drops d ON a.doc_id = d.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "cur_quality_buckets" -> Curation.qualityBucketsOracleSql(),
