@@ -545,7 +545,20 @@ object SparkEntry {
     "evt_funnel" -> ((s, dir) => Events.funnel(Events.canonical(s, dir))),
     "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))),
     // semi-structured metadata: JSON props field extraction + rollup
-    "evt_props_agg" -> ((s, dir) => Events.propsAgg(s, dir)))
+    "evt_props_agg" -> ((s, dir) => Events.propsAgg(s, dir)),
+    // full circle: trend detection joined back to the raw rows — "which
+    // events sit inside a flagged spike bin". The rebin grid is
+    // hour-anchored, so an event's bin start is date_trunc(hour, ts);
+    // the detection relation is tiny and broadcast-gates the fact scan.
+    "evt_anomalous" -> ((s, dir) => {
+      val flagged = Detect(Models.poissonLc(rebinnedEvents(s, dir)), theta = 0.5)
+        .select(col("counter"), col("ts").as("bin_ts"))
+      val ev = Events.canonical(s, dir)
+      ev.join(broadcast(flagged),
+          ev("event_type") === flagged("counter") &&
+            date_trunc("hour", ev("ts")) === flagged("bin_ts"), "left_semi")
+        .select("event_id", "ts", "user_id", "event_type")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -818,5 +831,14 @@ object SparkEntry {
     "text_entropy" -> TextStats.charEntropyOracleSql,
     "evt_funnel" -> Events.funnelOracleSql,
     "evt_retention" -> Events.retentionOracleSql,
-    "evt_props_agg" -> Events.propsAggOracleSql)
+    "evt_props_agg" -> Events.propsAggOracleSql,
+    "evt_anomalous" -> withScored(
+      Models.poissonLcOracleCtes(0.99) +
+        s""",
+           |flagged AS (SELECT counter, ts FROM scored WHERE eta > 0.5),
+           |ev AS (${Events.canonicalSql})""".stripMargin,
+      """SELECT event_id, ts, user_id, event_type
+        |FROM ev SEMI JOIN flagged f
+        |  ON ev.event_type = f.counter
+        | AND date_trunc('hour', ev.ts) = f.ts""".stripMargin))
 }
