@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.functions.VecFold
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,13 +44,16 @@ object Similarity {
   private[ml] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map(p => (0 until dim).map(d => planeWeight(p, d)))
 
-  /** Strict left-to-right fold dot product (deterministic IEEE order). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Strict left-to-right fold dot product (deterministic IEEE order) —
+    * a codegen'd native expression (see [[graft.functions.VecFold]]): the
+    * interpreted `aggregate(zip_with(...))` fold it replaces was the
+    * per-candidate cost of every ANN scorer.
+    */
+  private def dot(a: Column, b: Column): Column = VecFold.dot(a, b)
 
   private def normed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(VecFold.dot(col("v"), col("v"))))
 
   /** Two-phase top-k per query: rank within a salt bucket first (bounded
     * partitions), then globally among the <= 64·k survivors. Identical
@@ -530,8 +534,7 @@ object Similarity {
     // to an exact int64
     val qv = e.where(isQuery).select(col("vec_id").as("query_id"), col("v"))
     val qsub = slice(col("v"), col("sub").cast("int") * sub + 1, lit(sub))
-    val d2 = aggregate(zip_with(qsub, col("cw"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d2 = VecFold.l2sq(qsub, col("cw"))
     val lut = qv.crossJoin(broadcast(cw))
       .select(col("query_id"), col("sub"), col("code"),
         floor(d2 * 1e9 + 0.5).cast("long").as("d2i"))
