@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Events, Joins, Multimodal, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Joins, Layout, Multimodal, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -496,6 +496,24 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Curation.snapshotDiff(a, b)
     }),
+    // deterministic global shuffle → (shard, pos): the corpus→loader
+    // shard layout; one hash shuffle + per-shard sort, no global order
+    "cur_shuffle_shard" -> ((s, dir) =>
+      Curation.shuffleShard(Tables.load(s, dir, "documents"))),
+    // sourceMix weights applied as a deterministic hash-threshold sample
+    "cur_rebalance" -> ((s, dir) =>
+      Curation.rebalanceSample(Tables.load(s, dir, "documents"))),
+    // incremental refresh: odd-doc batch deduped against the even-doc
+    // standing snapshot by content key (anti join, no snapshot rescan)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incremental(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+    // Z-order layout keys over (length bucket, source bucket) — the
+    // write-side clustering that makes footer stats prune both dims
+    "layout_zorder" -> ((s, dir) =>
+      Layout.zorderKeys(Tables.load(s, dir, "documents"))),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -812,6 +830,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000, text FROM documents
         |WHERE ((doc_id % 17) + 17) % 17 = 0""".stripMargin),
+    "cur_shuffle_shard" -> Curation.shuffleShardOracleSql(),
+    "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
+    "dedup_incremental" -> Dedup.incrementalOracleSql,
+    "layout_zorder" -> Layout.zorderKeysOracleSql,
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

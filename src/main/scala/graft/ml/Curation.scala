@@ -747,4 +747,79 @@ object Curation {
        |         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS lang_entropy
        |  FROM lc)
        |SELECT a.*, h.* FROM a, h""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic global shuffle → training shards
+  // ---------------------------------------------------------------------
+
+  /** Deterministic global shuffle + shard assignment — the step between a
+    * curated corpus and the shard files a training data-loader streams
+    * (webdataset/tfrecord layout): every doc gets a pseudo-random but
+    * reproducible `shard` and a dense 0-based `pos` within it, so the
+    * write order is fully determined by (corpus, salt) and a re-run
+    * produces byte-identical shards.
+    *
+    * Scale: the shard key is a hash — one shuffle partitions by it, and
+    * `pos` is a per-shard sort, never a global one. `nShards` is chosen
+    * so one shard ≈ one output file (O(100k) shards at 100 TB); no
+    * driver-side state, no global row_number bottleneck.
+    */
+  def shuffleShard(docs: DataFrame, nShards: Int = 8,
+                   salt: String = "r4"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val skey = h64(concat(lit(s"shuf:$salt:"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard")
+          .orderBy(col("skey"), col("doc_id"))) - 1).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  def shuffleShardOracleSql(nShards: Int = 8, salt: String = "r4"): String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         ${h64Sql(s"'shuf:$salt:' || doc_id::VARCHAR")} AS skey
+       |  FROM documents)
+       |SELECT doc_id, skey % $nShards AS shard,
+       |       (row_number() OVER (PARTITION BY skey % $nShards
+       |                           ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Source rebalancing by deterministic weighted sampling
+  // ---------------------------------------------------------------------
+
+  /** Apply [[sourceMix]]'s uniform-rebalance weights as a deterministic
+    * downsampling pass: a doc from an over-represented source (weight
+    * < 1) is kept iff its hash fraction falls below the weight; sources
+    * at or under par keep everything (upsampling is the loader's job —
+    * an engine emitting duplicate rows would break every downstream
+    * dedup invariant). The hash fraction derives from md5 of the doc id,
+    * so the sample is reproducible and oracle-checkable, not an RNG
+    * draw. Output: (doc_id, source, weight6, kept) for every doc.
+    *
+    * Scale: the weight relation is one row per source (tiny — AQE
+    * broadcasts it); the decision is a map-side expression. This is the
+    * temperature-style source-mixing step of LLM corpus prep, run at
+    * full corpus width.
+    */
+  def rebalanceSample(docs: DataFrame): DataFrame = {
+    val w = sourceMix(docs).select(col("source"),
+      col("uniform_weight").as("weight6"))
+    // 2^60 = h64's key space; identical int64→double→divide on both
+    // engines, so the comparison is bit-deterministic
+    val frac = h64(concat(lit("rb:"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0)
+    docs.join(w, "source")
+      .select(col("doc_id"), col("source"), col("weight6"),
+        (frac < least(col("weight6"), lit(1.0))).as("kept"))
+  }
+
+  val rebalanceSampleOracleSql: String =
+    s"""WITH mix AS ($sourceMixOracleSql)
+       |SELECT d.doc_id, d.source, m.uniform_weight AS weight6,
+       |       ${h64Sql("'rb:' || d.doc_id::VARCHAR")}::DOUBLE
+       |         / 1152921504606846976.0 < least(m.uniform_weight, 1.0) AS kept
+       |FROM documents d JOIN mix m ON d.source = m.source""".stripMargin
 }

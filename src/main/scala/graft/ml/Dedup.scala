@@ -62,6 +62,42 @@ object Dedup {
       }
   }
 
+  /** Incremental exact dedup — the daily-refresh pattern: a NEW batch of
+    * documents is deduped against the STANDING corpus snapshot without
+    * rescanning it for pairs. A new doc's group survives iff its content
+    * key is absent from the snapshot; within the batch the min doc_id
+    * represents the group. Output: (content_key, keep_id,
+    * n_batch_copies) — the batch's admissible keepers.
+    *
+    * Scale: one shuffle anti join on the 16-byte content key (both sides
+    * hash-partitioned; the snapshot side is its distinct KEY set, not its
+    * text) + one hash aggregation over the batch. The snapshot keys are
+    * exactly what [[exact]] already materializes, so a production loop
+    * carries them forward run-to-run instead of recomputing.
+    */
+  def incremental(snapshot: DataFrame, batch: DataFrame): DataFrame = {
+    val oldKeys = snapshot.select(md5(col("text")).as("content_key")).distinct()
+    batch.select(md5(col("text")).as("content_key"), col("doc_id"))
+      .join(oldKeys, Seq("content_key"), "left_anti")
+      .groupBy("content_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
+  }
+
+  /** Oracle over one `documents` table split by doc_id parity (even =
+    * standing snapshot, odd = new batch) — mirrors the registered query.
+    */
+  val incrementalOracleSql: String =
+    """WITH keyed AS (SELECT doc_id, md5(text) AS content_key FROM documents),
+      |old AS (
+      |  SELECT DISTINCT content_key FROM keyed
+      |  WHERE ((doc_id % 2) + 2) % 2 = 0),
+      |fresh AS (
+      |  SELECT * FROM keyed WHERE ((doc_id % 2) + 2) % 2 = 1)
+      |SELECT content_key, min(doc_id) AS keep_id,
+      |       count(*) AS n_batch_copies
+      |FROM fresh ANTI JOIN old USING (content_key)
+      |GROUP BY content_key""".stripMargin
+
   /** Distinct (doc_id, sh) table of 60-bit shingle HASHES. The words
     * array is materialized in its own projection BEFORE the shingle
     * lambda: a split() inlined into the lambda body re-executes per
