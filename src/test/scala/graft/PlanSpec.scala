@@ -148,4 +148,45 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
     }
   }
+
+  test("ANN scorers fold vectors natively — no interpreted lambda fold") {
+    // the dot products must be the codegen'd dot_fold expression, not
+    // aggregate/zip_with (interpreted per element, blocks codegen)
+    for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+      val p = plan(q)
+      assert(p.contains("dot_fold"), s"$q lost the native fold")
+      assert(!p.contains("aggregate("), s"$q fell back to the lambda fold")
+    }
+  }
+
+  test("zorder keys are a pure scan — no shuffle, no join") {
+    val p = plan("layout_zorder")
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+
+  test("shuffle-shard is one hash shuffle + per-shard window") {
+    val p = plan("cur_shuffle_shard")
+    assert("""Window \[[^]]*\], \[shard#\d+""".r.findFirstIn(p).isDefined,
+      "position window is not partitioned by shard")
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("rebalance weights join back by broadcast") {
+    // one row per source: the weight relation must broadcast, the doc
+    // side must not shuffle for the join
+    val p = plan("cur_rebalance")
+    assert(p.contains("BroadcastHashJoin"), "weight join is not broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("incremental dedup is a key-partitioned anti join — no text reshuffle") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("LeftAnti"), "snapshot gate must be an anti join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // only the 16-byte content key crosses the wire — the exchanged
+    // attributes must not include the text column
+    assert(!"""Exchange hashpartitioning\([^)]*text""".r.findFirstIn(p).isDefined,
+      "anti join shuffles document text")
+  }
 }
