@@ -59,6 +59,14 @@ class VecFoldSpec extends SparkSpec {
     assertParity(codegenEnabled = false)
   }
 
+  test("dot_fold / l2sq_fold are SQL-callable via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    val Row(d: Double, l: Double) = spark.sql(
+      "SELECT dot_fold(array(1.0, 2.0), array(3.0, 4.0))," +
+        " l2sq_fold(array(1.0, 2.0), array(3.0, 4.0))").head()
+    assert(d == 11.0 && l == 8.0)
+  }
+
   test("self-dot equals the sum-of-squares fold used by normed()") {
     val v = Seq(Seq(0.1, 0.2, 0.3), Seq(1e10, 1.0, -1e10)).toDF("v")
     val got = v.select(
