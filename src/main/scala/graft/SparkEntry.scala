@@ -332,6 +332,10 @@ object SparkEntry {
     // token-position coverage of duplicated spans (what removal deletes)
     "dedup_span_coverage" -> ((s, dir) =>
       Dedup.spanCoverage(Tables.load(s, dir, "documents"))),
+    // the removal transform itself: documents rewritten without the
+    // cross-document duplicate spans
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeSpans(Tables.load(s, dir, "documents"))),
 
     // --- similarity search (ANN) over embeddings ---
     "ann_brute_topk" -> ((s, dir) =>
@@ -713,6 +717,7 @@ object SparkEntry {
     "dedup_semantic" -> Similarity.semanticDedupOracleSql(0.4),
     "dedup_ngram_coverage" -> Dedup.ngramCoverageOracleSql(),
     "dedup_span_coverage" -> Dedup.spanCoverageOracleSql(),
+    "dedup_span_removal" -> Dedup.removeSpansOracleSql(),
     "dedup_clusters" -> Dedup.componentsOracleSql(Dedup.ngramJaccardOracleSql()),
     "dedup_fingerprint" ->
       s"""WITH fp AS (${TextStats.fingerprintOracleSql})

@@ -570,6 +570,93 @@ object Dedup {
        |             / len($wordsSql), 6) AS covered_frac
        |FROM documents d LEFT JOIN cov c USING (doc_id)""".stripMargin
 
+  /** Duplicated-span REMOVAL — the transform whose cost [[spanCoverage]]
+    * measures: rewrite every document with the tokens covered by a
+    * cross-document duplicate `k`-gram deleted (Lee et al. 2022's
+    * substring dedup, at word granularity). Output: (doc_id, n_tokens,
+    * n_kept, clean_text); a fully-duplicated doc keeps an empty string.
+    *
+    * Coverage is decided per TOKEN without exploding k positions per
+    * span: duplicate-span starts are merged into the token stream and a
+    * running max over the ordered union gives each token the latest
+    * start at-or-before it — covered iff that start is within k. One
+    * doc-partitioned window over tokens+starts, one bounded-by-doc-length
+    * ordered collect to reassemble text; everything else is the same
+    * linear shingle machinery as spanCoverage.
+    */
+  def removeSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val pos = dw
+      .select(col("doc_id"), posexplode(shingles(col("w"), k)).as(Seq("p", "s")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), h64(col("s")).as("sh"))
+    val dup = pos.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select("sh")
+    val starts = pos.join(dup, "sh").select(col("doc_id"), col("p")).distinct()
+    val toks = dw
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("t", "word")))
+      .select(col("doc_id"), col("t").cast("long").as("pos"), col("word"))
+    // ordered union: start rows sort BEFORE token rows at the same
+    // position (a span starting at s covers the token at s)
+    val ev = toks.withColumn("sa", lit(null).cast("long"))
+      .unionByName(starts.select(col("doc_id"), col("p").as("pos"),
+        lit(null).cast("string").as("word"), col("p").as("sa")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("pos"), col("sa").isNull)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = ev.withColumn("last_s", max("sa").over(w))
+      .where(col("word").isNotNull &&
+        (col("last_s").isNull || col("last_s") <= col("pos") - k))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def removeSpansOracleSql(k: Int = 8): String =
+    s"""WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i - 1 AS p, ${h64Sql("s")} AS sh
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(k)}) AS s,
+       |               generate_subscripts(${shinglesSql(k)}, 1) AS i
+       |        FROM dw)),
+       |dup AS (
+       |  SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+       |starts AS (
+       |  SELECT DISTINCT doc_id, p FROM pos SEMI JOIN dup ON pos.sh = dup.sh),
+       |toks AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+       |  FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM dw)),
+       |ev AS (
+       |  SELECT doc_id, pos, word, NULL::BIGINT AS sa FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, p, NULL, p FROM starts),
+       |m AS (
+       |  SELECT doc_id, pos, word,
+       |         max(sa) OVER (PARTITION BY doc_id
+       |                       ORDER BY pos, (sa IS NULL)
+       |                       ROWS UNBOUNDED PRECEDING) AS last_s
+       |  FROM ev),
+       |kept AS (
+       |  SELECT doc_id, pos, word FROM m
+       |  WHERE word IS NOT NULL AND (last_s IS NULL OR last_s <= pos - $k)),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |         string_agg(word, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len($wordsSql)::BIGINT AS n_tokens,
+       |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       |       coalesce(r.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   /** Connected components over a near-dup pair graph → cluster
     * assignment: every document labeled with the min doc_id reachable
     * through pair edges (its cluster id); docs in no pair are their own

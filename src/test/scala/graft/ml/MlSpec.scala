@@ -184,6 +184,29 @@ class MlSpec extends SparkSpec {
     assert(out(5L) === ((5L, 8L, 0L, 0.0)))
   }
 
+  test("removeSpans deletes exactly what spanCoverage measures") {
+    val d = docs(
+      1L -> "a b c d e f g h X",
+      2L -> "a b c d e f g h Y",
+      3L -> "p q r s t u v w x y",
+      4L -> "p q r s t u v w x y",
+      5L -> "nothing here repeats across documents at all ok")
+    val out = Dedup.removeSpans(d, k = 8)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 9L, 1L, "X")))
+    assert(out(2L) === ((2L, 9L, 1L, "Y")))
+    assert(out(3L) === ((3L, 10L, 0L, ""))) // fully duplicated
+    assert(out(4L) === ((4L, 10L, 0L, "")))
+    assert(out(5L)._4 === "nothing here repeats across documents at all ok")
+    // the invariant tying the transform to the signal: kept = total − covered
+    val cov = Dedup.spanCoverage(d, k = 8)
+      .select("doc_id", "n_covered").as[(Long, Long)].collect().toMap
+    out.values.foreach { case (id, nTok, nKept, _) =>
+      assert(nKept == nTok - cov(id), s"doc $id")
+    }
+  }
+
   test("ngramCoverage: dup fraction of shared spans, short docs zero") {
     val d = docs(
       1L -> "one two three four five six seven eight nine",   // 2 shingles
