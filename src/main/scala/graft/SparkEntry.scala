@@ -158,6 +158,30 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 4))
         .select(col("l_linestatus"), col("A").as("qty_a"),
           col("N").as("qty_n"), col("R").as("qty_r"))),
+    // the remaining ranking/navigation window family in one pass: rank,
+    // dense_rank, ntile, lag — one shuffle, deterministic order
+    "q09_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("prev_price",
+          round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 6))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+          col("drnk").as("drnk"), col("quartile").cast("long").as("quartile"),
+          col("prev_price"))
+    }),
+    // set operations: customers ordering in BOTH 1995 and 1996 but NOT
+    // 2001 — INTERSECT and EXCEPT compile to aggregated semi/anti joins
+    "q10_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def inYear(y: Int) = o.where(year(col("o_orderdate")) === y)
+        .select("o_custkey")
+      inYear(1995).intersect(inYear(1996)).except(inYear(2001))
+    }),
 
     // --- the reference's own pipeline over the events stream table ---
     "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
@@ -640,6 +664,23 @@ object SparkEntry {
         |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 4) AS qty_n,
         |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 4) AS qty_r
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q09_rank_family" ->
+      """SELECT o_custkey, o_orderkey, rnk, drnk, quartile, prev_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 6) AS prev_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rnk <= 3""".stripMargin,
+    "q10_setops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001""".stripMargin,
     "trend_rebin" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
