@@ -182,6 +182,39 @@ object SparkEntry {
         .select("o_custkey")
       inYear(1995).intersect(inYear(1996)).except(inYear(2001))
     }),
+    // FULL OUTER join of two pre-aggregated sides (SortMergeJoin
+    // FullOuter): per-nation high-balance customer vs supplier counts —
+    // aggregating BEFORE the join keeps the outer join's inputs tiny
+    "q11_outer" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").where(col("c_acctbal") > 7000)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val su = Tables.load(s, dir, "supplier").where(col("s_acctbal") > 7000)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+    // correlated EXISTS (LeftSemi plan): customers with at least one
+    // 1995 order — the dual of q06's NOT EXISTS / LeftAnti
+    "q12_exists" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .where(year(col("o_orderdate")) === 1995)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    // scalar-subquery threshold: orders above 1.5× the global average
+    // price. The 1-row aggregate broadcasts (never a shuffle of the big
+    // side); the threshold is rounded to cents so both engines' float
+    // averages collapse to the same cutoff.
+    "q13_scalar_subq" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val av = o.agg(round(avg("o_totalprice") * 1.5, 2).as("cutoff"))
+      o.join(broadcast(av))
+        .where(col("o_totalprice") > col("cutoff"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
 
     // --- the reference's own pipeline over the events stream table ---
     "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
@@ -391,6 +424,9 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // iterative Lloyd clustering (integer-exact over quantized vectors)
+    "ann_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(Tables.load(s, dir, "embeddings"))),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -681,6 +717,26 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001""".stripMargin,
+    "q11_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS ck, count(*)::BIGINT AS n_cust
+        |  FROM customer WHERE c_acctbal > 7000 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS sk, count(*)::BIGINT AS n_supp
+        |  FROM supplier WHERE s_acctbal > 7000 GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |       coalesce(n_cust, 0)::BIGINT AS n_cust,
+        |       coalesce(n_supp, 0)::BIGINT AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.ck = s.sk""".stripMargin,
+    "q12_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND year(o.o_orderdate) = 1995)""".stripMargin,
+    "q13_scalar_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 2)
+        |                      FROM orders)""".stripMargin,
     "trend_rebin" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
@@ -773,6 +829,7 @@ object SparkEntry {
     "ann_quantize" -> Similarity.quantizeOracleSql,
     "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),
+    "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

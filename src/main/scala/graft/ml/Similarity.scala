@@ -663,4 +663,133 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
+
+  /** Distributed Lloyd k-means over the embedding corpus — the iterative
+    * clustering step the seed-codebook quantizers ([[ivfTopK]],
+    * [[pqCodes]]) deliberately skip, and the backbone of cluster-scoped
+    * curation (SemDeDup partitions, per-cluster sampling). Reference
+    * scope: the trend engine's WDT library is a hand-labeled codebook
+    * (`analysis.py` / config `library` mode); k-means is the unsupervised
+    * construction of such a codebook at corpus scale.
+    *
+    * Engine-exact by integer quantization: vectors are scaled once by the
+    * GLOBAL max |x| (one exact max aggregate — no float summation) to
+    * int8-range longs; every Lloyd step is then integer math. Distances
+    * are exact int64 sums, and the centroid update is
+    * `floor(double(sum)/double(count))` — sums stay far below 2^53, so
+    * both engines compute bit-identical centroids and the DuckDB oracle
+    * can replay all `iters` rounds CTE-by-CTE. Ties in the argmin break
+    * on the smaller cluster id; a cluster that goes empty keeps its
+    * previous centroid.
+    *
+    * Scale shape (the MLlib k-means plan): per iteration, ONE linear scan
+    * assigns against broadcast centroids (k·dim longs — constant-bounded)
+    * and ONE map-side-combined groupBy of k·dim cells recomputes them;
+    * the only driver materialization is that k·dim cell table. No joins,
+    * no per-row state. Output: (vec_id, cluster, dist2) from the final
+    * assignment pass.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val scale = base.agg(max(aggregate(col("v"), lit(0.0),
+      (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    val q = base.select(col("vec_id"),
+      transform(col("v"),
+        x => floor(x * 127.0 / scale + 0.5).cast("long")).as("q"))
+
+    // seed centroids: the k smallest-id vectors, cluster = seed position
+    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+
+    def assigned: DataFrame = {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf { (qv: Seq[Long]) =>
+        val va = qv.toArray
+        var bestC = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          val cv = bc.value(c)
+          var d2 = 0L
+          var d = 0
+          while (d < va.length) {
+            val diff = va(d) - cv(d); d2 += diff * diff; d += 1
+          }
+          if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie keeps lower id
+          c += 1
+        }
+        (bestC.toLong, bestD)
+      }
+      q.withColumn("a", assign(col("q")))
+        .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"),
+          col("q"))
+    }
+
+    for (_ <- 1 to iters - 1) {
+      // centroid update: k·dim cells, map-side partial agg, tiny collect
+      val cells = assigned
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "qi")))
+        .groupBy("cluster", "i")
+        .agg(floor(sum("qi").cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("ci"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps previous centroid
+      cells.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
+      }
+      cents = next
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** CTE-by-CTE replay of [[kmeans]]: quantize, seed, then per iteration
+    * an assignment (argmin over an i-join, tie on cluster id) and a
+    * coalesced centroid update (LEFT JOIN keeps empty clusters' previous
+    * centroids). All-integer, so hash-exact vs the Spark plan.
+    */
+  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val header =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+         |q AS (
+         |  SELECT vec_id, i,
+         |         floor(v[i] * 127.0 / (SELECT scale FROM s) + 0.5)::BIGINT AS qi
+         |  FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+         |seeds AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cluster,
+         |         vec_id
+         |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+         |cent0 AS (
+         |  SELECT s.cluster, q.i, q.qi AS ci FROM seeds s JOIN q USING (vec_id))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val prev = s"cent${t - 1}"
+      val asg =
+        s"""d$t AS (
+           |  SELECT q.vec_id, c.cluster,
+           |         sum((q.qi - c.ci) * (q.qi - c.ci))::BIGINT AS d2
+           |  FROM q JOIN $prev c USING (i) GROUP BY 1, 2),
+           |a$t AS (
+           |  SELECT vec_id, cluster, d2 FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d$t)
+           |  WHERE rn = 1)""".stripMargin
+      if (t == iters) asg
+      else
+        asg + s""",
+           |cent$t AS (
+           |  SELECT p.cluster, p.i, coalesce(n.ci, p.ci) AS ci
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT a.cluster, q.i,
+           |           floor(sum(q.qi)::DOUBLE / count(*)::DOUBLE)::BIGINT AS ci
+           |    FROM a$t a JOIN q USING (vec_id) GROUP BY 1, 2) n
+           |  USING (cluster, i))""".stripMargin
+    }.mkString(",\n")
+    s"""$header,
+       |$rounds
+       |SELECT vec_id, cluster, d2 AS dist2 FROM a$iters""".stripMargin
+  }
 }

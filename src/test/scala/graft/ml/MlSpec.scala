@@ -342,4 +342,53 @@ class MlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("__salt"), s"salt key absent from join plan:\n$p")
   }
+
+  test("kmeans replays an in-memory Lloyd reference exactly (int-quantized)") {
+    val k = 3
+    val iters = 3
+    // 3 well-separated lobes + ids interleaved so seeds span lobes
+    val vecs: Seq[(Long, Array[Float])] = (0L until 30L).map { i =>
+      val lobe = (i % 3).toInt
+      (i, Array.tabulate(8)(d =>
+        (math.sin(lobe * 100.0 + d) * 5 + math.sin(i * 13.0 + d) * 0.3).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+
+    // reference Lloyd, identical arithmetic
+    val scale = vecs.flatMap(_._2.map(x => math.abs(x.toDouble))).max
+    val q = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    }
+    var cents = q.take(k).map(_._2.clone()).toArray
+    def assign(v: Array[Long]): (Int, Long) = {
+      var bc = 0; var bd = Long.MaxValue
+      cents.zipWithIndex.foreach { case (c, ci) =>
+        val d2 = v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        if (d2 < bd) { bd = d2; bc = ci }
+      }
+      (bc, bd)
+    }
+    for (_ <- 1 until iters) {
+      val byC = q.groupBy { case (_, v) => assign(v)._1 }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byC.get(ci) match {
+          case Some(members) =>
+            Array.tabulate(old.length) { d =>
+              val s = members.map(_._2(d)).sum
+              math.floor(s.toDouble / members.length.toDouble).toLong
+            }
+          case None => old
+        }
+      }
+    }
+    val expected = q.map { case (id, v) =>
+      val (c, d2) = assign(v); (id, c.toLong, d2)
+    }.toSet
+
+    val got = Similarity.kmeans(emb, k = k, iters = iters)
+      .select("vec_id", "cluster", "dist2").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === expected)
+    assert(got.map(_._2).size === k) // all three lobes survive as clusters
+  }
 }
