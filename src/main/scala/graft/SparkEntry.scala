@@ -607,6 +607,7 @@ object SparkEntry {
     "evt_sessionize" -> ((s, dir) => Events.sessionize(Events.canonical(s, dir))),
     "evt_asof" -> ((s, dir) => Events.asofPurchase(Events.canonical(s, dir))),
     "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))),
+    "evt_attribution" -> ((s, dir) => Events.attribution(Events.canonical(s, dir))),
     // salted hot-key join: events (fact) x per-user spend (dim too big to
     // assume broadcastable at corpus scale, too hot-keyed for AQE alone);
     // identical result to the plain join — the oracle IS the plain join
@@ -947,6 +948,7 @@ object SparkEntry {
     "evt_sessionize" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),
+    "evt_attribution" -> Events.attributionOracleSql(),
     "evt_salted_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),
          |p AS (SELECT user_id, round(sum(value), 6) AS user_spend

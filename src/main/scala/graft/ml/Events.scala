@@ -196,6 +196,53 @@ object Events {
        |GROUP BY iv.interval_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Within-window attribution join
+  // ---------------------------------------------------------------------
+
+  /** Click→purchase attribution: every (click, purchase) pair for a user
+    * whose purchase lands in [click.ts, click.ts + winSec). Unlike
+    * [[asofPurchase]] (one most-recent match) and [[rangeJoinCount]] (no
+    * equi key), this is the ad-tech attribution shape: an EQUI join on
+    * user_id with the time window filtered inside the hash match — the
+    * join key already co-locates the pair space, so no bucketed-grid
+    * explosion is needed and the plan is one shuffle per side. The
+    * streaming twin ([[graft.streaming.StreamingJoins.attributionStream]])
+    * is the same join with watermark-bounded state.
+    */
+  def attribution(events: DataFrame, winSec: Long = 1800L): DataFrame = {
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + expr(s"INTERVAL $winSec SECOND"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000")
+          .as("lag_sec"),
+        col("purchase_value"))
+  }
+
+  def attributionOracleSql(winSec: Long = 1800L): String =
+    s"""WITH ev AS ($canonicalSql),
+       |c AS (
+       |  SELECT event_id AS click_id, user_id, ts AS c_ts
+       |  FROM ev WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+       |         value AS purchase_value
+       |  FROM ev WHERE event_type = 'purchase')
+       |SELECT c.click_id, p.purchase_id, c.user_id,
+       |       date_diff('second', c.c_ts, p.p_ts)::BIGINT AS lag_sec,
+       |       p.purchase_value
+       |FROM c JOIN p ON c.user_id = p.user_id
+       |  AND p.p_ts >= c.c_ts
+       |  AND p.p_ts < c.c_ts + INTERVAL $winSec SECOND""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Funnel analysis
   // ---------------------------------------------------------------------
 
