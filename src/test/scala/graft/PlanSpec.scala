@@ -189,4 +189,30 @@ class PlanSpec extends SparkSpec {
     assert(!"""Exchange hashpartitioning\([^)]*text""".r.findFirstIn(p).isDefined,
       "anti join shuffles document text")
   }
+
+  test("kmeans assignment is a scan against broadcast centroids — no join") {
+    // the Lloyd output plan: quantize scan + assignment projection; the
+    // centroid table must live in the closure (driver-collected, k·dim
+    // longs), never as a join relation
+    val p = plan("ann_kmeans")
+    assert(!p.contains("Join"), "kmeans assignment must not join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("attribution is an equi hash/merge join, never a nested loop") {
+    // the time predicate must ride INSIDE the user_id equi join; losing
+    // the equi key would turn this into a per-pair nested loop
+    val p = plan("evt_attribution")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash/merge join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("scalar-subquery threshold broadcasts the 1-row aggregate") {
+    val p = plan("q13_scalar_subq")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "cutoff relation must broadcast")
+    // the big side must not shuffle for the comparison
+    assert(!"""Exchange hashpartitioning\([^)]*o_orderkey""".r.findFirstIn(p).isDefined)
+  }
 }
