@@ -359,6 +359,9 @@ object SparkEntry {
       Dedup.minHashLsh(Tables.load(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
+    // band-recall eval: what the LSH bands miss vs the exact pair set
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -809,6 +812,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactOracleSql,
     "dedup_minhash_lsh" -> Dedup.minHashLshOracleSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
+    "dedup_lsh_recall" -> Dedup.lshRecallOracleSql(),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),

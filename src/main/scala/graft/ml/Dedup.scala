@@ -262,6 +262,48 @@ object Dedup {
        |WHERE round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) >= $threshold""".stripMargin
   }
 
+  /** Band-recall of MinHash-LSH against the exact-index pair set — the
+    * dedup twin of [[graft.ml.Similarity.lshRecall]]: both operands
+    * exact-verify their candidates at the same Jaccard threshold, so the
+    * metric isolates exactly what the LSH BANDS miss (the knob a
+    * deployment tunes: more bands → higher recall, more candidates).
+    * One row: (n_exact, n_lsh, n_both, recall), integer counts so the
+    * compare is accumulation-order independent; recall 6 dp.
+    */
+  def lshRecall(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val e = ngramJaccard(docs, k = k, threshold = threshold)
+      .select("doc_a", "doc_b").withColumn("in_e", lit(1))
+    val l = minHashLsh(docs, k = k, threshold = threshold)
+      .select("doc_a", "doc_b").withColumn("in_l", lit(1))
+    e.join(l, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("in_e")).as("n_exact"), count(col("in_l")).as("n_lsh"),
+        count(when(col("in_e").isNotNull && col("in_l").isNotNull, 1))
+          .as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact").cast("double"), 6))
+          .as("recall"))
+  }
+
+  def lshRecallOracleSql(k: Int = 3, threshold: Double = 0.5): String =
+    s"""WITH e AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardOracleSql(k, threshold)})),
+       |l AS (
+       |  SELECT doc_a, doc_b FROM (${minHashLshOracleSql(k, threshold = threshold)})),
+       |j AS (
+       |  SELECT e.doc_a IS NOT NULL AS in_e, l.doc_a IS NOT NULL AS in_l
+       |  FROM e FULL OUTER JOIN l
+       |    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+       |c AS (
+       |  SELECT count(*) FILTER (WHERE in_e)::BIGINT AS n_exact,
+       |         count(*) FILTER (WHERE in_l)::BIGINT AS n_lsh,
+       |         count(*) FILTER (WHERE in_e AND in_l)::BIGINT AS n_both
+       |  FROM j)
+       |SELECT n_exact, n_lsh, n_both,
+       |       CASE WHEN n_exact > 0
+       |            THEN round(n_both::DOUBLE / n_exact::DOUBLE, 6) END AS recall
+       |FROM c""".stripMargin
+
   /** All near-dup pairs by exact n-gram Jaccard >= threshold, candidates
     * from the shared-shingle inverted index.
     *
