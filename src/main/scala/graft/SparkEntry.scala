@@ -362,6 +362,9 @@ object SparkEntry {
     // band-recall eval: what the LSH bands miss vs the exact pair set
     "dedup_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecall(Tables.load(s, dir, "documents"))),
+    // tokenizer training: the BPE merge-table artifact
+    "cur_bpe_merges" -> ((s, dir) =>
+      Curation.bpeMerges(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -813,6 +816,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minHashLshOracleSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
     "dedup_lsh_recall" -> Dedup.lshRecallOracleSql(),
+    "cur_bpe_merges" -> Curation.bpeMergesOracleSql(),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),

@@ -822,4 +822,106 @@ object Curation {
        |       ${h64Sql("'rb:' || d.doc_id::VARCHAR")}::DOUBLE
        |         / 1152921504606846976.0 < least(m.uniform_weight, 1.0) AS kept
        |FROM documents d JOIN mix m ON d.source = m.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Tokenizer training: BPE merge table
+  // ---------------------------------------------------------------------
+
+  /** Distributed BPE tokenizer training — the merge-table artifact every
+    * LLM data pipeline ships next to its corpus. Classic corpus-level
+    * BPE: train on the word-frequency dictionary (one groupBy of the
+    * corpus), then `nMerges` rounds of count-adjacent-symbol-pairs →
+    * merge the most frequent pair everywhere. Pre-tokenization contract:
+    * words matching `[a-z0-9]+` only (the usual pre-tokenizer regex;
+    * anything else is excluded from training on BOTH engines).
+    *
+    * Engine-exact representation: a word's symbol sequence is the
+    * sentinel string `<s1><s2>…` — safe because the pre-tokenizer bans
+    * `<`/`>` inside symbols. Applying a merge is then a plain
+    * `replace(s, '<a><b>', '<ab>')`, whose leftmost-nonoverlapping-
+    * sequential semantics (identical in Spark and DuckDB) are EXACTLY
+    * BPE's greedy merge order: '<a><a><a>' under merge (a,a) yields
+    * '<aa><a>', never '<a><aa>'. Pair counts are integer sums; the
+    * argmax tie-breaks on (count DESC, pair lexicographic) — every round
+    * is deterministic, so the DuckDB oracle replays the whole training
+    * run CTE-by-CTE.
+    *
+    * Scale shape: each round is ONE linear pass over the word-frequency
+    * table (corpus-independent after the first groupBy), a map-side-
+    * combined pair aggregation, and a 1-row TakeOrdered collect — the
+    * same constant-bounded driver materialization as
+    * [[graft.ml.Similarity.kmeans]] centroids. The evolving symbol table
+    * is localCheckpointed per round so round t+1 never replays rounds
+    * 1..t. Output: (step, pair_a, pair_b, cnt) — the ordered merge list.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs
+      .select(explode(words(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seq = wf
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("s"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (t <- 1 to nMerges if !exhausted) {
+      val sy = split(expr("trim(BOTH '<>' FROM s)"), "><")
+      val best = seq
+        .select(col("freq"), sy.as("sy"))
+        .where(size(col("sy")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("a"),
+            element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // corpus fully merged: stop early
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((t.toLong, a, b, cnt))
+        seq = seq
+          .select(expr(s"replace(s, '<$a><$b>', '<$a$b>')").as("s"), col("freq"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("step", "pair_a", "pair_b", "cnt")
+  }
+
+  /** CTE-by-CTE replay of [[bpeMerges]]: seq0 → (pairs_t → best_t →
+    * seq_t)* with the final UNION of the per-round argmax rows.
+    */
+  def bpeMergesOracleSql(nMerges: Int = 8): String = {
+    val header =
+      s"""WITH wf AS (
+         |  SELECT word, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest($wordsSql) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+         |  GROUP BY word),
+         |seq0 AS (
+         |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, freq FROM wf)""".stripMargin
+    val rounds = (1 to nMerges).map { t =>
+      s"""p$t AS (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT string_split(trim(s, '<>'), '><') AS sy, freq
+         |        FROM seq${t - 1}) AS w$t,
+         |       unnest(range(1, len(sy))) AS r(i)
+         |  GROUP BY 1, 2),
+         |b$t AS (
+         |  SELECT $t::BIGINT AS step, a AS pair_a, b AS pair_b, cnt
+         |  FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+         |seq$t AS (
+         |  SELECT replace(s, '<' || pair_a || '><' || pair_b || '>',
+         |                 '<' || pair_a || pair_b || '>') AS s, freq
+         |  FROM seq${t - 1}, b$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(t => s"SELECT step, pair_a, pair_b, cnt FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"$header,\n$rounds\n$union"
+  }
 }

@@ -252,4 +252,43 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) === ((1L, 6L, 1L, 0.166667)))
     assert(out(2L) === ((2L, 4L, 4L, 1.0))) // nothing in vocab
   }
+
+  test("bpeMerges replays an in-memory BPE reference (greedy leftmost)") {
+    // 'aaab' stresses the overlap rule: merge (a,a) applied to a-a-a-b
+    // must yield (aa)-a-b, never a-(aa)-b
+    val d = Seq(
+      1L -> "low low low lower lower newest newest newest aaab",
+      2L -> "wider wider new newest aaab aaab").toDF("doc_id", "text")
+
+    // reference BPE on the word-frequency dict, same arithmetic
+    val words = d.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.matches("^[a-z0-9]+$"))
+    val wf = scala.collection.mutable.Map.empty[List[String], Long]
+    words.foreach { w =>
+      val k = w.split("").toList
+      wf(k) = wf.getOrElse(k, 0L) + 1L
+    }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (t <- 1L to 6L) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      wf.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      expected += ((t, a, b, cnt))
+      def merge(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
+        case x :: rest => x :: merge(rest)
+        case Nil => Nil
+      }
+      val merged = wf.toSeq.map { case (k, f) => merge(k) -> f }
+      wf.clear()
+      merged.foreach { case (k, f) => wf(k) = wf.getOrElse(k, 0L) + f }
+    }
+
+    val got = Curation.bpeMerges(d, nMerges = 6)
+      .select("step", "pair_a", "pair_b", "cnt")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+  }
 }
