@@ -365,6 +365,9 @@ object SparkEntry {
     // tokenizer training: the BPE merge-table artifact
     "cur_bpe_merges" -> ((s, dir) =>
       Curation.bpeMerges(Tables.load(s, dir, "documents"))),
+    // corpus tokenization under the trained vocab: tokens-per-word report
+    "cur_bpe_encode" -> ((s, dir) =>
+      Curation.bpeEncode(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -817,6 +820,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
     "dedup_lsh_recall" -> Dedup.lshRecallOracleSql(),
     "cur_bpe_merges" -> Curation.bpeMergesOracleSql(),
+    "cur_bpe_encode" -> Curation.bpeEncodeOracleSql(),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),

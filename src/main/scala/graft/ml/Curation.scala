@@ -854,15 +854,18 @@ object Curation {
     * is localCheckpointed per round so round t+1 never replays rounds
     * 1..t. Output: (step, pair_a, pair_b, cnt) — the ordered merge list.
     */
-  def bpeMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The shared training loop: returns the final symbol table
+    * (word, s, freq) and the ordered merge list.
+    */
+  private def bpeTrain(docs: DataFrame, nMerges: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val wf = docs
       .select(explode(words(col("text"))).as("word"))
       .where(col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var seq = wf
-      .select(regexp_replace(col("word"), "(.)", "<$1>").as("s"), col("freq"))
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("s"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
@@ -885,25 +888,60 @@ object Curation {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((t.toLong, a, b, cnt))
         seq = seq
-          .select(expr(s"replace(s, '<$a><$b>', '<$a$b>')").as("s"), col("freq"))
+          .select(col("word"),
+            expr(s"replace(s, '<$a><$b>', '<$a$b>')").as("s"), col("freq"))
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("step", "pair_a", "pair_b", "cnt")
+    (seq, merges.toSeq)
+  }
+
+  def bpeMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, nMerges)._2.toDF("step", "pair_a", "pair_b", "cnt")
+  }
+
+  /** Corpus tokenization under the trained BPE vocabulary: per document,
+    * whitespace-word count vs BPE token count and the tokens-per-word
+    * ratio — the number a pipeline reports to size its training budget.
+    * Words are encoded by joining against the trained symbol table (the
+    * word-frequency dictionary already holds every pre-tokenized word),
+    * so no per-document merge replay happens: one equi join on word +
+    * one per-doc aggregation. Pre-tokenizer-rejected words are excluded
+    * from BOTH counts (the [[bpeTrain]] contract).
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val (seqF, _) = bpeTrain(docs, nMerges)
+    val tok = seqF.select(col("word"),
+      size(split(expr("trim(BOTH '<>' FROM s)"), "><")).cast("long").as("n_tok"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .join(tok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("tokens_per_word"))
   }
 
   /** CTE-by-CTE replay of [[bpeMerges]]: seq0 → (pairs_t → best_t →
     * seq_t)* with the final UNION of the per-round argmax rows.
     */
-  def bpeMergesOracleSql(nMerges: Int = 8): String = {
+  /** The shared CTE chain (wf, seq0, then p_t/b_t/seq_t per round) —
+    * every seq CTE carries (word, s, freq) so both the merge-table and
+    * the encode oracle can hang off the final round.
+    */
+  private def bpeChainCtes(nMerges: Int): String = {
     val header =
-      s"""WITH wf AS (
+      s"""wf AS (
          |  SELECT word, count(*)::BIGINT AS freq
          |  FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
          |  GROUP BY word),
          |seq0 AS (
-         |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, freq FROM wf)""".stripMargin
+         |  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS s, freq
+         |  FROM wf)""".stripMargin
     val rounds = (1 to nMerges).map { t =>
       s"""p$t AS (
          |  SELECT sy[i] AS a, sy[i+1] AS b, sum(freq)::BIGINT AS cnt
@@ -915,13 +953,32 @@ object Curation {
          |  SELECT $t::BIGINT AS step, a AS pair_a, b AS pair_b, cnt
          |  FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
          |seq$t AS (
-         |  SELECT replace(s, '<' || pair_a || '><' || pair_b || '>',
+         |  SELECT word, replace(s, '<' || pair_a || '><' || pair_b || '>',
          |                 '<' || pair_a || pair_b || '>') AS s, freq
          |  FROM seq${t - 1}, b$t)""".stripMargin
     }.mkString(",\n")
+    s"$header,\n$rounds"
+  }
+
+  def bpeMergesOracleSql(nMerges: Int = 8): String = {
     val union = (1 to nMerges)
       .map(t => s"SELECT step, pair_a, pair_b, cnt FROM b$t")
       .mkString("\nUNION ALL ")
-    s"$header,\n$rounds\n$union"
+    s"WITH ${bpeChainCtes(nMerges)}\n$union"
   }
+
+  def bpeEncodeOracleSql(nMerges: Int = 8): String =
+    s"""WITH ${bpeChainCtes(nMerges)},
+       |tok AS (
+       |  SELECT word, len(string_split(trim(s, '<>'), '><'))::BIGINT AS n_tok
+       |  FROM seq$nMerges),
+       |dw AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) AS u
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$'))
+       |SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+       |       sum(t.n_tok)::BIGINT AS n_bpe_tokens,
+       |       round(sum(t.n_tok)::DOUBLE / count(*)::DOUBLE, 6) AS tokens_per_word
+       |FROM dw JOIN tok t ON dw.word = t.word
+       |GROUP BY dw.doc_id""".stripMargin
 }
