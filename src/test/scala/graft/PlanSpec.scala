@@ -208,6 +208,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("bpe encode joins the symbol table by key — no cartesian, no replay") {
+    val p = plan("cur_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // per-doc counts must come from ONE aggregation over the word join
+    assert(p.contains("HashAggregate"), "missing hash aggregation")
+  }
+
   test("scalar-subquery threshold broadcasts the 1-row aggregate") {
     val p = plan("q13_scalar_subq")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
