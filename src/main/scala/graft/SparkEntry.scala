@@ -443,6 +443,10 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextStats.languageId(Tables.load(s, dir, "documents"))),
     "text_corpus_stats" -> ((s, dir) => TextStats.corpusStats(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(Tables.load(s, dir, "documents"))),
+    // feature hashing: sparse hashed-TF vectors, no vocabulary state
+    "text_hash_tf" -> ((s, dir) => TextStats.hashTf(Tables.load(s, dir, "documents"))),
+    // sqrt-temperature language mixing weights over the corpus rollup
+    "cur_lang_mix" -> ((s, dir) => Curation.temperatureMix(Tables.load(s, dir, "documents"))),
     // counter-name sanitize (C10) exercised over real spaced strings
     "text_sanitize" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -848,6 +852,8 @@ object SparkEntry {
     "text_langid" -> TextStats.languageIdOracleSql,
     "text_corpus_stats" -> TextStats.corpusStatsOracleSql,
     "text_fingerprint" -> TextStats.fingerprintOracleSql,
+    "text_hash_tf" -> TextStats.hashTfOracleSql(),
+    "cur_lang_mix" -> Curation.temperatureMixOracleSql,
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->

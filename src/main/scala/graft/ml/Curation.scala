@@ -823,6 +823,41 @@ object Curation {
        |         / 1152921504606846976.0 < least(m.uniform_weight, 1.0) AS kept
        |FROM documents d JOIN mix m ON d.source = m.source""".stripMargin
 
+  /** Temperature-scaled language mixing weights — the multilingual
+    * sampling rule w_l ∝ p_l^α at α = 0.5, the temperature that keeps
+    * low-resource languages visible without swamping the head. Per
+    * language (from the language-ID rollup): w6 = the language's share
+    * of Σ√tokens, 6 dp.
+    *
+    * Cross-engine determinism: the denominator is a sum of DOUBLES in
+    * principle — so each √tokens is quantized FIRST
+    * (floor(√n·1e6 + 0.5), sqrt being IEEE-exact) and the sum runs over
+    * int64s, order-independent in both engines (the [[Similarity.kmeans]]
+    * quantize-before-aggregate trick). The one-row total broadcasts.
+    * Output: (lang_pred, n_docs, total_words, weight6).
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val scaled = TextStats.corpusStats(docs)
+      .withColumn("scaled",
+        floor(sqrt(col("total_words").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = scaled.agg(sum("scaled").as("tot_scaled"))
+    scaled.join(broadcast(tot))
+      .select(col("lang_pred"), col("n_docs"), col("total_words"),
+        round(col("scaled").cast("double") / col("tot_scaled").cast("double"), 6)
+          .as("weight6"))
+  }
+
+  val temperatureMixOracleSql: String =
+    s"""WITH cs AS (${TextStats.corpusStatsOracleSql}),
+       |sc AS (
+       |  SELECT lang_pred, n_docs::BIGINT AS n_docs, total_words,
+       |         floor(sqrt(total_words::DOUBLE) * 1e6 + 0.5)::BIGINT AS scaled
+       |  FROM cs),
+       |t AS (SELECT sum(scaled)::BIGINT AS tot FROM sc)
+       |SELECT lang_pred, n_docs, total_words,
+       |       round(scaled::DOUBLE / tot::DOUBLE, 6) AS weight6
+       |FROM sc, t""".stripMargin
+
   // ---------------------------------------------------------------------
   // Tokenizer training: BPE merge table
   // ---------------------------------------------------------------------

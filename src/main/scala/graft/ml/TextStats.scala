@@ -162,6 +162,23 @@ object TextStats {
        |FROM lang l JOIN stats s ON l.doc_id = s.doc_id
        |GROUP BY l.lang_pred""".stripMargin
 
+  /** Feature hashing (the hashing trick): word term frequencies folded
+    * into `dim` buckets by the portable 60-bit hash — the featurization
+    * step before any linear probe / cheap classifier over the corpus.
+    * Long-form sparse output (doc_id, dim, tf): integer counts, one
+    * explode + one map-side-combined aggregation, no vocabulary state at
+    * all (that's the trick).
+    */
+  def hashTf(docs: DataFrame, dim: Int = 256): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), pmod(h64(col("word")), lit(dim.toLong)).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("tf"))
+
+  def hashTfOracleSql(dim: Int = 256): String =
+    s"""SELECT doc_id, ${h64Sql("word")} % $dim AS dim, count(*)::BIGINT AS tf
+       |FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Polynomial rolling-hash fingerprint over the first 200 words:
     * fp = Σᵢ (h64(wᵢ) mod M) · 31ⁱ mod M, all integer arithmetic so the
     * result is order-deterministic and engine-portable.
