@@ -447,6 +447,8 @@ object SparkEntry {
     "text_hash_tf" -> ((s, dir) => TextStats.hashTf(Tables.load(s, dir, "documents"))),
     // sqrt-temperature language mixing weights over the corpus rollup
     "cur_lang_mix" -> ((s, dir) => Curation.temperatureMix(Tables.load(s, dir, "documents"))),
+    // bigram-LM cross-entropy gate (KenLM/CCNet filter shape)
+    "cur_bigram_lm" -> ((s, dir) => Curation.bigramLm(Tables.load(s, dir, "documents"))),
     // counter-name sanitize (C10) exercised over real spaced strings
     "text_sanitize" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -854,6 +856,7 @@ object SparkEntry {
     "text_fingerprint" -> TextStats.fingerprintOracleSql,
     "text_hash_tf" -> TextStats.hashTfOracleSql(),
     "cur_lang_mix" -> Curation.temperatureMixOracleSql,
+    "cur_bigram_lm" -> Curation.bigramLmOracleSql(),
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->

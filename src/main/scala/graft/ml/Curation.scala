@@ -488,6 +488,61 @@ object Curation {
        |       xent_nats > $flagThreshold AS flagged
        |FROM x""".stripMargin
 
+  /** Bigram-LM cross-entropy quality gate — one model order up from
+    * [[perplexity]], the shape of the KenLM/CCNet filter an LLM pipeline
+    * actually ships: P(b|a) = (c(ab)+1) / (c(a·)+V) (add-one smoothing
+    * over the corpus-trained bigram table), per-doc score = mean negative
+    * log-prob of its bigrams. Training and scoring are the same two
+    * hash aggregations + key joins as the unigram gate (no new scan
+    * shapes); the distinct-vocab size rides along as a broadcast 1-row
+    * aggregate. Docs with < 2 words score 0 with n_bigrams = 0.
+    * Output: (doc_id, n_bigrams, xent_nats, flagged).
+    */
+  def bigramLm(docs: DataFrame, flagThreshold: Double = 3.42): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val v = docs.select(explode(words(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val perDoc = bi.join(c2, "bg").join(c1, "w1").join(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double"))).as("slp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0, -col("slp") / col("n_bigrams"))
+          .otherwise(lit(0.0)), 6).as("xent_nats"))
+      .withColumn("flagged", col("xent_nats") > flagThreshold)
+  }
+
+  def bigramLmOracleSql(flagThreshold: Double = 3.42): String =
+    s"""WITH wds AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |bi AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+       |  FROM wds, unnest(range(1, len(w))) AS r(i)),
+       |v AS (
+       |  SELECT count(DISTINCT wd)::BIGINT AS v
+       |  FROM (SELECT unnest($wordsSql) AS wd FROM documents)),
+       |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bi GROUP BY bg),
+       |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |         sum(ln((c2 + 1)::DOUBLE / (c1 + v)::DOUBLE)) AS slp
+       |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v
+       |  GROUP BY doc_id),
+       |x AS (
+       |  SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       |         round(CASE WHEN coalesce(n_bigrams, 0) > 0
+       |               THEN -slp / n_bigrams ELSE 0.0 END, 6) AS xent_nats
+       |  FROM documents d LEFT JOIN per USING (doc_id))
+       |SELECT doc_id, n_bigrams, xent_nats,
+       |       xent_nats > $flagThreshold AS flagged
+       |FROM x""".stripMargin
+
   // ---------------------------------------------------------------------
   // Document chunking
   // ---------------------------------------------------------------------
