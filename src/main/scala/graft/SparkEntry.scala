@@ -218,6 +218,9 @@ object SparkEntry {
 
     // --- the reference's own pipeline over the events stream table ---
     "trend_rebin" -> ((s, dir) => rebinnedEvents(s, dir)),
+    // alpha-sensitivity sweep: detections per confidence level, one pass
+    "trend_alpha_sweep" -> ((s, dir) =>
+      Models.poissonLcSweep(rebinnedEvents(s, dir))),
     // same pipeline through the CSV ingestion edge (S1/S5): events →
     // 4-col CSV export → permissive-parse read-back → rebin. The oracle is
     // the parquet-path rebin oracle, so a hash match proves the CSV
@@ -765,6 +768,14 @@ object SparkEntry {
       s"WITH raw_counts AS ($filtered),\n${Rebin.oracleCtes("hours", 1)}\n" +
         "SELECT counter, ts, duration_sec, count FROM rebinned"
     },
+    "trend_alpha_sweep" -> Seq(0.9, 0.95, 0.99, 0.999).map { a =>
+      s"""SELECT * FROM (WITH $rebCtes,
+         |${Models.poissonLcOracleCtes(a)}
+         |SELECT ${math.round(a * 1000)}::BIGINT AS alpha_mil,
+         |       count(*)::BIGINT AS n_scored,
+         |       sum(CASE WHEN eta > 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_detected
+         |FROM scored)""".stripMargin
+    }.mkString("\nUNION ALL "),
     "trend_poisson_lc" -> withScored(Models.poissonLcOracleCtes(0.99),
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_scored_csv" -> withScored(Models.poissonLcOracleCtes(0.99),

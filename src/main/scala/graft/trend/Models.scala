@@ -38,6 +38,33 @@ object Models {
     analyzed(df, eta)
   }
 
+  /** Alpha-sensitivity sweep of the lc-Poisson detector — detections per
+    * confidence level, the evaluation a deployment runs to pick
+    * config.cfg's `alpha` (the reference exposes it as tuning config,
+    * config.cfg:38). ONE pass: the lag background is computed once and
+    * every alpha's CI width/eta evaluates in the same projection (the
+    * memoized CI expression makes each added alpha a near-free column).
+    * Output per alpha: (alpha_mil = α·1000 exact, n_scored, n_detected)
+    * with detections = trimmed eta > theta.
+    */
+  def poissonLcSweep(binned: DataFrame,
+                     alphas: Seq[Double] = Seq(0.9, 0.95, 0.99, 0.999),
+                     theta: Double = 1.0): DataFrame = {
+    val df = binned.withColumn("mean", lag("count", 1).over(w))
+    val branches = alphas.map { a =>
+      val ciw = PoissonCi.widthUdf(a)(col("mean"))
+      val eta = when(col("mean").isNull || col("mean") === 0.0 ||
+                     ciw.isNull || ciw === 0.0, lit(0.0))
+        .otherwise(abs(col("count") - col("mean")) / ciw)
+      struct(lit(math.round(a * 1000)).as("alpha_mil"),
+        Rounding.trim2(eta).as("eta"))
+    }
+    df.select(explode(array(branches: _*)).as("ae"))
+      .groupBy(col("ae.alpha_mil").as("alpha_mil"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("ae.eta") > theta, 1L).otherwise(0L)).as("n_detected"))
+  }
+
   // ------------------------------------------------------------------
   // Poisson, mode "a": background mean = running average of counts sharing
   // the same period key (e.g. hour-of-day), INCLUDING the current point —
