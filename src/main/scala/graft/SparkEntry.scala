@@ -204,6 +204,21 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
     }),
+    // RANGE window frame (time-based, not row-based): per customer, the
+    // trailing-30-day order count and spend — frames keyed by VALUE are
+    // deterministic under order ties, and Spark's rangeBetween needs the
+    // numeric epoch ordering both engines share
+    "q14_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("od_sec"))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables.load(s, dir, "orders")
+        .withColumn("od_sec",
+          unix_seconds(col("o_orderdate").cast("timestamp")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_30d"),
+          round(sum(col("o_totalprice")).over(w), 4).as("spend_30d"))
+    }),
     // scalar-subquery threshold: orders above 1.5× the global average
     // price. The 1-row aggregate broadcasts (never a shuffle of the big
     // side); the threshold is rounded to cents so both engines' float
@@ -439,6 +454,9 @@ object SparkEntry {
     // iterative Lloyd clustering (integer-exact over quantized vectors)
     "ann_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables.load(s, dir, "embeddings"))),
+    // Johnson–Lindenstrauss random-projection sketch
+    "ann_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.load(s, dir, "embeddings"))),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -756,6 +774,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 2)
         |                      FROM orders)""".stripMargin,
+    "q14_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       (count(*) OVER w)::BIGINT AS n_30d,
+        |       round(sum(o_totalprice) OVER w, 4) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "trend_rebin" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_rebin_csv" ->
@@ -860,6 +885,7 @@ object SparkEntry {
     "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
+    "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

@@ -664,6 +664,35 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Random-projection sketch (the Johnson–Lindenstrauss compression
+    * path): each vector projected onto `nProj` deterministic md5-derived
+    * hyperplanes — the [[planes]] family the LSH index already signs,
+    * here kept as real-valued coordinates (a 4×-smaller dense sketch
+    * whose pairwise distances approximate the original's). Long-form
+    * output (vec_id, j, proj6); dots are strict left-to-right folds on
+    * both engines (VecFold vs the explicit left-assoc SQL chain), 6 dp.
+    * One linear scan, plane weights live in the plan as literals.
+    */
+  def randomProjection(emb: DataFrame, nProj: Int = 16, dim: Int = 64): DataFrame = {
+    val pls = planes(nProj, dim).map(_.toArray)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val branches = (0 until nProj).map { p =>
+      struct(lit(p.toLong).as("j"),
+        round(VecFold.dot(col("v"), typedlit(pls(p))), 6).as("proj6"))
+    }
+    e.select(col("vec_id"), explode(array(branches: _*)).as("pr"))
+      .select(col("vec_id"), col("pr.j").as("j"), col("pr.proj6").as("proj6"))
+  }
+
+  def randomProjectionOracleSql(nProj: Int = 16, dim: Int = 64): String = {
+    val rows = (0 until nProj).map { p =>
+      s"SELECT vec_id, $p::BIGINT AS j, " +
+        s"round(${planeDotSql("v", p, dim)}, 6) AS proj6 FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |$rows""".stripMargin
+  }
+
   /** Distributed Lloyd k-means over the embedding corpus — the iterative
     * clustering step the seed-codebook quantizers ([[ivfTopK]],
     * [[pqCodes]]) deliberately skip, and the backbone of cluster-scoped
