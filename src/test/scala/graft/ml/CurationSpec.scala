@@ -291,4 +291,26 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("bpeMerges stops early when the corpus is fully merged") {
+    // 'ab' exhausts after one merge; 'a' alone never produces a pair
+    val d = Seq(1L -> "ab ab a").toDF("doc_id", "text")
+    val got = Curation.bpeMerges(d, nMerges = 5)
+      .select("step", "pair_a", "pair_b", "cnt")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", "b", 2L)))
+  }
+
+  test("bpeEncode: tokens_per_word reflects the trained merges") {
+    // after enough merges 'ab' is a single token; 'cd cd' likewise
+    val d = Seq(1L -> "ab ab cd", 2L -> "abcd").toDF("doc_id", "text")
+    val out = Curation.bpeEncode(d, nMerges = 8)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 3) // 3 words
+    // every word fully merged by 8 rounds on this tiny corpus → 1
+    // token per word
+    assert(out(1L)._3 === 3)
+    assert(out(2L) === ((2L, 1L, 1L)))
+  }
 }
