@@ -499,18 +499,29 @@ object Curation {
     * Output: (doc_id, n_bigrams, xent_nats, flagged).
     */
   def bigramLm(docs: DataFrame, flagThreshold: Double = 3.42): DataFrame = {
+    // 8-byte keys before the wide ops (the shingleTable discipline): the
+    // corpus-sized bigram stream shuffles int64s, never bigram text. The
+    // oracle hashes identically, so both engines share the (whp
+    // collision-free) key space.
     val bi = docs
       .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .select(col("doc_id"), h64(col("bg")).as("bgh"),
+        h64(substring_index(col("bg"), " ", 1)).as("w1h"))
     val v = docs.select(explode(words(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val perDoc = bi.join(c2, "bg").join(c1, "w1").join(broadcast(v))
+    // ONE aggregation of the stream gives the bigram table (w1h rides
+    // along — it is functionally dependent on the bigram); the context
+    // counts fall out of it as a vocabulary-sized rollup, so the
+    // per-bigram log-prob score table is built entirely off-stream
+    val bgTab = bi.groupBy("bgh", "w1h").agg(count(lit(1)).as("c2"))
+    val c1 = bgTab.groupBy("w1h").agg(sum("c2").as("c1"))
+    val score = bgTab.join(c1, "w1h").join(broadcast(v))
+      .select(col("bgh"),
+        log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("lp"))
+    val perDoc = bi.join(score, "bgh")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(log((col("c2") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double"))).as("slp"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -522,17 +533,20 @@ object Curation {
   def bigramLmOracleSql(flagThreshold: Double = 3.42): String =
     s"""WITH wds AS (SELECT doc_id, $wordsSql AS w FROM documents),
        |bi AS (
-       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+       |  SELECT doc_id, ${h64Sql("w[i] || ' ' || w[i+1]")} AS bgh,
+       |         ${h64Sql("w[i]")} AS w1h
        |  FROM wds, unnest(range(1, len(w))) AS r(i)),
        |v AS (
        |  SELECT count(DISTINCT wd)::BIGINT AS v
        |  FROM (SELECT unnest($wordsSql) AS wd FROM documents)),
-       |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bi GROUP BY bg),
-       |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+       |bgt AS (SELECT bgh, w1h, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1h, sum(c2)::BIGINT AS c1 FROM bgt GROUP BY 1),
+       |score AS (
+       |  SELECT bgh, ln((c2 + 1)::DOUBLE / (c1 + v)::DOUBLE) AS lp
+       |  FROM bgt JOIN c1 USING (w1h), v),
        |per AS (
-       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       |         sum(ln((c2 + 1)::DOUBLE / (c1 + v)::DOUBLE)) AS slp
-       |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp) AS slp
+       |  FROM bi JOIN score USING (bgh)
        |  GROUP BY doc_id),
        |x AS (
        |  SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
