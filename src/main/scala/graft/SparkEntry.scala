@@ -644,6 +644,7 @@ object SparkEntry {
     "evt_asof" -> ((s, dir) => Events.asofPurchase(Events.canonical(s, dir))),
     "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))),
     "evt_attribution" -> ((s, dir) => Events.attribution(Events.canonical(s, dir))),
+    "evt_key_skew" -> ((s, dir) => Events.keySkew(Events.canonical(s, dir))),
     // salted hot-key join: events (fact) x per-user spend (dim too big to
     // assume broadcastable at corpus scale, too hot-keyed for AQE alone);
     // identical result to the plain join — the oracle IS the plain join
@@ -1007,6 +1008,7 @@ object SparkEntry {
     "evt_asof" -> Events.asofPurchaseOracleSql,
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),
     "evt_attribution" -> Events.attributionOracleSql(),
+    "evt_key_skew" -> Events.keySkewOracleSql(),
     "evt_salted_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),
          |p AS (SELECT user_id, round(sum(value), 6) AS user_spend

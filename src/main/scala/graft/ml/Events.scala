@@ -195,6 +195,40 @@ object Events {
        |FROM iv JOIN ev e ON e.ts >= iv.lo AND e.ts < iv.hi
        |GROUP BY iv.interval_id""".stripMargin
 
+  /** Key-skew diagnostic: the top-k heaviest join keys and their share
+    * of the fact table — the report you run BEFORE deciding whether a
+    * key needs [[Joins.saltedJoin]] or AQE skew handling. One hash
+    * aggregation + a TakeOrdered of k rows; the total rides along as a
+    * broadcast 1-row aggregate. Output: (rank, user_id, n_events,
+    * share6), rank deterministic via (count DESC, key ASC).
+    */
+  def keySkew(events: DataFrame, k: Int = 10): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val tot = events.agg(count(lit(1)).as("tot"))
+    val w = Window.orderBy(desc("n_events"), asc("user_id"))
+    counts
+      .orderBy(desc("n_events"), asc("user_id")).limit(k)
+      .withColumn("rank", row_number().over(w)) // k rows: 1-partition OK
+      .join(broadcast(tot))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("tot").cast("double"), 6)
+          .as("share6"))
+  }
+
+  def keySkewOracleSql(k: Int = 10): String =
+    s"""WITH ev AS ($canonicalSql),
+       |counts AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_events
+       |  FROM ev GROUP BY user_id),
+       |tot AS (SELECT count(*)::BIGINT AS tot FROM ev),
+       |top AS (
+       |  SELECT row_number() OVER (ORDER BY n_events DESC, user_id) AS rank,
+       |         user_id, n_events
+       |  FROM counts ORDER BY n_events DESC, user_id LIMIT $k)
+       |SELECT rank, user_id, n_events,
+       |       round(n_events::DOUBLE / tot::DOUBLE, 6) AS share6
+       |FROM top, tot""".stripMargin
+
   // ---------------------------------------------------------------------
   // Within-window attribution join
   // ---------------------------------------------------------------------
