@@ -162,13 +162,21 @@ object Dedup {
     * numHashes for no statistical gain.
     */
   def minHashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
+                 bands: Int = 8, threshold: Double = 0.5): DataFrame =
     // three consumers (signature agg + both sides of the exact-verify
     // join) — materialize the scan→explode→md5→distinct subtree once,
     // as in ngramJaccard
-    val sh = shingleTable(docs, k).localCheckpoint()
+    minHashLshFrom(shingleTable(docs, k).localCheckpoint(),
+      shingleSizes(docs, k), numHashes, bands, threshold)
+
+  /** [[minHashLsh]] over a caller-provided (already-materialized)
+    * shingle table — the scan-sharing seam [[lshRecall]] uses.
+    */
+  private[ml] def minHashLshFrom(sh: DataFrame, sizes: DataFrame,
+                                 numHashes: Int, bands: Int,
+                                 threshold: Double): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
     val as = (0 until numHashes).map(seedConst("A", _))
     val bs = (0 until numHashes).map(seedConst("B", _))
 
@@ -199,7 +207,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    jaccardVerify(cand, sh, shingleSizes(docs, k), threshold)
+    jaccardVerify(cand, sh, sizes, threshold)
   }
 
   /** Exact jaccard for candidate pairs via the shared-shingle join;
@@ -271,9 +279,14 @@ object Dedup {
     * compare is accumulation-order independent; recall 6 dp.
     */
   def lshRecall(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val e = ngramJaccard(docs, k = k, threshold = threshold)
+    // ONE shingle scan feeds both operands (the per-operator checkpoints
+    // would otherwise each re-run scan→explode→md5→distinct)
+    val shBase = shingleTable(docs, k).localCheckpoint()
+    val sizes = shingleSizes(docs, k)
+    val e = ngramJaccardFrom(shBase, sizes, threshold, maxDf = 1000)
       .select("doc_a", "doc_b").withColumn("in_e", lit(1))
-    val l = minHashLsh(docs, k = k, threshold = threshold)
+    val l = minHashLshFrom(shBase, sizes, numHashes = 16, bands = 8,
+        threshold = threshold)
       .select("doc_a", "doc_b").withColumn("in_l", lit(1))
     e.join(l, Seq("doc_a", "doc_b"), "full_outer")
       .agg(count(col("in_e")).as("n_exact"), count(col("in_l")).as("n_lsh"),
@@ -321,12 +334,20 @@ object Dedup {
     * distribution's head).
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                   maxDf: Int = 1000): DataFrame = {
+                   maxDf: Int = 1000): DataFrame =
+    ngramJaccardFrom(shingleTable(docs, k), shingleSizes(docs, k),
+      threshold, maxDf)
+
+  /** [[ngramJaccard]] over a caller-provided shingle table — lets a
+    * composition ([[lshRecall]]) share ONE scan→explode→md5→distinct
+    * pass across operators instead of re-running it per operand.
+    */
+  private[ml] def ngramJaccardFrom(shBase: DataFrame, sizes: DataFrame,
+                                   threshold: Double, maxDf: Int): DataFrame = {
     // df via hash aggregation + same-key join, NOT a window: both sides
     // partition on shingle (one shuffle, reused), and no per-partition
     // sort — a hot shingle's partition would otherwise sort-spill at
     // corpus scale
-    val shBase = shingleTable(docs, k)
     val dfs = shBase.groupBy("sh").agg(count(lit(1)).as("df"))
     // materialize the df-annotated inverted index ONCE: five downstream
     // consumers (rare×2, hot×2, and the candidate re-expansion) would
@@ -350,7 +371,6 @@ object Dedup {
         col("ha.sh") === col("hb.sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_hot"))
 
-    val sizes = shingleSizes(docs, k)
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("ninter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
