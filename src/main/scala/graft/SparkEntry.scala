@@ -470,6 +470,8 @@ object SparkEntry {
     "cur_lang_mix" -> ((s, dir) => Curation.temperatureMix(Tables.load(s, dir, "documents"))),
     // bigram-LM cross-entropy gate (KenLM/CCNet filter shape)
     "cur_bigram_lm" -> ((s, dir) => Curation.bigramLm(Tables.load(s, dir, "documents"))),
+    // anneal toward the temperature mix: per-language downsample rates
+    "cur_lang_anneal" -> ((s, dir) => Curation.annealMix(Tables.load(s, dir, "documents"))),
     // counter-name sanitize (C10) exercised over real spaced strings
     "text_sanitize" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -895,6 +897,7 @@ object SparkEntry {
     "text_hash_tf" -> TextStats.hashTfOracleSql(),
     "cur_lang_mix" -> Curation.temperatureMixOracleSql,
     "cur_bigram_lm" -> Curation.bigramLmOracleSql(),
+    "cur_lang_anneal" -> Curation.annealMixOracleSql,
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->

@@ -927,6 +927,48 @@ object Curation {
        |       round(scaled::DOUBLE / tot::DOUBLE, 6) AS weight6
        |FROM sc, t""".stripMargin
 
+  /** Anneal the corpus toward the [[temperatureMix]] target: per
+    * language, keep rate r_l = (w_l / share_l) normalized so the MOST
+    * over-target language keeps 100% (pure downsampling — no document is
+    * ever duplicated); documents then keep/drop by the usual md5-uniform
+    * draw. Every rate is a chain of single IEEE ops over already-rounded
+    * inputs (no float summation anywhere: the token total is an integer
+    * sum, the normalizer is a max), so both engines compute identical
+    * rates. Output: (doc_id, lang_pred, rate6, kept).
+    */
+  def annealMix(docs: DataFrame): DataFrame = {
+    val mix = temperatureMix(docs)
+    val tot = mix.agg(sum("total_words").as("tw"))
+    val rates = mix.join(broadcast(tot))
+      .select(col("lang_pred"),
+        (col("weight6") * col("tw").cast("double") /
+          col("total_words").cast("double")).as("ratio"))
+    val mx = rates.agg(max("ratio").as("mx"))
+    val r6 = rates.join(broadcast(mx))
+      .select(col("lang_pred"), round(col("ratio") / col("mx"), 6).as("rate6"))
+    val frac = h64(concat(lit("an:"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0)
+    TextStats.languageId(docs).select("doc_id", "lang_pred")
+      .join(broadcast(r6), "lang_pred")
+      .select(col("doc_id"), col("lang_pred"), col("rate6"),
+        (frac < col("rate6")).as("kept"))
+  }
+
+  val annealMixOracleSql: String =
+    s"""WITH mix AS ($temperatureMixOracleSql),
+       |tot AS (SELECT sum(total_words)::BIGINT AS tw FROM mix),
+       |rates AS (
+       |  SELECT lang_pred,
+       |         weight6 * tw::DOUBLE / total_words::DOUBLE AS ratio
+       |  FROM mix, tot),
+       |mx AS (SELECT max(ratio) AS mx FROM rates),
+       |r6 AS (SELECT lang_pred, round(ratio / mx, 6) AS rate6 FROM rates, mx),
+       |lang AS (${TextStats.languageIdOracleSql})
+       |SELECT l.doc_id, l.lang_pred, r.rate6,
+       |       ${h64Sql("'an:' || l.doc_id::VARCHAR")}::DOUBLE
+       |         / 1152921504606846976.0 < r.rate6 AS kept
+       |FROM lang l JOIN r6 r ON l.lang_pred = r.lang_pred""".stripMargin
+
   // ---------------------------------------------------------------------
   // Tokenizer training: BPE merge table
   // ---------------------------------------------------------------------
