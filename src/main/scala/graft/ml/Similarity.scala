@@ -724,9 +724,14 @@ object Similarity {
       col("embedding").cast("array<double>").as("v"))
     val scale = base.agg(max(aggregate(col("v"), lit(0.0),
       (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    // materialize the quantized table ONCE (MLlib caches its input the
+    // same way): seeds, every update round, and the final assignment all
+    // scan it — without this each action re-reads parquet and re-runs
+    // the quantize projection
     val q = base.select(col("vec_id"),
       transform(col("v"),
         x => floor(x * 127.0 / scale + 0.5).cast("long")).as("q"))
+      .localCheckpoint()
 
     // seed centroids: the k smallest-id vectors, cluster = seed position
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
