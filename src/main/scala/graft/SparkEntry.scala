@@ -472,6 +472,8 @@ object SparkEntry {
     "cur_bigram_lm" -> ((s, dir) => Curation.bigramLm(Tables.load(s, dir, "documents"))),
     // anneal toward the temperature mix: per-language downsample rates
     "cur_lang_anneal" -> ((s, dir) => Curation.annealMix(Tables.load(s, dir, "documents"))),
+    // packing under the trained tokenizer's token counts
+    "cur_pack_bpe" -> ((s, dir) => Curation.packSequencesBpe(Tables.load(s, dir, "documents"))),
     // counter-name sanitize (C10) exercised over real spaced strings
     "text_sanitize" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -898,6 +900,7 @@ object SparkEntry {
     "cur_lang_mix" -> Curation.temperatureMixOracleSql,
     "cur_bigram_lm" -> Curation.bigramLmOracleSql(),
     "cur_lang_anneal" -> Curation.annealMixOracleSql,
+    "cur_pack_bpe" -> Curation.packSequencesBpeOracleSql(),
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->

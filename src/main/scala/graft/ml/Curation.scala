@@ -246,6 +246,48 @@ object Curation {
        |       (start_off % $maxTokens)::BIGINT AS pack_off
        |FROM cum""".stripMargin
 
+  /** [[packSequences]] under the TRAINED tokenizer: offsets accumulate
+    * real BPE token counts ([[bpeEncode]]) instead of whitespace words —
+    * the pack layout a pretraining loader actually consumes, where the
+    * budget is model tokens, not words. Same shard-parallel
+    * concat-and-chop shape; docs with no pre-tokenizer-accepted words
+    * pack as 0-length (LEFT join + coalesce keeps every document).
+    */
+  def packSequencesBpe(docs: DataFrame, maxTokens: Int = 512,
+                       nShards: Int = 64, nMerges: Int = 8): DataFrame = {
+    val enc = bpeEncode(docs, nMerges).select("doc_id", "n_bpe_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select("doc_id").join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"),
+        pmod(h64(concat(col("doc_id").cast("string"), lit(":pack"))), lit(nShards))
+          .as("shard"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"start_off DIV $maxTokens").as("pack_id"),
+        pmod(col("start_off"), lit(maxTokens.toLong)).as("pack_off"))
+  }
+
+  def packSequencesBpeOracleSql(maxTokens: Int = 512, nShards: Int = 64,
+                                nMerges: Int = 8): String =
+    s"""WITH enc AS (${bpeEncodeOracleSql(nMerges)}),
+       |t AS (
+       |  SELECT d.doc_id, coalesce(e.n_bpe_tokens, 0)::BIGINT AS n_tokens,
+       |         ${h64Sql("d.doc_id::VARCHAR || ':pack'")} % $nShards AS shard
+       |  FROM documents d LEFT JOIN enc e USING (doc_id)),
+       |cum AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_off
+       |  FROM t)
+       |SELECT shard::BIGINT AS shard, doc_id, n_tokens,
+       |       (start_off // $maxTokens)::BIGINT AS pack_id,
+       |       (start_off % $maxTokens)::BIGINT AS pack_off
+       |FROM cum""".stripMargin
+
   /** Per-language document-length quantiles (exact, linear-interpolated —
     * the curation report's length distribution). One hash aggregation;
     * exact percentile needs the per-group values, which is fine for a
