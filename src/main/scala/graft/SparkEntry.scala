@@ -636,6 +636,14 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.imagePHash(
         Multimodal.syntheticMediaGrouped(Tables.load(s, dir, "documents")))),
+    // cross-modal reuse of the generic CC operator: cluster assignment
+    // over the image near-dup graph (non-image docs stay singletons)
+    "mm_phash_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Multimodal.imagePHash(Multimodal.syntheticMediaGrouped(docs))
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      Dedup.components(docs, pairs)
+    }),
     // audio-fingerprint near-dup over grouped audio payloads — the audio
     // twin of mm_phash_pairs (integer energy-delta signature, banded)
     "mm_audio_fp_pairs" -> ((s, dir) =>
@@ -1009,6 +1017,9 @@ object SparkEntry {
     "mm_scene_cuts" -> Multimodal.sceneCutsOracleSql(),
     "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
     "mm_phash_pairs" -> Multimodal.imagePHashOracleSql(),
+    "mm_phash_clusters" -> Dedup.componentsOracleSql(
+      s"SELECT media_a AS doc_a, media_b AS doc_b " +
+        s"FROM (${Multimodal.imagePHashOracleSql()})"),
     "mm_audio_fp_pairs" -> Multimodal.audioFingerprintOracleSql(),
     "evt_sessionize" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
