@@ -61,7 +61,12 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // Full per-query map first; then a compact summary as the LAST line.
+    // The driver's artifact capture keeps only the tail of stdout, and in
+    // round 4 the single giant line lost its leading total to truncation —
+    // the trailing compact line is small enough to always survive intact.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

