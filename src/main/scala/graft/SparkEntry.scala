@@ -339,6 +339,10 @@ object SparkEntry {
     "trend_mk" -> ((s, dir) => MannKendall(rebinnedEvents(s, dir))),
     "trend_mk_windowed" -> ((s, dir) =>
       MannKendall(rebinnedEvents(s, dir), windowSize = Some(24))),
+    // the standalone test's full (z, p, trend-label) surface
+    // (mk_test.py:67-75), not just the model contract's z
+    "trend_mk_full" -> ((s, dir) =>
+      MannKendall.fullTest(rebinnedEvents(s, dir), alpha = 0.05)),
     "trend_linreg_windowed" -> ((s, dir) =>
       Models.linReg(rebinnedEvents(s, dir), minPoints = 10, avgWindow = 3,
         regWindow = Some(48), normByMean = true)),
@@ -860,6 +864,9 @@ object SparkEntry {
       "SELECT counter, ts, count, eta FROM scored"),
     "trend_mk_windowed" -> withScored(MannKendall.windowedOracleCtes(24),
       "SELECT counter, ts, count, eta FROM scored"),
+    "trend_mk_full" -> withScored(
+      MannKendall.oracleCtes + ",\n" + MannKendall.fullTestOracleCtes(0.05),
+      "SELECT counter, ts, count, z, p6, trend FROM mk_full"),
     "trend_linreg_windowed" -> withScored(
       Models.linRegWindowedOracleCtes(minPoints = 10, avgWindow = 3,
         regWindow = 48, normByMean = true),

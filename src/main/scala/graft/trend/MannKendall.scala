@@ -145,10 +145,16 @@ object MannKendall {
     if (varS <= 0) 0.0 else zOf(s, varS)
   }
 
-  def apply(binned: DataFrame, windowSize: Option[Int] = None): DataFrame = {
+  /** Raw signed z per point — the shared kernel behind the model contract
+    * ([[apply]], which trims through the analyze-stage convention) and the
+    * standalone test surface ([[fullTest]], which must keep the sign).
+    * z is hash-exact across engines: S and var(S) are integers held in
+    * doubles, and sqrt/divide are correctly-rounded IEEE ops.
+    */
+  private def scoredZ(binned: DataFrame, windowSize: Option[Int]): DataFrame = {
     val spark = binned.sparkSession
     import spark.implicits._
-    val scored = binned.select($"counter", $"ts", $"count".cast("double").as("count"))
+    binned.select($"counter", $"ts", $"count".cast("double").as("count"))
       .as[Pt]
       .groupByKey(_.counter)
       .flatMapGroups { (counter, it) =>
@@ -160,10 +166,70 @@ object MannKendall {
         }
         pts.indices.iterator.map(i => Scored(counter, pts(i).ts, pts(i).count, zs(i)))
       }
-    scored.toDF()
+      .toDF()
+  }
+
+  def apply(binned: DataFrame, windowSize: Option[Int] = None): DataFrame =
+    scoredZ(binned, windowSize)
       .withColumn("eta", Rounding.trim2(col("z")))
       .select("counter", "ts", "count", "eta")
+
+  /** Full standalone-test surface: `(eta, p6, trend)` per point — the
+    * reference's `mk_test` returns `(trend, h, p, z)` (mk_test.py:67-75:
+    * two-tail p via the normal cdf, label by sign + significance at
+    * `alpha`), while the model contract surfaces z only (models.py:45).
+    * This is the view a user running the statistical test directly gets.
+    * Unlike the model contract, z keeps its SIGN (mk_test.py never trims;
+    * the analyze-stage `x > 0` clamp would erase every decreasing trend).
+    *
+    * p is computed from raw z via the Zelen–Severo 26.2.17 upper-tail
+    * polynomial (|err| < 7.5e-8 — well inside the 6-dp emission; DuckDB
+    * has no erf, so the oracle evaluates the literally identical
+    * arithmetic). All ops but exp() are exactly-rounded IEEE arithmetic
+    * on engine-identical inputs; exp may differ by 1 ulp between JVM and
+    * libm, which flips the 6-dp rounding only if the true value sits
+    * within an ulp of a 5e-7 boundary.
+    * h = "p < alpha" replaces the reference's |z| > ppf(1−alpha/2) —
+    * equivalent by monotonicity of the cdf, and comparing the rounded p6
+    * keeps the label a pure function of emitted columns in both engines.
+    */
+  def fullTest(binned: DataFrame, alpha: Double = 0.05,
+               windowSize: Option[Int] = None): DataFrame = {
+    val az = abs(col("z"))
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) + k * lit(1.330274429)))))
+    val phi = exp(az * az * lit(-0.5)) / lit(2.5066282746310002)
+    val p = least(lit(2.0) * phi * poly, lit(1.0)) // two-tail 2·(1−cdf(|z|))
+    scoredZ(binned, windowSize)
+      .withColumn("p6", round(p, 6))
+      .withColumn("trend",
+        when(col("p6") < alpha && col("z") < 0, "decreasing")
+          .when(col("p6") < alpha && col("z") > 0, "increasing")
+          .otherwise("no trend"))
+      .select("counter", "ts", "count", "z", "p6", "trend")
   }
+
+  /** DuckDB CTEs for [[fullTest]], appended after [[oracleCtes]] (whose
+    * `mk_z` carries the raw signed z); produces `mk_full`.
+    */
+  def fullTestOracleCtes(alpha: Double): String =
+    s"""mk_k AS (
+       |  SELECT counter, ts, count, z,
+       |         1.0 / (1.0 + 0.2316419 * abs(z)) AS kk
+       |  FROM mk_z),
+       |mk_p AS (
+       |  SELECT counter, ts, count, z,
+       |         round(least(2.0 * (exp(abs(z) * abs(z) * -0.5) / 2.5066282746310002)
+       |           * (kk * (0.319381530 + kk * (-0.356563782 + kk * (1.781477937
+       |              + kk * (-1.821255978 + kk * 1.330274429))))), 1.0), 6) AS p6
+       |  FROM mk_k),
+       |mk_full AS (
+       |  SELECT counter, ts, count, z, p6,
+       |         CASE WHEN p6 < $alpha AND z < 0 THEN 'decreasing'
+       |              WHEN p6 < $alpha AND z > 0 THEN 'increasing'
+       |              ELSE 'no trend' END AS trend
+       |  FROM mk_p)""".stripMargin
 
   /** DuckDB oracle: O(n²) prefix-pair formulation over
     * `rebinned(counter, ts, duration_sec, count)` → `scored(...)`. Feasible

@@ -43,6 +43,33 @@ class ModelMathSpec extends SparkSpec {
     assert(MannKendall.windowZ(xs) == got.last)
   }
 
+  test("mk full test: two-tail p matches erfc truth at 6dp, labels by sign+alpha") {
+    // increasing 1..5 → raw z 2.2045407685 (NOT trimmed — the standalone
+    // test keeps the sign, unlike the analyze-stage eta clamp); scipy-truth
+    // two-tail p = erfc(z/√2) = 0.0274863361... → p6 0.027486 < 0.05 ⇒
+    // increasing. The Zelen–Severo polynomial the engine/oracle share
+    // agrees with erfc truth to 6dp on these points (checked offline).
+    val inc = (1 to 5).map(i => ("a", new Timestamp(i * 3600000L), i.toDouble))
+    val dec = (1 to 5).map(i => ("b", new Timestamp(i * 3600000L), (6 - i).toDouble))
+    val flat = (1 to 5).map(i => ("c", new Timestamp(i * 3600000L), 2.0))
+    val df = MannKendall.fullTest(
+      (inc ++ dec ++ flat).toDF("counter", "ts", "count"), alpha = 0.05)
+    val last = df.where($"ts" === new Timestamp(5 * 3600000L))
+      .select("counter", "z", "p6", "trend").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getString(3))))
+      .toMap
+    val zc = 2.2045407685048604
+    assert(math.abs(last("a")._1 - zc) < 1e-12 && last("a")._2 == 0.027486
+      && last("a")._3 == "increasing")
+    assert(math.abs(last("b")._1 + zc) < 1e-12 && last("b")._2 == 0.027486
+      && last("b")._3 == "decreasing")
+    assert(last("c") == ((0.0, 1.0, "no trend")))
+    // sub-critical slope: first 3 points of 1..5 → z 1.04 → p > 0.05
+    val third = df.where($"counter" === "a" && $"ts" === new Timestamp(3 * 3600000L))
+      .select("p6", "trend").collect().head
+    assert(third.getDouble(0) > 0.05 && third.getString(1) == "no trend")
+  }
+
   test("incremental sliding MK equals per-window recomputation (random, ties)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 5; w <- Seq(1, 3, 8, 20)) {
