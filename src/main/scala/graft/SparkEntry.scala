@@ -314,6 +314,17 @@ object SparkEntry {
       Csv.writeLegacy(Tables.eventsAsCounts(s, dir), tmp)
       Rebin(Csv.readLegacy(s, Seq(tmp), rule = Some(" click ")), "hours", 1)
     }),
+    // legacy CONFIGURED-grid layout (rebin.py:104-116): grid anchored at
+    // the exact configured start (06:30 — deliberately off-truncation, so
+    // a bin-shifted implementation cannot hash-match), extent from config
+    // alone. Proves bin-identical replay of old legacy runs.
+    "trend_rebin_legacy_grid" -> ((s, dir) => {
+      val tmp = tmpPath(s, "legacygrid", dir)
+      Csv.writeLegacy(Tables.eventsAsCounts(s, dir), tmp)
+      Rebin(Csv.readLegacy(s, Seq(tmp), rule = Some(" click ")), "hours", 1,
+        startTime = "2024-01-03 06:30:00", stopTime = "2024-01-20 00:00:00",
+        gridFromConfig = true)
+    }),
     // recursive directory scan with postfix filter (S2) + malformed-row
     // skip (F3): the corpus is split across nested subdirs, a decoy file
     // with the wrong postfix and malformed rows inside a matching file are
@@ -683,11 +694,14 @@ object SparkEntry {
     }),
     "text_entropy" -> ((s, dir) =>
       TextStats.charEntropy(Tables.load(s, dir, "documents"))),
-    // HLL vocabulary estimate — deliberately NO oracleSql entry: approx
-    // sketches differ across engines, so the driver records the weaker
-    // rows-only check; the rsd contract is unit-tested in MlSpec
+    // HLL vocabulary estimate, error-bound-checked: the emitted columns
+    // are the exact distinct counts (oracle-able) plus a within-3rsd
+    // boolean the oracle asserts true — so the sketch's accuracy
+    // contract is a real hash row, while the engine-specific estimate
+    // itself stays out of the comparison. The unchecked scale form is
+    // TextStats.vocabSketch.
     "text_vocab_sketch" -> ((s, dir) =>
-      TextStats.vocabSketch(Tables.load(s, dir, "documents"))),
+      TextStats.vocabSketchChecked(Tables.load(s, dir, "documents"))),
     "evt_funnel" -> ((s, dir) => Events.funnel(Events.canonical(s, dir))),
     "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))),
     // semi-structured metadata: JSON props field extraction + rollup
@@ -853,6 +867,13 @@ object SparkEntry {
       s"WITH raw_counts AS ($filtered),\n${Rebin.oracleCtes("hours", 1)}\n" +
         "SELECT counter, ts, duration_sec, count FROM rebinned"
     },
+    "trend_rebin_legacy_grid" -> {
+      val filtered = s"${Tables.eventsAsCountsSql.stripSuffix("FROM events")}FROM events " +
+        "WHERE event_type = 'click'"
+      s"WITH raw_counts AS ($filtered),\n${Rebin.oracleCtes("hours", 1,
+        "2024-01-03 06:30:00", "2024-01-20 00:00:00", gridFromConfig = true)}\n" +
+        "SELECT counter, ts, duration_sec, count FROM rebinned"
+    },
     "trend_rebin_scandir" ->
       s"WITH $rebCtes\nSELECT counter, ts, duration_sec, count FROM rebinned",
     "trend_linreg" -> withScored(Models.linRegOracleCtes(minPoints = 10, avgWindow = 3),
@@ -925,6 +946,7 @@ object SparkEntry {
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,
+    "text_vocab_sketch" -> TextStats.vocabSketchCheckedOracleSql,
     "text_corpus_stats" -> TextStats.corpusStatsOracleSql,
     "text_fingerprint" -> TextStats.fingerprintOracleSql,
     "text_hash_tf" -> TextStats.hashTfOracleSql(),

@@ -263,4 +263,38 @@ object TextStats {
       .groupBy("lang_pred")
       .agg(count_distinct(col("doc_id")).as("n_docs"),
         approx_count_distinct(col("word"), rsd).as("approx_vocab"))
+
+  /** Error-bound-checked twin of [[vocabSketch]]: emits the exact distinct
+    * vocabulary (oracle-able) plus `within_3rsd` — whether the HLL
+    * estimate landed inside 3·rsd of it. The DuckDB oracle asserts the
+    * boolean is literally `true`, turning the sketch's accuracy contract
+    * into a hash-checked correctness row (the estimate itself stays out
+    * of the output: engine-specific sketches can't hash-match). This is
+    * the verification query; at corpus scale run [[vocabSketch]], which
+    * never shuffles the full vocabulary.
+    */
+  def vocabSketchChecked(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    languageId(docs)
+      .join(docs.select(col("doc_id"), explode(words(col("text"))).as("word")),
+        "doc_id")
+      .groupBy("lang_pred")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count_distinct(col("word")).as("exact_vocab"),
+        approx_count_distinct(col("word"), rsd).as("approx"))
+      .select(col("lang_pred"), col("n_docs"), col("exact_vocab"),
+        (abs(col("approx").cast("double") - col("exact_vocab").cast("double"))
+          <= lit(3 * rsd) * col("exact_vocab").cast("double")).as("within_3rsd"))
+
+  /** Oracle for [[vocabSketchChecked]]: exact counts, and the error bound
+    * asserted true — a drifting sketch fails the row.
+    */
+  val vocabSketchCheckedOracleSql: String =
+    s"""WITH lang AS ($languageIdOracleSql),
+       |wrd AS (
+       |  SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+       |SELECT l.lang_pred, count(DISTINCT w.doc_id)::BIGINT AS n_docs,
+       |       count(DISTINCT w.word)::BIGINT AS exact_vocab,
+       |       true AS within_3rsd
+       |FROM lang l JOIN wrd w USING (doc_id)
+       |GROUP BY l.lang_pred""".stripMargin
 }

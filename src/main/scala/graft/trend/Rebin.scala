@@ -47,11 +47,35 @@ object Rebin {
   private val unitSeconds = Map(
     "minutes" -> 60L, "hours" -> 3600L, "days" -> 86400L, "weeks" -> 604800L)
 
+  /** Index of the last grid bin when the grid is anchored at the
+    * CONFIGURED start (rebin.py:104-116): bins are appended while
+    * `stop(bin) <= stopTime`, then ONE extra — so the last bin start is
+    * `start + floor((stop−start)/binSec)·binSec` for both exact and
+    * ragged divisions. Pure local-datetime arithmetic (no zone): the
+    * reference subtracts naive datetimes.
+    */
+  private def lastConfigBin(startTime: String, stopTime: String,
+                            binSec: Long): Long = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val t0 = java.time.LocalDateTime.parse(startTime, fmt)
+    val t1 = java.time.LocalDateTime.parse(stopTime, fmt)
+    java.time.Duration.between(t0, t1).getSeconds / binSec
+  }
+
+  /** @param gridFromConfig legacy layout (rebin.py:104-116): the uniform
+    *   grid is anchored at the configured `startTime` EXACTLY (no
+    *   truncation, independent of the data's observed extent) and runs to
+    *   the last bin fitting `stopTime` plus one. The default (false) is
+    *   the analysis.py:91-97 layout: per-counter grid from
+    *   date_trunc(unit, observed min). Config-driven replays of legacy
+    *   runs need the flag, or every bin shifts by the origin delta.
+    */
   def apply(raw: DataFrame,
             binningUnit: String = "hours",
             nUnit: Int = 1,
             startTime: String = "1970-01-01 00:00:00",
-            stopTime: String = "2100-01-01 00:00:00"): DataFrame = {
+            stopTime: String = "2100-01-01 00:00:00",
+            gridFromConfig: Boolean = false): DataFrame = {
     val unit = binningUnit.stripSuffix("s")
     val binSec = unitSeconds(binningUnit) * nUnit
     val binUsec = binSec * 1000000L
@@ -67,13 +91,24 @@ object Rebin {
              col("ts") >= lit(startTime).cast("timestamp") &&
              col("stop_ts") > col("ts"))
 
-    // per-counter grid extent: origin = trunc(min start), last bin start =
-    // trunc(max stop) — one row per counter
-    val ext = in.groupBy("counter")
-      .agg(min("ts").as("mn"), max("stop_ts").as("mx"))
-      .select(col("counter"),
-        date_trunc(unit, col("mn")).as("origin"),
-        date_trunc(unit, col("mx")).as("gend"))
+    // grid extent, one row per counter. Observed mode: origin =
+    // trunc(min start), last bin start = trunc(max stop). Config mode:
+    // the same constant (origin, gend) for every counter present — the
+    // grid is a function of config alone, so it's a pair of literals.
+    val ext =
+      if (gridFromConfig) {
+        val gendSec = lastConfigBin(startTime, stopTime, binSec) * binSec
+        in.select("counter").distinct()
+          .select(col("counter"),
+            lit(startTime).cast("timestamp").as("origin"),
+            (lit(startTime).cast("timestamp") +
+              expr(s"INTERVAL '$gendSec' SECOND")).as("gend"))
+      } else
+        in.groupBy("counter")
+          .agg(min("ts").as("mn"), max("stop_ts").as("mx"))
+          .select(col("counter"),
+            date_trunc(unit, col("mn")).as("origin"),
+            date_trunc(unit, col("mx")).as("gend"))
 
     // the dense uniform grid, generated (not joined against input)
     val grid = ext.select(col("counter"),
@@ -122,21 +157,33 @@ object Rebin {
   def oracleCtes(binningUnit: String = "hours",
                  nUnit: Int = 1,
                  startTime: String = "1970-01-01 00:00:00",
-                 stopTime: String = "2100-01-01 00:00:00"): String = {
+                 stopTime: String = "2100-01-01 00:00:00",
+                 gridFromConfig: Boolean = false): String = {
     val unit = binningUnit.stripSuffix("s")
     val binSec = unitSeconds(binningUnit) * nUnit
+    val gridCte =
+      if (gridFromConfig) {
+        val gendSec = lastConfigBin(startTime, stopTime, binSec) * binSec
+        s"""rb_grid AS (
+           |  SELECT counter,
+           |         unnest(generate_series(TIMESTAMP '$startTime',
+           |                                TIMESTAMP '$startTime' + to_seconds($gendSec),
+           |                                INTERVAL '$binSec' SECOND)) AS bin_start
+           |  FROM (SELECT DISTINCT counter FROM rb_in)),""".stripMargin
+      } else
+        s"""rb_grid AS (
+           |  SELECT counter,
+           |         unnest(generate_series(date_trunc('$unit', min(ts)),
+           |                                date_trunc('$unit', max(stop_ts)),
+           |                                INTERVAL '$binSec' SECOND)) AS bin_start
+           |  FROM rb_in GROUP BY counter),""".stripMargin
     s"""rb_in AS (
        |  SELECT counter, ts, ts + to_seconds(duration_sec) AS stop_ts, count
        |  FROM raw_counts
        |  WHERE ts + to_seconds(duration_sec) <= TIMESTAMP '$stopTime'
        |    AND ts >= TIMESTAMP '$startTime'
        |    AND ts + to_seconds(duration_sec) > ts),
-       |rb_grid AS (
-       |  SELECT counter,
-       |         unnest(generate_series(date_trunc('$unit', min(ts)),
-       |                                date_trunc('$unit', max(stop_ts)),
-       |                                INTERVAL '$binSec' SECOND)) AS bin_start
-       |  FROM rb_in GROUP BY counter),
+       |$gridCte
        |rb_grid2 AS (
        |  SELECT counter, bin_start,
        |         bin_start + INTERVAL '$binSec' SECOND AS bin_stop

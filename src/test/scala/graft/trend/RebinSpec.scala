@@ -67,6 +67,42 @@ class RebinSpec extends SparkSpec {
       ("a", "2024-01-01 06:00:00.0", 3600.0, 0.0)))
   }
 
+  test("configured grid anchors at exact start; exact division adds one extra bin") {
+    def runCfg(rows: Seq[(String, Long, Double, String)],
+               start: String, stop: String) = {
+      val df = rows.map { case (t, d, c, k) => (ts(t), d, c, k) }
+        .toDF("ts", "duration_sec", "count", "counter")
+      Rebin(df, "hours", 1, startTime = start, stopTime = stop,
+        gridFromConfig = true)
+        .orderBy("counter", "ts")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(3)))
+    }
+    // origin 00:30 EXACT (no truncation): a [01:30,02:30) input lands in
+    // ONE bin of the shifted grid, where the observed-grid layout would
+    // split it across two truncated-hour bins. The first zero after it
+    // survives (zero-trim keeps the first zero of each run, and the slice
+    // bound is the last TOUCHED grid idx applied to the compacted list).
+    val shifted = runCfg(
+      Seq(("2024-01-01 01:30:00", 3600L, 6.0, "a")),
+      "2024-01-01 00:30:00", "2024-01-01 05:30:00")
+    assert(shifted.toSeq == Seq(
+      ("a", "2024-01-01 01:30:00.0", 6.0),
+      ("a", "2024-01-01 02:30:00.0", 0.0)))
+    // ragged division (rebin.py:111-116): bins appended while
+    // stop <= configured 02:30 gives 00:00 and 01:00, then ONE extra
+    // (02:00) — an input ending at 02:30 is in range and must land in
+    // that extra bin, which a grid without the post-loop append lacks
+    val extra = runCfg(
+      Seq(("2024-01-01 00:00:00", 3600L, 2.0, "a"),
+          ("2024-01-01 02:00:00", 1800L, 4.0, "a")),
+      "2024-01-01 00:00:00", "2024-01-01 02:30:00")
+    assert(extra.toSeq == Seq(
+      ("a", "2024-01-01 00:00:00.0", 2.0),
+      ("a", "2024-01-01 01:00:00.0", 0.0),
+      ("a", "2024-01-01 02:00:00.0", 4.0)))
+  }
+
   test("per-counter grids are independent") {
     val out = run(Seq(
       ("2024-01-01 00:00:00", 3600L, 1.0, "a"),
