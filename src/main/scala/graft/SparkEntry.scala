@@ -405,12 +405,16 @@ object SparkEntry {
     // band-recall eval: what the LSH bands miss vs the exact pair set
     "dedup_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecall(Tables.load(s, dir, "documents"))),
-    // tokenizer training: the BPE merge-table artifact
+    // tokenizer training: the BPE merge-table artifact. 64 merges in 8
+    // batched rounds — one driver round-trip per ROUND, the vocab-scale
+    // shape (a 100k-merge vocab is ~100k/batch jobs, not 100k)
     "cur_bpe_merges" -> ((s, dir) =>
-      Curation.bpeMerges(Tables.load(s, dir, "documents"))),
+      Curation.bpeMerges(Tables.load(s, dir, "documents"), nMerges = 64)),
     // corpus tokenization under the trained vocab: tokens-per-word report
+    // (16 merges in 4 batched rounds — exercises the multi-round chain)
     "cur_bpe_encode" -> ((s, dir) =>
-      Curation.bpeEncode(Tables.load(s, dir, "documents"))),
+      Curation.bpeEncode(Tables.load(s, dir, "documents"),
+        nMerges = 16, batch = 4)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -918,8 +922,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minHashLshOracleSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(),
     "dedup_lsh_recall" -> Dedup.lshRecallOracleSql(),
-    "cur_bpe_merges" -> Curation.bpeMergesOracleSql(),
-    "cur_bpe_encode" -> Curation.bpeEncodeOracleSql(),
+    "cur_bpe_merges" -> Curation.bpeMergesOracleSql(nMerges = 64),
+    "cur_bpe_encode" -> Curation.bpeEncodeOracleSql(nMerges = 16, batch = 4),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),

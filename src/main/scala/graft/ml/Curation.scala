@@ -1044,8 +1044,21 @@ object Curation {
     */
   /** The shared training loop: returns the final symbol table
     * (word, s, freq) and the ordered merge list.
+    *
+    * BATCHED rounds (the vocab-scale shape): one driver round-trip per
+    * BATCH of merges, not per merge. Each round ranks the round-start
+    * pair counts, collects the top `5·batch` candidate pool (a
+    * constant-bounded collect), greedily selects up to `cap` SYMBOL-
+    * DISJOINT pairs in (cnt DESC, a, b) order — disjoint merges cannot
+    * change each other's round-start counts, so they apply in one
+    * projection — and rewrites the symbol table once. A 100k-merge vocab
+    * costs ~100k/batch sequential Spark jobs instead of 100k; batch = 1
+    * degenerates to the classical strictly-sequential algorithm.
+    * Deterministic end to end (total candidate order, greedy rule, rank
+    * application order), so the DuckDB oracle replays every round — the
+    * greedy used-symbol state unrolls as a recursive CTE.
     */
-  private def bpeTrain(docs: DataFrame, nMerges: Int)
+  private[ml] def bpeTrain(docs: DataFrame, nMerges: Int, batch: Int = 8)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val wf = docs
       .select(explode(words(col("text"))).as("word"))
@@ -1055,11 +1068,14 @@ object Curation {
       .select(col("word"),
         regexp_replace(col("word"), "(.)", "<$1>").as("s"), col("freq"))
       .localCheckpoint()
+    val poolK = 5 * batch
+    val rounds = (nMerges + batch - 1) / batch
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
-    for (t <- 1 to nMerges if !exhausted) {
+    for (t <- 1 to rounds if !exhausted) {
+      val cap = math.min(batch, nMerges - (t - 1) * batch)
       val sy = split(expr("trim(BOTH '<>' FROM s)"), "><")
-      val best = seq
+      val cands = seq
         .select(col("freq"), sy.as("sy"))
         .where(size(col("sy")) >= 2)
         .select(col("freq"), explode(transform(
@@ -1069,25 +1085,33 @@ object Curation {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // corpus fully merged: stop early
+        .limit(poolK).collect()
+      if (cands.isEmpty) exhausted = true // corpus fully merged: stop early
       else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((t.toLong, a, b, cnt))
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        cands.foreach { r =>
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (sel.size < cap && !used(a) && !used(b)) {
+            used += a; used += b; sel += ((a, b, c))
+          }
+        }
+        sel.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
+        val mergedS = sel.foldLeft(col("s")) { case (e, (a, b, _)) =>
+          replace(e, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
         seq = seq
-          .select(col("word"),
-            expr(s"replace(s, '<$a><$b>', '<$a$b>')").as("s"), col("freq"))
+          .select(col("word"), mergedS.as("s"), col("freq"))
           .localCheckpoint()
       }
     }
     (seq, merges.toSeq)
   }
 
-  def bpeMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+  def bpeMerges(docs: DataFrame, nMerges: Int = 8, batch: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, nMerges)._2.toDF("step", "pair_a", "pair_b", "cnt")
+    bpeTrain(docs, nMerges, batch)._2.toDF("step", "pair_a", "pair_b", "cnt")
   }
 
   /** Corpus tokenization under the trained BPE vocabulary: per document,
@@ -1099,8 +1123,8 @@ object Curation {
     * one per-doc aggregation. Pre-tokenizer-rejected words are excluded
     * from BOTH counts (the [[bpeTrain]] contract).
     */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    val (seqF, _) = bpeTrain(docs, nMerges)
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8, batch: Int = 8): DataFrame = {
+    val (seqF, _) = bpeTrain(docs, nMerges, batch)
     val tok = seqF.select(col("word"),
       size(split(expr("trim(BOTH '<>' FROM s)"), "><")).cast("long").as("n_tok"))
     docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
@@ -1120,46 +1144,91 @@ object Curation {
     * every seq CTE carries (word, s, freq) so both the merge-table and
     * the encode oracle can hang off the final round.
     */
-  private def bpeChainCtes(nMerges: Int): String = {
+  /** Per-round CTEs: p_t (pair counts) → c_t (ranked top-5·batch pool) →
+    * st_t (the greedy symbol-disjoint selection as a recursive scan — the
+    * used-symbol set rides along as a '|'-delimited string, safe because
+    * symbols are [a-z0-9]+) → sel_t (batch-ranked picks) → selagg_t (the
+    * picks folded into ONE ordered pattern⟂replacement list — a single
+    * reference into the selection chain; per-rank scalar subqueries
+    * would inline the whole upstream chain 4·cap times per round, an
+    * exponential planning blowup) → seq_t (list_reduce applies the picks
+    * in rank order; an empty round reduces to the identity). The
+    * emitted chain must be opened with WITH RECURSIVE. Every CTE is
+    * AS MATERIALIZED: DuckDB otherwise inlines multi-referenced CTEs,
+    * and the round-over-round chain re-expands upstream rounds
+    * exponentially (the 64-merge replay went from >10 min to 0.6 s).
+    */
+  private def bpeChainCtes(nMerges: Int, batch: Int): String = {
+    val poolK = 5 * batch
+    val rounds = (nMerges + batch - 1) / batch
     val header =
-      s"""wf AS (
+      s"""wf AS MATERIALIZED (
          |  SELECT word, count(*)::BIGINT AS freq
          |  FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
          |  GROUP BY word),
-         |seq0 AS (
+         |seq0 AS MATERIALIZED (
          |  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS s, freq
          |  FROM wf)""".stripMargin
-    val rounds = (1 to nMerges).map { t =>
-      s"""p$t AS (
+    val roundCtes = (1 to rounds).map { t =>
+      val cap = math.min(batch, nMerges - (t - 1) * batch)
+      val ok = s"st.nsel < $cap AND strpos(st.used, '|' || c.a || '|') = 0" +
+        " AND strpos(st.used, '|' || c.b || '|') = 0"
+      s"""p$t AS MATERIALIZED (
          |  SELECT sy[i] AS a, sy[i+1] AS b, sum(freq)::BIGINT AS cnt
          |  FROM (SELECT string_split(trim(s, '<>'), '><') AS sy, freq
          |        FROM seq${t - 1}) AS w$t,
          |       unnest(range(1, len(sy))) AS r(i)
          |  GROUP BY 1, 2),
-         |b$t AS (
-         |  SELECT $t::BIGINT AS step, a AS pair_a, b AS pair_b, cnt
-         |  FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
-         |seq$t AS (
-         |  SELECT word, replace(s, '<' || pair_a || '><' || pair_b || '>',
-         |                 '<' || pair_a || pair_b || '>') AS s, freq
-         |  FROM seq${t - 1}, b$t)""".stripMargin
+         |c$t AS MATERIALIZED (
+         |  SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS r
+         |  FROM p$t QUALIFY r <= $poolK),
+         |st$t AS (
+         |  SELECT 0 AS r, '|' AS used, 0 AS nsel,
+         |         CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+         |         CAST(NULL AS BIGINT) AS cnt, false AS selected
+         |  UNION ALL
+         |  SELECT c.r,
+         |         CASE WHEN $ok THEN st.used || c.a || '|' || c.b || '|'
+         |              ELSE st.used END,
+         |         st.nsel + CASE WHEN $ok THEN 1 ELSE 0 END,
+         |         c.a, c.b, c.cnt, $ok
+         |  FROM st$t st JOIN c$t c ON c.r = st.r + 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY r) AS brank, a, b, cnt
+         |  FROM st$t WHERE selected),
+         |selagg$t AS MATERIALIZED (
+         |  SELECT list(('<' || a || '><' || b || '>') || chr(2) ||
+         |              ('<' || a || b || '>') ORDER BY brank) AS prs
+         |  FROM sel$t),
+         |seq$t AS MATERIALIZED (
+         |  SELECT word,
+         |         list_reduce(list_prepend(s, coalesce(prs, [])),
+         |           (acc, x) -> replace(acc, split_part(x, chr(2), 1),
+         |                               split_part(x, chr(2), 2))) AS s,
+         |         freq
+         |  FROM seq${t - 1}, selagg$t)""".stripMargin
     }.mkString(",\n")
-    s"$header,\n$rounds"
+    s"$header,\n$roundCtes"
   }
 
-  def bpeMergesOracleSql(nMerges: Int = 8): String = {
-    val union = (1 to nMerges)
-      .map(t => s"SELECT step, pair_a, pair_b, cnt FROM b$t")
+  def bpeMergesOracleSql(nMerges: Int = 8, batch: Int = 8): String = {
+    val rounds = (nMerges + batch - 1) / batch
+    val union = (1 to rounds)
+      .map(t => s"SELECT $t AS t, brank, a, b, cnt FROM sel$t")
       .mkString("\nUNION ALL ")
-    s"WITH ${bpeChainCtes(nMerges)}\n$union"
+    s"""WITH RECURSIVE ${bpeChainCtes(nMerges, batch)}
+       |SELECT row_number() OVER (ORDER BY t, brank)::BIGINT AS step,
+       |       a AS pair_a, b AS pair_b, cnt
+       |FROM ($union) AS allsel""".stripMargin
   }
 
-  def bpeEncodeOracleSql(nMerges: Int = 8): String =
-    s"""WITH ${bpeChainCtes(nMerges)},
+  def bpeEncodeOracleSql(nMerges: Int = 8, batch: Int = 8): String = {
+    val rounds = (nMerges + batch - 1) / batch
+    s"""WITH RECURSIVE ${bpeChainCtes(nMerges, batch)},
        |tok AS (
        |  SELECT word, len(string_split(trim(s, '<>'), '><'))::BIGINT AS n_tok
-       |  FROM seq$nMerges),
+       |  FROM seq$rounds),
        |dw AS (
        |  SELECT doc_id, word
        |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) AS u
@@ -1169,4 +1238,5 @@ object Curation {
        |       round(sum(t.n_tok)::DOUBLE / count(*)::DOUBLE, 6) AS tokens_per_word
        |FROM dw JOIN tok t ON dw.word = t.word
        |GROUP BY dw.doc_id""".stripMargin
+  }
 }

@@ -286,10 +286,30 @@ class CurationSpec extends SparkSpec {
       merged.foreach { case (k, f) => wf(k) = wf.getOrElse(k, 0L) + f }
     }
 
-    val got = Curation.bpeMerges(d, nMerges = 6)
+    // batch = 1 degenerates to the classical strictly-sequential BPE
+    val got = Curation.bpeMerges(d, nMerges = 6, batch = 1)
       .select("step", "pair_a", "pair_b", "cnt")
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
     assert(got.toSeq === expected.toSeq)
+  }
+
+  test("batched bpeMerges: greedy symbol-disjoint picks per round") {
+    // round-start pair counts: (a,b):3 (ab×2 + abcd), (c,d):2 (cd + abcd),
+    // (b,c):1 (abcd). Greedy in (cnt DESC, a, b) order with cap 8:
+    // (a,b) picked; (c,d) picked (disjoint); (b,c) skipped (b and c both
+    // used). Round 2 then sees the ONE remaining pair (ab, cd) in 'abcd'.
+    val d = Seq(1L -> "ab ab cd", 2L -> "abcd").toDF("doc_id", "text")
+    val got = Curation.bpeMerges(d, nMerges = 16, batch = 8)
+      .select("step", "pair_a", "pair_b", "cnt")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", 3L), (2L, "c", "d", 2L), (3L, "ab", "cd", 1L)))
+    // the same corpus under batch=1 orders the SAME merges sequentially
+    // (each merge here survives recount), at three driver rounds
+    val seqGot = Curation.bpeMerges(d, nMerges = 16, batch = 1)
+      .select("step", "pair_a", "pair_b", "cnt")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(seqGot.toSeq === got.toSeq)
   }
 
   test("bpeMerges stops early when the corpus is fully merged") {
@@ -304,7 +324,10 @@ class CurationSpec extends SparkSpec {
   test("bpeEncode: tokens_per_word reflects the trained merges") {
     // after enough merges 'ab' is a single token; 'cd cd' likewise
     val d = Seq(1L -> "ab ab cd", 2L -> "abcd").toDF("doc_id", "text")
-    val out = Curation.bpeEncode(d, nMerges = 8)
+    // batch=1: 8 strictly-sequential rounds fully merge this tiny corpus
+    // (batched rounds are an UPPER bound on merges — a round that cannot
+    // fill its batch ends training early; see the batched test above)
+    val out = Curation.bpeEncode(d, nMerges = 8, batch = 1)
       .select("doc_id", "n_words", "n_bpe_tokens")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(out(1L)._2 === 3) // 3 words
