@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic ~`factor`× scale-up of an sf directory, for measuring the
+  * scale-sensitive operators on data large enough that a wrong plan hurts
+  * (the sf0.1 corpus is 17 MB; every shuffle fits in one buffer and no
+  * design claim is ever exercised). Everything is seeded from xxhash64 of
+  * (id, rep) — two runs produce identical tables.
+  *
+  * Design notes, per table:
+  *  - documents ×factor: each (doc_id, rep) copy draws a BASE text from a
+  *    hash-rotated source doc and mutates words deterministically. ~5% of
+  *    copies are LIGHT mutations (~10% of words) — realistic near-dup
+  *    clusters for the banded dedup family — and the rest HEAVY (~55%),
+  *    which drops shingle Jaccard far below the LSH band-collision range.
+  *    A naive "append a suffix per rep" scale-up would make every doc a
+  *    member of a factor-sized near-dup family and blow the candidate
+  *    pair set up quadratically — no real corpus looks like that.
+  *  - events ×factor: rep 0 is the pristine base; every tenth replica
+  *    collapses onto FIVE whale user_ids (at 100× that is ~180k events
+  *    per whale — hot-key rows within an order of magnitude of a 32-way
+  *    partition, the regime where skew actually bites a shuffle join),
+  *    the rest move to fresh user ranges. Timestamps jitter by
+  *    rep·7s + hash%300s, so sessions interleave instead of duplicating;
+  *    per-bin counts scale ~factor for the trend pipeline.
+  *  - embeddings ×factor: component-wise hash-seeded jitter (±5e-3)
+  *    around the source vector — cluster structure survives, so IVF cell
+  *    occupancy stays realistic while exact duplicates disappear.
+  *  - every other table is copied through unchanged, so the output dir is
+  *    a complete sf layout and ANY registered query runs against it.
+  *
+  * Usage: sbt "runMain graft.ScaleGen [srcDir] [outDir] [factor]"
+  * (defaults /root/testdata/sf0.1 → /tmp/sfL at 100×).
+  */
+object ScaleGen {
+  private def reps(factor: Int): Column =
+    explode(sequence(lit(0), lit(factor - 1)))
+
+  /** Deterministic word mutation: word i of copy (id, rep) is replaced by
+    * a synthetic token when xxhash64(seed, id, rep, i) lands under
+    * `pct`; light/heavy pct is itself drawn per copy. Preserves word
+    * COUNT (token/quality stats stay comparable) while controlling
+    * shingle overlap with the base text.
+    */
+  private def mutateText(text: Column, id: Column, rep: Column): Column = {
+    val pct = when(pmod(xxhash64(lit("dup"), id, rep), lit(100)) < 5, lit(10))
+      .otherwise(lit(55))
+    val ws = split(text, " ")
+    array_join(
+      zip_with(ws, sequence(lit(1), size(ws)), (w, i) =>
+        when(pmod(xxhash64(lit("mut"), id, rep, i), lit(100)) < pct,
+          concat(lit("tk"), pmod(xxhash64(lit("tok"), id, rep, i), lit(99999))))
+          .otherwise(w)),
+      " ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sfL")
+    val factor = args.lift(2).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] wrote $name")
+    }
+
+    // documents: base text rotates across source docs by a hash stride, so
+    // copy families spread over the corpus instead of stacking on one id
+    val docs = Tables.load(spark, src, "documents")
+    val nDocs = docs.count()
+    val base = docs.select(col("doc_id").as("base_id"), col("text").as("base_text"),
+      col("lang"), col("source"))
+    val scaledDocs = docs.select(col("doc_id"), reps(factor).as("rep"))
+      .withColumn("base_id",
+        pmod(col("doc_id") + col("rep") * lit(7919L), lit(nDocs)))
+      .join(base, "base_id")
+      .select(
+        (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+        when(col("rep") === 0, col("base_text"))
+          .otherwise(mutateText(col("base_text"), col("doc_id"), col("rep")))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(scaledDocs.repartition(32), "documents")
+
+    // events
+    val ev = Tables.load(spark, src, "events")
+    val tsCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds(expr("ts DIV 1000000000"))
+      case _ => date_trunc("second", col("ts"))
+    }
+    val scaledEv = ev.select(col("event_id"), tsCol.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .withColumn("rep", reps(factor))
+      .select(
+        (col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
+        (col("ts") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+          col("rep") * 7 + pmod(xxhash64(lit("ts"), col("event_id"), col("rep")),
+            lit(300)))).as("ts"),
+        when(col("rep") === 0, col("user_id"))
+          .when(pmod(col("rep"), lit(10)) === 0, pmod(col("user_id"), lit(5)))
+          .otherwise(col("user_id") + col("rep") * lit(10000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    write(scaledEv.repartition(64), "events")
+
+    // embeddings: ±5e-3 jitter per component, floats preserved
+    val emb = Tables.load(spark, src, "embeddings")
+    val scaledEmb = emb
+      .withColumn("rep", reps(factor))
+      .select(
+        (col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+          (x, i) => (x +
+            (pmod(xxhash64(lit("emb"), col("vec_id"), col("rep"), i), lit(1000))
+              .cast("double") - 500.0) / 100000.0).cast("float"))
+          .as("embedding"),
+        col("label"))
+    write(scaledEmb.repartition(32), "embeddings")
+
+    // pass-through for the rest: the dir is a complete sf layout
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(t => write(Tables.load(spark, src, t), t))
+    spark.stop()
+  }
+}

@@ -696,6 +696,18 @@ object SparkEntry {
       Joins.saltedJoin(ev, profile, "user_id", col("event_id"))
         .select("event_id", "user_id", "user_spend")
     }),
+    // the unsalted A/B twin, pinned to the shuffle path (merge hint): the
+    // skew scenario salting exists for is exactly the one where the
+    // profile side is too big to broadcast, so the broadcastable case
+    // would measure nothing. Same oracle as evt_salted_join — the two
+    // must stay row-identical at every scale.
+    "evt_plain_join" -> ((s, dir) => {
+      val ev = Events.canonical(s, dir)
+      val profile = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(round(sum("value"), 6).as("user_spend"))
+      ev.join(profile.hint("merge"), "user_id")
+        .select("event_id", "user_id", "user_spend")
+    }),
     "text_entropy" -> ((s, dir) =>
       TextStats.charEntropy(Tables.load(s, dir, "documents"))),
     // HLL vocabulary estimate, error-bound-checked: the emitted columns
@@ -1076,6 +1088,12 @@ object SparkEntry {
     "evt_attribution" -> Events.attributionOracleSql(),
     "evt_key_skew" -> Events.keySkewOracleSql(),
     "evt_salted_join" ->
+      s"""WITH ev AS (${Events.canonicalSql}),
+         |p AS (SELECT user_id, round(sum(value), 6) AS user_spend
+         |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, p.user_spend
+         |FROM ev e JOIN p USING (user_id)""".stripMargin,
+    "evt_plain_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),
          |p AS (SELECT user_id, round(sum(value), 6) AS user_spend
          |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id)
