@@ -374,8 +374,13 @@ object SparkEntry {
       val (scored, labels) = rocInput(s, dir)
       Detect.rocAuc(Detect.rocSweep(scored, labels, RocThetas))
     }),
+    // EXACT all-pairs correlation — Θ(n²) in counters BY DEFINITION, the
+    // small-corpus baseline and the oracle the pruned path is checked
+    // against. At corpus scale (10⁶ counters) use trend_corr_topk below:
+    // that is the DEFAULT a user should copy.
     "trend_corr" -> ((s, dir) => Detect.correlate(rebinnedEvents(s, dir))),
-    // variance-pruned scale path: pair space bounded by top-k, not corpus
+    // THE default correlation entry: variance-pruned — pair space bounded
+    // by top-k, not corpus width; survives arbitrary counter counts
     "trend_corr_topk" -> ((s, dir) => Detect.correlateTop(rebinnedEvents(s, dir), topK = 3)),
     "trend_wdt" -> ((s, dir) => {
       val binned = rebinnedEvents(s, dir)

@@ -253,14 +253,28 @@ object Events {
     * is the same join with watermark-bounded state.
     */
   def attribution(events: DataFrame, winSec: Long = 1800L): DataFrame = {
+    // time-bucketed equi join (the evt_range_join trick): clicks key on
+    // their winSec bucket, purchases probe their bucket and the one
+    // before (c_ts ∈ (p_ts − win, p_ts] spans at most those two), and
+    // the exact range predicate filters inside the hash match. Without
+    // the bucket key the per-user pair space is n_clicks × n_purchases —
+    // measured 4× SUPER-linear at the 100× corpus, where one whale user
+    // holds ~180k events; bucketing bounds pairs by window density
+    // instead of account history. Each (click, purchase) pair matches in
+    // exactly one bucket (the click's), so no dedup step is needed.
+    val winUs = winSec * 1000000L
     val c = events.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("c_ts"))
+      .withColumn("bk", expr(s"unix_micros(c_ts) DIV $winUs"))
     val p = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("value").as("purchase_value"))
-    c.join(p, col("user_id") === col("p_user") &&
+      .withColumn("bk", explode(array(
+        expr(s"unix_micros(p_ts) DIV $winUs"),
+        expr(s"unix_micros(p_ts) DIV $winUs") - 1)))
+    c.join(p, col("user_id") === col("p_user") && c("bk") === p("bk") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") < col("c_ts") + expr(s"INTERVAL $winSec SECOND"))
       .select(col("click_id"), col("purchase_id"), col("user_id"),

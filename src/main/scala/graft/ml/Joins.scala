@@ -23,6 +23,13 @@ object Joins {
     * Inner join; duplicate keys on either side behave exactly as in the
     * plain join. Cost: small side is written `nSalts`×; pick nSalts ~ the
     * worst key's skew factor, not the partition count.
+    *
+    * MEASURED break-even (SCALING.md): at a 10M-row corpus with five
+    * ~180k-row whale keys, the salted join was 2× SLOWER than the plain
+    * shuffle join — replication tax beat the skew relief, because a hot
+    * key well under the per-partition row budget is already handled by
+    * AQE's skew split. Reach for salting when one key's rows approach
+    * partition size (rows/partitions), not at the first sight of skew.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  bigSaltSource: Column, nSalts: Int = 8): DataFrame = {

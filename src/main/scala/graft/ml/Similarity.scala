@@ -218,18 +218,37 @@ object Similarity {
     * null-pad — the runtime assert turns that silent degeneration (every
     * vector in one bucket → full cross join) into an error.
     */
+  /** Bits per band that keep expected bucket occupancy ≈ `target` rows:
+    * ceil(log2(n / target)), floored at the small-corpus default so every
+    * sf-oracle run is bit-identical to the fixed-parameter shape. A fixed
+    * bucket count means bucket SIZE (and so candidates per query) grows
+    * linearly with the corpus — the sfL measurement showed exactly that
+    * (ann_lsh_topk shuffling 100×-sized buckets); any real LSH deployment
+    * widens keys as the corpus grows.
+    */
+  private def autoBits(n: Long, floorBits: Int, target: Double = 500.0): Int =
+    math.max(floorBits,
+      math.ceil(math.log(math.max(1.0, n / target)) / math.log(2.0)).toInt)
+
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
               nPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     val checked = normed(emb).withColumn("v",
       when(size(col("v")) === dim, col("v"))
         .otherwise(raise_error(concat(lit(s"lshTopK: embedding dim != $dim: "),
           size(col("v")).cast("string")))))
-    val bt = bandTable(checked, nPlanes, bands, dim)
+    // corpus-sized key width: one metadata-only count, then bits/band
+    // such that buckets stay ~constant-occupancy at any scale
+    val rowsPerBand = autoBits(emb.count(), nPlanes / bands)
+    val bt = bandTable(checked, bands * rowsPerBand, bands, dim)
     val qt = bt.where(isQuery)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+    // candidate IDS only through the distinct — dragging the 64-double
+    // vector through a candidate-sized shuffle is what failed at 100×;
+    // vectors re-attach afterwards by key
     val cand = bt.join(qt, Seq("band", "bkey"))
       .where(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "v", "norm").distinct()
+      .select("query_id", "vec_id").distinct()
+      .join(checked.select(col("vec_id"), col("v"), col("norm")), "vec_id")
     val q = normed(emb).where(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = cand.join(q, "query_id")
@@ -272,12 +291,23 @@ object Similarity {
     e.withColumn("cells", cellRanks(col("v"), col("norm")))
   }
 
+  /** Cell count that keeps expected cell occupancy ≈ `target` vectors:
+    * n/target floored at the small-corpus default (sf-oracle runs stay
+    * bit-identical). Fixed nCells means candidates per query grow
+    * linearly with the corpus — the sfL run measured IVF-PQ at 4.3×
+    * super-linear before this; every real IVF index grows its cell count
+    * with the corpus. Driver cost stays bounded: centroids are
+    * O(nCells·dim) = O(n/target·dim), e.g. ~100 MB at 1B vectors.
+    */
+  private def autoCells(n: Long, floorCells: Int, target: Long = 5000L): Int =
+    math.max(floorCells, (n / target).toInt)
+
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = normed(emb)
     // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
     // keep ranks <= nProbe as their probe set
-    val ranked = withCellRanks(e, nCells)
+    val ranked = withCellRanks(e, autoCells(emb.count(), nCells))
     val assigned = ranked.select(col("vec_id"), col("v"), col("norm"),
       element_at(col("cells"), 1).as("cell"))
     val probes = ranked.where(isQuery)
@@ -345,7 +375,10 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = normed(emb)
-    val blocks = withCellRanks(e, nCells)
+    // corpus-sized cell count (see autoCells): within-cell pair volume is
+    // Σ|cell|²/2, so constant occupancy keeps it LINEAR in n instead of
+    // n²/nCells with fixed cells
+    val blocks = withCellRanks(e, autoCells(emb.count(), nCells))
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
       .as[(Long, Array[Double], Double, Long)]
@@ -508,7 +541,9 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = normed(emb)
-    val ranked = withCellRanks(e, nCells)
+    // corpus-sized cell count (see autoCells): constant expected
+    // occupancy, so ADC candidate volume per query stays ~constant
+    val ranked = withCellRanks(e, autoCells(emb.count(), nCells))
     val assigned = ranked.select(col("vec_id"),
       element_at(col("cells"), 1).as("cell"))
     val probes = ranked.where(isQuery)

@@ -9,8 +9,10 @@ class SparkEntrySpec extends SparkSpec {
   // queries DELIBERATELY registered without an oracle: the driver records
   // the weaker rows-only check for them. Only cross-engine-incomparable
   // results belong here (approx sketches differ by implementation); each
-  // must carry a unit test pinning its contract instead.
-  private val rowsOnly = Set("text_vocab_sketch")
+  // must carry a unit test pinning its contract instead. Empty since
+  // round 5: text_vocab_sketch now emits exact counts + a within-3rsd
+  // boolean the oracle asserts, so even the HLL sketch has a hash row.
+  private val rowsOnly = Set.empty[String]
 
   test("queries and oracleSql cover exactly the same keys (minus rows-only)") {
     val q = SparkEntry.queries.keySet -- rowsOnly
