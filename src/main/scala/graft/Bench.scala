@@ -49,7 +49,12 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         materialize(fn(spark, sfDir))
-        (name, (System.nanoTime() - t0) / 1e9, true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // per-query progress on stderr: long runs (the 100× corpus) are
+        // otherwise silent until the final line, and a hung query is
+        // indistinguishable from a slow suite
+        System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+        (name, sec, true)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")

@@ -420,6 +420,10 @@ object SparkEntry {
     "cur_bpe_encode" -> ((s, dir) =>
       Curation.bpeEncode(Tables.load(s, dir, "documents"),
         nMerges = 16, batch = 4)),
+    // capacity planning: padding waste + doc fragmentation per candidate
+    // sequence length — the report behind choosing maxTokens
+    "cur_pack_sweep" -> ((s, dir) =>
+      Curation.packSweep(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -485,6 +489,10 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // PQ codebook TRAINING: per-subspace integer-exact Lloyd — the step
+    // a real product quantizer runs before indexing
+    "ann_pq_train" -> ((s, dir) =>
+      Similarity.pqTrain(Tables.load(s, dir, "embeddings"))),
     // iterative Lloyd clustering (integer-exact over quantized vectors)
     "ann_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables.load(s, dir, "embeddings"))),
@@ -961,6 +969,7 @@ object SparkEntry {
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracleSql(k = 10),
     "ann_quantize" -> Similarity.quantizeOracleSql,
     "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
+    "ann_pq_train" -> Similarity.pqTrainOracleSql(),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
@@ -975,6 +984,7 @@ object SparkEntry {
     "cur_bigram_lm" -> Curation.bigramLmOracleSql(),
     "cur_lang_anneal" -> Curation.annealMixOracleSql,
     "cur_pack_bpe" -> Curation.packSequencesBpeOracleSql(),
+    "cur_pack_sweep" -> Curation.packSweepOracleSql(),
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->

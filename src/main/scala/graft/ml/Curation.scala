@@ -288,6 +288,79 @@ object Curation {
        |       (start_off % $maxTokens)::BIGINT AS pack_off
        |FROM cum""".stripMargin
 
+  /** Pack-efficiency sweep — the capacity-planning report behind choosing
+    * `maxTokens`: for each candidate sequence length, how many training
+    * sequences the corpus packs into ([[packSequences]] layout: per-shard
+    * concat-and-chop, last sequence of each shard padded), what fraction
+    * of the token budget is padding waste, and how many documents get
+    * split across a sequence boundary (the fragmentation a loader pays
+    * in attention-mask complexity). One scan for offsets, then two
+    * constant-size rollups (per-shard totals × grid, per-doc split flags
+    * × grid) — the sweep adds |grid| rows of work, not |grid| passes.
+    * Output: (max_tokens, n_seqs, total_tokens, waste_pct, n_split_docs).
+    */
+  def packSweep(docs: DataFrame,
+                grid: Seq[Int] = Seq(128, 256, 512, 1024, 2048),
+                nShards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val offs = docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        pmod(h64(concat(col("doc_id").cast("string"), lit(":pack"))), lit(nShards))
+          .as("shard"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+    val shardTot = offs.groupBy("shard").agg(max("end_off").as("tot"))
+    val byM = shardTot
+      .withColumn("m", explode(typedlit(grid.map(_.toLong))))
+      .groupBy("m")
+      .agg(sum(expr("(tot + m - 1) DIV m")).as("n_seqs"),
+        sum("tot").as("total_tokens"))
+    val splits = offs.where(col("n_tokens") > 0)
+      .withColumn("m", explode(typedlit(grid.map(_.toLong))))
+      .groupBy("m")
+      .agg(sum(when(expr("(end_off - 1) DIV m") =!= expr("start_off DIV m"), 1L)
+        .otherwise(0L)).as("n_split_docs"))
+    byM.join(splits, Seq("m"), "left")
+      .select(col("m").as("max_tokens"), col("n_seqs"), col("total_tokens"),
+        round((col("n_seqs") * col("m") - col("total_tokens")).cast("double") /
+          (col("n_seqs") * col("m")).cast("double"), 6).as("waste_pct"),
+        coalesce(col("n_split_docs"), lit(0L)).as("n_split_docs"))
+  }
+
+  def packSweepOracleSql(grid: Seq[Int] = Seq(128, 256, 512, 1024, 2048),
+                         nShards: Int = 64): String = {
+    val gridVals = grid.map(m => s"($m)").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, len($wordsSql)::BIGINT AS n_tokens,
+       |         ${h64Sql("doc_id::VARCHAR || ':pack'")} % $nShards AS shard
+       |  FROM documents),
+       |cum AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS end_off
+       |  FROM t),
+       |offs AS (SELECT *, end_off - n_tokens AS start_off FROM cum),
+       |grid(m) AS (VALUES $gridVals),
+       |sh AS (SELECT shard, max(end_off) AS tot FROM offs GROUP BY shard),
+       |bym AS (
+       |  SELECT m::BIGINT AS m, sum((tot + m - 1) // m)::BIGINT AS n_seqs,
+       |         sum(tot)::BIGINT AS total_tokens
+       |  FROM sh, grid GROUP BY 1),
+       |sp AS (
+       |  SELECT m::BIGINT AS m,
+       |         sum(CASE WHEN (end_off - 1) // m != start_off // m
+       |                  THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+       |  FROM offs, grid WHERE n_tokens > 0 GROUP BY 1)
+       |SELECT bym.m AS max_tokens, n_seqs, total_tokens,
+       |       round((n_seqs * bym.m - total_tokens)::DOUBLE
+       |             / (n_seqs * bym.m)::DOUBLE, 6) AS waste_pct,
+       |       coalesce(sp.n_split_docs, 0)::BIGINT AS n_split_docs
+       |FROM bym LEFT JOIN sp ON bym.m = sp.m""".stripMargin
+  }
+
   /** Per-language document-length quantiles (exact, linear-interpolated —
     * the curation report's length distribution). One hash aggregation;
     * exact percentile needs the per-group values, which is fine for a

@@ -813,6 +813,146 @@ object Similarity {
     assigned.select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  /** PQ codebook TRAINING: per-subspace Lloyd k-means — the step a real
+    * product quantizer runs before indexing, upgrading [[pqCodes]]'s
+    * seed codebooks to centroids that actually minimize within-subspace
+    * distortion. All `nSub` subspace clusterings run in ONE distributed
+    * computation per round (the table is keyed by (vec_id, sub); the
+    * assignment argmin is per sub against that sub's codebook), with the
+    * same integer-exact discipline as [[kmeans]]: one global max-abs
+    * quantization scale, integer squared distances, floor-of-mean
+    * updates, empty codes keep their previous centroid — so the DuckDB
+    * oracle replays every round hash-exactly. Driver state per round is
+    * the nSub·nCode·subDim centroid table (constant). Output: the
+    * trained per-vector codes (vec_id, sub, code, d2) — smaller d2 than
+    * the seed assignment by construction after round 1.
+    */
+  def pqTrain(emb: DataFrame, nSub: Int = 8, nCode: Int = 16,
+              iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val scale = base.agg(max(aggregate(col("v"), lit(0.0),
+      (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val subDim = dim / nSub
+    // (vec_id, sub, qs[subDim]) — quantized subvectors, materialized once
+    val q = base.select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x * 127.0 / scale + 0.5).cast("long")).as("qfull"))
+      .select(col("vec_id"), explode(typedlit((0 until nSub).map(_.toLong))).as("sub"),
+        col("qfull"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("qfull"), col("sub").cast("int") * subDim + 1, lit(subDim)).as("qs"))
+      .localCheckpoint()
+
+    // seeds: per sub, the nCode smallest-id vectors' subvectors
+    val seedIds = base.orderBy("vec_id").limit(nCode)
+      .select("vec_id").collect().map(_.getLong(0))
+    var cents: Array[Array[Array[Long]]] = {
+      val rows = q.where(col("vec_id").isin(seedIds.toSeq: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      val idRank = seedIds.sorted.zipWithIndex.toMap
+      val a = Array.ofDim[Array[Long]](nSub, nCode)
+      rows.foreach { case (vid, s, qs) => a(s.toInt)(idRank(vid)) = qs }
+      a
+    }
+
+    def assigned: DataFrame = {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf { (sub: Long, qs: Seq[Long]) =>
+        val va = qs.toArray
+        val book = bc.value(sub.toInt)
+        var bestC = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cv = book(c)
+          var d2 = 0L
+          var d = 0
+          while (d < va.length) {
+            val diff = va(d) - cv(d); d2 += diff * diff; d += 1
+          }
+          if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie → lower code
+          c += 1
+        }
+        (bestC.toLong, bestD)
+      }
+      q.withColumn("a", assign(col("sub"), col("qs")))
+        .select(col("vec_id"), col("sub"), col("a._1").as("code"),
+          col("a._2").as("d2"), col("qs"))
+    }
+
+    for (_ <- 1 to iters - 1) {
+      val cells = assigned
+        .select(col("sub"), col("code"), posexplode(col("qs")).as(Seq("si", "qi")))
+        .groupBy("sub", "code", "si")
+        .agg(floor(sum("qi").cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("ci"))
+        .collect()
+      val next = cents.map(_.map(_.clone())) // empty code keeps previous
+      cells.foreach { r =>
+        next(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getInt(2)) = r.getLong(3)
+      }
+      cents = next
+    }
+    assigned.select(col("vec_id"), col("sub"), col("code"), col("d2"))
+  }
+
+  /** CTE-by-CTE replay of [[pqTrain]]: the kmeans chain with every stage
+    * additionally keyed by `sub` (i maps to (sub, si)); seeds rank the
+    * nCode smallest vec_ids per sub, assignments argmin per (vec_id,
+    * sub), updates coalesce per (sub, code, si).
+    */
+  def pqTrainOracleSql(nSub: Int = 8, nCode: Int = 16, iters: Int = 3,
+                       dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val header =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+         |q AS (
+         |  SELECT vec_id, (i - 1) // $subDim AS sub, (i - 1) % $subDim + 1 AS si,
+         |         floor(v[i] * 127.0 / (SELECT scale FROM s) + 0.5)::BIGINT AS qi
+         |  FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+         |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $nCode)),
+         |cent0 AS (
+         |  SELECT q.sub, s.code, q.si, q.qi AS ci
+         |  FROM seeds s JOIN q USING (vec_id))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val prev = s"cent${t - 1}"
+      val asg =
+        s"""d$t AS (
+           |  SELECT q.vec_id, q.sub, c.code,
+           |         sum((q.qi - c.ci) * (q.qi - c.ci))::BIGINT AS d2
+           |  FROM q JOIN $prev c ON q.sub = c.sub AND q.si = c.si
+           |  GROUP BY 1, 2, 3),
+           |a$t AS (
+           |  SELECT vec_id, sub, code, d2 FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d$t)
+           |  WHERE rn = 1)""".stripMargin
+      if (t == iters) asg
+      else
+        asg + s""",
+           |cent$t AS (
+           |  SELECT p.sub, p.code, p.si, coalesce(n.ci, p.ci) AS ci
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT a.sub, a.code, q.si,
+           |           floor(sum(q.qi)::DOUBLE / count(*)::DOUBLE)::BIGINT AS ci
+           |    FROM a$t a JOIN q ON a.vec_id = q.vec_id AND a.sub = q.sub
+           |    GROUP BY 1, 2, 3) n
+           |  USING (sub, code, si))""".stripMargin
+    }.mkString(",\n")
+    s"""$header,
+       |$rounds
+       |SELECT vec_id, sub, code, d2 FROM a$iters""".stripMargin
+  }
+
   /** CTE-by-CTE replay of [[kmeans]]: quantize, seed, then per iteration
     * an assignment (argmin over an i-join, tie on cluster id) and a
     * coalesced centroid update (LEFT JOIN keeps empty clusters' previous
