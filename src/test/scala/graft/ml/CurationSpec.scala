@@ -253,6 +253,20 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) === ((2L, 4L, 4L, 1.0))) // nothing in vocab
   }
 
+  test("packSweep: waste and split counts on a hand-packed shard") {
+    // one shard (nShards=1): docs of 3, 4, 5 tokens concat to offsets
+    // [0,3) [3,7) [7,12), total 12
+    val d = Seq(1L -> "a b c", 2L -> "d e f g", 3L -> "h i j k l")
+      .toDF("doc_id", "text")
+    val out = Curation.packSweep(d, grid = Seq(8, 24), nShards = 1)
+      .select("max_tokens", "n_seqs", "total_tokens", "waste_pct", "n_split_docs")
+      .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // m=8: ceil(12/8)=2 seqs, waste (16-12)/16; doc3 [7,12) crosses 8
+    assert(out(8L) === ((8L, 2L, 12L, 0.25, 1L)))
+    // m=24: everything in one padded seq, no splits
+    assert(out(24L) === ((24L, 1L, 12L, 0.5, 0L)))
+  }
+
   test("bpeMerges replays an in-memory BPE reference (greedy leftmost)") {
     // 'aaab' stresses the overlap rule: merge (a,a) applied to a-a-a-b
     // must yield (aa)-a-b, never a-(aa)-b

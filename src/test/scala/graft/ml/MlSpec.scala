@@ -237,6 +237,28 @@ class MlSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf((0L until 4L).toSet))
   }
 
+  test("pqTrain: trained codebooks never lose to the seed assignment") {
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val seed = Similarity.pqTrain(emb, nSub = 8, nCode = 4, iters = 1)
+      .agg(sum("d2")).head().getLong(0)
+    val trained = Similarity.pqTrain(emb, nSub = 8, nCode = 4, iters = 3)
+      .select($"vec_id", $"sub", $"code", $"d2")
+      .as[(Long, Long, Long, Long)].collect()
+    // Lloyd never increases total distortion round over round
+    assert(trained.map(_._4).sum <= seed)
+    // every vector keeps exactly nSub codes, all drawn from the codebook
+    assert(trained.length === 24 * 8)
+    assert(trained.map(_._3).toSet.subsetOf((0L until 4L).toSet))
+    // iters = 1 IS the seed assignment (same argmin pqCodes runs, modulo
+    // code ids being seed ranks instead of seed vec_ids)
+    val s1 = Similarity.pqTrain(emb, nSub = 8, nCode = 4, iters = 1)
+      .select($"vec_id", $"sub", $"code").as[(Long, Long, Long)].collect()
+    for (sd <- 0L until 4L)
+      assert(s1.filter(_._1 == sd).forall(_._3 == sd), s"seed $sd self-assigns")
+  }
+
   test("ivfPqTopK: exact duplicate of a seed ranks first at ADC zero") {
     // vec 20 duplicates vec 0 (a codebook seed): its PQ codes are 0's
     // self-assignments, so the query-0 lookup gathers distance 0 exactly
