@@ -424,6 +424,11 @@ object SparkEntry {
     // sequence length — the report behind choosing maxTokens
     "cur_pack_sweep" -> ((s, dir) =>
       Curation.packSweep(Tables.load(s, dir, "documents"))),
+    // GK-sketch quantiles with the rank-error contract oracle-asserted:
+    // the scale path for cur_len_quantiles (bounded sketch state instead
+    // of a per-group value collect)
+    "cur_len_quantiles_sketch" -> ((s, dir) =>
+      Curation.lengthQuantilesSketch(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -1055,6 +1060,7 @@ object SparkEntry {
           |ANTI JOIN drops d ON a.doc_id = d.doc_id""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
+    "cur_len_quantiles_sketch" -> Curation.lengthQuantilesSketchOracleSql,
     "cur_quality_buckets" -> Curation.qualityBucketsOracleSql(),
     "cur_redact" -> Curation.redactOracleSql,
     "cur_perplexity" -> Curation.perplexityOracleSql(),

@@ -387,6 +387,58 @@ object Curation {
        |FROM lang l JOIN n ON l.doc_id = n.doc_id
        |GROUP BY l.lang_pred""".stripMargin
 
+  /** Scale path for [[lengthQuantiles]]: GK-sketch quantiles
+    * (`percentile_approx`) with the rank-error CONTRACT emitted as
+    * oracle-assertable booleans — the [[TextStats.vocabSketchChecked]]
+    * pattern. The exact form collects each language's full value list
+    * into one aggregation buffer (fine for a bounded stratum key, wrong
+    * for millions of rows per group at corpus scale); the sketch holds
+    * O(accuracy·log n) state and guarantees rank error ≤ n/accuracy.
+    * The engine computes the exact rank window of each returned value
+    * (one broadcast join of the |langs|·2-row sketch output back to the
+    * lengths) and emits whether it intersects [q ± eps]·n; the oracle
+    * asserts both booleans true — a drifting sketch fails the hash row.
+    * The approx VALUES stay out of the output: they are engine-specific.
+    * Output: (lang_pred, n_docs, p50_ok, p95_ok).
+    */
+  def lengthQuantilesSketch(docs: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val lens = TextStats.languageId(docs)
+      .join(docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words")), "doc_id")
+      .select("lang_pred", "n_words")
+    val sk = lens.groupBy("lang_pred")
+      .agg(percentile_approx(col("n_words"),
+        typedlit(Seq(0.5, 0.95)), lit(accuracy)).as("ap"))
+      .select(col("lang_pred").as("lp"),
+        element_at(col("ap"), 1).as("v50"), element_at(col("ap"), 2).as("v95"))
+    // a value's rank window [count(<v)+1, count(<=v)] must intersect
+    // [(q−eps)·n, (q+eps)·n]: lower-count strictly below the upper bound,
+    // inclusive-count at or above the lower bound (handles ties exactly)
+    lens.join(broadcast(sk), col("lang_pred") === col("lp"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("n_words") < col("v50"), 1L).otherwise(0L)) <
+          (lit(0.5) + eps) * count(lit(1)) &&
+         sum(when(col("n_words") <= col("v50"), 1L).otherwise(0L)) >=
+          (lit(0.5) - eps) * count(lit(1))).as("p50_ok"),
+        (sum(when(col("n_words") < col("v95"), 1L).otherwise(0L)) <
+          (lit(0.95) + eps) * count(lit(1)) &&
+         sum(when(col("n_words") <= col("v95"), 1L).otherwise(0L)) >=
+          (lit(0.95) - eps) * count(lit(1))).as("p95_ok"))
+  }
+
+  /** Oracle for [[lengthQuantilesSketch]]: exact per-language counts with
+    * the rank-error contract asserted true.
+    */
+  val lengthQuantilesSketchOracleSql: String =
+    s"""WITH lang AS (${TextStats.languageIdOracleSql}),
+       |n AS (SELECT doc_id, len($wordsSql)::BIGINT AS n_words FROM documents)
+       |SELECT l.lang_pred, count(*)::BIGINT AS n_docs,
+       |       true AS p50_ok, true AS p95_ok
+       |FROM lang l JOIN n ON l.doc_id = n.doc_id
+       |GROUP BY l.lang_pred""".stripMargin
+
   /** Corpus top-terms per predicted language: the k most frequent words
     * with deterministic (count desc, word) tie-break — the vocabulary
     * report of a curation run. Two hash aggregations (doc→lang, then

@@ -200,12 +200,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("attribution is an equi hash/merge join, never a nested loop") {
-    // the time predicate must ride INSIDE the user_id equi join; losing
-    // the equi key would turn this into a per-pair nested loop
+    // the time predicate must ride INSIDE the equi join; losing the equi
+    // key would turn this into a per-pair nested loop
     val p = plan("evt_attribution")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no hash/merge join in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the TIME BUCKET must be part of the join key, not a post-filter:
+    // user_id alone leaves per-key pair space quadratic in account
+    // history (measured 4× super-linear on whale keys — SCALING.md)
+    assert("""\[(bk|user_id)#\d+L?, (bk|user_id)#\d+L?\]""".r.findFirstIn(p).isDefined
+      || p.contains("bk"), s"bucket key missing from join in:\n$p")
   }
 
   test("bpe encode joins the symbol table by key — no cartesian, no replay") {

@@ -267,6 +267,22 @@ class CurationSpec extends SparkSpec {
     assert(out(24L) === ((24L, 1L, 12L, 0.5, 0L)))
   }
 
+  test("lengthQuantilesSketch: rank-error contract holds under heavy ties") {
+    // 40 docs, word-lengths heavily tied (1,1,...,2,...,8): the rank
+    // window [count(<v)+1, count(<=v)] of any returned value must
+    // intersect [q ± eps]·n — ties make the window wide, not wrong
+    val d = (0L until 40L).map { i =>
+      (i, Seq.fill((i % 8 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Curation.lengthQuantilesSketch(d, accuracy = 100)
+      .select("n_docs", "p50_ok", "p95_ok")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, p50, p95) =>
+      assert(n > 0 && p50 && p95, s"contract failed on ($n, $p50, $p95)")
+    }
+  }
+
   test("bpeMerges replays an in-memory BPE reference (greedy leftmost)") {
     // 'aaab' stresses the overlap rule: merge (a,a) applied to a-a-a-b
     // must yield (aa)-a-b, never a-(aa)-b
