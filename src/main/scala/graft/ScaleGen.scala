@@ -44,7 +44,7 @@ object ScaleGen {
     * COUNT (token/quality stats stay comparable) while controlling
     * shingle overlap with the base text.
     */
-  private def mutateText(text: Column, id: Column, rep: Column): Column = {
+  private[graft] def mutateText(text: Column, id: Column, rep: Column): Column = {
     val pct = when(pmod(xxhash64(lit("dup"), id, rep), lit(100)) < 5, lit(10))
       .otherwise(lit(55))
     val ws = split(text, " ")
