@@ -665,6 +665,22 @@ object SparkEntry {
     // write-side clustering that makes footer stats prune both dims
     "layout_zorder" -> ((s, dir) =>
       Layout.zorderKeys(Tables.load(s, dir, "documents"))),
+    // catalog-bucketed co-location: both sides written bucketBy(user_id)
+    // then joined — zero Exchange in the join (PlanSpec-pinned); the
+    // oracle recomputes the same join from raw events, so the hash match
+    // proves the bucketed write/read round-trip lossless
+    "layout_bucketed_join" -> ((s, dir) => {
+      val ev = Events.canonical(s, dir)
+      val act = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val spend = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(round(sum("value"), 6).as("user_spend"))
+      val base = tmpPath(s, "buck", dir)
+      Layout.writeBucketedTable(act, "graft_buck_act", s"$base/act", "user_id")
+      Layout.writeBucketedTable(spend, "graft_buck_spend", s"$base/spend", "user_id")
+      s.table("graft_buck_act")
+        .join(s.table("graft_buck_spend"), Seq("user_id"))
+        .select("user_id", "n_events", "user_spend")
+    }),
 
     // --- multimodal: opaque binary payloads + batch decode plumbing ---
     "mm_image_features" -> ((s, dir) =>
@@ -1093,6 +1109,14 @@ object SparkEntry {
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "layout_zorder" -> Layout.zorderKeysOracleSql,
+    "layout_bucketed_join" ->
+      s"""WITH ev AS (${Events.canonicalSql}),
+         |act AS (SELECT user_id, count(*)::BIGINT AS n_events
+         |        FROM ev GROUP BY user_id),
+         |spend AS (SELECT user_id, round(sum(value), 6) AS user_spend
+         |          FROM ev WHERE event_type = 'purchase' GROUP BY user_id)
+         |SELECT a.user_id, a.n_events, s.user_spend
+         |FROM act a JOIN spend s USING (user_id)""".stripMargin,
     "mm_image_features" -> Multimodal.imageFeaturesOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql(4, 4),
     "mm_frame_sample" -> Multimodal.frameSampleOracleSql(2),

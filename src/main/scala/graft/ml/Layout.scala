@@ -59,4 +59,25 @@ object Layout {
     df.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
+
+  /** CATALOG-bucketed write — the storage-side co-location contract:
+    * two tables bucketed by the same key into the same bucket count join
+    * with ZERO Exchange operators (each bucketed scan already satisfies
+    * the join's required hash distribution), so a fact↔dim or
+    * profile↔activity join that repeats every pipeline run pays its
+    * shuffle ONCE at write time instead of per query. `sortBy` persists
+    * per-bucket order so the sort-merge join can skip its sorts when
+    * each bucket lands in one file. This is the catalog twin of
+    * [[graft.Tables.saveBinned]]'s manual hash-bucketed layout: the
+    * catalog records the bucket spec, so Catalyst — not the reader —
+    * proves the distribution. LayoutSpec pins the exchange-free plan.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, path: String,
+                         key: String, nBuckets: Int = 16): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -213,6 +213,27 @@ class PlanSpec extends SparkSpec {
       || p.contains("bk"), s"bucket key missing from join in:\n$p")
   }
 
+  test("bucketed-table join runs with ZERO shuffle exchanges (co-location)") {
+    // layout_bucketed_join writes both sides bucketBy(user_id) — the
+    // whole point is that the join inherits the bucketed distribution.
+    // At sf0.001 the planner correctly prefers a broadcast (and disables
+    // bucketed reads), which would hide the property — so the pin forces
+    // the shuffle path: with broadcasts off, a working bucketed layout
+    // joins with NO hash-partitioning Exchange; a broken one must
+    // shuffle both sides.
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("layout_bucketed_join")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join reintroduced a shuffle:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a merge/hash join over bucketed scans:\n$p")
+      assert(p.contains("Bucketed: true"), s"bucketed read not used:\n$p")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("bpe encode joins the symbol table by key — no cartesian, no replay") {
     val p = plan("cur_bpe_encode")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
