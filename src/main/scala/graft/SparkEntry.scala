@@ -744,6 +744,10 @@ object SparkEntry {
     }),
     "text_entropy" -> ((s, dir) =>
       TextStats.charEntropy(Tables.load(s, dir, "documents"))),
+    // Misra–Gries heavy hitters: O(k)-state per task, the deterministic
+    // every-guaranteed-word-surfaces contract oracle-asserted
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextStats.heavyHitters(Tables.load(s, dir, "documents"))),
     // HLL vocabulary estimate, error-bound-checked: the emitted columns
     // are the exact distinct counts (oracle-able) plus a within-3rsd
     // boolean the oracle asserts true — so the sketch's accuracy
@@ -1145,6 +1149,7 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, p.user_spend
          |FROM ev e JOIN p USING (user_id)""".stripMargin,
     "text_entropy" -> TextStats.charEntropyOracleSql,
+    "text_heavy_hitters" -> TextStats.heavyHittersOracleSql(),
     "evt_funnel" -> Events.funnelOracleSql,
     "evt_retention" -> Events.retentionOracleSql,
     "evt_props_agg" -> Events.propsAggOracleSql,

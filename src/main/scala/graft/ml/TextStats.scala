@@ -297,4 +297,61 @@ object TextStats {
        |       true AS within_3rsd
        |FROM lang l JOIN wrd w USING (doc_id)
        |GROUP BY l.lang_pred""".stripMargin
+
+  /** Misra–Gries heavy hitters with the deterministic guarantee emitted
+    * as an oracle-assertable contract. Each task summarizes its word
+    * stream into at most `k` counters (O(k) state regardless of stream
+    * length — the corpus-scale alternative to aggregating the full
+    * vocabulary); the per-partition summaries (≤ k·partitions rows, a
+    * constant-bounded collect) union on the driver. The MG error bound
+    * — true_p(x) − count_p(x) ≤ n_p/(k+1), count 0 when absent — sums
+    * across partitions to N(x) − Σ count_p(x) ≤ N/(k+1), so EVERY word
+    * with global frequency > N/(k+1) must appear in some summary, no
+    * matter how rows were partitioned. The query emits exactly the
+    * guaranteed-heavy words (a deterministic, exact-count-defined set)
+    * with `in_sketch`, which the oracle asserts true: a sketch that
+    * loses a guaranteed word fails the hash row, while the partition-
+    * dependent rest of the candidate set stays out of the comparison.
+    * This is one of the codebase's rare justified `mapPartitions` uses:
+    * genuinely imperative per-partition state.
+    * Output: (word, n, in_sketch).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs.select(explode(words(col("text"))).as("word")).as[String]
+    val candidates: Array[String] = w.mapPartitions { it =>
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        if (cnt.contains(x)) cnt(x) += 1L
+        else if (cnt.size < k) cnt(x) = 1L
+        else { // decrement-all step: drop every counter by one
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          cnt.keysIterator.foreach { w0 =>
+            val c = cnt(w0) - 1L
+            if (c == 0L) dead += w0 else cnt(w0) = c
+          }
+          dead.foreach(cnt.remove)
+        }
+      }
+      cnt.keysIterator
+    }.distinct().collect()
+
+    val counts = w.groupBy("word").agg(count(lit(1)).as("n"))
+    val tot = w.toDF("word").agg(count(lit(1)).as("tot"))
+    counts.join(broadcast(tot))
+      .where(col("n") * (k + 1) > col("tot")) // guaranteed-heavy only
+      .select(col("word"), col("n"),
+        col("word").isin(candidates.toSeq: _*).as("in_sketch"))
+  }
+
+  /** Oracle for [[heavyHitters]]: the exact guaranteed-heavy set with the
+    * MG membership contract asserted true.
+    */
+  def heavyHittersOracleSql(k: Int = 50): String =
+    s"""WITH wrd AS (SELECT unnest($wordsSql) AS word FROM documents),
+       |cnt AS (SELECT word, count(*)::BIGINT AS n FROM wrd GROUP BY word),
+       |tot AS (SELECT count(*)::BIGINT AS tot FROM wrd)
+       |SELECT word, n, true AS in_sketch
+       |FROM cnt, tot WHERE n * ${k + 1} > tot""".stripMargin
 }

@@ -237,6 +237,18 @@ class MlSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf((0L until 4L).toSet))
   }
 
+  test("misra-gries heavy hitters: guaranteed words surface under any partitioning") {
+    // N=100 words, k=3 → guarantee threshold N/(k+1)=25: "hot" (30
+    // occurrences) MUST be in the sketch no matter how rows scatter;
+    // 70 unique fillers keep the decrement step busy
+    val d = ((0 until 30).map(i => (i.toLong, "hot")) ++
+      (30 until 100).map(i => (i.toLong, s"w$i")))
+      .toDF("doc_id", "text").repartition(7)
+    val out = TextStats.heavyHitters(d, k = 3)
+      .select("word", "n", "in_sketch").as[(String, Long, Boolean)].collect()
+    assert(out.toSeq === Seq(("hot", 30L, true)))
+  }
+
   test("pqTrain: trained codebooks never lose to the seed assignment") {
     val emb = (0L until 24L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
