@@ -429,6 +429,10 @@ object SparkEntry {
     // of a per-group value collect)
     "cur_len_quantiles_sketch" -> ((s, dir) =>
       Curation.lengthQuantilesSketch(Tables.load(s, dir, "documents"))),
+    // data-driven config: pack under the sweep's argmin-waste length —
+    // the decision folded into one plan via a broadcast 1-row relation
+    "cur_pack_auto" -> ((s, dir) =>
+      Curation.packAuto(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simHash(Tables.load(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
@@ -1010,6 +1014,7 @@ object SparkEntry {
     "cur_lang_anneal" -> Curation.annealMixOracleSql,
     "cur_pack_bpe" -> Curation.packSequencesBpeOracleSql(),
     "cur_pack_sweep" -> Curation.packSweepOracleSql(),
+    "cur_pack_auto" -> Curation.packAutoOracleSql(),
     "text_sanitize" ->
       s"SELECT doc_id, ${Counters.sanitizeSql("text")} AS name FROM documents",
     "cur_decontaminate" ->

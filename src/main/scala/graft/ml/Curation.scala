@@ -428,6 +428,59 @@ object Curation {
           (lit(0.95) - eps) * count(lit(1))).as("p95_ok"))
   }
 
+  /** Data-driven pack layout: choose `maxTokens` as the sweep's
+    * argmin-waste candidate (tie → the smaller length: cheaper
+    * attention) and emit the pack layout under the CHOSEN length — the
+    * config decision a pipeline usually makes by hand, folded into one
+    * deterministic plan. The chosen length rides along as a broadcast
+    * 1-row relation (the scalar-subquery shape of q13), so the decision
+    * never forces a second pass over the corpus: offsets are computed
+    * once and divided by the chosen length as a column.
+    * Output: (shard, doc_id, n_tokens, pack_id, pack_off, chosen_m).
+    */
+  def packAuto(docs: DataFrame,
+               grid: Seq[Int] = Seq(128, 256, 512, 1024, 2048),
+               nShards: Int = 64): DataFrame = {
+    val best = packSweep(docs, grid, nShards)
+      .orderBy(asc("waste_pct"), asc("max_tokens")).limit(1)
+      .select(col("max_tokens").as("chosen_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        pmod(h64(concat(col("doc_id").cast("string"), lit(":pack"))), lit(nShards))
+          .as("shard"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .join(broadcast(best))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        expr("start_off DIV chosen_m").as("pack_id"),
+        pmod(col("start_off"), col("chosen_m")).as("pack_off"),
+        col("chosen_m"))
+  }
+
+  def packAutoOracleSql(grid: Seq[Int] = Seq(128, 256, 512, 1024, 2048),
+                        nShards: Int = 64): String =
+    s"""WITH sweep AS (${packSweepOracleSql(grid, nShards)}),
+       |best AS (
+       |  SELECT max_tokens AS chosen_m FROM sweep
+       |  ORDER BY waste_pct, max_tokens LIMIT 1),
+       |t AS (
+       |  SELECT doc_id, len($wordsSql)::BIGINT AS n_tokens,
+       |         ${h64Sql("doc_id::VARCHAR || ':pack'")} % $nShards AS shard
+       |  FROM documents),
+       |cum AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_off
+       |  FROM t)
+       |SELECT shard::BIGINT AS shard, doc_id, n_tokens,
+       |       (start_off // chosen_m)::BIGINT AS pack_id,
+       |       (start_off % chosen_m)::BIGINT AS pack_off,
+       |       chosen_m
+       |FROM cum, best""".stripMargin
+
   /** Oracle for [[lengthQuantilesSketch]]: exact per-language counts with
     * the rank-error contract asserted true.
     */
