@@ -760,6 +760,10 @@ object SparkEntry {
     // TextStats.vocabSketch.
     "text_vocab_sketch" -> ((s, dir) =>
       TextStats.vocabSketchChecked(Tables.load(s, dir, "documents"))),
+    // Count-Min sketch: portable-hash rows make the estimates themselves
+    // bit-replayable in DuckDB — a full hash oracle, not a boolean one
+    "text_count_min" -> ((s, dir) =>
+      TextStats.countMin(Tables.load(s, dir, "documents"))),
     "evt_funnel" -> ((s, dir) => Events.funnel(Events.canonical(s, dir))),
     "evt_retention" -> ((s, dir) => Events.retention(Events.canonical(s, dir))),
     // semi-structured metadata: JSON props field extraction + rollup
@@ -1155,6 +1159,7 @@ object SparkEntry {
          |FROM ev e JOIN p USING (user_id)""".stripMargin,
     "text_entropy" -> TextStats.charEntropyOracleSql,
     "text_heavy_hitters" -> TextStats.heavyHittersOracleSql(),
+    "text_count_min" -> TextStats.countMinOracleSql(),
     "evt_funnel" -> Events.funnelOracleSql,
     "evt_retention" -> Events.retentionOracleSql,
     "evt_props_agg" -> Events.propsAggOracleSql,

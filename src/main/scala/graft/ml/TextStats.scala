@@ -354,4 +354,67 @@ object TextStats {
        |tot AS (SELECT count(*)::BIGINT AS tot FROM wrd)
        |SELECT word, n, true AS in_sketch
        |FROM cnt, tot WHERE n * ${k + 1} > tot""".stripMargin
+
+  /** Count-Min sketch over the word stream, replayed BIT-EXACTLY by the
+    * oracle. The sketch uses `depth` seeded [[Portable.h64]] row hashes
+    * into `width` buckets; because the hash is the md5-based portable
+    * one, DuckDB rebuilds the identical depth×width cell table and the
+    * identical per-word estimates — so unlike the HLL vocab sketch
+    * (engine-specific registers, boolean-contract oracle) this sketch's
+    * estimates themselves are hash-oracled.
+    *
+    * Shape for scale: occurrences collapse to the vocabulary FIRST (the
+    * standard wordcount shuffle — CMS is a linear sketch, so cell(r,b) =
+    * Σ n(word) over words hashing to b equals summing raw occurrences);
+    * the cell table is then a depth×vocab aggregation down to at most
+    * depth×width rows, broadcast back to probe the guaranteed-heavy
+    * words. Nothing driver-side grows with the corpus; the sketch is the
+    * constant-size summary a 100-TB stream would ship between stages.
+    *
+    * Output, restricted to the deterministic guaranteed-heavy set (the
+    * [[heavyHitters]] rule, frequency > N/(k+1)): (word, n, est, err)
+    * with err = est − n ≥ 0 (CMS never underestimates; the spec also
+    * asserts the ε=2/width error bound err ≤ 2N/width at default dims).
+    */
+  def countMin(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+               k: Int = 50): DataFrame = {
+    val w = docs.select(explode(words(col("text"))).as("word"))
+    val cnt = w.groupBy("word").agg(count(lit(1)).as("n"))
+    def bucket(word: Column, r: Column): Column =
+      h64(concat(lit("cms"), r.cast("string"), lit(":"), word)) % width
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
+    val cells = cnt.select(col("word"), col("n"), rows)
+      .withColumn("b", bucket(col("word"), col("r")))
+      .groupBy("r", "b").agg(sum("n").as("cell"))
+    val tot = cnt.agg(sum("n").as("tot"))
+    val heavy = cnt.join(broadcast(tot))
+      .where(col("n") * (k + 1) > col("tot"))
+      .select(col("word"), col("n"), rows)
+      .withColumn("b", bucket(col("word"), col("r")))
+    heavy.join(broadcast(cells), Seq("r", "b"))
+      .groupBy("word")
+      .agg(max("n").as("n"), min("cell").as("est"))
+      .select(col("word"), col("n"), col("est"),
+        (col("est") - col("n")).as("err"))
+  }
+
+  /** Oracle for [[countMin]]: DuckDB rebuilds the identical sketch. */
+  def countMinOracleSql(width: Int = 1024, depth: Int = 4,
+                        k: Int = 50): String = {
+    def bucketSql(word: String, r: String): String =
+      s"${h64Sql(s"'cms' || $r || ':' || $word")} % $width"
+    s"""WITH wrd AS (SELECT unnest($wordsSql) AS word FROM documents),
+       |cnt AS (SELECT word, count(*)::BIGINT AS n FROM wrd GROUP BY word),
+       |cells AS (
+       |  SELECT r, ${bucketSql("word", "r")} AS b, sum(n)::BIGINT AS cell
+       |  FROM cnt, range($depth) t(r) GROUP BY 1, 2),
+       |tot AS (SELECT sum(n)::BIGINT AS tot FROM cnt),
+       |heavy AS (
+       |  SELECT word, n, r, ${bucketSql("word", "r")} AS b
+       |  FROM cnt, tot, range($depth) t(r) WHERE n * ${k + 1} > tot)
+       |SELECT h.word, max(h.n)::BIGINT AS n, min(c.cell)::BIGINT AS est,
+       |       (min(c.cell) - max(h.n))::BIGINT AS err
+       |FROM heavy h JOIN cells c ON h.r = c.r AND h.b = c.b
+       |GROUP BY h.word""".stripMargin
+  }
 }

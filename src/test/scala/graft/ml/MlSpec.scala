@@ -249,6 +249,31 @@ class MlSpec extends SparkSpec {
     assert(out.toSeq === Seq(("hot", 30L, true)))
   }
 
+  test("count-min sketch: never underestimates, exact when collision-free") {
+    // 3 heavy words (n=40/35/30) + 45 unique fillers, N=150, k=3 →
+    // guarantee threshold 150/4=37.5, so only "aa" (40) surfaces
+    val d = ((0 until 40).map(i => (i.toLong, "aa")) ++
+      (40 until 75).map(i => (i.toLong, "bb")) ++
+      (75 until 105).map(i => (i.toLong, "cc")) ++
+      (105 until 150).map(i => (i.toLong, s"w$i")))
+      .toDF("doc_id", "text").repartition(5)
+    val out = TextStats.countMin(d, width = 1024, depth = 4, k = 3)
+      .select("word", "n", "est", "err").as[(String, Long, Long, Long)]
+      .collect()
+    assert(out.map(_._1).toSeq === Seq("aa"))
+    val (_, n, est, err) = out.head
+    assert(n === 40L)
+    assert(err >= 0L && est === n + err) // CMS can only overestimate
+    // ε = 2/width bound: with 48 distinct words in 1024 buckets the
+    // min-over-4-rows estimate stays within 2N/width (< 1 → exact here)
+    assert(err <= 2L * 150L / 1024L)
+
+    // width=1 degenerates every row to the single global cell: est = N
+    val deg = TextStats.countMin(d, width = 1, depth = 2, k = 3)
+      .select("est").as[Long].collect()
+    assert(deg.toSeq === Seq(150L))
+  }
+
   test("pqTrain: trained codebooks never lose to the seed assignment") {
     val emb = (0L until 24L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
