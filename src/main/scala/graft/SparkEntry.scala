@@ -665,6 +665,14 @@ object SparkEntry {
       Dedup.incremental(docs.where(pmod(col("doc_id"), lit(2)) === 0),
         docs.where(pmod(col("doc_id"), lit(2)) === 1))
     }),
+    // incremental NEAR-dup refresh: odd-doc batch banded and probed
+    // against the even-doc snapshot's LSH index — no snapshot re-pairing
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minHashLshIncremental(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    }),
     // Z-order layout keys over (length bucket, source bucket) — the
     // write-side clustering that makes footer stats prune both dims
     "layout_zorder" -> ((s, dir) =>
@@ -1121,6 +1129,7 @@ object SparkEntry {
     "cur_shuffle_shard" -> Curation.shuffleShardOracleSql(),
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql,
+    "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
     "layout_zorder" -> Layout.zorderKeysOracleSql,
     "layout_bucketed_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),

@@ -169,36 +169,45 @@ object Dedup {
     minHashLshFrom(shingleTable(docs, k).localCheckpoint(),
       shingleSizes(docs, k), numHashes, bands, threshold)
 
-  /** [[minHashLsh]] over a caller-provided (already-materialized)
-    * shingle table — the scan-sharing seam [[lshRecall]] uses.
+  /** (doc_id, band, bkey) LSH band table of a shingle table: all
+    * `numHashes` min-signatures as agg columns of ONE groupBy (no
+    * per-seed row explosion), band keys assembled directly from them.
+    * The universal-hash mixes (aᵢ·h + bᵢ mod P, literal constants both
+    * engines embed) reuse the table's 60-bit key — hashing the shingle
+    * string per seed would multiply the dominant md5 cost by numHashes
+    * for no statistical gain. This is also the relation a production
+    * loop PERSISTS as the standing corpus's index (bucketed by
+    * (band, bkey)) for [[minHashLshIncremental]] to probe.
     */
-  private[ml] def minHashLshFrom(sh: DataFrame, sizes: DataFrame,
-                                 numHashes: Int, bands: Int,
-                                 threshold: Double): DataFrame = {
+  private[ml] def bandTable(sh: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val as = (0 until numHashes).map(seedConst("A", _))
     val bs = (0 until numHashes).map(seedConst("B", _))
-
-    // all numHashes min-signatures as agg columns of ONE groupBy (no
-    // per-seed row explosion), band keys assembled directly from them;
-    // the universal-hash mixes reuse the table's 60-bit key — no second
-    // md5 pass over the shingles
     val minCols = (0 until numHashes).map(s =>
       min((lit(as(s)) * col("hm") + lit(bs(s))) % HashP).as(s"mh$s"))
     val sig = sh
       .withColumn("hm", col("sh") % HashP)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
-
     val bandCols = (0 until bands).map { b =>
       val key = md5(concat_ws("|",
         (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
       struct(lit(b.toLong).as("band"), key.as("bkey"))
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+  }
+
+  /** [[minHashLsh]] over a caller-provided (already-materialized)
+    * shingle table — the scan-sharing seam [[lshRecall]] uses.
+    */
+  private[ml] def minHashLshFrom(sh: DataFrame, sizes: DataFrame,
+                                 numHashes: Int, bands: Int,
+                                 threshold: Double): DataFrame = {
+    val banded = bandTable(sh, numHashes, bands)
 
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -255,6 +264,96 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN doc_shingles sa ON c.doc_a = sa.doc_id
+       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) >= $threshold""".stripMargin
+  }
+
+  /** Incremental MinHash-LSH — the daily-refresh pattern for NEAR-dup,
+    * the banded sibling of [[incremental]]: a new batch is near-dup-
+    * checked against the standing corpus without re-pairing the corpus
+    * with itself. Only the BATCH is shingled and banded; the snapshot
+    * contributes its (persistable) index relations — the [[bandTable]]
+    * band buckets for the probe and the shingle/size tables for the
+    * exact-Jaccard verify of surviving candidates. Output is exactly
+    * [[minHashLsh]] over snapshot∪batch RESTRICTED to pairs that touch
+    * the batch: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * Scale: the probe is an equi join on (band, bkey) between the
+    * batch's bands and the index — with the index bucketed by
+    * (band, bkey) on disk (the way a production loop stores it), the
+    * probe shuffles ONLY the batch side; within-batch pairs self-join
+    * the batch bands (tiny). The verify joins candidates against the
+    * doc_id-keyed shingle tables — bucketed by doc_id in the stored
+    * index, that side co-locates too. Nothing rescans or re-hashes the
+    * snapshot text, which is the entire point at a 100-TB standing
+    * corpus: per-refresh cost is O(batch + matches), not O(corpus).
+    */
+  def minHashLshIncremental(snapshot: DataFrame, batch: DataFrame,
+                            k: Int = 3, numHashes: Int = 16,
+                            bands: Int = 8,
+                            threshold: Double = 0.5): DataFrame = {
+    val snapSh = shingleTable(snapshot, k).localCheckpoint()
+    val batchSh = shingleTable(batch, k).localCheckpoint()
+    val snapBands = bandTable(snapSh, numHashes, bands)
+    val batchBands = bandTable(batchSh, numHashes, bands)
+    val cross = batchBands.as("n")
+      .join(snapBands.as("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val within = batchBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = cross.union(within).distinct()
+    jaccardVerify(cand, snapSh.union(batchSh),
+      shingleSizes(snapshot, k).union(shingleSizes(batch, k)), threshold)
+  }
+
+  /** Oracle over the doc_id-parity split (even = snapshot, odd = batch,
+    * as [[incrementalOracleSql]]): the full banded pair set minus
+    * snapshot-internal pairs.
+    */
+  def minHashLshIncrementalOracleSql(k: Int = 3, numHashes: Int = 16,
+                                     bands: Int = 8,
+                                     threshold: Double = 0.5): String = {
+    val rows = numHashes / bands
+    val minExprs = (0 until numHashes)
+      .map(s => s"min((${seedConst("A", s)} * hm + ${seedConst("B", s)}) % $HashP) AS mh$s")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleTableSql(k)},
+       |hashed AS (
+       |  SELECT doc_id, sh % $HashP AS hm FROM doc_shingles),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM hashed
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE NOT (((a.doc_id % 2) + 2) % 2 = 0
+       |             AND ((b.doc_id % 2) + 2) % 2 = 0)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS ninter

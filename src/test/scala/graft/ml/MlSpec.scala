@@ -43,6 +43,32 @@ class MlSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("incremental LSH equals the full pair set restricted to batch-touching pairs") {
+    // 1↔2 near-dup crosses the split, 3↔5 is batch-internal, 4↔6 is
+    // snapshot-internal and must NOT be re-paired
+    val all = docs(
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "the quick brown fox jumps over cats",
+      3L -> "alpha beta gamma delta epsilon zeta eta",
+      4L -> "one two three four five six seven eight",
+      5L -> "alpha beta gamma delta epsilon zeta theta",
+      6L -> "one two three four five six seven nine",
+      7L -> "completely unrelated text with other words")
+    val snap = all.where($"doc_id".isin(2L, 4L, 6L))
+    val batch = all.where(!$"doc_id".isin(2L, 4L, 6L))
+    val full = Dedup.minHashLsh(all, threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.minHashLshIncremental(snap, batch, threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val snapIds = Set(2L, 4L, 6L)
+    assert(inc === full.filterNot(p => snapIds(p._1) && snapIds(p._2)))
+    assert(full.exists(p => snapIds(p._1) && snapIds(p._2))) // 4↔6 dropped
+    assert(inc.map(p => (p._1, p._2)).contains((1L, 2L)))    // cross kept
+    assert(inc.map(p => (p._1, p._2)).contains((3L, 5L)))    // within kept
+  }
+
   test("simhash: identical docs at hamming 0; band prefilter keeps them") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
       3L -> "unrelated totally different tokens")
