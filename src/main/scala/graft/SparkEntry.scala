@@ -546,6 +546,14 @@ object SparkEntry {
     "cur_stratified_sample" -> ((s, dir) =>
       Curation.stratifiedSample(Tables.load(s, dir, "documents"),
         Map("en" -> 0.5, "de" -> 0.8))),
+    // exactly-K weighted sample: largest-remainder quotas per source,
+    // filled by smallest-hash rank — the fixed-size sibling of the
+    // Bernoulli stratified sample. 200 seats over 20 sources with two
+    // upweighted sources exercises both the div/mod allocation and the
+    // remainder tiebreak
+    "cur_quota_sample" -> ((s, dir) =>
+      Curation.quotaSample(Tables.load(s, dir, "documents"),
+        total = 200L, weights = Map("src3" -> 3L, "src7" -> 2L))),
     "cur_top_terms" -> ((s, dir) => Curation.topTerms(Tables.load(s, dir, "documents"))),
     "cur_pack" -> ((s, dir) =>
       Curation.packSequences(Tables.load(s, dir, "documents"))),
@@ -1036,6 +1044,9 @@ object SparkEntry {
     "cur_split" -> Curation.assignSplitOracleSql(),
     "cur_stratified_sample" ->
       Curation.stratifiedSampleOracleSql(Map("en" -> 0.5, "de" -> 0.8)),
+    "cur_quota_sample" ->
+      Curation.quotaSampleOracleSql(total = 200L,
+        weights = Map("src3" -> 3L, "src7" -> 2L)),
     "cur_top_terms" -> Curation.topTermsOracleSql(),
     "cur_pack" -> Curation.packSequencesOracleSql(),
     "cur_pipeline" ->

@@ -145,6 +145,90 @@ object Curation {
        |      < (CASE $cases ELSE ${(defaultRate * M).toLong} END)""".stripMargin
   }
 
+  /** Fixed-size weighted sample — the "exactly K documents, allocated
+    * across sources by weight" primitive ([[stratifiedSample]] is its
+    * Bernoulli sibling: per-doc coin flips give binomially-varying
+    * output sizes; eval-set construction wants exact counts). Quotas use
+    * the largest-remainder method in pure int64 arithmetic — base_s =
+    * (K·w_s) div Σw, with the K − Σbase leftovers going to the largest
+    * remainders (source-name tiebreak) — so allocation is exact and
+    * engine-independent, never a rounded double. Within a source the
+    * quota is filled by smallest md5-hash rank, doc_id tiebreak: a
+    * deterministic uniform draw, reproducible run-to-run. A source with
+    * fewer docs than its quota contributes all of them (no
+    * redistribution — the shortfall is visible as rk < quota).
+    *
+    * Scale: the allocation relations are one row per source (broadcast);
+    * the rank is a per-source window — at corpus scale the sort is the
+    * cost, and a production variant pre-prunes each source to
+    * u < M·quota·c/n_s (n_s is already in the allocation relation)
+    * before ranking, shrinking the sorted set to ~c·quota rows per
+    * source. The exact fixed-size contract keeps the rank itself.
+    * Output: (doc_id, source, rk, quota), kept rows only.
+    */
+  def quotaSample(docs: DataFrame, total: Long = 1000L,
+                  weights: Map[String, Long] = Map.empty): DataFrame = {
+    val wCol = weights.toSeq.sortBy(_._1).foldRight(lit(1L): Column) {
+      case ((s0, w0), el) => when(col("source") === s0, lit(w0)).otherwise(el)
+    }
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", wCol)
+    val alloc = srcs.join(broadcast(srcs.agg(sum("w").as("tot_w"))))
+      .withColumn("base", expr(s"($total * w) div tot_w"))
+      .withColumn("rem", pmod(lit(total) * col("w"), col("tot_w")))
+    // leftover seats ranked by remainder over the per-source relation;
+    // rem * 0.0 is the non-foldable constant partition key (see rocAuc)
+    val remW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rem") * 0.0)
+      .orderBy(col("rem").desc, col("source"))
+    val quotas = alloc
+      .join(broadcast(alloc.agg((lit(total) - sum("base")).as("leftover"))))
+      .withColumn("seat", row_number().over(remW))
+      .select(col("source"),
+        (col("base") + when(col("seat") <= col("leftover"), 1L)
+          .otherwise(0L)).as("quota"))
+    val u = h64(concat(lit("qs:"), col("doc_id").cast("string")))
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(u.asc, col("doc_id").asc)
+    docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(rkW))
+      .where(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+  }
+
+  def quotaSampleOracleSql(total: Long = 1000L,
+                           weights: Map[String, Long] = Map.empty): String = {
+    val cases = weights.toSeq.sortBy(_._1).map { case (s0, w0) =>
+      s"WHEN source = '$s0' THEN $w0"
+    }.mkString(" ")
+    val wExpr = if (weights.isEmpty) "1" else s"CASE $cases ELSE 1 END"
+    s"""WITH srcs AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |         ($wExpr)::BIGINT AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(w)::BIGINT AS tot_w FROM srcs),
+       |alloc AS (
+       |  SELECT source, ($total * w) // tot_w AS base,
+       |         ($total * w) % tot_w AS rem
+       |  FROM srcs, tot),
+       |lo AS (SELECT ($total - sum(base))::BIGINT AS leftover FROM alloc),
+       |quotas AS (
+       |  SELECT source,
+       |         base + CASE WHEN row_number()
+       |             OVER (ORDER BY rem DESC, source) <= leftover
+       |           THEN 1 ELSE 0 END AS quota
+       |  FROM alloc, lo),
+       |ranked AS (
+       |  SELECT d.doc_id, d.source, q.quota,
+       |         row_number() OVER (
+       |           PARTITION BY d.source
+       |           ORDER BY ${h64Sql("'qs:' || d.doc_id::VARCHAR")}, d.doc_id
+       |         ) AS rk
+       |  FROM documents d JOIN quotas q USING (source))
+       |SELECT doc_id, source, rk, quota FROM ranked
+       |WHERE rk <= quota""".stripMargin
+  }
+
   /** Repetition statistics (the Gopher-rule family of quality filters):
     * per document, the total and most-frequent word-bigram counts, the
     * top-bigram fraction, and the duplicate-word fraction — high values

@@ -58,6 +58,39 @@ class CurationSpec extends SparkSpec {
     assert(kept.length === 20) // every en doc kept at rate 1.0
   }
 
+  test("quotaSample: exact K, largest-remainder allocation, shortfall visible") {
+    // three sources: a(10 docs, w2), b(10, w1), c(2, w1); K=8, Σw=4 →
+    // base a=(8·2)div4=4, b=2, c=2 — remainders all 0, no leftovers
+    val d = ((0L until 10L).map(i => (i, "a")) ++
+      (10L until 20L).map(i => (i, "b")) ++
+      (20L until 22L).map(i => (i, "c")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val out = Curation.quotaSample(d, total = 8L, weights = Map("a" -> 2L))
+      .select("doc_id", "source", "rk", "quota")
+      .as[(Long, String, Int, Long)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("a" -> 4, "b" -> 2, "c" -> 2))
+    assert(out.length === 8)
+    // deterministic: a second run draws the identical doc set
+    val again = Curation.quotaSample(d, total = 8L, weights = Map("a" -> 2L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+
+    // K=21 uniform over the same sources: base 7 each, but c has only
+    // 2 docs — shortfall stays visible (no silent redistribution)
+    val short = Curation.quotaSample(d, total = 21L)
+      .select("source", "quota").as[(String, Long)].collect()
+    assert(short.count(_._1 == "c") === 2) // all of c, under its quota 7
+    assert(short.count(_._1 == "a") === 7)
+
+    // leftover seats: K=7, uniform, Σbase=3·2=6 → one +1 seat goes to
+    // the lexicographically-first tied remainder (source a)
+    val lr = Curation.quotaSample(d, total = 7L)
+      .select("source", "quota").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).head).toMap
+    assert(lr === Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+  }
+
   test("repetitionStats flags repeated-bigram docs, handles short docs") {
     val d = docs(
       1L -> "spam spam spam spam spam spam", // one bigram repeated 5x
