@@ -379,7 +379,10 @@ object TextStats {
   def countMin(docs: DataFrame, width: Int = 1024, depth: Int = 4,
                k: Int = 50): DataFrame = {
     val w = docs.select(explode(words(col("text"))).as("word"))
-    val cnt = w.groupBy("word").agg(count(lit(1)).as("n"))
+    // three consumers (cells, total, heavy probe) — materialize the
+    // vocab-sized wordcount once instead of re-running the corpus scan
+    // and its shuffle per consumer (the shingleTable discipline)
+    val cnt = w.groupBy("word").agg(count(lit(1)).as("n")).localCheckpoint()
     def bucket(word: Column, r: Column): Column =
       h64(concat(lit("cms"), r.cast("string"), lit(":"), word)) % width
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")

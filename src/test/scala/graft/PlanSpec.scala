@@ -248,4 +248,38 @@ class PlanSpec extends SparkSpec {
     // the big side must not shuffle for the comparison
     assert(!"""Exchange hashpartitioning\([^)]*o_orderkey""".r.findFirstIn(p).isDefined)
   }
+
+  test("count-min shares one wordcount; cell probe broadcasts") {
+    val p = plan("text_count_min")
+    // the depth×width cell relation (≤ 4096 rows) must broadcast back to
+    // the heavy-word probe — a shuffle join here would repartition the
+    // probe for a constant-size build side
+    assert(p.contains("BroadcastHashJoin"), s"cell probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the vocab wordcount feeds three consumers — it must be materialized
+    // once (checkpoint scan), not re-aggregated from the corpus per use
+    assert(!p.contains("explode(split(text"),
+      s"corpus re-scanned instead of reusing the wordcount:\n$p")
+  }
+
+  test("incremental LSH stays banded — no cartesian, no nested loop") {
+    // all three joins (index probe, within-batch self-join, exact
+    // verify) must remain equi joins on band/doc keys
+    val p = plan("dedup_minhash_incremental")
+    assert(!p.contains("CartesianProduct"), s"cartesian in incremental LSH:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in incremental LSH:\n$p")
+  }
+
+  test("quota sample broadcasts the per-source allocation") {
+    // the quota relation is one row per source; the corpus join must be
+    // a broadcast and the rank window must partition by source
+    val p = plan("cur_quota_sample")
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+    // partition key is windowspecdefinition's first argument
+    assert("""windowspecdefinition\(source#\d+,""".r.findFirstIn(p).isDefined,
+      s"rank window not partitioned by source:\n$p")
+    // (the 1-row aggregate crossJoins compile to 1-row BNLJs — accepted
+    // pattern; only a true cartesian over data-sized inputs is banned)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
