@@ -420,6 +420,11 @@ object SparkEntry {
     "cur_bpe_encode" -> ((s, dir) =>
       Curation.bpeEncode(Tables.load(s, dir, "documents"),
         nMerges = 16, batch = 4)),
+    // tokenizer fertility by language under the trained vocab — the
+    // multilingual vocab-allocation diagnostic
+    "cur_bpe_fertility" -> ((s, dir) =>
+      Curation.bpeFertility(Tables.load(s, dir, "documents"),
+        nMerges = 16, batch = 4)),
     // capacity planning: padding waste + doc fragmentation per candidate
     // sequence length — the report behind choosing maxTokens
     "cur_pack_sweep" -> ((s, dir) =>
@@ -998,6 +1003,8 @@ object SparkEntry {
     "dedup_lsh_recall" -> Dedup.lshRecallOracleSql(),
     "cur_bpe_merges" -> Curation.bpeMergesOracleSql(nMerges = 64),
     "cur_bpe_encode" -> Curation.bpeEncodeOracleSql(nMerges = 16, batch = 4),
+    "cur_bpe_fertility" ->
+      Curation.bpeFertilityOracleSql(nMerges = 16, batch = 4),
     "dedup_simhash" -> Dedup.simHashOracleSql(),
     "dedup_editdist" -> Dedup.editDistanceOracleSql(),
     "dedup_cosine" -> Dedup.embeddingCosineOracleSql(0.45),

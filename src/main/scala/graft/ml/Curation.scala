@@ -1501,4 +1501,56 @@ object Curation {
        |FROM dw JOIN tok t ON dw.word = t.word
        |GROUP BY dw.doc_id""".stripMargin
   }
+
+  /** Tokenizer fertility by language — tokens-per-word under the TRAINED
+    * BPE vocab, split by the language-ID rollup: the standard diagnostic
+    * for how well a tokenizer serves each language in a multilingual mix
+    * (a language with high fertility is paying more sequence length per
+    * word, the signal that drives vocab-allocation decisions). Composes
+    * [[bpeEncode]]'s per-doc token counts with
+    * [[TextStats.languageId]]'s per-doc label: a doc_id equi join of two
+    * doc-level relations, then a per-language rollup of INT sums —
+    * fertility is one int64/int64 division at the end, so the result is
+    * accumulation-order independent at any scale.
+    * Output: (lang_pred, n_docs, sum_words, sum_tokens, fertility).
+    */
+  def bpeFertility(docs: DataFrame, nMerges: Int = 8,
+                   batch: Int = 8): DataFrame = {
+    val enc = bpeEncode(docs, nMerges, batch)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val lang = TextStats.languageId(docs).select(col("doc_id"), col("lang_pred"))
+    enc.join(lang, "doc_id")
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("sum_words"),
+        sum("n_bpe_tokens").as("sum_tokens"))
+      .select(col("lang_pred"), col("n_docs"), col("sum_words"),
+        col("sum_tokens"),
+        round(col("sum_tokens").cast("double") /
+          col("sum_words").cast("double"), 6).as("fertility"))
+  }
+
+  def bpeFertilityOracleSql(nMerges: Int = 8, batch: Int = 8): String = {
+    val rounds = (nMerges + batch - 1) / batch
+    s"""WITH RECURSIVE ${bpeChainCtes(nMerges, batch)},
+       |tok AS (
+       |  SELECT word, len(string_split(trim(s, '<>'), '><'))::BIGINT AS n_tok
+       |  FROM seq$rounds),
+       |dw AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) AS u
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |enc AS (
+       |  SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+       |         sum(t.n_tok)::BIGINT AS n_bpe_tokens
+       |  FROM dw JOIN tok t ON dw.word = t.word
+       |  GROUP BY dw.doc_id),
+       |lang AS (${TextStats.languageIdOracleSql})
+       |SELECT l.lang_pred, count(*)::BIGINT AS n_docs,
+       |       sum(e.n_words)::BIGINT AS sum_words,
+       |       sum(e.n_bpe_tokens)::BIGINT AS sum_tokens,
+       |       round(sum(e.n_bpe_tokens)::DOUBLE / sum(e.n_words)::DOUBLE, 6)
+       |         AS fertility
+       |FROM enc e JOIN lang l ON e.doc_id = l.doc_id
+       |GROUP BY l.lang_pred""".stripMargin
+  }
 }

@@ -399,4 +399,28 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._3 === 3)
     assert(out(2L) === ((2L, 1L, 1L)))
   }
+
+  test("bpeFertility: per-language token/word rollup of the encode pass") {
+    // en docs carry marker words; zz is unmergeable filler whose chars
+    // stay separate tokens at 0 merges of its pairs
+    val d = Seq(
+      1L -> "the a is of and xyx",
+      2L -> "the a is of and xyx xyx",
+      3L -> "der die das und ist qq").toDF("doc_id", "text")
+    val enc = Curation.bpeEncode(d, nMerges = 4, batch = 1)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val out = Curation.bpeFertility(d, nMerges = 4, batch = 1)
+      .select("lang_pred", "n_docs", "sum_words", "sum_tokens", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the rollup must be exactly the sum of the per-doc encode rows
+    val enWords = enc(1L)._2 + enc(2L)._2
+    val enToks = enc(1L)._3 + enc(2L)._3
+    assert(out("en")._2 === 2L)
+    assert(out("en")._3 === enWords && out("en")._4 === enToks)
+    assert(math.abs(out("en")._5 - enToks.toDouble / enWords) < 1e-6)
+    assert(out("de")._2 === 1L)
+    assert(out("de")._3 === enc(3L)._2 && out("de")._4 === enc(3L)._3)
+  }
 }
