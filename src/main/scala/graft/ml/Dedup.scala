@@ -550,8 +550,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the distinct: the filter is row-wise, so
+      // the result set is identical — but the distinct's hash set then
+      // holds only true near-dup pairs, not every band collision. At the
+      // 1000× corpus the collision stream is ~10⁹ rows (fixed 15-bit
+      // bands ⇒ bucket occupancy grows with n) and materializing it
+      // OOM'd a 48g heap; filtered first, it streams through codegen
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   def simHashOracleSql(maxHamming: Int = 3): String = {

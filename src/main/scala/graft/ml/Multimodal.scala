@@ -323,8 +323,10 @@ object Multimodal {
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         expr("bit_count(a.phash ^ b.phash)").as("hamming"))
-      .distinct()
+      // filter before distinct (see Dedup.simHash): result-identical,
+      // and the dedup hash set holds matches, not band collisions
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Scene-cut detection over video payloads: per video, the mean level
@@ -409,8 +411,9 @@ object Multimodal {
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         expr("bit_count(a.afp ^ b.afp)").as("hamming"))
-      .distinct()
+      // filter before distinct (see Dedup.simHash)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   def audioFingerprintOracleSql(maxHamming: Int = 3, winSamples: Int = 4,
