@@ -678,6 +678,11 @@ object SparkEntry {
       Dedup.incremental(docs.where(pmod(col("doc_id"), lit(2)) === 0),
         docs.where(pmod(col("doc_id"), lit(2)) === 1))
     }),
+    // cluster-oriented LSH: chain edges per band bucket (m−1, not
+    // C(m,2)) — candidate volume linear in duplicate-family size; feeds
+    // components for clustering at scales where pair listing explodes
+    "dedup_minhash_chain" -> ((s, dir) =>
+      Dedup.minHashLshChain(Tables.load(s, dir, "documents"))),
     // incremental NEAR-dup refresh: odd-doc batch banded and probed
     // against the even-doc snapshot's LSH index — no snapshot re-pairing
     "dedup_minhash_incremental" -> ((s, dir) => {
@@ -1148,6 +1153,7 @@ object SparkEntry {
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
+    "dedup_minhash_chain" -> Dedup.minHashLshChainOracleSql(),
     "layout_zorder" -> Layout.zorderKeysOracleSql,
     "layout_bucketed_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),

@@ -322,6 +322,85 @@ object Dedup {
       shingleSizes(snapshot, k).union(shingleSizes(batch, k)), threshold)
   }
 
+  /** Cluster-oriented MinHash-LSH — the scale path for CLUSTERING when
+    * near-dup families are large. [[minHashLsh]] lists every qualifying
+    * pair, so its candidate volume (and its very output) is Σ C(f,2)
+    * over family sizes f — at the 1000× corpus, where mutation families
+    * reach ~50 members, the pair listing measured 480 s because the
+    * workload itself is family-quadratic. For connected-component
+    * clustering the full clique is unnecessary: within each band bucket
+    * this variant emits only the doc_id-CHAIN edges (sorted neighbors,
+    * m−1 edges per m-doc bucket — a lag window, no self-join), then
+    * exact-verifies those. Verified chain edges connect a family into
+    * one component whenever consecutive members qualify; the price is
+    * recall at the margins (a chain edge that fails the Jaccard verify
+    * can split a cluster the full pair set would have joined — the
+    * documented trade every production LSH-cluster pipeline makes).
+    * Candidate volume: linear in bucket occupancy, so the op stays
+    * linear however large the duplicate families grow.
+    * Output: (doc_a, doc_b, jaccard) — verified chain edges, a SUBSET
+    * of [[minHashLsh]]'s pairs, intended to feed [[components]].
+    */
+  def minHashLshChain(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, k).localCheckpoint()
+    val banded = bandTable(sh, numHashes, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bkey").orderBy("doc_id")
+    val cand = banded
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, sh, shingleSizes(docs, k), threshold)
+  }
+
+  /** Oracle for [[minHashLshChain]]: the identical lag-window chain. */
+  def minHashLshChainOracleSql(k: Int = 3, numHashes: Int = 16,
+                               bands: Int = 8,
+                               threshold: Double = 0.5): String = {
+    val rows = numHashes / bands
+    val minExprs = (0 until numHashes)
+      .map(s => s"min((${seedConst("A", s)} * hm + ${seedConst("B", s)}) % $HashP) AS mh$s")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleTableSql(k)},
+       |hashed AS (
+       |  SELECT doc_id, sh % $HashP AS hm FROM doc_shingles),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM hashed
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+       |  FROM (
+       |    SELECT doc_id, band, bkey,
+       |           lag(doc_id) OVER (PARTITION BY band, bkey
+       |                             ORDER BY doc_id) AS prev
+       |    FROM banded) AS ch
+       |  WHERE prev IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN doc_shingles sa ON c.doc_a = sa.doc_id
+       |  JOIN doc_shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE round(i.ninter::DOUBLE / (na.n + nb.n - i.ninter), 6) >= $threshold""".stripMargin
+  }
+
   /** Oracle over the doc_id-parity split (even = snapshot, odd = batch,
     * as [[incrementalOracleSql]]): the full banded pair set minus
     * snapshot-internal pairs.

@@ -43,6 +43,31 @@ class MlSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("chain LSH: subset of the full pair set, still connects a family") {
+    // docs 1-4 are one near-dup family (pairwise jaccard high); 5 is far
+    val fam = Seq(
+      1L -> "the quick brown fox jumps over the lazy dogs daily",
+      2L -> "the quick brown fox jumps over the lazy dogs nightly",
+      3L -> "the quick brown fox jumps over the lazy dogs weekly",
+      4L -> "the quick brown fox jumps over the lazy dogs monthly",
+      5L -> "completely different content with other words here now then")
+    val d = docs(fam: _*)
+    val full = Dedup.minHashLsh(d, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val chain = Dedup.minHashLshChain(d, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(chain.subsetOf(full))
+    assert(chain.nonEmpty)
+    // the chain must connect {1,2,3,4} into one component: union-find
+    // over chain edges reaches a single root for all four
+    val parent = scala.collection.mutable.Map((1L to 5L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    chain.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 4L).map(find).toSet.size === 1)
+    assert(find(5L) === 5L)
+  }
+
   test("incremental LSH equals the full pair set restricted to batch-touching pairs") {
     // 1↔2 near-dup crosses the split, 3↔5 is batch-internal, 4↔6 is
     // snapshot-internal and must NOT be re-paired
