@@ -746,6 +746,10 @@ object SparkEntry {
 
     // --- event-stream relational ops: sessionize / as-of / range join ---
     "evt_sessionize" -> ((s, dir) => Events.sessionize(Events.canonical(s, dir))),
+    // skew-proof twin: same oracle as evt_sessionize (output must be
+    // identical), different physical shape — see Events.sessionizeSkew
+    "evt_sessionize_skew" -> ((s, dir) =>
+      Events.sessionizeSkew(Events.canonical(s, dir))),
     "evt_asof" -> ((s, dir) => Events.asofPurchase(Events.canonical(s, dir))),
     "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))),
     "evt_attribution" -> ((s, dir) => Events.attribution(Events.canonical(s, dir))),
@@ -1174,6 +1178,7 @@ object SparkEntry {
         s"FROM (${Multimodal.imagePHashOracleSql()})"),
     "mm_audio_fp_pairs" -> Multimodal.audioFingerprintOracleSql(),
     "evt_sessionize" -> Events.sessionizeOracleSql(),
+    "evt_sessionize_skew" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),
     "evt_attribution" -> Events.attributionOracleSql(),

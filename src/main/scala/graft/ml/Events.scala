@@ -70,6 +70,69 @@ object Events {
         round(sum(col("value")), 6).as("total_value"))
   }
 
+  /** Skew-proof sessionization: identical output to [[sessionize]], built
+    * for the whale-key regime the 1000× scale run measured (one user with
+    * ~1.8M events makes the per-user window sort a single-partition
+    * bottleneck — evt_sessionize ran 1.52× vs linear there).
+    *
+    * Two-level shape:
+    *   1. sessionize WITHIN (user_id, time-bucket) partitions — the sort
+    *      is bounded by a bucket's events, so a whale key splits across
+    *      ~(span/bucketSec) partitions instead of one;
+    *   2. merge at the SESSION level: per-user ordered pass over local
+    *      sessions (rows ≪ events) re-joining exactly the sessions the
+    *      bucket boundaries artificially split (boundary gap ≤ gapSec).
+    *
+    * Equivalence argument: buckets partition time, so per-user local
+    * sessions are disjoint ordered intervals; the event-level gap rule is
+    * violated only at bucket boundaries, and the session-level gap rule
+    * re-merges precisely those chains (a running sum handles multi-bucket
+    * spans). Two consecutive local sessions inside one bucket always have
+    * gap > gapSec, so the merge never over-joins. session_idx equals the
+    * session's rank in time order in both formulations.
+    *
+    * Cost: one shuffle of the fact table on (user_id, bucket) — both the
+    * local window and the local groupBy share it — plus one session-level
+    * shuffle on user_id that also satisfies the final groupBy: two
+    * exchanges total, the second over session-count rows (PlanSpec-pinned).
+    */
+  def sessionizeSkew(events: DataFrame, gapSec: Long = 1800L,
+                     bucketSec: Long = 86400L): DataFrame = {
+    require(bucketSec > gapSec, "bucket must exceed the session gap")
+    val bUs = bucketSec * 1000000L
+    val wLocal = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    val runLocal = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = events
+      .withColumn("bucket", expr(s"unix_micros(ts) DIV ${bUs}L"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wLocal))
+      .withColumn("is_new",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSec * 1000000L)
+          .cast("long"))
+      .withColumn("local_idx", sum(col("is_new")).over(runLocal))
+      .groupBy(col("user_id"), col("bucket"), col("local_idx"))
+      .agg(
+        min(col("ts")).as("s_start"),
+        max(col("ts")).as("s_end"),
+        count(lit(1)).as("n_ev"),
+        sum(col("value")).as("v_sum"))
+    val wUser = Window.partitionBy("user_id").orderBy("s_start")
+    val runUser = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("prev_end_us", lag(unix_micros(col("s_end")), 1).over(wUser))
+      .withColumn("is_new",
+        (col("prev_end_us").isNull ||
+          unix_micros(col("s_start")) - col("prev_end_us") > gapSec * 1000000L)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("is_new")).over(runUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("s_start")).as("session_start"),
+        max(col("s_end")).as("session_end"),
+        sum(col("n_ev")).as("n_events"),
+        round(sum(col("v_sum")), 6).as("total_value"))
+  }
+
   /** DuckDB oracle for [[sessionize]]. */
   def sessionizeOracleSql(gapSec: Long = 1800L): String =
     s"""WITH ev AS ($canonicalSql),

@@ -51,6 +51,33 @@ class EventsSpec extends SparkSpec {
       s"expected a single shuffle, plan:\n$p")
   }
 
+  test("sessionizeSkew: identical to sessionize, incl. boundary merges") {
+    // bucketSec=3600 puts a boundary at 13:00:00 — u2's 12:59:59→13:00:00
+    // 1-second pair is split locally and must be re-merged
+    val plain = Events.sessionize(fixture, gapSec = 1800L)
+      .orderBy("user_id", "session_idx").collect().toSeq
+    val skew = Events.sessionizeSkew(fixture, gapSec = 1800L, bucketSec = 3600L)
+      .orderBy("user_id", "session_idx").collect().toSeq
+    assert(skew == plain)
+  }
+
+  test("sessionizeSkew: many forced splits still merge back exactly") {
+    // bucket barely above the gap: nearly every session straddles
+    // boundaries, exercising multi-bucket chain merges
+    val plain = Events.sessionize(fixture, gapSec = 1800L)
+      .orderBy("user_id", "session_idx").collect().toSeq
+    val skew = Events.sessionizeSkew(fixture, gapSec = 1800L, bucketSec = 1801L)
+      .orderBy("user_id", "session_idx").collect().toSeq
+    assert(skew == plain)
+  }
+
+  test("sessionizeSkew: two exchanges — fact on (user,bucket), sessions on user") {
+    val p = Events.sessionizeSkew(fixture).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly two shuffles, plan:\n$p")
+    assert(p.contains("bucket"), s"fact shuffle must key on the time bucket:\n$p")
+  }
+
   test("asof: clicks see the latest prior-or-equal purchase, else null") {
     val out = Events.asofPurchase(fixture)
       .orderBy("event_id")
