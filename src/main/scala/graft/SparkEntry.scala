@@ -681,6 +681,14 @@ object SparkEntry {
     // cluster-oriented LSH: chain edges per band bucket (m−1, not
     // C(m,2)) — candidate volume linear in duplicate-family size; feeds
     // components for clustering at scales where pair listing explodes
+    // the production clustering path the chain edges exist FOR: linear
+    // candidate volume however large the near-dup families grow, then
+    // pointer-doubling components — contrast dedup_clusters, which feeds
+    // the family-quadratic full pair set
+    "dedup_chain_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.components(docs, Dedup.minHashLshChain(docs))
+    }),
     "dedup_minhash_chain" -> ((s, dir) =>
       Dedup.minHashLshChain(Tables.load(s, dir, "documents"))),
     // incremental NEAR-dup refresh: odd-doc batch banded and probed
@@ -1157,6 +1165,8 @@ object SparkEntry {
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
+    "dedup_chain_clusters" ->
+      Dedup.componentsOracleSql(Dedup.minHashLshChainOracleSql()),
     "dedup_minhash_chain" -> Dedup.minHashLshChainOracleSql(),
     "layout_zorder" -> Layout.zorderKeysOracleSql,
     "layout_bucketed_join" ->
