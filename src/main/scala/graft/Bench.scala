@@ -24,12 +24,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_MASTER lets the same harness run under real executor
+    // isolation — e.g. local-cluster[4,8,10240] forks 4 executor JVMs
+    // with their own heaps and serialized network-path shuffle, the
+    // closest a single box gets to cluster execution. Needs SPARK_HOME
+    // and SPARK_GRAFT_EXEC_CP=<target/scala-2.13/classes> so the forked
+    // executors can load the engine. Default (driver runs) is unchanged.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // At scaled corpora per-task working sets grow with partition size;
+    // the knob a cluster operator turns is partition count, not heap.
+    // Default (= cores) matches the driver's small-sf runs.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_CP").foreach { cp =>
+      builder.config("spark.executor.extraClassPath", cp)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args restrict the run (local profiling aid; the driver
     // always calls with no args)
