@@ -44,6 +44,15 @@ object Bench {
     sys.env.get("SPARK_GRAFT_EXEC_CP").foreach { cp =>
       builder.config("spark.executor.extraClassPath", cp)
     }
+    // Arbitrary extra confs for scale experiments ("k=v;k2=v2") — e.g.
+    // spark.eventLog.enabled for stage-level OOM forensics, or AQE knobs
+    // for an A/B, without touching the harness defaults.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args restrict the run (local profiling aid; the driver

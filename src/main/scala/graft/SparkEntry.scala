@@ -691,6 +691,11 @@ object SparkEntry {
     }),
     "dedup_minhash_chain" -> ((s, dir) =>
       Dedup.minHashLshChain(Tables.load(s, dir, "documents"))),
+    // cluster-oriented SimHash: the chain pattern applied to the banded
+    // signature table — verification is in-window (lagged bit_count),
+    // so the whole operator is one window; feeds components at scale
+    "dedup_simhash_chain" -> ((s, dir) =>
+      Dedup.simHashChain(Tables.load(s, dir, "documents"))),
     // incremental NEAR-dup refresh: odd-doc batch banded and probed
     // against the even-doc snapshot's LSH index — no snapshot re-pairing
     "dedup_minhash_incremental" -> ((s, dir) => {
@@ -736,6 +741,11 @@ object SparkEntry {
     // (docs in groups of 7 share an image, so there are real dups to find)
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.imagePHash(
+        Multimodal.syntheticMediaGrouped(Tables.load(s, dir, "documents")))),
+    // cluster-oriented phash: chain edges per band bucket — the media
+    // twin of dedup_simhash_chain, output-linear in family size
+    "mm_phash_chain" -> ((s, dir) =>
+      Multimodal.imagePHashChain(
         Multimodal.syntheticMediaGrouped(Tables.load(s, dir, "documents")))),
     // cross-modal reuse of the generic CC operator: cluster assignment
     // over the image near-dup graph (non-image docs stay singletons)
@@ -819,6 +829,17 @@ object SparkEntry {
             date_trunc("hour", ev("ts")) === flagged("bin_ts"), "left_semi")
         .select("event_id", "ts", "user_id", "event_type")
     }))
+
+  /** Queries whose index parameters auto-scale with the embeddings corpus
+    * ([[graft.ml.Similarity]] autoBits/autoCells): their results match the
+    * fixed-parameter oracle SQL only while the corpus is at or below
+    * [[graft.ml.Similarity.oracleParamMaxN]]. Verify refuses to dump them
+    * on a larger corpus so the divergence is loud, not a silent hash miss.
+    */
+  val autoParamQueries: Set[String] = Set(
+    "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
+    "dedup_semantic", "cur_pipeline4")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1168,6 +1189,7 @@ object SparkEntry {
     "dedup_chain_clusters" ->
       Dedup.componentsOracleSql(Dedup.minHashLshChainOracleSql()),
     "dedup_minhash_chain" -> Dedup.minHashLshChainOracleSql(),
+    "dedup_simhash_chain" -> Dedup.simHashChainOracleSql(),
     "layout_zorder" -> Layout.zorderKeysOracleSql,
     "layout_bucketed_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),
@@ -1183,6 +1205,7 @@ object SparkEntry {
     "mm_scene_cuts" -> Multimodal.sceneCutsOracleSql(),
     "mm_audio_rms" -> Multimodal.audioRmsOracleSql(),
     "mm_phash_pairs" -> Multimodal.imagePHashOracleSql(),
+    "mm_phash_chain" -> Multimodal.imagePHashChainOracleSql(),
     "mm_phash_clusters" -> Dedup.componentsOracleSql(
       s"SELECT media_a AS doc_a, media_b AS doc_b " +
         s"FROM (${Multimodal.imagePHashOracleSql()})"),

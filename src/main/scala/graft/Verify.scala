@@ -18,13 +18,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // Auto-scaled index parameters (Similarity.autoBits/autoCells) only
+    // match the fixed-parameter oracle SQL while the corpus sits at the
+    // parameter floor; above it, refuse loudly instead of letting the
+    // driver's hash compare silently diverge.
+    val nEmb: Long =
+      if (selected.keySet.exists(SparkEntry.autoParamQueries))
+        spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      else 0L
+    selected.foreach { case (name, fn) =>
+      if (SparkEntry.autoParamQueries(name) &&
+          nEmb > graft.ml.Similarity.oracleParamMaxN) {
+        System.err.println(s"[verify] $name REFUSED: embeddings corpus " +
+          s"($nEmb rows) exceeds the oracle parameter floor " +
+          s"(${graft.ml.Similarity.oracleParamMaxN}) — auto-scaled index " +
+          "params would diverge from the fixed-parameter oracle SQL")
+      } else {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
       }
       // release this query's localCheckpoint blocks (see Bench.materialize)
       spark.sparkContext.getPersistentRDDs.values

@@ -602,30 +602,86 @@ object Dedup {
     * self-join quadratic-in-tiny-groups only.
     * Output: (doc_a, doc_b, hamming).
     */
-  def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+  /** Per-document 60-bit SimHash signatures: (doc_id, simhash).
+    * Checkpointed — callers fan it out 4× into the band table, which
+    * would otherwise re-run the word-explode + 60-column aggregation.
+    */
+  def simHashSignatures(docs: DataFrame): DataFrame = {
     // hash before the distinct (cf. shingleTable): the distinct shuffles
     // 8-byte keys, and the bit-sum aggregation reads the key directly
     val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), h64(concat(col("word"), lit("#s"))).as("wh"))
+      // partition by doc_id BEFORE the dedupe: hashpartitioning(doc_id)
+      // satisfies both the (doc_id, wh) clustering the distinct needs and
+      // the doc_id clustering the bit-sum aggregate needs, so dedupe and
+      // both aggregates run in ONE post-shuffle stage whose per-task state
+      // is one partition's share of DOCS — and shrinks with the partition
+      // knob. The default plan hash-partitioned on (doc_id, wh), which
+      // put the 488-byte-wide partial bit-sum aggregate on data where
+      // every task saw ~every doc_id: ~2.4 GB of partial-agg state per
+      // task at the 1000× corpus — a sealed-executor OOM (stage-traced
+      // via event log) that NO partition count could fix, because the
+      // state was group-count- not partition-size-proportional.
+      .repartition(col("doc_id"))
       .distinct()
     // all 60 bit-sums as agg columns of ONE groupBy — exploding a row per
     // (word, bit) would shuffle 60× the word table for the same result
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"shiftright(wh, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sims = dw
+    dw
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      // per-doc signatures (tiny); both sides of the band self-join would
-      // otherwise re-run the word-explode + 60-column aggregation
       .localCheckpoint()
-    val band = sims.withColumn("b", explode(lit((0 until 4).toArray)))
+  }
+
+  /** (doc_id, simhash, b, bkey) — each signature fanned out to its four
+    * 15-bit band keys.
+    */
+  private def simHashBands(sims: DataFrame): DataFrame =
+    sims.withColumn("b", explode(lit((0 until 4).toArray)))
       .withColumn("bkey", expr("shiftright(simhash, 15 * b) & 32767"))
-    band.as("a").join(band.as("b"),
+
+  def simHash(docs: DataFrame, maxHamming: Int = 3,
+              blockSize: Int = 4096): DataFrame = {
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    val band = simHashBands(simHashSignatures(docs))
+    // The naive band self-join buffers every same-(b,bkey) group inside
+    // one join task. Bucket occupancy grows with the corpus (15-bit bands
+    // are FIXED width), and a join key cannot be split by raising the
+    // partition count — at the 1000× corpus family-dense buckets exceeded
+    // a sealed 10 GiB-executor heap at ANY shuffle-partition setting.
+    // Fix: block-nested self-join. Each bucket is sliced into blocks of
+    // <= blockSize rows ordered by doc_id (row_number), and block pairs
+    // (i, j), i <= j are matched through the bounded join key
+    // (b, bkey, i, j): the left row of block i fans out to (i, j) for
+    // j in [i, nBlocks); the right row of block j fans out to (i, j) for
+    // i in [0, j]. Every cross-block pair meets exactly once, and since
+    // blocks are doc_id-ordered, i < j implies doc_a < doc_b — the one
+    // predicate also dedupes the i == j diagonal. Per-task join state is
+    // <= blockSize rows per side REGARDLESS of bucket occupancy; rows in
+    // ordinary single-block buckets fan out exactly once per side, so the
+    // sf-scale plan (and output — it is the same pair set) is unchanged.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "bkey").orderBy("doc_id")
+    val blocked = band
+      .withColumn("blk", ((row_number().over(w) - 1) / blockSize).cast("int"))
+      .withColumn("nb", ceil(count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b", "bkey"))
+        .cast("double") / blockSize).cast("int"))
+    val left = blocked
+      .withColumn("j", explode(sequence(col("blk"), col("nb") - 1)))
+      .select(col("doc_id"), col("simhash"), col("b"), col("bkey"),
+        col("blk").as("i"), col("j"))
+    val right = blocked
+      .withColumn("i", explode(sequence(lit(0), col("blk"))))
+      .select(col("doc_id"), col("simhash"), col("b"), col("bkey"),
+        col("i"), col("blk").as("j"))
+    left.as("a").join(right.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
@@ -664,6 +720,68 @@ object Dedup {
        |FROM band a JOIN band b
        |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
+
+  /** Cluster-oriented SimHash — the scale path for CLUSTERING, the exact
+    * analogue of [[minHashLshChain]]: within each 15-bit band bucket emit
+    * only the doc_id-CHAIN edges (lag window, m−1 edges per m-doc bucket)
+    * instead of the C(m,2) pair listing, then keep edges with hamming
+    * <= maxHamming. Because every band row carries the full 60-bit
+    * signature, verification is a single bit_count on the lagged column —
+    * no rejoin at all, so the whole operator is one window over the band
+    * table: linear in bucket occupancy however large the duplicate
+    * families grow. Verified chain edges connect a family into one
+    * component whenever consecutive members qualify; recall at the
+    * margins is the same documented trade as the MinHash chain. Output:
+    * (doc_a, doc_b, hamming) — a SUBSET of [[simHash]]'s pairs, intended
+    * to feed [[components]].
+    */
+  def simHashChain(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    val band = simHashBands(simHashSignatures(docs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "bkey").orderBy("doc_id")
+    band
+      .withColumn("prev_id", lag("doc_id", 1).over(w))
+      .withColumn("prev_sim", lag("simhash", 1).over(w))
+      .where(col("prev_id").isNotNull)
+      .select(col("prev_id").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("bit_count(prev_sim ^ simhash)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Oracle for [[simHashChain]]: the identical lag-window chain. */
+  def simHashChainOracleSql(maxHamming: Int = 3): String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (wh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val assemble = (0 until 60).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b}::BIGINT ELSE 0 END)").mkString(" + ")
+    s"""WITH dw AS (
+       |  SELECT DISTINCT doc_id, ${h64Sql("word || '#s'")} AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents)),
+       |bitsum AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM dw
+       |  GROUP BY doc_id),
+       |sims AS (
+       |  SELECT doc_id, $assemble AS simhash
+       |  FROM bitsum),
+       |band AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bkey
+       |  FROM sims, unnest(range(0, 4)) AS r(b)),
+       |chain AS (
+       |  SELECT lag(doc_id) OVER (PARTITION BY b, bkey ORDER BY doc_id) AS doc_a,
+       |         lag(simhash) OVER (PARTITION BY b, bkey ORDER BY doc_id) AS sim_a,
+       |         doc_id AS doc_b, simhash AS sim_b
+       |  FROM band)
+       |SELECT DISTINCT doc_a, doc_b,
+       |       bit_count(xor(sim_a, sim_b)) AS hamming
+       |FROM chain
+       |WHERE doc_a IS NOT NULL
+       |  AND bit_count(xor(sim_a, sim_b)) <= $maxHamming""".stripMargin
   }
 
   /** Edit-distance near-dup pairs: candidates from the SimHash band

@@ -300,11 +300,13 @@ object Multimodal {
     * mapPartitions through the pluggable codec, everything after the
     * hash is columnar. A production build swaps the codec only.
     */
-  def imagePHash(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (media_id, phash) aHash signatures — factored out so the pair and
+    * chain variants share one decode+hash pass.
+    */
+  def imagePHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
-    val hashes = decodedPixels(media.where(col("kind") === "image"))
+    decodedPixels(media.where(col("kind") === "image"))
       .map { case (id, px) =>
         val s = Array.tabulate(64) { b =>
           val r = b / 8; val c = b % 8; val base = 2 * r * Width + 2 * c
@@ -316,7 +318,12 @@ object Multimodal {
         (id, h)
       }.toDF("media_id", "phash")
       .localCheckpoint() // both band-join sides reuse the decode+hash pass
-    val band = hashes.withColumn("b", explode(lit((0 until 4).toArray)))
+  }
+
+  def imagePHash(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    val band = imagePHashes(media)
+      .withColumn("b", explode(lit((0 until 4).toArray)))
       .withColumn("bkey", expr("shiftright(phash, 15 * b) & 32767"))
     band.as("a").join(band.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
@@ -325,6 +332,30 @@ object Multimodal {
         expr("bit_count(a.phash ^ b.phash)").as("hamming"))
       // filter before distinct (see Dedup.simHash): result-identical,
       // and the dedup hash set holds matches, not band collisions
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Cluster-oriented aHash — the [[Dedup.simHashChain]] pattern on media:
+    * within each 15-bit band bucket, lag-window chain edges (m−1 per
+    * m-member bucket instead of C(m,2)), hamming-verified in place from
+    * the lagged signature. Linear in bucket occupancy however large the
+    * duplicate-media families grow; output is a SUBSET of [[imagePHash]]
+    * pairs intended to feed [[Dedup.components]].
+    */
+  def imagePHashChain(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    val band = imagePHashes(media)
+      .withColumn("b", explode(lit((0 until 4).toArray)))
+      .withColumn("bkey", expr("shiftright(phash, 15 * b) & 32767"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "bkey").orderBy("media_id")
+    band
+      .withColumn("prev_id", lag("media_id", 1).over(w))
+      .withColumn("prev_ph", lag("phash", 1).over(w))
+      .where(col("prev_id").isNotNull)
+      .select(col("prev_id").as("media_a"), col("media_id").as("media_b"),
+        expr("bit_count(prev_ph ^ phash)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -465,5 +496,36 @@ object Multimodal {
        |FROM band a JOIN band b
        |  ON a.b = b.b AND a.bkey = b.bkey AND a.media_id < b.media_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+  }
+
+  /** Oracle for [[imagePHashChain]]: the identical lag-window chain. */
+  def imagePHashChainOracleSql(maxHamming: Int = 3, groupSize: Int = 7): String = {
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN s$b * 64 > tot THEN ${1L << b}::BIGINT ELSE 0 END)")
+      .mkString(" + ")
+    val sCols = (0 until 60).map { b =>
+      val r = b / 8; val c = b % 8; val base = 2 * r * Width + 2 * c
+      s"sum(CASE WHEN i IN ($base, ${base + 1}, ${base + Width}, ${base + Width + 1}) THEN px ELSE 0 END) AS s$b"
+    }.mkString(",\n         ")
+    s"""WITH ${syntheticMediaGroupedSqlCte(groupSize)},
+       |$pixelsSqlCte,
+       |blocks AS (
+       |  SELECT media_id, sum(px) AS tot,
+       |         $sCols
+       |  FROM pixels GROUP BY media_id),
+       |hashes AS (SELECT media_id, $bits AS phash FROM blocks),
+       |band AS (
+       |  SELECT media_id, phash, b, (phash >> (15 * b)) & 32767 AS bkey
+       |  FROM hashes, unnest(range(0, 4)) AS r(b)),
+       |chain AS (
+       |  SELECT lag(media_id) OVER (PARTITION BY b, bkey ORDER BY media_id) AS media_a,
+       |         lag(phash) OVER (PARTITION BY b, bkey ORDER BY media_id) AS ph_a,
+       |         media_id AS media_b, phash AS ph_b
+       |  FROM band)
+       |SELECT DISTINCT media_a, media_b,
+       |       bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+       |FROM chain
+       |WHERE media_a IS NOT NULL
+       |  AND bit_count(xor(ph_a, ph_b)) <= $maxHamming""".stripMargin
   }
 }

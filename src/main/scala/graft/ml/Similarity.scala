@@ -168,6 +168,16 @@ object Similarity {
 
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
+
+  /** Largest embeddings corpus at which every auto-scaled index parameter
+    * still equals its small-corpus floor — i.e. the largest corpus whose
+    * results remain comparable to the FIXED-parameter oracle SQL. With
+    * the default shapes, [[autoBits]] exceeds floor 4 above 500·2⁴ = 8000
+    * vectors (the binding constraint); [[autoCells]] exceeds floor 16
+    * above 5000·16 = 80000. Verify fails auto-parameter queries loudly
+    * above this instead of letting the hash compare silently diverge.
+    */
+  val oracleParamMaxN: Long = 8000L
   // ((x % 50) + 50) % 50 mirrors Spark's pmod: DuckDB % is sign-following,
   // so a negative vec_id would otherwise classify differently per engine
   val defaultIsQuerySql: String = "((vec_id % 50) + 50) % 50 = 0"
@@ -266,27 +276,60 @@ object Similarity {
     * scores are rounded to 9 dp so both engines pick identical cells
     * despite sub-ulp accumulation differences; ties break on cell id.
     */
-  /** Adds a `cells` column: the `nCells` seed-centroid ids ordered by
-    * similarity (9-dp-rounded, tie on cell id) — element 1 is the
+  /** Adds a `cells` column: the `keep` nearest seed-centroid ids ordered
+    * by similarity (9-dp-rounded, tie on cell id) — element 1 is the
     * nearest-centroid assignment. Centroids are the `nCells` smallest-id
     * corpus vectors (deterministic seeds), collected driver-side
     * (constant-bounded) and broadcast.
+    *
+    * Only the top `keep` ids are RETURNED (assignment needs 1, probing
+    * needs nProbe): materializing the full ranking would make the cells
+    * column n·nCells·8 bytes — with autoCells that is Θ(n²/target) bytes,
+    * petabytes at 1B vectors. Selection is a bounded O(nCells·keep)
+    * insertion pass, not a full sort. Assignment COMPUTE is still flat
+    * O(n·nCells) dot products — the honest cost of a single-level coarse
+    * quantizer; at the 1B-vector scale a production index switches to a
+    * two-level / hierarchical quantizer (assign to √nCells super-cells,
+    * then within), which changes only this one function.
     */
-  private def withCellRanks(e: DataFrame, nCells: Int): DataFrame = {
+  private def withCellRanks(e: DataFrame, nCells: Int,
+                            keep: Int = 1): DataFrame = {
     val cents: Array[(Long, Array[Double], Double)] = e
       .orderBy("vec_id").limit(nCells)
       .select("vec_id", "v", "norm").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     val bc = e.sparkSession.sparkContext.broadcast(cents)
+    val kKeep = math.max(1, keep)
     val cellRanks = udf { (v: Seq[Double], norm: Double) =>
       val va = v.toArray
-      bc.value.map { case (cid, cv, cn) =>
+      val cs = bc.value
+      val m = math.min(kKeep, cs.length)
+      // bounded top-m insertion: better-than-slot shifts the tail down;
+      // order = cosine desc (9-dp rounded), tie on cell id asc
+      val topId = new Array[Long](m)
+      val topC = new Array[Double](m)
+      var filled = 0
+      var i = 0
+      while (i < cs.length) {
+        val (cid, cv, cn) = cs(i)
         var s = 0.0
         var d = 0
         while (d < va.length) { s += va(d) * cv(d); d += 1 }
-        val c = s / (norm * cn)
-        (cid, math.floor(c * 1e9 + 0.5) / 1e9)
-      }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+        val c = math.floor(s / (norm * cn) * 1e9 + 0.5) / 1e9
+        var pos = filled
+        while (pos > 0 && (topC(pos - 1) < c ||
+          (topC(pos - 1) == c && topId(pos - 1) > cid))) pos -= 1
+        if (pos < m) {
+          val last = math.min(filled, m - 1)
+          var j = last
+          while (j > pos) { topId(j) = topId(j - 1); topC(j) = topC(j - 1); j -= 1 }
+          topId(pos) = cid
+          topC(pos) = c
+          if (filled < m) filled += 1
+        }
+        i += 1
+      }
+      topId.take(filled)
     }
     e.withColumn("cells", cellRanks(col("v"), col("norm")))
   }
@@ -300,14 +343,16 @@ object Similarity {
     * O(nCells·dim) = O(n/target·dim), e.g. ~100 MB at 1B vectors.
     */
   private def autoCells(n: Long, floorCells: Int, target: Long = 5000L): Int =
-    math.max(floorCells, (n / target).toInt)
+    // toIntExact, not toInt: n/target silently wrapping past Int.MaxValue
+    // (n > ~10^13) must fail loudly, not truncate to a garbage cell count
+    math.max(floorCells, math.toIntExact(n / target))
 
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = normed(emb)
     // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
     // keep ranks <= nProbe as their probe set
-    val ranked = withCellRanks(e, autoCells(emb.count(), nCells))
+    val ranked = withCellRanks(e, autoCells(emb.count(), nCells), nProbe)
     val assigned = ranked.select(col("vec_id"), col("v"), col("norm"),
       element_at(col("cells"), 1).as("cell"))
     val probes = ranked.where(isQuery)
@@ -543,7 +588,7 @@ object Similarity {
     val e = normed(emb)
     // corpus-sized cell count (see autoCells): constant expected
     // occupancy, so ADC candidate volume per query stays ~constant
-    val ranked = withCellRanks(e, autoCells(emb.count(), nCells))
+    val ranked = withCellRanks(e, autoCells(emb.count(), nCells), nProbe)
     val assigned = ranked.select(col("vec_id"),
       element_at(col("cells"), 1).as("cell"))
     val probes = ranked.where(isQuery)

@@ -102,6 +102,42 @@ class MlSpec extends SparkSpec {
     assert(out.contains((1L, 2L, 0L)))
   }
 
+  test("simhash block-nested join: blockSize 2 equals default on a mega-bucket") {
+    // ten identical docs = one 10-member bucket in every band; with
+    // blockSize=2 that bucket splits into 5 blocks and the pair set must
+    // still be exactly C(10,2) — the block decomposition may not lose or
+    // duplicate any pair, including the i==j diagonal
+    val fam = (1L to 10L).map(i => i -> "alpha beta gamma delta epsilon") ++
+      Seq(11L -> "unrelated totally different tokens here",
+        12L -> "alpha beta gamma delta zeta") // near, maybe-in-3-hamming
+    val d = docs(fam: _*)
+    val big = Dedup.simHash(d).select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val small = Dedup.simHash(d, blockSize = 2)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(small === big)
+    assert(big.count { case (a, b, h) => a <= 10 && b <= 10 && h == 0 } === 45)
+  }
+
+  test("simhash chain: subset of the pair set, still connects a family") {
+    val fam = (1L to 6L).map(i => i -> "alpha beta gamma delta epsilon") :+
+      (7L -> "unrelated totally different tokens here")
+    val d = docs(fam: _*)
+    val full = Dedup.simHash(d).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val chain = Dedup.simHashChain(d).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(chain.subsetOf(full))
+    assert(chain.nonEmpty)
+    val parent = scala.collection.mutable.Map((1L to 7L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    chain.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 6L).map(find).toSet.size === 1)
+    assert(find(7L) === 7L)
+  }
+
   test("plane weights are deterministic and bounded") {
     assert(Similarity.planeWeight(0, 0) === Similarity.planeWeight(0, 0))
     val ws = Similarity.planes(16, 64).flatten

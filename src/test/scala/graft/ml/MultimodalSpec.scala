@@ -91,6 +91,25 @@ class MultimodalSpec extends SparkSpec {
       (3L, 4L, 0L), (3L, 5L, 0L), (4L, 5L, 0L)))
   }
 
+  test("imagePHashChain: subset of the pair set, connects payload families") {
+    val six = Seq.tabulate(6)(i => (i.toLong, "t")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMediaGrouped(six, 3)
+    val full = Multimodal.imagePHash(media).select("media_a", "media_b")
+      .as[(Long, Long)].collect().toSet
+    val chain = Multimodal.imagePHashChain(media).select("media_a", "media_b")
+      .as[(Long, Long)].collect().toSet
+    assert(chain.subsetOf(full))
+    // chain edges within each identical-payload family: consecutive ids
+    // share every band, so {0,1,2} and {3,4,5} each stay one component
+    val parent = scala.collection.mutable.Map((0L to 5L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    chain.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L to 2L).map(find).toSet.size === 1)
+    assert((3L to 5L).map(find).toSet.size === 1)
+    assert(find(0L) !== find(3L))
+  }
+
   test("sceneCuts: first frame never a cut, deltas match frame means") {
     val media = Multimodal.syntheticMedia(docs)
     val frames = Multimodal.frameSample(media, 1).collect()
