@@ -71,31 +71,38 @@ object Bench {
     // masquerade as a speedup.
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val (sec, ok) = try {
         materialize(fn(spark, sfDir))
-        val sec = (System.nanoTime() - t0) / 1e9
-        // per-query progress on stderr: long runs (the 100× corpus) are
-        // otherwise silent until the final line, and a hung query is
-        // indistinguishable from a slow suite
-        System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-        (name, sec, true)
+        ((System.nanoTime() - t0) / 1e9, true)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
-          (name, -1.0, false)
+          (-1.0, false)
       }
+      // One compact JSON line per query ON STDOUT as it completes. The
+      // driver's artifact capture keeps only the last ~2 KB of stdout, so
+      // a single giant end-of-run map always truncates (round 6 kept 62
+      // of 143 timings); streaming short lines means the tail holds the
+      // most recent queries and a hung/failed run shows exactly where it
+      // stopped. Milliseconds precision keeps the lines tail-friendly.
+      println(f"""{"q":"$name","sec":$sec%.3f}""")
+      System.out.flush()
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // Full per-query map first; then a compact summary as the LAST line.
-    // The driver's artifact capture keeps only the tail of stdout, and in
-    // round 4 the single giant line lost its leading total to truncation —
-    // the trailing compact line is small enough to always survive intact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"sf":"$sfDir"}""")
+    // The COMPLETE per-query map goes to a file (full precision — the
+    // stdout tail can never hold all 143 entries at any precision), and
+    // the compact summary is the LAST stdout line, pointing at it. The
+    // file lands in the working directory (the repo root under the
+    // driver), so the round's end-of-round auto-commit preserves it.
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

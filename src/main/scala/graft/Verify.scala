@@ -24,15 +24,34 @@ object Verify {
     // match the fixed-parameter oracle SQL while the corpus sits at the
     // parameter floor; above it, refuse loudly instead of letting the
     // driver's hash compare silently diverge.
-    val nEmb: Long =
+    // An unreadable embeddings table must fail only the auto-param
+    // queries (each alone can't establish the floor invariant), not abort
+    // the whole verify run — the other queries never touch that table.
+    val nEmb: Either[Throwable, Long] =
       if (selected.keySet.exists(SparkEntry.autoParamQueries))
-        spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-      else 0L
+        try Right(spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+        catch { case e: Throwable => Left(e) }
+      else Right(0L)
+    // A refused query must leave NO output dump: a stale parquet from an
+    // earlier run would let the driver compare data that was never re-run
+    // and report green/red for it.
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(); ()
+    }
+    def refuse(name: String, why: String): Unit = {
+      System.err.println(s"[verify] $name REFUSED: $why")
+      val dump = new java.io.File(s"$outDir/$name")
+      if (dump.exists()) deleteRecursively(dump)
+    }
     selected.foreach { case (name, fn) =>
-      if (SparkEntry.autoParamQueries(name) &&
-          nEmb > graft.ml.Similarity.oracleParamMaxN) {
-        System.err.println(s"[verify] $name REFUSED: embeddings corpus " +
-          s"($nEmb rows) exceeds the oracle parameter floor " +
+      if (SparkEntry.autoParamQueries(name) && nEmb.isLeft) {
+        refuse(name, "embeddings table unreadable, cannot establish the " +
+          s"oracle parameter floor invariant: ${nEmb.swap.toOption.get}")
+      } else if (SparkEntry.autoParamQueries(name) &&
+          nEmb.toOption.get > graft.ml.Similarity.oracleParamMaxN) {
+        refuse(name, s"embeddings corpus (${nEmb.toOption.get} rows) " +
+          s"exceeds the oracle parameter floor " +
           s"(${graft.ml.Similarity.oracleParamMaxN}) — auto-scaled index " +
           "params would diverge from the fixed-parameter oracle SQL")
       } else {

@@ -647,6 +647,7 @@ object Dedup {
   def simHash(docs: DataFrame, maxHamming: Int = 3,
               blockSize: Int = 4096): DataFrame = {
     require(maxHamming <= 3, "4-band prefilter is exact only for <= 3")
+    require(blockSize > 0, "blockSize must be positive (block index math divides by it)")
     val band = simHashBands(simHashSignatures(docs))
     // The naive band self-join buffers every same-(b,bkey) group inside
     // one join task. Bucket occupancy grows with the corpus (15-bit bands

@@ -173,8 +173,9 @@ object Similarity {
     * still equals its small-corpus floor — i.e. the largest corpus whose
     * results remain comparable to the FIXED-parameter oracle SQL. With
     * the default shapes, [[autoBits]] exceeds floor 4 above 500·2⁴ = 8000
-    * vectors (the binding constraint); [[autoCells]] exceeds floor 16
-    * above 5000·16 = 80000. Verify fails auto-parameter queries loudly
+    * vectors (the binding constraint); [[autoCells]] uses floor Long
+    * division (n / 5000), so it exceeds floor 16 only at n ≥ 85000
+    * (n/5000 ≥ 17). Verify fails auto-parameter queries loudly
     * above this instead of letting the hash compare silently diverge.
     */
   val oracleParamMaxN: Long = 8000L
@@ -236,7 +237,7 @@ object Similarity {
     * (ann_lsh_topk shuffling 100×-sized buckets); any real LSH deployment
     * widens keys as the corpus grows.
     */
-  private def autoBits(n: Long, floorBits: Int, target: Double = 500.0): Int =
+  private[ml] def autoBits(n: Long, floorBits: Int, target: Double = 500.0): Int =
     math.max(floorBits,
       math.ceil(math.log(math.max(1.0, n / target)) / math.log(2.0)).toInt)
 
@@ -342,7 +343,7 @@ object Similarity {
     * with the corpus. Driver cost stays bounded: centroids are
     * O(nCells·dim) = O(n/target·dim), e.g. ~100 MB at 1B vectors.
     */
-  private def autoCells(n: Long, floorCells: Int, target: Long = 5000L): Int =
+  private[ml] def autoCells(n: Long, floorCells: Int, target: Long = 5000L): Int =
     // toIntExact, not toInt: n/target silently wrapping past Int.MaxValue
     // (n > ~10^13) must fail loudly, not truncate to a garbage cell count
     math.max(floorCells, math.toIntExact(n / target))

@@ -537,4 +537,28 @@ class MlSpec extends SparkSpec {
     assert(got === expected)
     assert(got.map(_._2).size === k) // all three lobes survive as clusters
   }
+
+  test("oracleParamMaxN pins the exact auto-parameter floor boundary") {
+    // Verify refuses auto-param queries above oracleParamMaxN because the
+    // auto-scaled index parameters would diverge from the fixed-parameter
+    // oracle SQL. That guard is only sound if oracleParamMaxN really IS
+    // the largest corpus where every auto parameter equals its floor —
+    // this test fails if anyone retunes autoBits/autoCells without moving
+    // the constant (both functions are monotone in n, so boundary checks
+    // suffice). Registered-query shapes: lshTopK floors at 16/4 = 4
+    // bits/band, ivfTopK/ivfPqTopK/semanticDedup at 16 cells.
+    val maxN = Similarity.oracleParamMaxN
+    assert(Similarity.autoBits(maxN, 4) === 4,
+      "autoBits off its floor AT oracleParamMaxN — guard refuses valid runs")
+    assert(Similarity.autoCells(maxN, 16) === 16,
+      "autoCells off its floor AT oracleParamMaxN — guard refuses valid runs")
+    assert(Similarity.autoBits(maxN + 1, 4) > 4 ||
+           Similarity.autoCells(maxN + 1, 16) > 16,
+      "no parameter diverges just above oracleParamMaxN — the floor moved " +
+        "and the Verify guard is stale (would stop refusing invalid runs)")
+    // the non-binding constraint's own boundary, as documented: integer
+    // division n/5000 first exceeds 16 at n = 85000
+    assert(Similarity.autoCells(84999L, 16) === 16)
+    assert(Similarity.autoCells(85000L, 16) === 17)
+  }
 }
