@@ -44,6 +44,19 @@ object Bench {
     sys.env.get("SPARK_GRAFT_EXEC_CP").foreach { cp =>
       builder.config("spark.executor.extraClassPath", cp)
     }
+    // local-cluster[n, cores, mem]: the third field is the WORKER's memory
+    // OFFER, not the executor heap — executors silently launch at the
+    // spark.executor.memory default (1g). Every round-5 "sealed 10 GiB"
+    // ladder row actually ran 1 GiB executors (discovered round 7 via
+    // MemoryStore capacity in the executor logs). Default the executor
+    // heap to the worker offer so the label matches reality; an explicit
+    // spark.executor.memory in SPARK_GRAFT_EXTRA_CONF (applied below,
+    // later config wins) still overrides for memory-ratio experiments.
+    val LocalClusterMem = """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
+    master match {
+      case LocalClusterMem(mem) => builder.config("spark.executor.memory", s"${mem}m")
+      case _ => ()
+    }
     // Arbitrary extra confs for scale experiments ("k=v;k2=v2") — e.g.
     // spark.eventLog.enabled for stage-level OOM forensics, or AQE knobs
     // for an A/B, without touching the harness defaults.

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** BPE training-curve harness: wall time vs merge count at several round
+  * batch sizes, on the scale corpus.
+  *
+  * The oracle query (`cur_bpe_merges`) proves 63 merges bit-exact against
+  * the DuckDB CTE replay; what it cannot show is the VOCAB-scale shape:
+  * real tokenizers train 32k–100k merges, and the batched-round design
+  * ([[ml.Curation.bpeTrain]]) exists precisely so wall time scales with
+  * merges/batch driver round-trips, not with merges. This main measures
+  * that curve — if wall time at fixed batch grows super-linearly in
+  * merges, or fails to shrink ~proportionally as batch grows, the batched
+  * design is not earning its keep.
+  *
+  * Output: one JSON line per (merges, batch) combo and a summary file
+  * (default `BENCH_bpe.json`).
+  */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfL")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BPE_OUT", "BENCH_bpe.json")
+    // combos as "merges:batch" args; default curve doubles merges at
+    // batch 32 plus a batch sweep at the 2048-merge point
+    val combos: Seq[(Int, Int)] =
+      (if (args.nonEmpty) args.toSeq
+       else Seq("256:32", "512:32", "1024:32", "2048:32",
+                "2048:8", "2048:64", "2048:128"))
+        .map { s => val Array(m, b) = s.split(":"); (m.toInt, b.toInt) }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents").localCheckpoint()
+    // warm-up: session/codegen/scan-cache startup out of the measurements
+    ml.Curation.bpeMerges(docs, nMerges = 8, batch = 8).count()
+    val rows = combos.map { case (m, b) =>
+      val t0 = System.nanoTime()
+      val merges = ml.Curation.bpeMerges(docs, nMerges = m, batch = b)
+      val n = merges.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"merges":$m,"batch":$b,"gotMerges":$n,"sec":$sec%.1f}""")
+      System.out.flush()
+      (m, b, n, sec)
+    }
+    val json = rows.map { case (m, b, n, s) =>
+      s"""{"merges":$m,"batch":$b,"gotMerges":$n,"sec":$s}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"sf":"$sfDir","curve":$json}""" + "\n")
+    println(s"""{"metric":"bpe_curve","combos":${rows.size},"out":"$outPath"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-under-load harness: drives the Structured Streaming operators
+  * from a scale-corpus file source and measures STATE, not just wall time —
+  * per micro-batch state-store rows/bytes, watermark progress, and row
+  * eviction, the numbers that decide whether an unbounded deployment
+  * plateaus or leaks.
+  *
+  * The unit suites prove the streaming operators bit-equal their batch
+  * twins on toy inputs; what they cannot show is the state story under
+  * real volume: a windowed aggregation whose watermark never evicts, or a
+  * session store that grows with events instead of open sessions, only
+  * reveals itself when millions of rows flow through. This main stages the
+  * scale corpus's events table as a CHRONOLOGICAL file stream (time-range
+  * chunks written in order, `maxFilesPerTrigger=1`, so event time — and
+  * with it the watermark — advances across micro-batches the way a live
+  * source's would), runs each streaming stage against it, and dumps one
+  * JSON line per micro-batch from the engine's own progress metrics.
+  *
+  * Stages measured:
+  *  - `trend`: [[streaming.StreamingTrend.rebinStream]] keyed per-user
+  *    (~136k counters at the 100× corpus — the per-event_type keying of
+  *    the oracle queries has 5 keys, load-free by construction), hourly
+  *    bins, 2-hour watermark slack. Expected plateau: open windows =
+  *    active counters × (slack/bin + 1), independent of events consumed.
+  *  - `sessions`: [[streaming.StreamingSessions.sessionizeStream]], the
+  *    native session_window store, 1800 s gap, same slack. Expected
+  *    plateau: open sessions per active user, with the five whale users
+  *    (~180k events each) exercising single-key state merge.
+  *
+  * Output: `BENCH_streaming.json` — per-stage per-batch
+  * (inputRows, stateRows, stateBytes, rowsRemoved, watermark) plus a
+  * summary with the plateau verdict: state in the last third of batches
+  * must not exceed `plateauTolerance` × the middle third's peak (a leak
+  * grows monotonically with consumed input; a plateau oscillates).
+  */
+object StreamBench {
+
+  private case class BatchRow(batch: Long, inputRows: Long, stateRows: Long,
+                              stateBytes: Long, rowsRemoved: Long,
+                              watermark: String)
+
+  private def runStage(spark: SparkSession, name: String, out: DataFrame,
+                       ckpt: String): (Seq[BatchRow], Double) = {
+    val t0 = System.nanoTime()
+    val q: StreamingQuery = out.writeStream
+      .format("noop")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val rows = q.recentProgress.toSeq.map { p =>
+      val so = p.stateOperators.headOption
+      BatchRow(p.batchId, p.numInputRows,
+        so.map(_.numRowsTotal).getOrElse(0L),
+        so.map(_.memoryUsedBytes).getOrElse(0L),
+        so.map(_.numRowsRemoved).getOrElse(0L),
+        Option(p.eventTime.get("watermark")).getOrElse(""))
+    }.filter(_.inputRows > 0)
+    rows.foreach { r =>
+      println(s"""{"stage":"$name","batch":${r.batch},"inputRows":${r.inputRows},""" +
+        s""""stateRows":${r.stateRows},"stateBytes":${r.stateBytes},""" +
+        s""""rowsRemoved":${r.rowsRemoved},"watermark":"${r.watermark}"}""")
+    }
+    (rows, wall)
+  }
+
+  /** A leak grows with total input; a plateau oscillates. Compare the last
+    * third's peak state against the middle third's (the first third is
+    * still ramping up from empty).
+    */
+  private def plateau(rows: Seq[BatchRow], tol: Double = 1.3): (Boolean, Long, Long) = {
+    if (rows.size < 6) return (true, 0L, 0L)
+    val n = rows.size
+    val mid = rows.slice(n / 3, 2 * n / 3).map(_.stateRows).max
+    val last = rows.slice(2 * n / 3, n).map(_.stateRows).max
+    (last <= (mid * tol).toLong, mid, last)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfL")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nChunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "40").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_streaming.json")
+    val work = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR", "/tmp/graft_stream")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // keep every micro-batch's progress: the default 100 is enough for
+      // the chunk counts used here, but be explicit — dropped progress
+      // rows would silently hide the ramp-up phase from the plateau check
+      .config("spark.sql.streaming.numRecentProgressUpdates", "256")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- stage the corpus as a chronological file stream ----
+    // Time-ordered chunks written sequentially: zero-padded names AND
+    // increasing mod-times agree, so whatever order FileStreamSource
+    // lists by, micro-batches consume event time monotonically — the
+    // watermark advances per batch exactly as against a live source.
+    val inDir = s"$work/events_in"
+    val dir = new java.io.File(inDir)
+    def clean(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(clean)
+      f.delete(); ()
+    }
+    if (dir.exists()) clean(dir)
+    dir.mkdirs()
+    val ev = Tables.load(spark, sfDir, "events")
+    val tsCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds(expr("ts DIV 1000000000"))
+      case _ => date_trunc("second", col("ts"))
+    }
+    val events = ev.select(tsCol.as("ts"), col("user_id"), col("value"))
+      .localCheckpoint()
+    val Row2 = events.agg(min("ts"), max("ts")).head()
+    val (loTs, hiTs) = (Row2.getTimestamp(0).getTime, Row2.getTimestamp(1).getTime)
+    val span = math.max(1L, hiTs - loTs + 1)
+    val total = (0 until nChunks).map { i =>
+      val lo = loTs + span * i / nChunks
+      val hi = if (i == nChunks - 1) hiTs + 1 else loTs + span * (i + 1) / nChunks
+      val tmp = s"$work/chunk_tmp"
+      val chunk = events.where(col("ts") >= lit(new java.sql.Timestamp(lo)) &&
+                               col("ts") <  lit(new java.sql.Timestamp(hi)))
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk-$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.length()
+    }.sum
+    System.err.println(s"[streambench] staged $nChunks chunks, $total bytes")
+
+    val schema = events.schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+
+    // ---- trend stage: per-user hourly rebin ----
+    val trendOut = streaming.StreamingTrend.rebinStream(
+      src.select(col("ts"), concat(lit("u"), col("user_id")).as("counter"),
+        lit(1.0).as("count")),
+      "hours", 1, watermarkSlack = "2 hours")
+    val (trendRows, trendWall) =
+      runStage(spark, "trend", trendOut, s"$work/ckpt_trend")
+
+    // ---- sessions stage: native session_window store ----
+    val sessOut = streaming.StreamingSessions.sessionizeStream(
+      src.select(col("ts"), col("user_id"), col("value")),
+      gapSec = 1800L, watermarkSlack = "2 hours")
+    val (sessRows, sessWall) =
+      runStage(spark, "sessions", sessOut, s"$work/ckpt_sessions")
+
+    def stageJson(name: String, rows: Seq[BatchRow], wall: Double): String = {
+      val (ok, mid, last) = plateau(rows)
+      val batches = rows.map(r =>
+        s"""{"batch":${r.batch},"inputRows":${r.inputRows},"stateRows":${r.stateRows},""" +
+        s""""stateBytes":${r.stateBytes},"rowsRemoved":${r.rowsRemoved},""" +
+        s""""watermark":"${r.watermark}"}""").mkString("[", ",", "]")
+      s""""$name":{"wallSec":$wall,"batches":$batches,""" +
+      s""""inputRowsTotal":${rows.map(_.inputRows).sum},""" +
+      s""""peakStateRows":${if (rows.isEmpty) 0 else rows.map(_.stateRows).max},""" +
+      s""""peakStateBytes":${if (rows.isEmpty) 0 else rows.map(_.stateBytes).max},""" +
+      s""""midThirdPeakStateRows":$mid,"lastThirdPeakStateRows":$last,""" +
+      s""""plateau":$ok}"""
+    }
+    val json = "{" + stageJson("trend", trendRows, trendWall) + "," +
+      stageJson("sessions", sessRows, sessWall) + s""","sf":"$sfDir","chunks":$nChunks}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    val (tOk, _, _) = plateau(trendRows)
+    val (sOk, _, _) = plateau(sessRows)
+    println(s"""{"metric":"streaming","trendPlateau":$tOk,"sessionsPlateau":$sOk,""" +
+      s""""trendWallSec":$trendWall,"sessionsWallSec":$sessWall,"out":"$outPath"}""")
+    spark.stop()
+  }
+}

@@ -612,9 +612,9 @@ object Dedup {
     val dw = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), h64(concat(col("word"), lit("#s"))).as("wh"))
       // partition by doc_id BEFORE the dedupe: hashpartitioning(doc_id)
-      // satisfies both the (doc_id, wh) clustering the distinct needs and
+      // satisfies both the (doc_id, wh) clustering the dedupe needs and
       // the doc_id clustering the bit-sum aggregate needs, so dedupe and
-      // both aggregates run in ONE post-shuffle stage whose per-task state
+      // the aggregate run in ONE post-shuffle stage whose per-task state
       // is one partition's share of DOCS — and shrinks with the partition
       // knob. The default plan hash-partitioned on (doc_id, wh), which
       // put the 488-byte-wide partial bit-sum aggregate on data where
@@ -623,7 +623,22 @@ object Dedup {
       // via event log) that NO partition count could fix, because the
       // state was group-count- not partition-size-proportional.
       .repartition(col("doc_id"))
-      .distinct()
+      // dedupe SORT-based, not hash-based: `.distinct()` here compiles to
+      // a hash aggregate whose map holds every (doc_id, wh) PAIR of the
+      // partition at once — ~15M pairs/task at the 1000× corpus under
+      // default partitioning, and with 8 tasks per sealed 10 GiB executor
+      // all hitting peak map size together, the sealed-heap run OOMed in
+      // the map's own sort-fallback allocation (stage-traced). A window
+      // row_number over (doc_id, wh) is the same dedupe through
+      // UnsafeExternalSorter, which spills incrementally — per-task memory
+      // is a bounded sort buffer regardless of partition share. Rows in a
+      // (doc_id, wh) group are bit-identical, so keeping row_number = 1 is
+      // deterministic, and the partitionBy is satisfied by the doc_id
+      // hash-partitioning above — still no extra shuffle.
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "wh").orderBy("wh")))
+      .where(col("rn") === 1).drop("rn")
     // all 60 bit-sums as agg columns of ONE groupBy — exploding a row per
     // (word, bit) would shuffle 60× the word table for the same result
     val bitSums = (0 until 60).map(b =>
