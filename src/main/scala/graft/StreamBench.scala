@@ -107,12 +107,16 @@ object StreamBench {
     // lists by, micro-batches consume event time monotonically — the
     // watermark advances per batch exactly as against a live source.
     val inDir = s"$work/events_in"
-    val dir = new java.io.File(inDir)
     def clean(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(clean)
       f.delete(); ()
     }
-    if (dir.exists()) clean(dir)
+    // clean the whole work root, not just the input: a stale streaming
+    // CHECKPOINT would silently resume committed offsets and replay
+    // nothing — the run would report an empty, trivially-plateaued state
+    val workRoot = new java.io.File(work)
+    if (workRoot.exists()) clean(workRoot)
+    val dir = new java.io.File(inDir)
     dir.mkdirs()
     val ev = Tables.load(spark, sfDir, "events")
     val tsCol = ev.schema("ts").dataType match {
