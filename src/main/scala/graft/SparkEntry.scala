@@ -503,6 +503,14 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // compressed scan + exact refine: ADC shortlist, true cosine on the
+    // shortlist only — the production IVF-PQ deployment shape
+    "ann_ivfpq_rerank" -> ((s, dir) =>
+      Similarity.ivfPqRerankTopK(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+    "ann_ivfpq_rerank_recall" -> ((s, dir) =>
+      Similarity.ivfPqRerankRecall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
     // PQ codebook TRAINING: per-subspace integer-exact Lloyd — the step
     // a real product quantizer runs before indexing
     "ann_pq_train" -> ((s, dir) =>
@@ -838,6 +846,7 @@ object SparkEntry {
     */
   val autoParamQueries: Set[String] = Set(
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
     "dedup_semantic", "cur_pipeline4")
 
@@ -1065,6 +1074,8 @@ object SparkEntry {
     "ann_pq_codes" -> Similarity.pqCodesOracleSql(),
     "ann_pq_train" -> Similarity.pqTrainOracleSql(),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),
+    "ann_ivfpq_rerank" -> Similarity.ivfPqRerankTopKOracleSql(k = 10),
+    "ann_ivfpq_rerank_recall" -> Similarity.ivfPqRerankRecallOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,

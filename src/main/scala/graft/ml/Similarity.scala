@@ -683,6 +683,77 @@ object Similarity {
        |FROM rankedq WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF-PQ with an exact re-rank stage — the production compressed-index
+    * query shape (cf. FAISS IndexIVFPQ + IndexRefineFlat): the ADC scan
+    * shortlists `rerank` candidates per query from PQ codes alone
+    * (compressed bytes; no full vectors touched during the scan), then
+    * ONLY those `rerank` full vectors are fetched and scored with the
+    * exact cosine, recovering most of the recall that PQ quantization
+    * gives up for ~`rerank` extra dot products per query. At 100 TB the
+    * refine stage's cost is queries × rerank — independent of corpus
+    * size — and the vector fetch is an equi-join on vec_id against the
+    * (shortlist-sized) candidate set, so the full-precision corpus is
+    * shuffle-pruned to exactly the rows the shortlist names. Output
+    * columns match [[bruteForceTopK]], so [[recallVs]] applies unchanged
+    * and downstream consumers can swap exact → rerank without a schema
+    * change.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, isQuery: Column, k: Int,
+                      rerank: Int = 40, nCells: Int = 16, nProbe: Int = 4,
+                      nSub: Int = 8, nCode: Int = 16): DataFrame = {
+    require(rerank >= k, "shortlist depth must be at least k")
+    val short = ivfPqTopK(emb, isQuery, rerank, nCells, nProbe, nSub, nCode)
+      .select("query_id", "neighbor_id")
+    val e = normed(emb)
+    val nbr = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val scored = short.join(nbr, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6)
+          .as("cosine"))
+    topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  def ivfPqRerankTopKOracleSql(k: Int, rerank: Int = 40, nCells: Int = 16,
+                               nProbe: Int = 4, nSub: Int = 8,
+                               nCode: Int = 16, dim: Int = 64,
+                               isQuerySql: String = defaultIsQuerySql): String =
+    s"""WITH short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    ${ivfPqTopKOracleSql(rerank, nCells, nProbe, nSub, nCode, dim, isQuerySql)})),
+       |ee AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |qq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |       FROM ee WHERE $isQuerySql),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |  FROM short s
+       |  JOIN ee e ON e.vec_id = s.neighbor_id
+       |  JOIN qq q ON q.query_id = s.query_id),
+       |rankedr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rankedr WHERE rank <= $k""".stripMargin
+
+  /** Recall of the reranked IVF-PQ ranking against the exact one — the
+    * number that justifies the refine stage: it should sit between
+    * [[ivfPqRecall]] (ADC-only) and the probe ceiling [[ivfRecall]]
+    * (cell misses are unrecoverable by rerank; quantization misses are
+    * exactly what it repairs).
+    */
+  def ivfPqRerankRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, isQuery, k), ivfPqRerankTopK(emb, isQuery, k), k)
+
+  def ivfPqRerankRecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), ivfPqRerankTopKOracleSql(k), k)
+
   def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                        isQuerySql: String = defaultIsQuerySql): String =
     s"""WITH ${cellCtesSql(nCells)},

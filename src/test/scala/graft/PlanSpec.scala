@@ -159,6 +159,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq rerank refines with the native fold and no cartesian") {
+    // the refine stage joins the shortlist to full vectors by equi-key
+    // (vec_id) and scores with the codegen'd dot_fold; the only
+    // nested-loop in the plan is the constant-size (nSub·nCode-row)
+    // broadcast LUT cross join inherited from the ADC stage
+    val p = plan("ann_ivfpq_rerank")
+    assert(p.contains("dot_fold"), "refine lost the native fold")
+    assert(!p.contains("CartesianProduct"), "non-broadcast cartesian in rerank")
+  }
+
   test("zorder keys are a pure scan — no shuffle, no join") {
     val p = plan("layout_zorder")
     assert(!p.contains("Exchange") && !p.contains("Join"))

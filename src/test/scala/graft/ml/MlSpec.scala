@@ -404,6 +404,46 @@ class MlSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq) // non-decreasing
   }
 
+  test("ivfPqRerankTopK: full-probe deep shortlist reproduces brute force") {
+    // nProbe = nCells means every cell is probed, and rerank >= corpus-1
+    // means no candidate is cut by the ADC shortlist — so the exact
+    // refine stage must reproduce bruteForceTopK bit for bit. This pins
+    // the refine stage's scoring/ranking as genuinely exact; divergence
+    // at tighter settings can then only come from shortlist pruning.
+    val emb = ((0L until 20L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    } :+ (20L, Array.tabulate(64)(d => math.sin(0 * 17.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ = col("vec_id") === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cosine", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopK(emb, isQ, k = 5))
+    val rerank = rows(Similarity.ivfPqRerankTopK(emb, isQ, k = 5,
+      rerank = 25, nCells = 4, nProbe = 4, nSub = 8, nCode = 4))
+    assert(rerank === exact)
+    // the duplicate of the query vector is the exact top neighbor —
+    // ADC can only tie it with quantization-collapsed vectors
+    // (see the ivfPqTopK test above); the refine stage must not
+    assert(rerank.exists(r => r._2 == 20L && r._4 == 1))
+  }
+
+  test("ivfPqRerankRecall: refine never loses to the ADC-only ranking") {
+    // 120 vectors at default index shapes: quantization misses are
+    // repaired by the refine stage, cell misses are not — so rerank
+    // recall must sit at or above ADC recall (and within [0, 1]).
+    val emb = (0L until 120L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val isQ = pmod(col("vec_id"), lit(50)) === 0
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select($"recall_at_k").as[Double].collect().head
+    val adc = recall(Similarity.ivfPqRecall(emb, isQ, k = 10))
+    val rr = recall(Similarity.ivfPqRerankRecall(emb, isQ, k = 10))
+    assert(rr >= adc, s"rerank recall $rr lost to ADC-only $adc")
+    assert(rr >= 0.0 && rr <= 1.0)
+  }
+
   test("vocabSketch: HLL estimate within the rsd contract of exact") {
     // one language, 2000 distinct words spread over docs
     val d = docs((0L until 40L).map(i =>
