@@ -462,6 +462,11 @@ object SparkEntry {
     // (11 pairs at sf0.01, max within-cell cosine 0.49)
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.load(s, dir, "embeddings"), threshold = 0.4)),
+    // asymmetric near-dup: doc-inside-doc containment the symmetric
+    // jaccard (and its Jaccard-tuned LSH bands) structurally misses;
+    // candidates from the df-capped rare-shingle inverted index
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(Tables.load(s, dir, "documents"))),
     // span-level dup signal: linear cost, no pair materialization
     "dedup_ngram_coverage" -> ((s, dir) =>
       Dedup.ngramCoverage(Tables.load(s, dir, "documents"))),
@@ -696,6 +701,13 @@ object SparkEntry {
     "dedup_chain_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.components(docs, Dedup.minHashLshChain(docs))
+    }),
+    // curation keeper policy: per near-dup cluster keep the highest-
+    // quality copy (not the min-id) — chain edges → components → one
+    // window on cluster_id
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.keepBest(docs, Dedup.minHashLshChain(docs))
     }),
     "dedup_minhash_chain" -> ((s, dir) =>
       Dedup.minHashLshChain(Tables.load(s, dir, "documents"))),
@@ -1199,6 +1211,9 @@ object SparkEntry {
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
     "dedup_chain_clusters" ->
       Dedup.componentsOracleSql(Dedup.minHashLshChainOracleSql()),
+    "dedup_keep_best" ->
+      Dedup.keepBestOracleSql(Dedup.minHashLshChainOracleSql()),
+    "dedup_containment" -> Dedup.containmentOracleSql(),
     "dedup_minhash_chain" -> Dedup.minHashLshChainOracleSql(),
     "dedup_simhash_chain" -> Dedup.simHashChainOracleSql(),
     "layout_zorder" -> Layout.zorderKeysOracleSql,

@@ -521,7 +521,20 @@ object Dedup {
     * pass across operators instead of re-running it per operand.
     */
   private[ml] def ngramJaccardFrom(shBase: DataFrame, sizes: DataFrame,
-                                   threshold: Double, maxDf: Int): DataFrame = {
+                                   threshold: Double, maxDf: Int): DataFrame =
+    sharedShingleCounts(shBase, maxDf)
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ninter").cast("double") /
+          (col("na.n") + col("nb.n") - col("ninter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** Shared-shingle intersection counts (doc_a, doc_b, ninter) for every
+    * pair sharing >= 1 rare shingle — the candidate+count core both
+    * [[ngramJaccardFrom]] and [[containment]] project their measure from.
+    */
+  private[ml] def sharedShingleCounts(shBase: DataFrame, maxDf: Int): DataFrame = {
     // df via hash aggregation + same-key join, NOT a window: both sides
     // partition on shingle (one shuffle, reused), and no per-partition
     // sort — a hot shingle's partition would otherwise sort-spill at
@@ -552,13 +565,68 @@ object Dedup {
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("ninter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .select("doc_a", "doc_b", "ninter")
+  }
+
+  /** Containment near-dup: c(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) —
+    * the asymmetric twin of [[ngramJaccard]]. Catches a document embedded
+    * inside a larger one (boilerplate wrapping, quote-with-commentary):
+    * a 50-shingle doc inside a 500-shingle doc has jaccard <= 0.1 — LSH
+    * band candidates (tuned to Jaccard) never see it — but containment
+    * 1.0. Candidates therefore come from the shared-RARE-shingle inverted
+    * index ([[sharedShingleCounts]], df-capped), which surfaces any pair
+    * with one uncommon shingle in common regardless of size ratio.
+    * Output: (doc_a, doc_b, containment, contained_id) — contained_id is
+    * the smaller-shingle-set side (doc_a on ties), i.e. the doc a
+    * keep-larger dedup policy would drop.
+    */
+  def containment(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
+                  maxDf: Int = 1000): DataFrame = {
+    val sizes = shingleSizes(docs, k)
+    sharedShingleCounts(shingleTable(docs, k), maxDf)
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(col("ninter").cast("double") /
-          (col("na.n") + col("nb.n") - col("ninter")), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+          least(col("na.n"), col("nb.n")), 6).as("containment"),
+        when(col("na.n") <= col("nb.n"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_id"))
+      .where(col("containment") >= threshold)
   }
+
+  def containmentOracleSql(k: Int = 3, threshold: Double = 0.6,
+                           maxDf: Int = 1000): String =
+    s"""WITH ${shingleTableSql(k)},
+       |dfs AS (
+       |  SELECT doc_id, sh,
+       |         count(*) OVER (PARTITION BY sh) AS df
+       |  FROM doc_shingles),
+       |rare AS (SELECT doc_id, sh FROM dfs WHERE df <= $maxDf),
+       |hot AS (SELECT doc_id, sh FROM dfs WHERE df > $maxDf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+       |inter_rare AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter_rare
+       |  FROM rare sa JOIN rare sb
+       |    ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY sa.doc_id, sb.doc_id),
+       |inter_hot AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter_hot
+       |  FROM inter_rare c
+       |  JOIN hot ha ON c.doc_a = ha.doc_id
+       |  JOIN hot hb ON c.doc_b = hb.doc_id AND ha.sh = hb.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |inter AS (
+       |  SELECT r.doc_a, r.doc_b,
+       |         r.inter_rare + coalesce(h.inter_hot, 0) AS ninter
+       |  FROM inter_rare r LEFT JOIN inter_hot h
+       |    ON r.doc_a = h.doc_a AND r.doc_b = h.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(i.ninter::DOUBLE / least(na.n, nb.n), 6) AS containment,
+       |       CASE WHEN na.n <= nb.n THEN i.doc_a ELSE i.doc_b END AS contained_id
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE round(i.ninter::DOUBLE / least(na.n, nb.n), 6) >= $threshold""".stripMargin
 
   def ngramJaccardOracleSql(k: Int = 3, threshold: Double = 0.5,
                             maxDf: Int = 1000): String =
@@ -1126,6 +1194,44 @@ object Dedup {
        |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
        |FROM labels""".stripMargin
+
+  /** Quality-aware keeper selection: instead of [[components]]' min-id
+    * keeper, keep the HIGHEST-QUALITY document of each near-dup cluster
+    * (the standard curation policy — dropping duplicates should not drop
+    * the best-written copy). Ties break on doc_id, so the choice is
+    * deterministic. Output: (doc_id, cluster_id, quality_score, is_best).
+    *
+    * Distribution: clusters come from the linear chain-edge path
+    * ([[minHashLshChain]] → [[components]]); quality is a single scan
+    * joined on doc_id; keeper election is ONE window shuffle on
+    * cluster_id with per-row state — no per-cluster collect, no driver
+    * work, state ∝ partition size regardless of cluster count or corpus
+    * size.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = components(docs, pairs).select("doc_id", "cluster_id")
+    val quality = TextStats.quality(docs).select("doc_id", "quality_score")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("is_best", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "quality_score", "is_best")
+  }
+
+  /** DuckDB oracle: the recursive-CTE clusters joined to the quality
+    * oracle, keeper elected with the same (score desc, doc_id) window.
+    */
+  def keepBestOracleSql(pairsSql: String): String =
+    s"""WITH comp AS (${componentsOracleSql(pairsSql)}),
+       |q AS (${TextStats.qualityOracleSql}),
+       |r AS (
+       |  SELECT c.doc_id, c.cluster_id, q.quality_score,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY q.quality_score DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, quality_score, rk = 1 AS is_best
+       |FROM r""".stripMargin
 
   // Spark's encoder codegen needs public access
   final case class VecBlock(bid: Int, ids: Array[Long], flat: Array[Double],

@@ -33,6 +33,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("containment stays on the df-capped inverted index — no cross joins") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), "containment has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "containment has a nested loop")
+  }
+
+  test("keepBest elects keepers with one cluster window, no pair replay") {
+    // clusters come off the checkpointed component labels; the election
+    // must be the ONE row_number window on cluster_id — a second window
+    // or a nested-loop join means the pair graph is being recomputed
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("\\bWindow \\[".r.findAllIn(p).size === 1,
+      s"expected exactly one window operator:\n$p")
+  }
+
   test("argmax executes as TakeOrderedAndProject, not a full sort") {
     assert(plan("trend_argmax").contains("TakeOrderedAndProject"))
   }

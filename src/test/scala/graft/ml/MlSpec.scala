@@ -217,6 +217,47 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("containment flags doc-inside-doc that jaccard misses") {
+    // doc 2 = doc 1 verbatim + a long unique tail: every shingle of 1
+    // appears in 2 (containment 1.0) but jaccard is small; doc 3 unrelated
+    val base = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val tail = (1 to 120).map(i => s"tail$i filler$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, base), (2L, s"$base $tail"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val cont = Dedup.containment(docsDf, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(cont.map(c => (c._1, c._2)).toSeq === Seq((1L, 2L)))
+    assert(cont.head._3 === 1.0) // every shingle of 1 is in 2
+    assert(cont.head._4 === 1L)  // doc 1 is the contained (smaller) side
+    // the symmetric measure misses the same pair at the same bar
+    val jac = Dedup.ngramJaccard(docsDf, threshold = 0.9).count()
+    assert(jac === 0L)
+  }
+
+  test("keepBest elects exactly one highest-quality doc per cluster") {
+    // cluster {1,2,3}: doc 2 is long + content-heavy (best), 1 and 3 are
+    // stopword soup; cluster {4,5}: doc 5 longer than 4; doc 6 singleton
+    val good = Seq.fill(60)("analytics").mkString(" ")
+    val soup = "the and is of to the and is of to"
+    val docsDf = Seq(
+      (1L, soup), (2L, good), (3L, soup + " extra"),
+      (4L, "short words here"), (5L, Seq.fill(55)("signal").mkString(" ")),
+      (6L, "lonely document")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBest(docsDf, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // one keeper per cluster
+    val keepersByCluster = out.groupBy(_._2).map { case (c, rows) =>
+      (c, rows.filter(_._3).map(_._1).toSeq) }
+    assert(keepersByCluster === Map(1L -> Seq(2L), 4L -> Seq(5L), 6L -> Seq(6L)))
+    // the elected keeper has the cluster-max quality score
+    val q = graft.ml.TextStats.quality(docsDf)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    assert(q(2L) === Seq(1L, 2L, 3L).map(q).max)
+    assert(q(5L) === Seq(4L, 5L).map(q).max)
+  }
+
   test("ivfTopK probes nearest cells and scores exactly like brute force") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
