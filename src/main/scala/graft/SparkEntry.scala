@@ -560,6 +560,12 @@ object SparkEntry {
       Curation.decontaminateBloom(Tables.load(s, dir, "documents"),
         pmod(col("doc_id"), lit(97)) === 0)),
     "cur_split" -> ((s, dir) => Curation.assignSplit(Tables.load(s, dir, "documents"))),
+    // contamination detector: near-dup families straddling the hash
+    // split; chain edges -> components -> one cluster_id rollup
+    "cur_split_leakage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.splitLeakage(docs, Dedup.minHashLshChain(docs))
+    }),
     // rebalance: halve the dominant language, keep the rest
     "cur_stratified_sample" -> ((s, dir) =>
       Curation.stratifiedSample(Tables.load(s, dir, "documents"),
@@ -681,6 +687,11 @@ object SparkEntry {
     // shard layout; one hash shuffle + per-shard sort, no global order
     "cur_shuffle_shard" -> ((s, dir) =>
       Curation.shuffleShard(Tables.load(s, dir, "documents"))),
+    // curriculum order: quality bands first, deterministic shuffle within
+    // a band; dense global position from bounded windows + a tiny offset
+    // rollup — the oracle states the same order as one row_number
+    "cur_curriculum" -> ((s, dir) =>
+      Curation.curriculum(Tables.load(s, dir, "documents"))),
     // sourceMix weights applied as a deterministic hash-threshold sample
     "cur_rebalance" -> ((s, dir) =>
       Curation.rebalanceSample(Tables.load(s, dir, "documents"))),
@@ -1110,6 +1121,8 @@ object SparkEntry {
     "cur_decontaminate_bloom" ->
       Curation.decontaminateOracleSql("((doc_id % 97) + 97) % 97 = 0"),
     "cur_split" -> Curation.assignSplitOracleSql(),
+    "cur_split_leakage" ->
+      Curation.splitLeakageOracleSql(Dedup.minHashLshChainOracleSql()),
     "cur_stratified_sample" ->
       Curation.stratifiedSampleOracleSql(Map("en" -> 0.5, "de" -> 0.8)),
     "cur_quota_sample" ->
@@ -1206,6 +1219,7 @@ object SparkEntry {
         |SELECT doc_id + 1000000, text FROM documents
         |WHERE ((doc_id % 17) + 17) % 17 = 0""".stripMargin),
     "cur_shuffle_shard" -> Curation.shuffleShardOracleSql(),
+    "cur_curriculum" -> Curation.curriculumOracleSql(),
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),

@@ -112,6 +112,52 @@ object Curation {
        |FROM documents""".stripMargin
   }
 
+  /** Split-leakage audit: near-dup clusters that straddle the train/eval
+    * boundary — the contamination a hash split cannot see (it assigns
+    * doc-by-doc, so two near-copies routinely land on opposite sides, and
+    * the eval set silently overlaps training data). Clusters come from
+    * the near-dup pair graph ([[Dedup.components]]); splits from
+    * [[assignSplit]]. Output, one row per MULTI-doc cluster:
+    * (cluster_id, n_docs, n_train, n_val, n_test, leaky) where leaky =
+    * the cluster has a train member and an eval (val/test) member. The
+    * fix a pipeline applies downstream is cluster-level reassignment;
+    * this operator is the detector.
+    *
+    * Scale: one doc_id equi-join + one groupBy on cluster_id (conditional
+    * partial aggregates — map-side combined); singleton clusters are
+    * filtered before output, so result size is bounded by the number of
+    * near-dup families, not the corpus.
+    */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame =
+    Dedup.components(docs, pairs).select("doc_id", "cluster_id")
+      .join(assignSplit(docs, trainPct, valPct).select("doc_id", "split"),
+        "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .where(col("n_docs") > 1)
+      .withColumn("leaky",
+        (col("n_train") > 0) && ((col("n_val") > 0) || (col("n_test") > 0)))
+
+  def splitLeakageOracleSql(pairsSql: String, trainPct: Int = 80,
+                            valPct: Int = 10): String =
+    s"""WITH comp AS (${Dedup.componentsOracleSql(pairsSql)}),
+       |sp AS (${assignSplitOracleSql(trainPct, valPct)}),
+       |g AS (
+       |  SELECT c.cluster_id,
+       |         count(*)::BIGINT AS n_docs,
+       |         sum(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       |         sum(CASE WHEN s.split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+       |         sum(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+       |  FROM comp c JOIN sp s ON c.doc_id = s.doc_id
+       |  GROUP BY c.cluster_id)
+       |SELECT cluster_id, n_docs, n_train, n_val, n_test,
+       |       n_train > 0 AND (n_val > 0 OR n_test > 0) AS leaky
+       |FROM g WHERE n_docs > 1""".stripMargin
+
   /** Stratified downsampling by predicted language: keep a document iff
     * its md5-derived uniform draw (per-doc, salt ":sample") falls under
     * its stratum's rate — the rebalancing step of corpus curation
@@ -1148,6 +1194,67 @@ object Curation {
           .orderBy(col("skey"), col("doc_id"))) - 1).cast("long"))
       .select("doc_id", "shard", "pos")
   }
+
+  /** Curriculum ordering: a dense global training order 0..n-1 that
+    * presents high-quality documents first. phase = quality band
+    * (floor((1-q)·nPhases), clamped — band 0 is the best-written slice);
+    * within a phase documents are deterministically shuffled (the
+    * [[shuffleShard]] salted-hash key), so the curriculum is reproducible
+    * and oracle-checkable. Output: (doc_id, phase, train_pos).
+    *
+    * Scale: the order is (phase, shard, skey, doc_id) — the oracle states
+    * it as ONE global row_number, but the engine never materializes a
+    * global sort: per-(phase, shard) row_numbers are bounded windows
+    * (corpus/nShards rows each), and the phase/shard base offsets come
+    * from a nPhases×nShards-row count rollup cumulated with a window on
+    * that TINY relation (256 rows — the single-partition window is
+    * bounded by construction, same pattern as [[packAuto]]'s shard
+    * offsets) and broadcast back. No stage touches more than a shard's
+    * rows, so the plan survives any corpus width at fixed nShards·phase
+    * skew.
+    */
+  def curriculum(docs: DataFrame, nPhases: Int = 4, nShards: Int = 64,
+                 salt: String = "r7"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPhases > 0 && nShards > 0)
+    val q = TextStats.quality(docs).select(col("doc_id"), col("quality_score"))
+    val skey = h64(concat(lit(s"curr:$salt:"), col("doc_id").cast("string")))
+    val keyed = q.select(col("doc_id"),
+        least(lit(nPhases - 1),
+          floor((lit(1.0) - col("quality_score")) * nPhases).cast("int"))
+          .as("phase"),
+        skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)).cast("int"))
+    val posInShard = row_number().over(
+      Window.partitionBy("phase", "shard").orderBy(col("skey"), col("doc_id")))
+      .cast("long") - 1
+    // tiny offset relation: cumulative docs before each (phase, shard)
+    val offsets = keyed.groupBy("phase", "shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.orderBy("phase", "shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("phase", "shard", "off")
+    keyed.withColumn("rn", posInShard)
+      .join(broadcast(offsets), Seq("phase", "shard"))
+      .select(col("doc_id"), col("phase"),
+        (col("off") + col("rn")).as("train_pos"))
+  }
+
+  /** DuckDB oracle: the same order declared as one global row_number. */
+  def curriculumOracleSql(nPhases: Int = 4, nShards: Int = 64,
+                          salt: String = "r7"): String =
+    s"""WITH q AS (${TextStats.qualityOracleSql}),
+       |keyed AS (
+       |  SELECT doc_id,
+       |         least($nPhases - 1,
+       |               floor((1.0 - quality_score) * $nPhases)::INT) AS phase,
+       |         ${h64Sql(s"'curr:$salt:' || doc_id::VARCHAR")} AS skey
+       |  FROM q)
+       |SELECT doc_id, phase,
+       |       (row_number() OVER (
+       |          ORDER BY phase, skey % $nShards, skey, doc_id) - 1)::BIGINT
+       |         AS train_pos
+       |FROM keyed""".stripMargin
 
   def shuffleShardOracleSql(nShards: Int = 8, salt: String = "r4"): String =
     s"""WITH s AS (

@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one window operator:\n$p")
   }
 
+  test("curriculum broadcasts the offset rollup — no doc-wide global sort") {
+    val p = plan("cur_curriculum")
+    // the dense global order must come from bounded (phase, shard)
+    // windows plus a broadcast of the tiny offset relation — a plain
+    // shuffle join here means the offsets grew data-proportional
+    assert(p.contains("BroadcastExchange"), "offset rollup not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("split-leakage rollup aggregates map-side before the cluster shuffle") {
+    val p = plan("cur_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // partial + final HashAggregate pair on the cluster_id rollup
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "rollup not map-side combined")
+  }
+
   test("argmax executes as TakeOrderedAndProject, not a full sort") {
     assert(plan("trend_argmax").contains("TakeOrderedAndProject"))
   }

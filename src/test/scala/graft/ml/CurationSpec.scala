@@ -13,6 +13,47 @@ class CurationSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("splitLeakage flags clusters straddling the split, skips singletons") {
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val real = Curation.splitLeakage(d, pairs)
+      .select("cluster_id", "n_docs", "leaky")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // invariants that hold for ANY hash assignment: only the two
+    // multi-doc clusters appear, and leaky matches the actual split
+    val actualSplit = Curation.assignSplit(d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    def leakyOf(ids: Seq[Long]) = {
+      val ss = ids.map(actualSplit)
+      ss.contains("train") && ss.exists(s => s == "val" || s == "test")
+    }
+    assert(real.map(_._1).toSet === Set(1L, 3L))
+    assert(real.map(r => r._1 -> r._2).toMap === Map(1L -> 2L, 3L -> 2L))
+    assert(real.find(_._1 == 1L).get._3 === leakyOf(Seq(1L, 2L)))
+    assert(real.find(_._1 == 3L).get._3 === leakyOf(Seq(3L, 4L)))
+  }
+
+  test("curriculum: dense 0..n-1 order, phases monotone, best quality first") {
+    val good = (1 to 60).map(i => s"signal$i").mkString(" ") // q ≈ 1
+    val soup = "the and is of to the and is of to"           // q = 0
+    val mid = (1 to 20).map(i => s"word$i").mkString(" ")    // q = 0.4
+    val d = docs((1L, soup), (2L, good), (3L, mid), (4L, good + " x"),
+      (5L, soup + " the"), (6L, mid + " more"))
+    val out = Curation.curriculum(d, nPhases = 4, nShards = 3)
+      .select("doc_id", "phase", "train_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    // dense positions 0..5
+    assert(out.map(_._3).toSeq === (0L until 6L))
+    // phase sequence is non-decreasing along the training order
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(identity).toSeq)
+    // best-quality docs (2, 4) occupy the earliest phase present
+    val firstPhase = out.head._2
+    assert(out.filter(_._2 == firstPhase).map(_._1).toSet === Set(2L, 4L))
+    // stopword soup (1, 5) lands in the last phase present
+    val lastPhase = out.last._2
+    assert(out.filter(_._2 == lastPhase).map(_._1).toSet === Set(1L, 5L))
+  }
+
   test("decontaminate flags benchmark docs and their shingle-sharers only") {
     val d = docs(
       1L -> "one two three four five six seven eight nine", // benchmark
