@@ -641,6 +641,15 @@ object SparkEntry {
         .join(good, Seq("doc_id"), "left_semi")
         .join(drops, Seq("doc_id"), "left_anti")
     }),
+    // capstone 5 — the round-7 curation loop in ONE plan: near-dup
+    // families (chain edges → components) elect their best-quality
+    // keeper, and the surviving corpus is laid into curriculum order
+    "cur_pipeline5" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keepers = Dedup.keepBest(docs, Dedup.minHashLshChain(docs))
+        .where(col("is_best")).select("doc_id")
+      Curation.curriculum(docs.join(keepers, Seq("doc_id"), "left_semi"))
+    }),
     "cur_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
@@ -1187,6 +1196,8 @@ object SparkEntry {
           |FROM assigned a
           |SEMI JOIN good g ON a.doc_id = g.doc_id
           |ANTI JOIN drops d ON a.doc_id = d.doc_id""".stripMargin),
+    "cur_pipeline5" -> Curation.curriculumOracleSql(keepersSql = Some(
+      s"SELECT doc_id FROM (${Dedup.keepBestOracleSql(Dedup.minHashLshChainOracleSql())}) WHERE is_best")),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "cur_len_quantiles_sketch" -> Curation.lengthQuantilesSketchOracleSql,

@@ -1240,21 +1240,30 @@ object Curation {
         (col("off") + col("rn")).as("train_pos"))
   }
 
-  /** DuckDB oracle: the same order declared as one global row_number. */
+  /** DuckDB oracle: the same order declared as one global row_number.
+    * `keepersSql` (a doc_id relation) optionally restricts the corpus —
+    * the capstone-pipeline seam, so a composed oracle reuses these exact
+    * phase/shard/key expressions instead of restating them.
+    */
   def curriculumOracleSql(nPhases: Int = 4, nShards: Int = 64,
-                          salt: String = "r7"): String =
+                          salt: String = "r7",
+                          keepersSql: Option[String] = None): String = {
+    val semi = keepersSql
+      .map(k => s"SEMI JOIN ($k) kp ON q.doc_id = kp.doc_id")
+      .getOrElse("")
     s"""WITH q AS (${TextStats.qualityOracleSql}),
        |keyed AS (
-       |  SELECT doc_id,
+       |  SELECT q.doc_id,
        |         least($nPhases - 1,
-       |               floor((1.0 - quality_score) * $nPhases)::INT) AS phase,
-       |         ${h64Sql(s"'curr:$salt:' || doc_id::VARCHAR")} AS skey
-       |  FROM q)
+       |               floor((1.0 - q.quality_score) * $nPhases)::INT) AS phase,
+       |         ${h64Sql(s"'curr:$salt:' || q.doc_id::VARCHAR")} AS skey
+       |  FROM q $semi)
        |SELECT doc_id, phase,
        |       (row_number() OVER (
        |          ORDER BY phase, skey % $nShards, skey, doc_id) - 1)::BIGINT
        |         AS train_pos
        |FROM keyed""".stripMargin
+  }
 
   def shuffleShardOracleSql(nShards: Int = 8, salt: String = "r4"): String =
     s"""WITH s AS (
