@@ -704,6 +704,10 @@ object SparkEntry {
     // sourceMix weights applied as a deterministic hash-threshold sample
     "cur_rebalance" -> ((s, dir) =>
       Curation.rebalanceSample(Tables.load(s, dir, "documents"))),
+    // embedding-space sibling of quota sampling: equal seats per kmeans
+    // topic cell, smallest-salted-hash rank fills them
+    "cur_topic_balance" -> ((s, dir) =>
+      Curation.topicBalance(Tables.load(s, dir, "embeddings"))),
     // incremental refresh: odd-doc batch deduped against the even-doc
     // standing snapshot by content key (anti join, no snapshot rescan)
     "dedup_incremental" -> ((s, dir) => {
@@ -1232,6 +1236,7 @@ object SparkEntry {
     "cur_shuffle_shard" -> Curation.shuffleShardOracleSql(),
     "cur_curriculum" -> Curation.curriculumOracleSql(),
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
+    "cur_topic_balance" -> Curation.topicBalanceOracleSql(),
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
     "dedup_chain_clusters" ->

@@ -112,6 +112,54 @@ object Curation {
        |FROM documents""".stripMargin
   }
 
+  /** Topic-balanced sampling: cap each embedding-space topic (a
+    * [[Similarity.kmeans]] cell) at an equal seat count — the
+    * cluster-balancing step that stops a dominant topic from swamping a
+    * curated subset, the embedding-space sibling of [[quotaSample]]'s
+    * per-source seats. Seats = total/k per topic (+1 for the first
+    * total%k topic ids); under-full topics keep everything (seats are
+    * not redistributed — balance, not exact size, is the contract).
+    * vec_id ≡ doc_id (the embeddings table keys documents, as
+    * cur_pipeline4 relies on). Output: (doc_id, topic, rk, quota).
+    *
+    * Scale: the Lloyd assignment is a broadcast-centroid scan (measured
+    * sublinear through 1000×); the election is one window per topic —
+    * topics are few but the window key space is k, so per-partition sort
+    * state is corpus/k. For corpora where even that is too wide, the
+    * same salted-hash rank can be pre-bucketed exactly like
+    * [[curriculum]]'s (phase, shard) decomposition.
+    */
+  def topicBalance(emb: DataFrame, total: Long = 200L, k: Int = 8,
+                   iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(total > 0 && k > 0)
+    val cells = Similarity.kmeans(emb, k, iters)
+      .select(col("vec_id").as("doc_id"), col("cluster").as("topic"))
+    val quota = (lit(total / k) +
+      when(col("topic") < lit(total % k), 1L).otherwise(0L)).as("quota")
+    val u = h64(concat(lit("tb:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("topic").orderBy(u.asc, col("doc_id").asc)
+    cells.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("quota", quota)
+      .where(col("rk") <= col("quota"))
+      .select("doc_id", "topic", "rk", "quota")
+  }
+
+  def topicBalanceOracleSql(total: Long = 200L, k: Int = 8,
+                            iters: Int = 3): String =
+    s"""WITH km AS (${Similarity.kmeansOracleSql(k, iters)}),
+       |cells AS (SELECT vec_id AS doc_id, cluster AS topic FROM km),
+       |ranked AS (
+       |  SELECT doc_id, topic,
+       |         row_number() OVER (
+       |           PARTITION BY topic
+       |           ORDER BY ${h64Sql("'tb:' || doc_id::VARCHAR")}, doc_id
+       |         )::BIGINT AS rk,
+       |         ($total // $k + CASE WHEN topic < ($total % $k)
+       |            THEN 1 ELSE 0 END)::BIGINT AS quota
+       |  FROM cells)
+       |SELECT doc_id, topic, rk, quota FROM ranked WHERE rk <= quota""".stripMargin
+
   /** Split-leakage audit: near-dup clusters that straddle the train/eval
     * boundary — the contamination a hash split cannot see (it assigns
     * doc-by-doc, so two near-copies routinely land on opposite sides, and

@@ -49,6 +49,12 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one window operator:\n$p")
   }
 
+  test("topic balance rides the broadcast-centroid scan — no join for cells") {
+    val p = plan("cur_topic_balance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "cell assignment must not join")
+  }
+
   test("curriculum broadcasts the offset rollup — no doc-wide global sort") {
     val p = plan("cur_curriculum")
     // the dense global order must come from bounded (phase, shard)

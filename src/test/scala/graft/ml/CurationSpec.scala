@@ -13,6 +13,25 @@ class CurationSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("topicBalance caps full topics at quota, under-full topics keep all") {
+    // two well-separated topics: 24 vecs near +10·e1, 4 near -10·e2
+    val emb = ((0 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == 0) 10f + i * 0.01f else 0f))
+    } ++ (24 until 28).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == 1) -10f - i * 0.01f else 0f))
+    }).toDF("vec_id", "embedding")
+    val out = Curation.topicBalance(emb, total = 10L, k = 2, iters = 3)
+      .select("doc_id", "topic", "rk", "quota")
+      .as[(Long, Long, Long, Long)].collect()
+    // every quota is 5; the 24-member topic is capped at 5, the 4-member
+    // topic keeps all 4 (seats are not redistributed)
+    assert(out.forall(_._4 === 5L))
+    val byTopic = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byTopic.values.toSet === Set(5, 4))
+    // the capped topic kept exactly the 5 smallest salted-hash ranks
+    assert(out.filter(_._3 > 5L).isEmpty)
+  }
+
   test("splitLeakage flags clusters straddling the split, skips singletons") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
