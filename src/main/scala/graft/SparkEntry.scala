@@ -813,6 +813,10 @@ object SparkEntry {
     "evt_sessionize_skew" -> ((s, dir) =>
       Events.sessionizeSkew(Events.canonical(s, dir))),
     "evt_asof" -> ((s, dir) => Events.asofPurchase(Events.canonical(s, dir))),
+    // kdb/QuestDB ASOF ... TOLERANCE: stale matches null out; same
+    // single-shuffle merge window, tolerance is a column predicate
+    "evt_asof_tolerance" -> ((s, dir) =>
+      Events.asofPurchaseTolerance(Events.canonical(s, dir))),
     "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))),
     "evt_attribution" -> ((s, dir) => Events.attribution(Events.canonical(s, dir))),
     "evt_key_skew" -> ((s, dir) => Events.keySkew(Events.canonical(s, dir))),
@@ -1269,6 +1273,7 @@ object SparkEntry {
     "evt_sessionize" -> Events.sessionizeOracleSql(),
     "evt_sessionize_skew" -> Events.sessionizeOracleSql(),
     "evt_asof" -> Events.asofPurchaseOracleSql,
+    "evt_asof_tolerance" -> Events.asofPurchaseToleranceOracleSql(),
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),
     "evt_attribution" -> Events.attributionOracleSql(),
     "evt_key_skew" -> Events.keySkewOracleSql(),

@@ -205,6 +205,55 @@ object Events {
        |FROM c ASOF LEFT JOIN p
        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  /** [[asofPurchase]] with a staleness TOLERANCE (kdb / QuestDB
+    * `ASOF ... TOLERANCE` semantics): a prior purchase older than
+    * `toleranceSec` at click time is no match — last_purchase and
+    * staleness_sec both null. The merge-window trick is unchanged (one
+    * shuffle of the fact table, no join); the tolerance is a column
+    * predicate on the carried purchase timestamp, so the scale shape is
+    * identical to the untolerated as-of.
+    * Output: (event_id, user_id, ts, value, last_purchase, staleness_sec).
+    */
+  def asofPurchaseTolerance(events: DataFrame,
+                            toleranceSec: Long = 3600L): DataFrame = {
+    require(toleranceSec >= 0)
+    val purchases = events.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pval"))
+      .select(lit(-1L).as("event_id"), col("ts"), col("user_id"),
+        lit(null).cast("double").as("value"), lit(0).as("kind"),
+        struct(col("ts").as("pts"), col("pval")).as("p"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        lit(1).as("kind"),
+        lit(null).cast("struct<pts:timestamp,pval:double>").as("p"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stale = unix_timestamp(col("ts")) - unix_timestamp(col("lp.pts"))
+    purchases.unionByName(clicks)
+      .withColumn("lp", last(col("p"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(stale <= toleranceSec, col("lp.pval")).as("last_purchase"),
+        when(stale <= toleranceSec, stale).as("staleness_sec"))
+  }
+
+  def asofPurchaseToleranceOracleSql(toleranceSec: Long = 3600L): String =
+    s"""WITH ev AS ($canonicalSql),
+       |p AS (
+       |  SELECT user_id, ts, max(value) AS pval
+       |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts),
+       |c AS (
+       |  SELECT event_id, user_id, ts, value
+       |  FROM ev WHERE event_type = 'click')
+       |SELECT c.event_id, c.user_id, c.ts, c.value,
+       |       CASE WHEN date_diff('second', p.ts, c.ts) <= $toleranceSec
+       |            THEN p.pval END AS last_purchase,
+       |       CASE WHEN date_diff('second', p.ts, c.ts) <= $toleranceSec
+       |            THEN date_diff('second', p.ts, c.ts)::BIGINT
+       |       END AS staleness_sec
+       |FROM c ASOF LEFT JOIN p
+       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   // ---------------------------------------------------------------------
   // Range (interval) join
   // ---------------------------------------------------------------------

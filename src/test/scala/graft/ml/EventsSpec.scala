@@ -91,6 +91,34 @@ class EventsSpec extends SparkSpec {
     ))
   }
 
+  test("asof tolerance: stale matches null out, fresh carry staleness") {
+    // tolerance 3600 s: click 3 (same second) staleness 0, click 4 is
+    // 4800 s after the 10:10 purchase → nulled; clicks 1/5 unmatched
+    val out = Events.asofPurchaseTolerance(fixture, toleranceSec = 3600L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(out.toSeq == Seq(
+      (1L, None, None),
+      (3L, Some(50.0), Some(0L)),
+      (4L, None, None), // a match exists but is 4800 s stale
+      (5L, None, None)
+    ))
+    // tightened tolerance nulls the equal-ts match's sibling too
+    val wide = Events.asofPurchaseTolerance(fixture, toleranceSec = 5000L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(wide.toSeq == Seq(
+      (1L, None), (3L, Some(0L)), (4L, Some(4800L)), (5L, None)))
+  }
+
+  test("asof tolerance: still a joinless windowed scan") {
+    val p = Events.asofPurchaseTolerance(fixture)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"tolerated asof must not compile to a join:\n$p")
+  }
+
   test("asof: plan is a windowed scan — no join operator at all") {
     val p = Events.asofPurchase(fixture).queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"asof must not compile to a join:\n$p")
