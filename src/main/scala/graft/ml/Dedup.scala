@@ -113,7 +113,7 @@ object Dedup {
     * collisions negligible, and the DuckDB oracle hashes at the same
     * point so both engines see identical keys.
     */
-  private def shingleTable(docs: DataFrame, k: Int): DataFrame =
+  private[ml] def shingleTable(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), k)).as("shingle"))
       .select(col("doc_id"), h64(col("shingle")).as("sh"))

@@ -1,0 +1,112 @@
+package graft.ml
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup ADMISSION PROBE — the ingest-time question a
+  * production corpus loop asks of every arriving document: "is this a
+  * near-duplicate of the standing corpus?" The standing side contributes
+  * the SAME persistable index relations [[Dedup.minHashLshIncremental]]
+  * probes in batch (band index + shingle-set table); the arriving side
+  * computes its signature PER ROW, so the stream stays completely
+  * STATELESS:
+  *
+  *  - signatures: a typed flatMap replicates [[Dedup.bandTable]]'s math
+  *    bit-for-bit in plain Scala (same md5-prefix 60-bit shingle hash,
+  *    same universal-hash seed family, same "|"-joined md5 band keys) —
+  *    one row per (doc, band), no streaming aggregation, no shuffle on
+  *    the stream side before the join;
+  *  - candidates: a stream-STATIC equi join on (band, bkey) — Spark
+  *    executes these with zero streaming state (the static side is just
+  *    a broadcast/scan per micro-batch);
+  *  - verify: exact Jaccard in-row — the probe row carries its distinct
+  *    shingle hashes, the static side its (pre-aggregated) set, and
+  *    `array_intersect` sizes the overlap. No pair re-expansion join.
+  *
+  * A pair sharing multiple bands is emitted once per shared band (the
+  * stateless price); every candidate of a document lands in that
+  * document's own micro-batch, so a per-batch `distinct` at the sink
+  * (foreachBatch) restores exact pair semantics — pinned bit-equal to
+  * the batch incremental path's cross pairs in StreamingNearDupSpec.
+  *
+  * Scale: per-arriving-doc cost is O(shingles × numHashes) map work plus
+  * one indexed join probe — O(batch + matches), never O(corpus); the
+  * static relations are the bucketed on-disk index of the standing
+  * corpus (cf. [[Dedup.minHashLshIncremental]]'s scaladoc).
+  */
+object StreamingNearDup {
+  private val HashP = 1000000007L
+
+  /** Per-document signature, replicating the batch relations exactly:
+    * (distinct sorted 60-bit shingle hashes, per-band md5 bucket keys).
+    * Empty shingle set (doc shorter than k words) → no band rows, like
+    * the batch groupBy producing no signature row.
+    */
+  private[ml] def signature(text: String, k: Int, numHashes: Int,
+                            bands: Int): (Array[Long], Seq[(Long, String)]) = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val md = MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // split(text, " ") with Java limit -1 = Spark's split semantics
+    val w = text.split(" ", -1)
+    val shs: Array[Long] =
+      if (w.length < k) Array.empty
+      else Array.tabulate(w.length - k + 1) { i =>
+        java.lang.Long.parseLong(
+          md5hex(w.slice(i, i + k).mkString(" ")).take(15), 16)
+      }.distinct.sorted
+    if (shs.isEmpty) (shs, Nil)
+    else {
+      val mh = Array.tabulate(numHashes) { s =>
+        val a = Dedup.seedConst("A", s)
+        val b = Dedup.seedConst("B", s)
+        var m = Long.MaxValue
+        shs.foreach { sh => val v = (a * (sh % HashP) + b) % HashP
+          if (v < m) m = v }
+        m
+      }
+      val keys = (0 until bands).map { b =>
+        (b.toLong,
+          md5hex((0 until rows).map(r => mh(b * rows + r).toString)
+            .mkString("|")))
+      }
+      (shs, keys)
+    }
+  }
+
+  /** `batch` is a STREAMING (doc_id, text) frame; `snapshot` a static
+    * one. Output (append mode, stateless): (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b, jaccard >= threshold — one row per SHARED BAND;
+    * distinct-per-micro-batch at the sink gives exact pairs.
+    */
+  def nearDupProbeStream(batch: DataFrame, snapshot: DataFrame, k: Int = 3,
+                         numHashes: Int = 16, bands: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val snapSh = Dedup.shingleTable(snapshot, k).localCheckpoint()
+    val snapBands = Dedup.bandTable(snapSh, numHashes, bands)
+      .select(col("doc_id").as("snap_id"), col("band"), col("bkey"))
+    val snapSets = snapSh.groupBy(col("doc_id").as("set_id"))
+      .agg(sort_array(collect_list("sh")).as("snap_shs"))
+    val probe = batch.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val (shs, keys) = signature(text, k, numHashes, bands)
+        keys.iterator.map { case (b, key) => (id, b, key, shs) }
+      }.toDF("doc_id", "band", "bkey", "shs")
+    val ninter = size(array_intersect(col("shs"), col("snap_shs")))
+      .cast("double")
+    val jac = round(ninter /
+      (size(col("shs")) + size(col("snap_shs")) - ninter), 6)
+    probe.join(snapBands, Seq("band", "bkey"))
+      .join(snapSets, col("snap_id") === col("set_id"))
+      .select(least(col("doc_id"), col("snap_id")).as("doc_a"),
+        greatest(col("doc_id"), col("snap_id")).as("doc_b"),
+        jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}
