@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Events, Joins, Layout, Multimodal, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Joins, KnnEval, Layout, Multimodal, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -526,6 +526,30 @@ object SparkEntry {
     // Johnson–Lindenstrauss random-projection sketch
     "ann_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(Tables.load(s, dir, "embeddings"))),
+    // leave-one-out kNN majority-vote classification — the standard
+    // embedding-quality probe (exact ranking; chance accuracy on the
+    // label-random synthetic corpus, by design)
+    "ann_knn_classify" -> ((s, dir) =>
+      KnnEval.knnClassify(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+    "ann_knn_accuracy" -> ((s, dir) =>
+      KnnEval.knnAccuracy(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+    // the same vote over IVF candidates — the composition that survives
+    // a corpus the brute pass cannot
+    "ann_knn_classify_ivf" -> ((s, dir) =>
+      KnnEval.knnClassifyIvf(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
+    // contrastive-training hard-negative mining: top-ranked
+    // different-label neighbors per query
+    "ann_hard_negatives" -> ((s, dir) =>
+      KnnEval.hardNegatives(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 5)),
+    // neighborhood label-consistency diagnostic over threshold-similar
+    // same-cell neighbors (semanticDedup's measured pair kernel)
+    "ann_label_consistency" -> ((s, dir) =>
+      KnnEval.labelConsistency(Tables.load(s, dir, "embeddings"),
+        threshold = 0.3)),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -888,7 +912,8 @@ object SparkEntry {
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
-    "dedup_semantic", "cur_pipeline4")
+    "dedup_semantic", "cur_pipeline4",
+    "ann_knn_classify_ivf", "ann_label_consistency")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1118,6 +1143,11 @@ object SparkEntry {
     "ann_ivfpq_rerank_recall" -> Similarity.ivfPqRerankRecallOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
+    "ann_knn_classify" -> KnnEval.knnClassifyOracleSql(k = 10),
+    "ann_knn_accuracy" -> KnnEval.knnAccuracyOracleSql(k = 10),
+    "ann_knn_classify_ivf" -> KnnEval.knnClassifyIvfOracleSql(k = 10),
+    "ann_hard_negatives" -> KnnEval.hardNegativesOracleSql(k = 5),
+    "ann_label_consistency" -> KnnEval.labelConsistencyOracleSql(0.3),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

@@ -51,7 +51,7 @@ object Similarity {
     */
   private def dot(a: Column, b: Column): Column = VecFold.dot(a, b)
 
-  private def normed(emb: DataFrame): DataFrame =
+  private[ml] def normed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(VecFold.dot(col("v"), col("v"))))
 
@@ -60,7 +60,7 @@ object Similarity {
     * result to a single global rank, but the corpus-sized sort is
     * distributed over 64 buckets per query.
     */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[ml] def topK(scored: DataFrame, k: Int): DataFrame = {
     val byScore = Seq(desc("cosine"), asc("neighbor_id"))
     val pre = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
       .orderBy(byScore: _*)
@@ -293,7 +293,7 @@ object Similarity {
     * two-level / hierarchical quantizer (assign to √nCells super-cells,
     * then within), which changes only this one function.
     */
-  private def withCellRanks(e: DataFrame, nCells: Int,
+  private[ml] def withCellRanks(e: DataFrame, nCells: Int,
                             keep: Int = 1): DataFrame = {
     val cents: Array[(Long, Array[Double], Double)] = e
       .orderBy("vec_id").limit(nCells)
@@ -376,7 +376,7 @@ object Similarity {
     * `ranks`) — the coarse-quantizer assignment both [[ivfTopK]] and
     * [[semanticDedup]] build on.
     */
-  private def cellCtesSql(nCells: Int): String =
+  private[ml] def cellCtesSql(nCells: Int): String =
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
