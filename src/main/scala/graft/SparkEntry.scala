@@ -674,6 +674,27 @@ object SparkEntry {
         .where(col("is_best")).select("doc_id")
       Curation.curriculum(docs.join(keepers, Seq("doc_id"), "left_semi"))
     }),
+    // capstone pipeline 6 — representation QA gate, one Catalyst plan:
+    // flag label-suspect vectors (neighborhood consistency < 0.5 over
+    // threshold-similar same-cell neighbors), drop them, then balance
+    // the survivors to the smallest class by deterministic-hash rank —
+    // the "clean + class-balanced probe set" a fine-tune/eval job reads
+    "cur_pipeline6" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val flagged = KnnEval.labelConsistency(emb, threshold = 0.3)
+        .where(col("consistency") < 0.5).select("vec_id")
+      val surv = emb.select(col("vec_id"), col("label").cast("int").as("label"))
+        .join(flagged, Seq("vec_id"), "left_anti")
+      val nMin = surv.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("n_min"))
+      val u = graft.ml.Portable.h64(
+        concat(lit("p6:"), col("vec_id").cast("string")))
+      val w = Window.partitionBy("label").orderBy(u.asc, col("vec_id").asc)
+      surv.join(broadcast(nMin))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n_min"))
+        .select(col("vec_id"), col("label"), col("rk"))
+    }),
     "cur_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.load(s, dir, "documents"))),
     "cur_len_quantiles" -> ((s, dir) =>
@@ -913,7 +934,7 @@ object SparkEntry {
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
     "dedup_semantic", "cur_pipeline4",
-    "ann_knn_classify_ivf", "ann_label_consistency")
+    "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1236,6 +1257,24 @@ object SparkEntry {
           |ANTI JOIN drops d ON a.doc_id = d.doc_id""".stripMargin),
     "cur_pipeline5" -> Curation.curriculumOracleSql(keepersSql = Some(
       s"SELECT doc_id FROM (${Dedup.keepBestOracleSql(Dedup.minHashLshChainOracleSql())}) WHERE is_best")),
+    "cur_pipeline6" ->
+      (s"""WITH cons AS (
+          |  SELECT * FROM (${graft.ml.KnnEval.labelConsistencyOracleSql(0.3)})),
+          |flagged AS (SELECT vec_id FROM cons WHERE consistency < 0.5),
+          |surv AS (
+          |  SELECT e.vec_id, e.label FROM embeddings e
+          |  ANTI JOIN flagged f ON e.vec_id = f.vec_id),
+          |nm AS (
+          |  SELECT min(n)::BIGINT AS n_min FROM (
+          |    SELECT label, count(*) AS n FROM surv GROUP BY 1)),
+          |ranked AS (
+          |  SELECT vec_id, label,
+          |         row_number() OVER (PARTITION BY label
+          |           ORDER BY ('0x' || substr(md5('p6:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+          |                    vec_id) AS rk
+          |  FROM surv)
+          |SELECT vec_id, label, rk FROM ranked, nm
+          |WHERE rk <= n_min""".stripMargin),
     "cur_repetition" -> Curation.repetitionStatsOracleSql(),
     "cur_len_quantiles" -> Curation.lengthQuantilesOracleSql,
     "cur_len_quantiles_sketch" -> Curation.lengthQuantilesSketchOracleSql,
