@@ -550,6 +550,16 @@ object SparkEntry {
     "ann_label_consistency" -> ((s, dir) =>
       KnnEval.labelConsistency(Tables.load(s, dir, "embeddings"),
         threshold = 0.3)),
+    // per-dimension distribution drift between corpus snapshots — the
+    // refresh-time monitoring pass (odd vec_ids play the new snapshot)
+    "ann_snapshot_drift" -> ((s, dir) =>
+      Similarity.snapshotDrift(Tables.load(s, dir, "embeddings"),
+        pmod(col("vec_id"), lit(2)) === 1)),
+    // daily-refresh IVF maintenance: only the batch is scored against
+    // the standing corpus's coarse quantizer
+    "ann_ivf_incremental" -> ((s, dir) =>
+      Similarity.ivfAssignIncremental(Tables.load(s, dir, "embeddings"),
+        pmod(col("vec_id"), lit(10)) === 9)),
 
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => TextStats.tokenStats(Tables.load(s, dir, "documents"))),
@@ -934,7 +944,8 @@ object SparkEntry {
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
     "dedup_semantic", "cur_pipeline4",
-    "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6")
+    "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6",
+    "ann_ivf_incremental")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1169,6 +1180,8 @@ object SparkEntry {
     "ann_knn_classify_ivf" -> KnnEval.knnClassifyIvfOracleSql(k = 10),
     "ann_hard_negatives" -> KnnEval.hardNegativesOracleSql(k = 5),
     "ann_label_consistency" -> KnnEval.labelConsistencyOracleSql(0.3),
+    "ann_snapshot_drift" -> Similarity.snapshotDriftOracleSql(),
+    "ann_ivf_incremental" -> Similarity.ivfAssignIncrementalOracleSql(),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,
     "text_quality" -> TextStats.qualityOracleSql,
     "text_langid" -> TextStats.languageIdOracleSql,

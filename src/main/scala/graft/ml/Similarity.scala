@@ -294,8 +294,10 @@ object Similarity {
     * then within), which changes only this one function.
     */
   private[ml] def withCellRanks(e: DataFrame, nCells: Int,
-                            keep: Int = 1): DataFrame = {
-    val cents: Array[(Long, Array[Double], Double)] = e
+                            keep: Int = 1,
+                            seedFrom: DataFrame = null): DataFrame = {
+    val cents: Array[(Long, Array[Double], Double)] = (
+      if (seedFrom == null) e else seedFrom)
       .orderBy("vec_id").limit(nCells)
       .select("vec_id", "v", "norm").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -1118,4 +1120,92 @@ object Similarity {
        |$rounds
        |SELECT vec_id, cluster, d2 AS dist2 FROM a$iters""".stripMargin
   }
+  /** Per-dimension distribution drift between two corpus snapshots —
+    * the monitoring pass a vector-index deployment runs on every refresh
+    * (embedding-model regressions and ingestion bugs show up as mean
+    * shifts long before recall degrades). Snapshots are selected by
+    * `isNew`: A = standing corpus, B = the refresh. Output per dimension
+    * i: (i, mean_a, mean_b, delta, smd) where smd is the standardized
+    * mean difference |mean_a − mean_b| / sqrt((var_a + var_b) / 2) — the
+    * scale-free effect size (0 = no drift). One linear scan + posexplode;
+    * the aggregate is 2·dim cells, shuffle is dim-bounded.
+    */
+  def snapshotDrift(emb: DataFrame, isNew: Column): DataFrame = {
+    val e = emb.select(isNew.cast("int").as("snap_b"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(
+        avg(when(col("snap_b") === 0, col("x"))).as("ma"),
+        avg(when(col("snap_b") === 1, col("x"))).as("mb"),
+        var_pop(when(col("snap_b") === 0, col("x"))).as("va"),
+        var_pop(when(col("snap_b") === 1, col("x"))).as("vb"))
+    e.select(col("i"),
+      round(col("ma"), 6).as("mean_a"),
+      round(col("mb"), 6).as("mean_b"),
+      round(col("mb") - col("ma"), 6).as("delta"),
+      round(abs(col("mb") - col("ma")) /
+        sqrt((col("va") + col("vb")) / 2.0), 6).as("smd"))
+  }
+
+  /** DuckDB twin of [[snapshotDrift]]. `isNewSql` must classify rows
+    * identically to the Spark predicate. */
+  def snapshotDriftOracleSql(
+      isNewSql: String = "((vec_id % 2) + 2) % 2 = 1"): String =
+    s"""WITH x AS (
+       |  SELECT CASE WHEN $isNewSql THEN 1 ELSE 0 END AS snap_b,
+       |         (i - 1)::BIGINT AS i, v[i] AS x
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |       unnest(range(1, len(v) + 1)) AS r(i)),
+       |g AS (
+       |  SELECT i,
+       |         avg(CASE WHEN snap_b = 0 THEN x END) AS ma,
+       |         avg(CASE WHEN snap_b = 1 THEN x END) AS mb,
+       |         var_pop(CASE WHEN snap_b = 0 THEN x END) AS va,
+       |         var_pop(CASE WHEN snap_b = 1 THEN x END) AS vb
+       |  FROM x GROUP BY i)
+       |SELECT i, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       |       round(mb - ma, 6) AS delta,
+       |       round(abs(mb - ma) / sqrt((va + vb) / 2.0), 6) AS smd
+       |FROM g""".stripMargin
+
+  /** Incremental IVF assignment — the daily-refresh pattern for the
+    * vector index (the ANN sibling of [[Dedup.incremental]] /
+    * [[Dedup.minHashLshIncremental]]): only the `isNew` batch is scored;
+    * the standing corpus contributes its coarse quantizer (seed
+    * centroids, the persisted index state in a real deployment — here
+    * re-derived with one bounded TakeOrdered over the standing rows).
+    * Cell count auto-scales with the STANDING corpus ([[autoCells]]), so
+    * a growing index keeps constant occupancy without re-assigning old
+    * rows. Cost: O(batch · nCells) — no standing rescan, no shuffle of
+    * the standing corpus. Output: (vec_id, cell) for the batch only.
+    */
+  def ivfAssignIncremental(emb: DataFrame, isNew: Column,
+                           nCells: Int = 16): DataFrame = {
+    val e = normed(emb)
+    val standing = e.where(!isNew)
+    val batch = e.where(isNew)
+    val ranked = withCellRanks(batch, autoCells(standing.count(), nCells),
+      keep = 1, seedFrom = standing)
+    ranked.select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+  }
+
+  def ivfAssignIncrementalOracleSql(nCells: Int = 16,
+      isNewSql: String = "((vec_id % 10) + 10) % 10 = 9"): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+       |  WHERE NOT ($isNewSql)
+       |  ORDER BY vec_id LIMIT $nCells),
+       |ranks AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY floor(list_dot_product(e.v, c.cv) / (e.norm * c.cn) * 1e9 + 0.5) / 1e9 DESC,
+       |                    c.cid) AS rnk
+       |  FROM e CROSS JOIN cents c
+       |  WHERE $isNewSql)
+       |SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1""".stripMargin
 }

@@ -642,4 +642,36 @@ class MlSpec extends SparkSpec {
     assert(Similarity.autoCells(84999L, 16) === 16)
     assert(Similarity.autoCells(85000L, 16) === 17)
   }
+
+  test("snapshotDrift: planted mean shift on one dimension, smd isolates it") {
+    // snapshot A (even ids) centered at origin on dim 1; snapshot B (odd
+    // ids) shifted +10 on dim 1 only — spread 0.5 on both dims/snapshots
+    val emb = Seq(
+      (0L, Array(0.5f, 1.0f)), (2L, Array(-0.5f, 2.0f)),
+      (1L, Array(0.5f, 11.0f)), (3L, Array(-0.5f, 12.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.snapshotDrift(emb, pmod(col("vec_id"), lit(2)) === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // dim 0: identical distributions -> delta 0, smd 0
+    assert(out(0L) === ((0.0, 0.0, 0.0, 0.0)))
+    // dim 1: means 1.5 vs 11.5, var_pop 0.25 both -> smd = 10 / 0.5 = 20
+    assert(out(1L) === ((1.5, 11.5, 10.0, 20.0)))
+  }
+
+  test("ivfAssignIncremental: batch rows assigned to standing-corpus centroids only") {
+    // standing ids 0,1 define the two seed centroids (orthogonal axes);
+    // batch ids 100,101 each hug one axis -> assigned to that seed
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (100L, Array(0.9f, 0.1f)), (101L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssignIncremental(emb, col("vec_id") >= 100L,
+        nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(100L -> 0L, 101L -> 1L))
+    // only batch rows appear — the standing corpus is never re-assigned
+    assert(out.keySet === Set(100L, 101L))
+  }
 }
