@@ -330,4 +330,24 @@ class PlanSpec extends SparkSpec {
     // pattern; only a true cartesian over data-sized inputs is banned)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("kNN family candidates stay equi-joined — no cartesian; drift and incremental assign never join") {
+    for (q <- Seq("ann_knn_classify_ivf", "ann_label_consistency",
+                  "cur_pipeline6")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // cur_pipeline6 carries ONE BroadcastNestedLoopJoin by design: the
+      // 1-row n_min aggregate broadcast against the survivors (the
+      // scalar-subquery shape pinned above); anything more is a defect
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      val allowed = if (q == "cur_pipeline6") 1 else 0
+      assert(bnlj <= allowed, s"$q has $bnlj nested-loop joins (> $allowed)")
+    }
+    // the refresh paths are scans against broadcast state: any Join node
+    // means the standing corpus got dragged into the per-row path
+    for (q <- Seq("ann_ivf_incremental", "ann_snapshot_drift")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q joins where a scan was promised")
+    }
+  }
 }
