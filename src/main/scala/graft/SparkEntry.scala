@@ -550,6 +550,10 @@ object SparkEntry {
     "ann_label_consistency" -> ((s, dir) =>
       KnnEval.labelConsistency(Tables.load(s, dir, "embeddings"),
         threshold = 0.3)),
+    // mutual-kNN graph clustering: cell-scoped top-k, mutual filter,
+    // pointer-doubling components — topic discovery over the corpus
+    "ann_knn_clusters" -> ((s, dir) =>
+      KnnEval.knnClusters(Tables.load(s, dir, "embeddings"), k = 5)),
     // per-dimension distribution drift between corpus snapshots — the
     // refresh-time monitoring pass (odd vec_ids play the new snapshot)
     "ann_snapshot_drift" -> ((s, dir) =>
@@ -945,7 +949,7 @@ object SparkEntry {
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
     "dedup_semantic", "cur_pipeline4",
     "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6",
-    "ann_ivf_incremental")
+    "ann_ivf_incremental", "ann_knn_clusters")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1180,6 +1184,7 @@ object SparkEntry {
     "ann_knn_classify_ivf" -> KnnEval.knnClassifyIvfOracleSql(k = 10),
     "ann_hard_negatives" -> KnnEval.hardNegativesOracleSql(k = 5),
     "ann_label_consistency" -> KnnEval.labelConsistencyOracleSql(0.3),
+    "ann_knn_clusters" -> KnnEval.knnClustersOracleSql(k = 5),
     "ann_snapshot_drift" -> Similarity.snapshotDriftOracleSql(),
     "ann_ivf_incremental" -> Similarity.ivfAssignIncrementalOracleSql(),
     "text_token_stats" -> TextStats.tokenStatsOracleSql,

@@ -81,8 +81,10 @@ object KnnEval {
     * ANN pass (queries × corpus) — the oracle baseline; use
     * [[knnClassifyIvf]] when the corpus outgrows it.
     */
-  def knnClassify(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
+  def knnClassify(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     vote(Similarity.topK(scoredWithLabels(emb, isQuery), k))
+  }
 
   /** One-row harness rollup of [[knnClassify]]:
     * (accuracy, n_queries). */
@@ -114,6 +116,7 @@ object KnnEval {
     * are dense within the negative set.
     */
   def hardNegatives(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     val negs = scoredWithLabels(emb, isQuery)
       .where(col("n_label") =!= col("qlabel"))
     Similarity.topK(negs, k)
@@ -135,6 +138,8 @@ object KnnEval {
     */
   def labelConsistency(emb: DataFrame, threshold: Double,
                        nCells: Int = 16): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      "threshold is a cosine — must lie in [-1, 1]")
     val pairs = Similarity.semanticDedup(emb, threshold, nCells)
     val sym = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"))
       .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nb")))
@@ -236,4 +241,51 @@ object KnnEval {
        |JOIN lab nl ON nl.vec_id = s.nb
        |JOIN lab ql ON ql.vec_id = s.vec_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** Mutual-kNN graph clustering — topic/near-group discovery over the
+    * embedding corpus: every vector queries its IVF cell (nProbe = 1:
+    * cell-scoped, candidates = occupancy, linear in n under
+    * [[Similarity.autoCells]]), an undirected edge is kept only when BOTH
+    * endpoints rank each other in their top-k (the mutual filter that
+    * makes kNN graphs robust to hubs), and [[Dedup.components]] labels
+    * the connected components — the same pointer-doubling engine as text
+    * near-dup clustering. Output: (vec_id, cluster_id, is_keeper).
+    */
+  def knnClusters(emb: DataFrame, k: Int, nCells: Int = 16): DataFrame = {
+    require(k > 0 && nCells > 0, "k and nCells must be positive")
+    // cellTopK ≡ ivfTopK(lit(true), k, nProbe = 1) logically, but never
+    // shuffles vectors: the all-queries re-attach join spilled ~550 GB at
+    // the 100× corpus (see cellTopK's scaladoc / SCALING.md)
+    val top = Similarity.cellTopK(emb, k, nCells = nCells)
+      .select(col("query_id"), col("neighbor_id"))
+    val rev = top.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    val mutual = top.join(rev, Seq("query_id", "neighbor_id"), "left_semi")
+      .where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    Dedup.components(emb.select(col("vec_id").as("doc_id")), mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keeper"))
+  }
+
+  def knnClustersOracleSql(k: Int, nCells: Int = 16): String =
+    s"""WITH RECURSIVE topk AS (
+       |  SELECT * FROM (${Similarity.ivfTopKOracleSql(k, nCells, nProbe = 1,
+             isQuerySql = "TRUE")})),
+       |mut AS (
+       |  SELECT t1.query_id AS a, t1.neighbor_id AS b
+       |  FROM topk t1
+       |  JOIN topk t2 ON t1.query_id = t2.neighbor_id
+       |              AND t1.neighbor_id = t2.query_id
+       |  WHERE t1.query_id < t1.neighbor_id),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM mut
+       |  UNION ALL SELECT b, a FROM mut),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT reach.id, e.dst AS r
+       |  FROM reach JOIN edges e ON reach.r = e.src),
+       |labels AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+       |FROM labels""".stripMargin
 }

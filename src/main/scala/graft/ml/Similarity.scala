@@ -399,6 +399,8 @@ object Similarity {
                              flat: Array[Double], norms: Array[Double])
   final case class CellPair(cell: Long, vec_a: Long, vec_b: Long,
                             cos_raw: Double)
+  final case class CellCand(query_id: Long, neighbor_id: Long,
+                            cos_raw: Double)
 
   /** SemDeDup-style semantic near-dup pairs: assign every vector to its
     * nearest seed centroid (the same coarse quantizer as [[ivfTopK]]),
@@ -496,6 +498,110 @@ object Similarity {
        |JOIN e eb ON eb.vec_id = b.vec_id
        |WHERE round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6)
        |      >= $threshold""".stripMargin
+
+  /** Cell-scoped top-k for EVERY vector — the all-queries sibling of
+    * [[ivfTopK]] (nProbe = 1): per vector, its `k` nearest same-cell
+    * neighbors by 6-dp cosine, neighbor-id tie-break. Logically identical
+    * to `ivfTopK(emb, lit(true), k, nProbe = 1)`; physically it replaces
+    * that plan's re-attach join — which shuffles corpus × occupancy rows
+    * CARRYING the 64-double vectors when the query set is the whole
+    * corpus (measured: ~550 GB of spill at the 200k corpus, "No space
+    * left on device") — with [[semanticDedup]]'s fused block kernel run
+    * in top-k mode: vectors pack into per-(cell, sub) primitive blocks,
+    * each ordered block pair emits k partial candidates per query from a
+    * bounded insertion heap, and one window over the n·nSub·k SCALAR
+    * partials picks the global per-vector top-k. Nothing wider than
+    * (id, id, double) is ever shuffled; per-task state is two blocks.
+    * In-kernel ordering uses the 6-dp-rounded cosine (id tie-break), the
+    * same key the final window and the DuckDB oracle rank by — a raw-
+    * cosine heap could drop a candidate that rounds into a tie it wins.
+    */
+  def cellTopK(emb: DataFrame, k: Int, nCells: Int = 16,
+               nSub: Int = 8): DataFrame = {
+    require(k > 0 && nCells > 0 && nSub > 0,
+      "k, nCells, nSub must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = normed(emb)
+    val blocks = withCellRanks(e, autoCells(emb.count(), nCells))
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+      .as[(Long, Array[Double], Double, Long)]
+      .groupByKey { case (id, _, _, cell) => (cell, (id % nSub).toInt) }
+      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Array[Double], Double, Long)]) =>
+        val (cell, sub) = key
+        val rows = it.toArray.sortBy(_._1)
+        val dim = if (rows.isEmpty) 0 else rows(0)._2.length
+        val flat = new Array[Double](rows.length * dim)
+        val norms = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          System.arraycopy(rows(i)._2, 0, flat, i * dim, dim)
+          norms(i) = rows(i)._3
+          i += 1
+        }
+        CellBlock(cell, sub, rows.map(_._1), flat, norms)
+      }
+    // ALL ordered block pairs within a cell (bl = query side, br =
+    // candidate side, including bl == br): every query sees every
+    // same-cell candidate exactly once across pairs
+    val partials = blocks.as("bl").joinWith(blocks.as("br"),
+        col("bl.cell") === col("br.cell"), "inner")
+      .flatMap { case (a, b) =>
+        val dim = if (a.ids.length > 0) a.flat.length / a.ids.length else 0
+        val m = math.min(k, b.ids.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[CellCand]
+        var i = 0
+        while (i < a.ids.length) {
+          val qid = a.ids(i)
+          // bounded top-m insertion by (rounded cosine desc, id asc)
+          val topId = new Array[Long](m)
+          val topC6 = new Array[Double](m)
+          val topRaw = new Array[Double](m)
+          var filled = 0
+          var j = 0
+          while (j < b.ids.length) {
+            val nid = b.ids(j)
+            if (nid != qid) {
+              var sDot = 0.0
+              var d = 0
+              val oi = i * dim
+              val oj = j * dim
+              while (d < dim) { sDot += a.flat(oi + d) * b.flat(oj + d); d += 1 }
+              val raw = sDot / (a.norms(i) * b.norms(j))
+              val c6 = math.floor(raw * 1e6 + 0.5) / 1e6
+              var pos = filled
+              while (pos > 0 && (topC6(pos - 1) < c6 ||
+                (topC6(pos - 1) == c6 && topId(pos - 1) > nid))) pos -= 1
+              if (pos < m) {
+                val last = math.min(filled, m - 1)
+                var t = last
+                while (t > pos) {
+                  topId(t) = topId(t - 1); topC6(t) = topC6(t - 1)
+                  topRaw(t) = topRaw(t - 1); t -= 1
+                }
+                topId(pos) = nid; topC6(pos) = c6; topRaw(pos) = raw
+                if (filled < m) filled += 1
+              }
+            }
+            j += 1
+          }
+          var t = 0
+          while (t < filled) {
+            out += CellCand(qid, topId(t), topRaw(t)); t += 1
+          }
+          i += 1
+        }
+        out
+      }
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    partials.toDF()
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 
   /** Product-quantization codes — the storage path beyond int8: split
     * each vector into `nSub` contiguous subvectors and assign every

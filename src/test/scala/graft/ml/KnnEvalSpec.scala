@@ -96,4 +96,22 @@ class KnnEvalSpec extends SparkSpec {
     for (id <- Seq(10L, 11L, 12L, 13L))
       assert(out(id) === ((3L, 3L, 1.0)), s"vec $id")
   }
+
+  test("knnClusters: mutual cell-scoped kNN recovers the two families") {
+    // alternating ids so the two smallest-id seeds (0, 1) land one per
+    // family -> cell 0 = x-axis family, cell 1 = y-axis family
+    val e = Seq(
+      (0L, Array(1.00f, 0.01f)), (2L, Array(0.99f, 0.02f)),
+      (4L, Array(0.98f, 0.01f)), (6L, Array(0.97f, 0.03f)),
+      (1L, Array(0.01f, 1.00f)), (3L, Array(0.02f, 0.99f)),
+      (5L, Array(0.01f, 0.98f)), (7L, Array(0.03f, 0.97f))
+    ).toDF("vec_id", "embedding")
+    val out = KnnEval.knnClusters(e, k = 3, nCells = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    for (id <- Seq(0L, 2L, 4L, 6L))
+      assert(out(id) === ((0L, id == 0L)), s"vec $id")
+    for (id <- Seq(1L, 3L, 5L, 7L))
+      assert(out(id) === ((1L, id == 1L)), s"vec $id")
+  }
 }

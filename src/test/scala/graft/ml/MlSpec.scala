@@ -674,4 +674,22 @@ class MlSpec extends SparkSpec {
     // only batch rows appear — the standing corpus is never re-assigned
     assert(out.keySet === Set(100L, 101L))
   }
+
+  test("cellTopK ≡ ivfTopK(all queries, nProbe=1) — kernel rewrite preserves results") {
+    // 60 deterministic pseudo-random 8-dim vectors, 4 cells: enough
+    // occupancy for real per-cell competition and id/rounding ties
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (Similarity.planeWeight(i, d) / 1000.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val kernel = Similarity.cellTopK(emb, k = 5, nCells = 4)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val reference = Similarity.ivfTopK(emb, lit(true), k = 5, nCells = 4,
+        nProbe = 1)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(kernel === reference)
+    assert(kernel.nonEmpty)
+  }
 }
