@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Events, Joins, KnnEval, Layout, Multimodal, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Joins, KnnEval, Layout, Multimodal, Retrieval, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -526,6 +526,20 @@ object SparkEntry {
     // Johnson–Lindenstrauss random-projection sketch
     "ann_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(Tables.load(s, dir, "embeddings"))),
+    // top principal component by power iteration over an integer-exact
+    // Gram matrix — the PCA/whitening step before indexing
+    "ann_pca_top" -> ((s, dir) =>
+      Similarity.pcaTop(Tables.load(s, dir, "embeddings"))),
+    // matryoshka dim-truncation gate: exact top-k on the first 32 of 64
+    // dims vs full-width — the eval before storing truncated vectors
+    "ann_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10, dims = 32)),
+    // sparse lexical retrieval (Okapi BM25): benchmark seed docs query
+    // the corpus — the targeted-data-selection primitive
+    "ret_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
+        Retrieval.defaultIsQuery, k = 10)),
     // leave-one-out kNN majority-vote classification — the standard
     // embedding-quality probe (exact ranking; chance accuracy on the
     // label-random synthetic corpus, by design)
@@ -767,6 +781,33 @@ object SparkEntry {
     // topic cell, smallest-salted-hash rank fills them
     "cur_topic_balance" -> ((s, dir) =>
       Curation.topicBalance(Tables.load(s, dir, "embeddings"))),
+    // per-source unigram KL vs the corpus distribution over the global
+    // top-2000 words — the domain-drift number next to sourceMix's shares
+    "cur_dist_shift" -> ((s, dir) =>
+      Curation.distShift(Tables.load(s, dir, "documents"))),
+    // DSIR importance weights: target-vs-corpus hashed-bigram LM
+    // log-ratio per doc — the importance-resampling selection signal
+    "cur_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(Tables.load(s, dir, "documents"),
+        Retrieval.defaultIsQuery)),
+    // power-of-two length-bucket batching report with padding-waste
+    // fractions — the dynamic-batching decision table
+    "cur_length_buckets" -> ((s, dir) =>
+      Curation.lengthBuckets(Tables.load(s, dir, "documents"))),
+    // capstone 7 — targeted selection in ONE plan: BM25-retrieve corpus
+    // docs relevant to the benchmark seed set (top-20 per seed), roll the
+    // hits up per doc, keep the ones passing the quality gate
+    "cur_pipeline7" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hits = Retrieval.bm25TopK(docs, Retrieval.defaultIsQuery, k = 20)
+      val perDoc = hits.groupBy("doc_id")
+        .agg(min("rank").as("best_rank"), count(lit(1)).as("n_queries"))
+      val keep = TextStats.quality(docs)
+        .where(col("quality_score") > 0.5).select("doc_id")
+      perDoc.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("best_rank").cast("long").as("best_rank"),
+          col("n_queries"))
+    }),
     // incremental refresh: odd-doc batch deduped against the even-doc
     // standing snapshot by content key (anti join, no snapshot rescan)
     "dedup_incremental" -> ((s, dir) => {
@@ -878,6 +919,10 @@ object SparkEntry {
       Events.asofPurchaseTolerance(Events.canonical(s, dir))),
     "evt_range_join" -> ((s, dir) => Events.rangeJoinCount(Events.canonical(s, dir))),
     "evt_attribution" -> ((s, dir) => Events.attribution(Events.canonical(s, dir))),
+    // linear multi-touch credit: each purchase splits equally across its
+    // window's clicks, credit rolled up per click (micro-unit exact)
+    "evt_attribution_linear" -> ((s, dir) =>
+      Events.attributionLinear(Events.canonical(s, dir))),
     "evt_key_skew" -> ((s, dir) => Events.keySkew(Events.canonical(s, dir))),
     // salted hot-key join: events (fact) x per-user spend (dim too big to
     // assume broadcastable at corpus scale, too hot-keyed for AQE alone);
@@ -1179,6 +1224,24 @@ object SparkEntry {
     "ann_ivfpq_rerank_recall" -> Similarity.ivfPqRerankRecallOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
+    "ann_matryoshka_recall" ->
+      Similarity.matryoshkaRecallOracleSql(k = 10, dims = 32),
+    "ann_pca_top" -> Similarity.pcaTopOracleSql(),
+    "cur_dsir_weights" ->
+      Curation.dsirWeightsOracleSql(Retrieval.defaultIsQuerySql),
+    "ret_bm25" ->
+      Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
+    "cur_pipeline7" ->
+      s"""WITH hits AS (
+         |  ${Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 20)}),
+         |per AS (
+         |  SELECT doc_id, min(rank)::BIGINT AS best_rank,
+         |         count(*)::BIGINT AS n_queries
+         |  FROM hits GROUP BY doc_id),
+         |q AS (${TextStats.qualityOracleSql})
+         |SELECT p.doc_id, p.best_rank, p.n_queries
+         |FROM per p SEMI JOIN q ON p.doc_id = q.doc_id
+         |                      AND q.quality_score > 0.5""".stripMargin,
     "ann_knn_classify" -> KnnEval.knnClassifyOracleSql(k = 10),
     "ann_knn_accuracy" -> KnnEval.knnAccuracyOracleSql(k = 10),
     "ann_knn_classify_ivf" -> KnnEval.knnClassifyIvfOracleSql(k = 10),
@@ -1328,6 +1391,8 @@ object SparkEntry {
     "cur_curriculum" -> Curation.curriculumOracleSql(),
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "cur_topic_balance" -> Curation.topicBalanceOracleSql(),
+    "cur_dist_shift" -> Curation.distShiftOracleSql(),
+    "cur_length_buckets" -> Curation.lengthBucketsOracleSql(),
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
     "dedup_chain_clusters" ->
@@ -1363,6 +1428,7 @@ object SparkEntry {
     "evt_asof_tolerance" -> Events.asofPurchaseToleranceOracleSql(),
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),
     "evt_attribution" -> Events.attributionOracleSql(),
+    "evt_attribution_linear" -> Events.attributionLinearOracleSql(),
     "evt_key_skew" -> Events.keySkewOracleSql(),
     "evt_salted_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),

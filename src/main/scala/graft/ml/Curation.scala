@@ -955,6 +955,81 @@ object Curation {
        |       xent_nats > $flagThreshold AS flagged
        |FROM x""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): per-document log-ratio
+    * of a target-set hashed-bigram LM against the corpus LM,
+    * log w(x) = Σ_{g ∈ x} [ln p_target(g) − ln p_corpus(g)] with add-one
+    * smoothing over the shared bigram vocabulary. Documents resembling
+    * the target (benchmark/task seed set) score high — the importance-
+    * resampling selection signal that complements [[graft.ml.Retrieval]]'s
+    * per-query retrieval with a corpus-wide density ratio.
+    *
+    * Scale shape: identical machinery to [[bigramLm]] — one corpus-sized
+    * 8-byte-hashed bigram stream, one vocabulary-sized count table (the
+    * target side is benchmark-sized), and a key join of the stream
+    * against the per-gram score. Per-occurrence contributions are
+    * rounded to integer nano-units before the per-document sum
+    * (accumulation-order exact, the BM25 discipline).
+    * Output: (doc_id, n_grams, log_ratio) for every document.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(shingles(col("w"), 2)).as("bg"))
+      .select(col("doc_id"), col("is_t"), h64(col("bg")).as("bgh"))
+    // corpus LM counts over ALL docs; target LM over the seed slice —
+    // one aggregation produces both (conditional count)
+    val counts = bi.groupBy("bgh").agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = counts.agg(sum("cc").as("nc"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val score = counts.join(broadcast(tot))
+      .select(col("bgh"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+          log((col("cc") + 1).cast("double") / (col("nc") + col("v")).cast("double")))
+          .as("lr"))
+    val perDoc = bi
+      .join(score, "bgh")
+      .select(col("doc_id"),
+        floor(col("lr") * 1e9 + 0.5).cast("long").as("lr_nano"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("lr_nano").as("s_nano"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("s_nano"), lit(0L)) / 1e9, 6).as("log_ratio"))
+  }
+
+  def dsirWeightsOracleSql(isTargetSql: String): String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, ($isTargetSql) AS is_t, $wordsSql AS w FROM documents),
+       |bi AS (
+       |  SELECT doc_id, is_t, ${h64Sql("w[i] || ' ' || w[i+1]")} AS bgh
+       |  FROM dw, unnest(range(1, len(w))) AS r(i)),
+       |counts AS (
+       |  SELECT bgh, count(*)::BIGINT AS cc,
+       |         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+       |  FROM bi GROUP BY bgh),
+       |tot AS (
+       |  SELECT sum(cc)::BIGINT AS nc, sum(ct)::BIGINT AS nt,
+       |         count(*)::BIGINT AS v
+       |  FROM counts),
+       |score AS (
+       |  SELECT bgh,
+       |         ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE) -
+       |         ln((cc + 1)::DOUBLE / (nc + v)::DOUBLE) AS lr
+       |  FROM counts, tot),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |         sum(floor(lr * 1e9 + 0.5)::BIGINT)::BIGINT AS s_nano
+       |  FROM bi JOIN score USING (bgh)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |       round(coalesce(s_nano, 0) / 1e9, 6) AS log_ratio
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Document chunking
   // ---------------------------------------------------------------------
@@ -1119,6 +1194,140 @@ object Curation {
        |       round((1.0::DOUBLE / n_sources)
        |             / (n_tokens::DOUBLE / tot_tokens), 6) AS uniform_weight
        |FROM per, tot""".stripMargin
+
+  /** Per-source distribution shift: KL(source unigram dist ‖ corpus
+    * unigram dist) over the global top-`vocabCap` words — the domain-
+    * drift number a mixing/reweighting decision reads next to
+    * [[sourceMix]]'s token shares (a source whose word distribution sits
+    * far from the corpus mean contributes differently per token than its
+    * share suggests; CCNet/DoReMi-style pipelines track exactly this).
+    *
+    * Scale shape: one corpus-sized token scan feeds a vocabulary-sized
+    * count relation; the top-`vocabCap` capping (count desc, word-hash
+    * tie-break) bounds every later relation at `vocabCap` rows per
+    * source — the KL sum never touches corpus-sized data again. Both
+    * distributions are renormalized over the capped vocabulary, so the
+    * measure compares like with like.
+    *
+    * Determinism: per-word KL contributions p·ln(p/q) are rounded to
+    * integer nano-units before summing (accumulation-order independent —
+    * the BM25 discipline). Output: (source, n_vocab_words, n_tokens_capped,
+    * kl_nats), kl_nats >= 0 up to nano rounding.
+    */
+  def distShift(docs: DataFrame, vocabCap: Int = 2000): DataFrame = {
+    require(vocabCap > 0)
+    val toks = docs
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .select(col("source"), h64(col("word")).as("wh"))
+    val global = toks.groupBy("wh").agg(count(lit(1)).as("cg"))
+    // two-stage global top-vocabCap (Similarity.topK shape): the 64-way
+    // bucketed pre-prune bounds the single-partition final rank's input
+    // to 64·vocabCap rows regardless of vocabulary size
+    val ord = Seq(desc("cg"), asc("wh"))
+    val pre = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("wh"), lit(64))).orderBy(ord: _*)
+    val fin = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    val vocab = global
+      .withColumn("r1", row_number().over(pre)).where(col("r1") <= vocabCap)
+      .withColumn("r", row_number().over(fin))
+      .where(col("r") <= vocabCap).drop("r1", "r")
+    val capped = toks.join(broadcast(vocab), "wh")
+    val perSrc = capped.groupBy("source", "wh")
+      .agg(count(lit(1)).as("cs"), first("cg").as("cg"))
+    val srcTot = perSrc.groupBy("source")
+      .agg(sum("cs").as("ns"), count(lit(1)).as("n_vocab_words"))
+    val gTot = vocab.agg(sum("cg").as("ng"))
+    perSrc.join(srcTot, "source").join(broadcast(gTot))
+      .select(col("source"), col("n_vocab_words"), col("ns"),
+        floor(col("cs") / col("ns").cast("double") *
+          log((col("cs") * col("ng")).cast("double") /
+            (col("ns") * col("cg")).cast("double")) * 1e9 + 0.5)
+          .cast("long").as("kl_nano"))
+      .groupBy("source")
+      .agg(first("n_vocab_words").as("n_vocab_words"),
+        first("ns").as("n_tokens_capped"),
+        round(sum("kl_nano") / 1e9, 6).as("kl_nats"))
+  }
+
+  def distShiftOracleSql(vocabCap: Int = 2000): String =
+    s"""WITH toks AS (
+       |  SELECT source, ${h64Sql("word")} AS wh
+       |  FROM (SELECT source, unnest($wordsSql) AS word FROM documents)),
+       |global AS (SELECT wh, count(*)::BIGINT AS cg FROM toks GROUP BY wh),
+       |vocab AS (
+       |  SELECT wh, cg FROM (
+       |    SELECT *, row_number() OVER (ORDER BY cg DESC, wh) AS r FROM global)
+       |  WHERE r <= $vocabCap),
+       |per AS (
+       |  SELECT t.source, t.wh, count(*)::BIGINT AS cs, any_value(v.cg) AS cg
+       |  FROM toks t JOIN vocab v USING (wh) GROUP BY t.source, t.wh),
+       |st AS (
+       |  SELECT source, sum(cs)::BIGINT AS ns,
+       |         count(*)::BIGINT AS n_vocab_words
+       |  FROM per GROUP BY source),
+       |gt AS (SELECT sum(cg)::BIGINT AS ng FROM vocab),
+       |contrib AS (
+       |  SELECT p.source, s.n_vocab_words, s.ns,
+       |         floor(p.cs / s.ns::DOUBLE *
+       |               ln((p.cs * g.ng)::DOUBLE / (s.ns * p.cg)::DOUBLE) * 1e9
+       |               + 0.5)::BIGINT AS kl_nano
+       |  FROM per p JOIN st s USING (source), gt g)
+       |SELECT source, any_value(n_vocab_words) AS n_vocab_words,
+       |       any_value(ns) AS n_tokens_capped,
+       |       round(sum(kl_nano) / 1e9, 6) AS kl_nats
+       |FROM contrib GROUP BY source""".stripMargin
+
+  /** Length-bucket batching report: documents assigned to power-of-two
+    * token-length buckets (16 … `maxLen`, longer docs truncated to
+    * `maxLen`), with per-bucket padded-token mass and padding-waste
+    * fraction — the decision table for dynamic-batching / bucketed-
+    * sampler configuration (padding waste is pure wasted FLOPs at
+    * training time; this is the report that says which bucket boundaries
+    * earn their complexity). Pure per-row arithmetic into a ~8-row
+    * aggregate: one scan, no joins.
+    * Output: (bucket, n_docs, sum_tokens, padded_tokens, waste_frac).
+    */
+  def lengthBuckets(docs: DataFrame, maxLen: Int = 2048): DataFrame = {
+    require(maxLen >= 16 && (maxLen & (maxLen - 1)) == 0,
+      "maxLen must be a power of two >= 16")
+    val n = least(greatest(size(words(col("text"))).cast("long"), lit(1L)),
+      lit(maxLen.toLong))
+    // smallest power-of-two bucket >= n, by explicit CASE chain (no
+    // floating log2 — bit-exact in both engines)
+    val buckets = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    val bucket = buckets.init.foldRight(lit(buckets.last): Column) {
+      (b, rest) => when(n <= b, lit(b)).otherwise(rest)
+    }
+    docs.select(n.as("n_tok"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("bucket") * col("n_docs")), 6).as("waste_frac"))
+  }
+
+  def lengthBucketsOracleSql(maxLen: Int = 2048): String = {
+    val buckets = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    val caseChain = buckets.init.map(b => s"WHEN n_tok <= $b THEN $b")
+      .mkString(" ")
+    s"""WITH n AS (
+       |  SELECT least(greatest(len($wordsSql), 1), $maxLen)::BIGINT AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tok,
+       |         (CASE $caseChain ELSE ${buckets.last} END)::BIGINT AS bucket
+       |  FROM n),
+       |agg AS (
+       |  SELECT bucket, count(*)::BIGINT AS n_docs,
+       |         sum(n_tok)::BIGINT AS sum_tokens
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, sum_tokens,
+       |       (bucket * n_docs)::BIGINT AS padded_tokens,
+       |       round(1.0 - sum_tokens::DOUBLE / (bucket * n_docs), 6)
+       |         AS waste_frac
+       |FROM agg""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Vocabulary build + OOV rate

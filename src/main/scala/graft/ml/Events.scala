@@ -414,6 +414,41 @@ object Events {
        |  AND p.p_ts >= c.c_ts
        |  AND p.p_ts < c.c_ts + INTERVAL $winSec SECOND""".stripMargin
 
+  /** Linear multi-touch attribution on top of [[attribution]]'s
+    * (click, purchase) pair set: each purchase's value splits equally
+    * across every click inside its window, and the split credit rolls up
+    * per click — the fractional-credit report a marketing/ranking
+    * pipeline reads instead of last-touch. Per-pair credit is rounded to
+    * integer micro-units before the per-click sum (accumulation-order
+    * exact). The touch-count window partitions by purchase_id over the
+    * pair relation, whose size is bounded by window density (the bucketed
+    * join already guarantees that) — no new scale surface beyond the
+    * pair join itself. Output: (click_id, user_id, n_purchases,
+    * credited_value).
+    */
+  def attributionLinear(events: DataFrame, winSec: Long = 1800L): DataFrame = {
+    val pairs = attribution(events, winSec)
+    val w = Window.partitionBy("purchase_id")
+    pairs.withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("click_id"), col("user_id"),
+        floor(col("purchase_value") / col("n_touches") * 1e6 + 0.5)
+          .cast("long").as("credit_micro"))
+      .groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("credit_micro") / 1e6, 6).as("credited_value"))
+  }
+
+  def attributionLinearOracleSql(winSec: Long = 1800L): String =
+    s"""WITH pairs AS (
+       |  ${attributionOracleSql(winSec)}),
+       |t AS (
+       |  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches
+       |  FROM pairs)
+       |SELECT click_id, user_id, count(*)::BIGINT AS n_purchases,
+       |       round(sum(floor(purchase_value / n_touches * 1e6 + 0.5)::BIGINT)
+       |             / 1e6, 6) AS credited_value
+       |FROM t GROUP BY click_id, user_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Funnel analysis
   // ---------------------------------------------------------------------

@@ -1,0 +1,161 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the documents table — the "targeted data
+  * selection" stage of a training-data pipeline (retrieve corpus documents
+  * relevant to a benchmark/task seed set, then curate the hits). The
+  * scorer is Okapi BM25, the default ranking function of every production
+  * lexical index (Lucene/Elastic, Anserini/Pyserini's data-selection
+  * tooling). Terms are word BIGRAMS rather than unigrams — the hashed-
+  * n-gram feature space DSIR-style selection uses: phrase-level terms
+  * keep idf informative even when the unigram vocabulary is small or
+  * stopword-dominated (every unigram of this synthetic corpus appears in
+  * ~78% of documents; its bigrams are Zipf-spread).
+  *
+  * Scale shape: document-at-a-time scoring over a posting join. The query
+  * side of a targeted-selection run is tiny relative to a 100-TB corpus
+  * (a benchmark suite, not a second corpus), so everything derived from
+  * it — query terms, their document frequencies, their idf weights — is
+  * a broadcast relation; the corpus-sized term stream joins it MAP-SIDE
+  * (no shuffle of the postings), and the only corpus-scale shuffle is the
+  * (query, doc) partial-sum aggregation, whose input is already pruned to
+  * postings that matched a query term. Terms above the df cap are dropped
+  * before the posting join (standard stopword pruning — an uncapped
+  * stopword term would drag ~every document into every query's candidate
+  * set).
+  *
+  * Determinism: per-term contributions are rounded to integer micro-units
+  * BEFORE the per-document sum, so the score is an integer sum —
+  * accumulation-order independent, bit-identical between Spark and the
+  * DuckDB oracle (the discipline of ivfPqTopK's integer-exact ADC).
+  */
+object Retrieval {
+  import Portable._
+
+  /** BM25 top-k: for every query document (selected by `isQuery`; its
+    * query terms are the distinct bigrams among its first
+    * `nQueryTerms`+1 words), the `k` highest-scoring CORPUS documents
+    * (the non-query rows). Scoring: idf(t) = ln(1 + (N − df + 0.5)/
+    * (df + 0.5)) rounded to 6 dp; tf-norm = tf·(k1+1)/(tf + k1·(1 − b +
+    * b·dl/avgdl)) with dl = the document's bigram count; contribution =
+    * round-half-up of idf·tfnorm·1e6 (integer micro-units); score =
+    * Σ contributions. Ties break on doc_id. Terms with df > dfCapFrac·N
+    * are pruned (stopword cap). Output:
+    * (query_id, doc_id, score_micro, rank).
+    */
+  def bm25TopK(docs: DataFrame, isQuery: Column, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               nQueryTerms: Int = 8, dfCapFrac: Double = 0.5): DataFrame = {
+    require(k > 0 && nQueryTerms > 0 && dfCapFrac > 0)
+    val corpus = docs.where(!isQuery)
+    // corpus-sized relations carry 8-byte term hashes only (shingleTable
+    // rule); words materialized before the shingle lambda. dl rides the
+    // term stream (functionally dependent on doc_id), so the tf
+    // normalization later needs NO corpus×corpus doc_id re-attach join.
+    val terms = corpus
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(shingles(col("w"), 2)).cast("long").as("dl"),
+        explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
+    val tf = terms.groupBy("doc_id", "th")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    // two corpus-global scalars in one 1-row broadcast aggregate (docs
+    // with < 2 words have zero terms but still count toward N and avgdl)
+    val stats = corpus
+      .select(size(shingles(words(col("text")), 2)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("dl")), 6).as("avgdl"))
+    // query-derived relations — all bounded by |queries|·nQueryTerms
+    val qterms = docs.where(isQuery)
+      .select(col("doc_id").as("query_id"),
+        slice(words(col("text")), 1, nQueryTerms + 1).as("w"))
+      .select(col("query_id"), explode(shingles(col("w"), 2)).as("t"))
+      .select(col("query_id"), h64(col("t")).as("th"))
+      .distinct()
+    val df = tf.join(broadcast(qterms.select("th").distinct()), "th")
+      .groupBy("th").agg(count(lit(1)).as("df"))
+    // idf per surviving query term; the df cap prunes stopword-like terms
+    val weighted = qterms.join(broadcast(df), "th").join(broadcast(stats))
+      .where(col("df") <= floor(lit(dfCapFrac) * col("n_docs")))
+      .select(col("query_id"), col("th"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6).as("idf"),
+        col("avgdl"))
+    // posting join: corpus tf stream × broadcast query-term weights —
+    // map-side, the only corpus-touching operation after the tf aggregate
+    val contrib = tf.join(broadcast(weighted), "th")
+      .select(col("query_id"), col("doc_id"),
+        floor(col("idf") * (col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          1e6 + 0.5).cast("long").as("c_micro"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c_micro").as("score_micro"))
+    // two-stage top-k (Similarity.topK shape): 64-way bucketed pre-prune
+    // bounds the final per-query window's input to 64·k rows
+    val order = Seq(desc("score_micro"), asc("doc_id"))
+    val pre = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(64)))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy("query_id").orderBy(order: _*)
+    scored
+      .withColumn("r1", row_number().over(pre)).where(col("r1") <= k).drop("r1")
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+      .select("query_id", "doc_id", "score_micro", "rank")
+  }
+
+  /** DuckDB oracle for [[bm25TopK]]; `isQuerySql` selects the query rows
+    * of `documents`.
+    */
+  def bm25TopKOracleSql(isQuerySql: String, k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        nQueryTerms: Int = 8, dfCapFrac: Double = 0.5): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
+       |tf AS (
+       |  SELECT doc_id, ${h64Sql("t")} AS th, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM corpus)
+       |  GROUP BY doc_id, 2),
+       |dl AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::BIGINT AS dl
+       |  FROM corpus),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl),
+       |qw AS (
+       |  SELECT doc_id AS query_id, ($wordsSql)[1:${nQueryTerms + 1}] AS w
+       |  FROM documents WHERE $isQuerySql),
+       |qterms AS (
+       |  SELECT DISTINCT query_id, ${h64Sql("t")} AS th
+       |  FROM (SELECT query_id, unnest(${shinglesSql(2)}) AS t FROM qw)),
+       |df AS (
+       |  SELECT th, count(*)::BIGINT AS df FROM tf
+       |  WHERE th IN (SELECT th FROM qterms) GROUP BY th),
+       |weighted AS (
+       |  SELECT q.query_id, q.th,
+       |         round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       |         s.avgdl
+       |  FROM qterms q JOIN df d USING (th), stats s
+       |  WHERE d.df <= floor($dfCapFrac * s.n_docs)),
+       |contrib AS (
+       |  SELECT w.query_id, t.doc_id,
+       |         floor(w.idf * (t.tf * ($k1 + 1) /
+       |             (t.tf + $k1 * (1.0 - $b + $b * l.dl / w.avgdl))) *
+       |           1e6 + 0.5)::BIGINT AS c_micro
+       |  FROM tf t JOIN weighted w USING (th) JOIN dl l ON t.doc_id = l.doc_id),
+       |scored AS (
+       |  SELECT query_id, doc_id, sum(c_micro)::BIGINT AS score_micro
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, score_micro, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+
+  /** isQuery predicate of the registered queries: a fixed 1% slice — the
+    * "benchmark seed set" of a targeted-selection run.
+    */
+  val defaultIsQuery: Column = pmod(col("doc_id"), lit(100)) === 0
+  val defaultIsQuerySql: String = "((doc_id % 100) + 100) % 100 = 0"
+}

@@ -166,6 +166,28 @@ object Similarity {
   def ivfPqRecallOracleSql(k: Int): String =
     recallOracleSql(bruteForceTopKOracleSql(k), ivfPqTopKOracleSql(k), k)
 
+  /** Matryoshka (dim-truncation) recall@k: the exact top-k computed on
+    * the first `dims` components of every embedding, measured against the
+    * exact full-width top-k. This is the evaluation an embedding pipeline
+    * runs before storing truncated vectors (MRL-style dimension cuts are
+    * the cheapest 2×/4× storage-and-bandwidth win a 100-TB vector corpus
+    * can take, IF recall survives — this query is the gate). Same
+    * all-pairs eval shape as the other recall metrics: an sf-scale
+    * oracle-verified baseline, not a scale path — the scale decision it
+    * informs is "which width to store", made once on a sample.
+    */
+  def matryoshkaRecall(emb: DataFrame, isQuery: Column, k: Int,
+                       dims: Int): DataFrame = {
+    val truncated = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    recallVs(bruteForceTopK(emb, isQuery, k),
+      bruteForceTopK(truncated, isQuery, k), k)
+  }
+
+  def matryoshkaRecallOracleSql(k: Int, dims: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k),
+      bruteForceTopKOracleSql(k, vecSql = s"(embedding::DOUBLE[])[1:$dims]"), k)
+
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
 
@@ -184,10 +206,11 @@ object Similarity {
   val defaultIsQuerySql: String = "((vec_id % 50) + 50) % 50 = 0"
 
   def bruteForceTopKOracleSql(k: Int, dim: Int = 64,
-                              isQuerySql: String = defaultIsQuerySql): String =
+                              isQuerySql: String = defaultIsQuerySql,
+                              vecSql: String = "embedding::DOUBLE[]"): String =
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  SELECT vec_id, $vecSql AS v,
+       |         sqrt(list_dot_product($vecSql, $vecSql)) AS norm
        |  FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
        |scored AS (
@@ -951,6 +974,115 @@ object Similarity {
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |$rows""".stripMargin
+  }
+
+  /** Top principal component of the embedding corpus by power iteration
+    * over an integer-exact Gram matrix — the first step of the
+    * PCA/whitening pass an embedding pipeline runs before indexing
+    * (dominant-direction removal à la all-but-the-top, matryoshka-cut
+    * validation, drift attribution beyond per-dim SMD).
+    *
+    * Engine-exact in two layers. (1) The Gram matrix C = Σ q qᵀ is
+    * computed over GLOBALLY int8-quantized vectors (the [[kmeans]]
+    * discipline): its d² entries are exact integer sums — no float
+    * accumulation, no order sensitivity — and constant-bounded (d²), so
+    * collecting them to the driver is legal at any corpus size. (2) The
+    * power iteration runs on those d² exact integers IDENTICALLY on the
+    * driver and in the oracle's unrolled CTE chain: each step normalizes
+    * x = C·v to unit length BEFORE rounding to 9 dp (values ≤ 1, so the
+    * ~1e-15 relative float noise of an unordered 64-term sum sits five
+    * orders below the rounding boundary), making every iterate
+    * bit-reproducible. Output: one row per dimension
+    * (i, loading, evr) — loading = the unit top-eigenvector component
+    * (6 dp), evr = Rayleigh eigenvalue over trace(C), the explained-
+    * variance share of the top component (same value on every row).
+    *
+    * Scale shape: one linear scan for the global scale, one n·d² map-side
+    * partial-sum aggregation into d² cells (the covariance cost every
+    * distributed PCA pays), and O(iters·d²) driver arithmetic on a
+    * constant-size matrix. No corpus-sized shuffle beyond the cell agg.
+    */
+  def pcaTop(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val scale = base.agg(max(aggregate(col("v"), lit(0.0),
+      (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    val q = base.select(col("vec_id"),
+      posexplode(transform(col("v"),
+        x => floor(x * 127.0 / scale + 0.5).cast("long"))).as(Seq("i", "qi")))
+    val cells = q
+      .join(q.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
+        "vec_id")
+      .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("cij"))
+      .collect() // d² rows — constant-bounded, corpus-independent
+    val d = cells.iterator.map(_.getInt(0)).max + 1
+    val c = Array.ofDim[Double](d, d)
+    cells.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
+    def round9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    var v = Array.fill(d)(round9(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val x = matvec(v)
+      val norm = math.sqrt(x.map(xi => xi * xi).sum)
+      v = x.map(xi => round9(xi / norm))
+    }
+    val y = matvec(v)
+    val lambda = (0 until d).map(i => v(i) * y(i)).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val evr = lambda / trace
+    import spark.implicits._
+    (0 until d).map(i =>
+        (i.toLong, math.floor(v(i) * 1e6 + 0.5) / 1e6,
+          math.floor(evr * 1e6 + 0.5) / 1e6))
+      .toDF("i", "loading", "evr")
+  }
+
+  def pcaTopOracleSql(iters: Int = 12): String = {
+    val header =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+         |q AS (
+         |  SELECT vec_id, i,
+         |         floor(v[i] * 127.0 / (SELECT scale FROM s) + 0.5)::BIGINT AS qi
+         |  FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+         |-- MATERIALIZED: c is referenced by every unrolled iteration; the
+         |-- default CTE inlining would re-run the parquet scan + self-join
+         |-- per reference (measured: "Too many open files" at 12 iters)
+         |c AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi)::BIGINT AS cij
+         |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+         |dims AS (SELECT DISTINCT i FROM q),
+         |v0 AS (
+         |  SELECT i,
+         |         floor(1.0 / sqrt((SELECT count(*) FROM dims)) * 1e9 + 0.5)/1e9 AS x
+         |  FROM dims)""".stripMargin
+    // every step MATERIALIZED: v_t references x_t twice (directly and via
+    // the norm scalar subquery), so default inlining re-expands the chain
+    // 2^t times — exponential scans of the base table at 12 iterations
+    val steps = (1 to iters).map { t =>
+      s"""x$t AS MATERIALIZED (
+         |  SELECT c.i, sum(c.cij * p.x) AS x
+         |  FROM c JOIN v${t - 1} p ON c.j = p.i GROUP BY c.i),
+         |n$t AS (SELECT sqrt(sum(x * x)) AS nrm FROM x$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, floor(x / (SELECT nrm FROM n$t) * 1e9 + 0.5)/1e9 AS x
+         |  FROM x$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$header,
+       |$steps,
+       |y AS (
+       |  SELECT c.i, sum(c.cij * p.x) AS y
+       |  FROM c JOIN v$iters p ON c.j = p.i GROUP BY c.i),
+       |lam AS (
+       |  SELECT sum(v.x * y.y) AS l FROM v$iters v JOIN y USING (i)),
+       |tr AS (SELECT sum(cij)::DOUBLE AS t FROM c WHERE i = j)
+       |SELECT (v.i - 1)::BIGINT AS i,
+       |       floor(v.x * 1e6 + 0.5)/1e6 AS loading,
+       |       floor((SELECT l FROM lam) / (SELECT t FROM tr) * 1e6 + 0.5)/1e6
+       |         AS evr
+       |FROM v$iters v""".stripMargin
   }
 
   /** Distributed Lloyd k-means over the embedding corpus — the iterative

@@ -483,4 +483,74 @@ class CurationSpec extends SparkSpec {
     assert(out("de")._2 === 1L)
     assert(out("de")._3 === enc(3L)._2 && out("de")._4 === enc(3L)._3)
   }
+
+  test("distShift: disjoint-vocab sources carry KL = ln(2), single source zero") {
+    // source A emits only "a", B only "b", equal mass: q(w) = 1/2,
+    // p_src(w) = 1 → KL = ln(2) for both
+    val d = ((1 to 10).map(i => (i.toLong, "a a a", "A")) ++
+      (11 to 20).map(i => (i.toLong, "b b b", "B")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.distShift(d)
+      .select("source", "n_vocab_words", "kl_nats")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("A")._2 === 1L && out("B")._2 === 1L)
+    assert(math.abs(out("A")._3 - math.log(2)) < 1e-6)
+    assert(math.abs(out("B")._3 - math.log(2)) < 1e-6)
+
+    val single = ((1 to 5).map(i => (i.toLong, "a b c", "S")))
+      .toDF("doc_id", "text", "source")
+    val kl = Curation.distShift(single).select("kl_nats").as[Double].head()
+    assert(math.abs(kl) < 1e-6) // source distribution IS the corpus distribution
+  }
+
+  test("distShift: vocabCap restricts the comparison to the global top words") {
+    // "z" is rarest globally; vocabCap 2 keeps {a, b} only — a source
+    // whose capped distribution matches the capped corpus scores 0
+    val d = Seq(
+      (1L, "a a b b", "A"),
+      (2L, "a a b b z", "B")).toDF("doc_id", "text", "source")
+    val out = Curation.distShift(d, vocabCap = 2)
+      .select("source", "n_vocab_words", "n_tokens_capped", "kl_nats")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("A")._3 === 4L && out("B")._3 === 4L) // z excluded from B's mass
+    assert(math.abs(out("A")._4) < 1e-6 && math.abs(out("B")._4) < 1e-6)
+  }
+
+  test("dsirWeights: target-like docs score positive, disjoint docs negative") {
+    val d = Seq(
+      (1L, "t t t"), // target
+      (2L, "t t t"), // target
+      (3L, "t t t"), // corpus doc identical to the target distribution
+      (4L, "c c c"), // corpus doc disjoint from it
+      (5L, "x"))     // < 2 words: no grams
+      .toDF("doc_id", "text")
+    val out = Curation.dsirWeights(d, col("doc_id") <= 2)
+      .select("doc_id", "n_grams", "log_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // grams: "t t" ct=4 cc=6, "c c" ct=0 cc=2; nt=4 nc=8 V=2
+    val lrT = math.log(5.0 / 6) - math.log(7.0 / 10)
+    val lrC = math.log(1.0 / 6) - math.log(3.0 / 10)
+    assert(out(3L)._2 === 2L)
+    assert(math.abs(out(3L)._3 - 2 * lrT) < 1e-6 && out(3L)._3 > 0)
+    assert(math.abs(out(4L)._3 - 2 * lrC) < 1e-6 && out(4L)._3 < 0)
+    assert(out(5L) === ((5L, 0L, 0.0)))
+  }
+
+  test("lengthBuckets: power-of-two assignment, truncation at maxLen, waste math") {
+    def mkText(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, mkText(10)),   // bucket 16
+      (2L, mkText(16)),   // bucket 16 (boundary inclusive)
+      (3L, mkText(17)),   // bucket 32
+      (4L, mkText(3000))) // truncated to 2048 → bucket 2048, zero waste
+      .toDF("doc_id", "text")
+    val out = Curation.lengthBuckets(d)
+      .select("bucket", "n_docs", "sum_tokens", "padded_tokens", "waste_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(16L)._2 === 2L && out(16L)._3 === 26L && out(16L)._4 === 32L)
+    assert(math.abs(out(16L)._5 - (1.0 - 26.0 / 32.0)) < 1e-6)
+    assert(out(32L)._2 === 1L && out(32L)._3 === 17L)
+    assert(out(2048L)._3 === 2048L && out(2048L)._5 === 0.0)
+    assert(out.keySet === Set(16L, 32L, 2048L))
+  }
 }

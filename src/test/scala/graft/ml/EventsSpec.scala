@@ -3,6 +3,7 @@ package graft.ml
 import graft.SparkSpec
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.sum
 
 /** Semantics + plan-shape tests for the event-stream relational operators.
   * Values are hand-computed on a tiny fixture; the sf-scale equivalence is
@@ -41,6 +42,25 @@ class EventsSpec extends SparkSpec {
     val s11 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L).get
     assert(s11.getTimestamp(2) == ts("2024-01-01 10:00:00"))
     assert(s11.getTimestamp(3) == ts("2024-01-01 10:10:00"))
+  }
+
+  test("attributionLinear: purchase value splits equally across window clicks") {
+    // user 1's purchase (50.0) has two in-window clicks (events 1, 3) →
+    // 25.0 credit each; user 2's purchase (150.0) has no click within
+    // 30 min (event 5 is 115 min before) → no credited rows for user 2
+    val out = Events.attributionLinear(fixture, winSec = 1800L)
+      .orderBy("click_id")
+      .select("click_id", "user_id", "n_purchases", "credited_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 1L, 1L, 25.0), (3L, 1L, 1L, 25.0)))
+  }
+
+  test("attributionLinear: total credited value equals attributed purchase mass") {
+    // widen the window so user 2's click catches its purchase too; the
+    // invariant of linear attribution: Σ credit = Σ attributed purchases
+    val out = Events.attributionLinear(fixture, winSec = 7200L)
+    val total = out.agg(sum("credited_value")).as[Double].head()
+    assert(math.abs(total - (50.0 + 150.0)) < 1e-6)
   }
 
   test("sessionize: window + final aggregation share one shuffle") {

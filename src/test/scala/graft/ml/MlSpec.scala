@@ -675,6 +675,42 @@ class MlSpec extends SparkSpec {
     assert(out.keySet === Set(100L, 101L))
   }
 
+  test("pcaTop: dominant axis recovered with ~all variance explained") {
+    import spark.implicits._
+    // variance lives on dim 0 (±10 alternating); dim 1 is 1% noise
+    val emb = (0 until 8).map { i =>
+      (i.toLong, Array((if (i % 2 == 0) 10f else -10f), 0.1f * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pcaTop(emb)
+      .orderBy("i").select("i", "loading", "evr")
+      .as[(Long, Double, Double)].collect()
+    assert(out.length === 2)
+    assert(math.abs(math.abs(out(0)._2) - 1.0) < 1e-3) // unit top component
+    assert(math.abs(out(1)._2) < 0.05)
+    assert(out(0)._3 > 0.99 && out(0)._3 === out(1)._3) // evr constant per row
+  }
+
+  test("matryoshkaRecall: prefix-preserved neighbors score 1, prefix-flipped score 0") {
+    import spark.implicits._
+    def emb(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    // neighborhood preserved under truncation to the first 2 dims
+    val good = emb(
+      0L -> Array(1f, 0f, 1f, 0f),
+      1L -> Array(1f, 0f, 1f, 0f),
+      2L -> Array(-1f, 0f, -1f, 0f))
+    val r1 = Similarity.matryoshkaRecall(good, col("vec_id") === 0, k = 1, dims = 2)
+      .select("recall_at_k").as[Double].head()
+    assert(r1 === 1.0)
+    // the informative signal lives in dims 3-4 → truncation flips top-1
+    val bad = emb(
+      0L -> Array(0.1f, 0f, 1f, 0f),
+      1L -> Array(0f, 0.1f, 1f, 0f), // full cos ≈ 0.99, truncated cos 0
+      2L -> Array(1f, 0f, 0.1f, 0f)) // full cos ≈ 0.20, truncated cos 1
+    val r0 = Similarity.matryoshkaRecall(bad, col("vec_id") === 0, k = 1, dims = 2)
+      .select("recall_at_k").as[Double].head()
+    assert(r0 === 0.0)
+  }
+
   test("cellTopK ≡ ivfTopK(all queries, nProbe=1) — kernel rewrite preserves results") {
     // 60 deterministic pseudo-random 8-dim vectors, 4 cells: enough
     // occupancy for real per-cell competition and id/rounding ties
