@@ -530,6 +530,10 @@ object SparkEntry {
     // Gram matrix — the PCA/whitening step before indexing
     "ann_pca_top" -> ((s, dir) =>
       Similarity.pcaTop(Tables.load(s, dir, "embeddings"))),
+    // all-but-the-top projection: per-vector coefficient on the top
+    // component + residual energy — one literal-vector scan
+    "ann_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(Tables.load(s, dir, "embeddings"))),
     // matryoshka dim-truncation gate: exact top-k on the first 32 of 64
     // dims vs full-width — the eval before storing truncated vectors
     "ann_matryoshka_recall" -> ((s, dir) =>
@@ -923,6 +927,9 @@ object SparkEntry {
     // window's clicks, credit rolled up per click (micro-unit exact)
     "evt_attribution_linear" -> ((s, dir) =>
       Events.attributionLinear(Events.canonical(s, dir))),
+    // first-order Markov transition matrix of user event types
+    "evt_type_transitions" -> ((s, dir) =>
+      Events.typeTransitions(Events.canonical(s, dir))),
     "evt_key_skew" -> ((s, dir) => Events.keySkew(Events.canonical(s, dir))),
     // salted hot-key join: events (fact) x per-user spend (dim too big to
     // assume broadcastable at corpus scale, too hot-keyed for AQE alone);
@@ -1227,6 +1234,7 @@ object SparkEntry {
     "ann_matryoshka_recall" ->
       Similarity.matryoshkaRecallOracleSql(k = 10, dims = 32),
     "ann_pca_top" -> Similarity.pcaTopOracleSql(),
+    "ann_pca_project" -> Similarity.pcaProjectOracleSql(),
     "cur_dsir_weights" ->
       Curation.dsirWeightsOracleSql(Retrieval.defaultIsQuerySql),
     "ret_bm25" ->
@@ -1429,6 +1437,7 @@ object SparkEntry {
     "evt_range_join" -> Events.rangeJoinCountOracleSql(),
     "evt_attribution" -> Events.attributionOracleSql(),
     "evt_attribution_linear" -> Events.attributionLinearOracleSql(),
+    "evt_type_transitions" -> Events.typeTransitionsOracleSql,
     "evt_key_skew" -> Events.keySkewOracleSql(),
     "evt_salted_join" ->
       s"""WITH ev AS (${Events.canonicalSql}),

@@ -414,6 +414,46 @@ object Events {
        |  AND p.p_ts >= c.c_ts
        |  AND p.p_ts < c.c_ts + INTERVAL $winSec SECOND""".stripMargin
 
+  /** Per-user event-type transition matrix — the first-order Markov view
+    * of user behavior (the input to next-action models and to funnel
+    * hypothesis generation): for every ordered (type → next type) pair
+    * within a user's timeline, the count and the row-normalized
+    * transition probability P(to | from).
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead window (the
+    * sessionize partitioning — the whale-key guidance there applies
+    * unchanged), then everything collapses to a |types|² aggregate; the
+    * probability window runs over that constant-size relation. Counts
+    * are integers, p = n/row-total is a single exact division — no
+    * accumulation-order surface. Output: (from_type, to_type, n, p).
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = Window.partitionBy("from_type")
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum("n").over(rowTot), 6))
+  }
+
+  val typeTransitionsOracleSql: String =
+    s"""WITH ev AS ($canonicalSql),
+       |nx AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS to_type
+       |  FROM ev),
+       |counts AS (
+       |  SELECT from_type, to_type, count(*)::BIGINT AS n
+       |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n,
+       |       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+       |FROM counts""".stripMargin
+
   /** Linear multi-touch attribution on top of [[attribution]]'s
     * (click, purchase) pair set: each purchase's value splits equally
     * across every click inside its window, and the split credit rolls up

@@ -1039,6 +1039,48 @@ object Similarity {
       .toDF("i", "loading", "evr")
   }
 
+  /** All-but-the-top projection coefficients: each vector's scalar
+    * projection onto the corpus's top principal component ([[pcaTop]]'s
+    * unit vector u), plus the residual norm after removing that
+    * component — the postprocessing step (Mu & Viswanath, "All-but-the-
+    * Top") that strips the dominant common direction before similarity
+    * search, and the per-vector attribution of [[snapshotDrift]]'s
+    * corpus-level signal.
+    *
+    * The component u is driver-computed by [[pcaTop]]'s constant-size
+    * iteration and enters the scan as a LITERAL vector — one linear pass
+    * over the corpus, no join, no shuffle. coeff = v·u (6 dp);
+    * residual2 = |v|² − coeff², 6 dp (≥ 0 up to the 1e-6 rounding of u's
+    * components, whose norm is 1 only to that precision).
+    * Output: (vec_id, coeff, residual2).
+    */
+  def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val u = pcaTop(emb, iters).orderBy("i")
+      .select("loading").collect().map(_.getDouble(0)) // d rows — bounded
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val coeff = VecFold.dot(col("v"), typedlit(u.toSeq))
+    e.select(col("vec_id"), round(coeff, 6).as("coeff"),
+      round(VecFold.dot(col("v"), col("v")) - coeff * coeff, 6).as("residual2"))
+  }
+
+  /** Oracle for [[pcaProject]]: the pcaTop CTE chain rebuilds u, then one
+    * projection scan. list_dot_product is an unordered fold while VecFold
+    * is strict left-to-right, but both operands are ≤ 64 exact-literal
+    * components — the ulp divergence sits far below the 6 dp rounding.
+    */
+  def pcaProjectOracleSql(iters: Int = 12): String =
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT i, loading FROM (${pcaTopOracleSql(iters)})),
+       |uvec AS (SELECT list(loading ORDER BY i) AS u FROM u),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id,
+       |       round(list_dot_product(v, (SELECT u FROM uvec)), 6) AS coeff,
+       |       round(list_dot_product(v, v) -
+       |             list_dot_product(v, (SELECT u FROM uvec)) *
+       |             list_dot_product(v, (SELECT u FROM uvec)), 6) AS residual2
+       |FROM e""".stripMargin
+
   def pcaTopOracleSql(iters: Int = 12): String = {
     val header =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

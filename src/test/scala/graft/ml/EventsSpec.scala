@@ -44,6 +44,22 @@ class EventsSpec extends SparkSpec {
     assert(s11.getTimestamp(3) == ts("2024-01-01 10:10:00"))
   }
 
+  test("typeTransitions: per-user ordered pairs, row-normalized probabilities") {
+    // user 1 timeline: click→purchase→click→click; user 2: click→purchase→view→view
+    val out = Events.typeTransitions(fixture)
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // u1 order (ts, id): click,purchase,click,click → c→p, p→c, c→c
+    // u2: click,purchase,view,view → c→p, p→v, v→v
+    assert(out === Seq(
+      ("click", "click", 1L, 0.333333),
+      ("click", "purchase", 2L, 0.666667),
+      ("purchase", "click", 1L, 0.5),
+      ("purchase", "view", 1L, 0.5),
+      ("view", "view", 1L, 1.0)))
+  }
+
   test("attributionLinear: purchase value splits equally across window clicks") {
     // user 1's purchase (50.0) has two in-window clicks (events 1, 3) →
     // 25.0 credit each; user 2's purchase (150.0) has no click within

@@ -690,6 +690,20 @@ class MlSpec extends SparkSpec {
     assert(out(0)._3 > 0.99 && out(0)._3 === out(1)._3) // evr constant per row
   }
 
+  test("pcaProject: coefficients recover the dominant-axis coordinate") {
+    import spark.implicits._
+    val emb = (0 until 8).map { i =>
+      (i.toLong, Array((if (i % 2 == 0) 10f else -10f), 0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(emb)
+      .orderBy("vec_id").select("vec_id", "coeff", "residual2")
+      .as[(Long, Double, Double)].collect()
+    // u = ±e1 → coeff = ±10 (one consistent sign), residual ≈ 0
+    assert(out.forall(r => math.abs(math.abs(r._2) - 10.0) < 1e-3))
+    assert(out.map(r => math.signum(r._2)).distinct.length === 2)
+    assert(out.forall(r => math.abs(r._3) < 1e-2))
+  }
+
   test("matryoshkaRecall: prefix-preserved neighbors score 1, prefix-flipped score 0") {
     import spark.implicits._
     def emb(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
