@@ -55,18 +55,30 @@ object Retrieval {
     // rule); words materialized before the shingle lambda. dl rides the
     // term stream (functionally dependent on doc_id), so the tf
     // normalization later needs NO corpus×corpus doc_id re-attach join.
+    // dl = |bigrams| = max(|words| − 1, 0): computed from the word count,
+    // NOT via size(shingles(...)) — the shingle HOF is interpreted
+    // (non-codegen), and evaluating it twice per row doubled the scan
+    // stage's cost (measured; it dominates this operator's wall time)
     val terms = corpus
       .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), size(shingles(col("w"), 2)).cast("long").as("dl"),
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
         explode(shingles(col("w"), 2)).as("t"))
       .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
+    // materialize the inverted index ONCE (the kmeans localCheckpoint
+    // discipline): df, the global term total, and the posting join all
+    // read tf — without this each consumer re-runs the corpus explode +
+    // md5 pass, whose interpreted shingle lambda is the dominant cost
+    // (measured 3 redundant passes ≈ 3× the query's wall time)
     val tf = terms.groupBy("doc_id", "th")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
-    // two corpus-global scalars in one 1-row broadcast aggregate (docs
-    // with < 2 words have zero terms but still count toward N and avgdl)
-    val stats = corpus
-      .select(size(shingles(words(col("text")), 2)).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), round(avg(col("dl")), 6).as("avgdl"))
+      .localCheckpoint()
+    // corpus-global scalars WITHOUT a second text pass: Σtf over the
+    // index is exactly Σ dl, and n_docs is a column-pruned count (docs
+    // with < 2 words hold no postings but still count toward N/avgdl)
+    val nDocs = corpus.count()
+    val stats = tf.agg(lit(nDocs).as("n_docs"),
+      round(sum("tf") / nDocs.toDouble, 6).as("avgdl"))
     // query-derived relations — all bounded by |queries|·nQueryTerms
     val qterms = docs.where(isQuery)
       .select(col("doc_id").as("query_id"),
