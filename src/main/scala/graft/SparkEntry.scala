@@ -539,6 +539,11 @@ object SparkEntry {
     "ann_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10, dims = 32)),
+    // int8-storage ranking recall vs float-exact — prices the 4× storage
+    // cut next to the matryoshka dimension cut
+    "ann_int8_recall" -> ((s, dir) =>
+      Similarity.int8Recall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 10)),
     // sparse lexical retrieval (Okapi BM25): benchmark seed docs query
     // the corpus — the targeted-data-selection primitive
     "ret_bm25" -> ((s, dir) =>
@@ -1235,6 +1240,7 @@ object SparkEntry {
       Similarity.matryoshkaRecallOracleSql(k = 10, dims = 32),
     "ann_pca_top" -> Similarity.pcaTopOracleSql(),
     "ann_pca_project" -> Similarity.pcaProjectOracleSql(),
+    "ann_int8_recall" -> Similarity.int8RecallOracleSql(k = 10),
     "cur_dsir_weights" ->
       Curation.dsirWeightsOracleSql(Retrieval.defaultIsQuerySql),
     "ret_bm25" ->

@@ -188,6 +188,66 @@ object Similarity {
     recallOracleSql(bruteForceTopKOracleSql(k),
       bruteForceTopKOracleSql(k, vecSql = s"(embedding::DOUBLE[])[1:$dims]"), k)
 
+  /** Exact top-k under the int8 STORAGE ranking: neighbors ordered by the
+    * symmetric-quantized estimate dot(q_a, q_b)·(scale_b/|b|) — the
+    * ranking an int8-only index (the [[quantize]] storage path) actually
+    * produces, since the per-query factor scale_a/|a| is rank-invariant.
+    * Quantized components are integers carried in doubles, so the dot is
+    * an EXACT integer sum in both engines (order-free); the single
+    * multiply by the 9-dp-rounded per-neighbor factor is one IEEE op —
+    * deterministic ranking, ties on neighbor_id.
+    */
+  private def int8TopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val e = normed(emb)
+      .withColumn("scale", aggregate(col("v"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .select(col("vec_id"),
+        // floor() yields BIGINT; VecFold folds doubles — the integer
+        // values stay exact in double (≤ 127), so the dot is order-free
+        transform(col("v"),
+          x => floor(x * 127.0 / col("scale") + 0.5).cast("double")).as("q"),
+        round(col("scale") / col("norm"), 9).as("r"))
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = e.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (VecFold.dot(col("q"), col("qq")) * col("r")).as("cosine"))
+    topK(scored, k).select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Recall@k of the int8-quantized ranking against the float-exact one —
+    * the storage-compression eval next to [[matryoshkaRecall]]'s
+    * dimension cut: together they price the two cheap 4× reductions a
+    * 100-TB vector corpus considers first.
+    */
+  def int8Recall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, isQuery, k), int8TopK(emb, isQuery, k), k)
+
+  private def int8TopKOracleSql(k: Int): String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+       |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> floor(x * 127.0 / scale + 0.5)) AS q,
+       |         round(scale / norm, 9) AS r
+       |  FROM e0),
+       |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE $defaultIsQuerySql),
+       |scored AS (
+       |  SELECT qs.query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(e.q, qs.qq) * e.r AS cosine
+       |  FROM e JOIN qs ON e.vec_id != qs.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  def int8RecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), int8TopKOracleSql(k), k)
+
   /** isQuery predicate used by the registered queries: a fixed 2% slice. */
   val defaultIsQuery: Column = pmod(col("vec_id"), lit(50)) === 0
 

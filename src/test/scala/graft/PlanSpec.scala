@@ -350,4 +350,42 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q joins where a scan was promised")
     }
   }
+
+  test("bm25 posting join is broadcast — query-side relations never shuffle the corpus") {
+    for (q <- Seq("ret_bm25", "cur_pipeline7")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // every corpus-touching join must build its hash side from the
+      // broadcast query relations; a SortMergeJoin would mean the posting
+      // stream is being shuffled against a corpus-sized right side
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join side:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast posting join")
+    }
+  }
+
+  test("selection signals are single-stream: dsir joins by 8-byte key, dist-shift by broadcast vocab") {
+    val dsir = plan("cur_dsir_weights")
+    assert(!dsir.contains("CartesianProduct"))
+    val ds = plan("cur_dist_shift")
+    assert(!ds.contains("CartesianProduct"))
+    assert(ds.contains("BroadcastHashJoin"), "capped vocab not broadcast")
+    // length buckets: one scan into an aggregate — no join at all
+    val lb = plan("cur_length_buckets")
+    assert(!lb.contains("Join"), s"lengthBuckets joins:\n$lb")
+  }
+
+  test("pca projection is a literal-vector scan; transitions reuse one user shuffle") {
+    // after the driver-side power iteration, the projection pass must be
+    // joinless (u is a literal) — any Join means the component table
+    // leaked into the per-row path
+    val pp = plan("ann_pca_project")
+    assert(!pp.contains("Join"), s"pcaProject joins where a scan was promised:\n$pp")
+    val tt = plan("evt_type_transitions")
+    assert(!tt.contains("Join"))
+    // lead window and the pair aggregate must not add a second
+    // corpus-sized exchange beyond the user_id partitioning + the
+    // constant-size |types|^2 rollup
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(tt).length == 1,
+      s"transitions re-shuffle the fact table:\n$tt")
+  }
 }

@@ -690,6 +690,18 @@ class MlSpec extends SparkSpec {
     assert(out(0)._3 > 0.99 && out(0)._3 === out(1)._3) // evr constant per row
   }
 
+  test("int8Recall: separated clusters survive quantization at full recall") {
+    import spark.implicits._
+    // two tight, well-separated clusters: int8 quantization cannot flip
+    // any top-1 across the gap → recall@1 = 1.0
+    val emb = ((0 until 4).map(i => (i.toLong, Array(10f + i * 0.1f, 0f, 0f, 0f))) ++
+      (4 until 8).map(i => (i.toLong, Array(0f, -10f - i * 0.1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.int8Recall(emb, col("vec_id") % 4 === 0, k = 1)
+      .select("recall_at_k").as[Double].head()
+    assert(r === 1.0)
+  }
+
   test("pcaProject: coefficients recover the dominant-axis coordinate") {
     import spark.implicits._
     val emb = (0 until 8).map { i =>
