@@ -549,6 +549,11 @@ object SparkEntry {
     "ret_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
         Retrieval.defaultIsQuery, k = 10)),
+    // profile admission score: BM25 against the seed-term union — the
+    // batch twin of the score-at-ingest stream (StreamingSelect)
+    "ret_bm25_profile" -> ((s, dir) =>
+      Retrieval.profileScore(Tables.load(s, dir, "documents"),
+        Retrieval.defaultIsQuery)),
     // leave-one-out kNN majority-vote classification — the standard
     // embedding-quality probe (exact ranking; chance accuracy on the
     // label-random synthetic corpus, by design)
@@ -1245,6 +1250,8 @@ object SparkEntry {
       Curation.dsirWeightsOracleSql(Retrieval.defaultIsQuerySql),
     "ret_bm25" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
+    "ret_bm25_profile" ->
+      Retrieval.profileScoreOracleSql(Retrieval.defaultIsQuerySql),
     "cur_pipeline7" ->
       s"""WITH hits AS (
          |  ${Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 20)}),

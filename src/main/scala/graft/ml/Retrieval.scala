@@ -165,6 +165,120 @@ object Retrieval {
        |SELECT query_id, doc_id, score_micro, rank FROM ranked
        |WHERE rank <= $k""".stripMargin
 
+  /** The persistable SELECTION PROFILE: the distinct df-capped seed
+    * terms with their idf weights, plus the corpus stats — everything an
+    * admission gate needs to score a document WITHOUT the seed set or
+    * the corpus at hand. (th, idf, avgdl); constant-bounded by the seed
+    * vocabulary.
+    */
+  def profileWeights(docs: DataFrame, isQuery: Column,
+                     nQueryTerms: Int = 8,
+                     dfCapFrac: Double = 0.5): DataFrame = {
+    val corpus = docs.where(!isQuery)
+    val tf = corpus
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), h64(col("t")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs = corpus.count()
+    val stats = tf.agg(lit(nDocs).as("n_docs"),
+      round(sum("tf") / nDocs.toDouble, 6).as("avgdl"))
+    val seedTerms = docs.where(isQuery)
+      .select(slice(words(col("text")), 1, nQueryTerms + 1).as("w"))
+      .select(explode(shingles(col("w"), 2)).as("t"))
+      .select(h64(col("t")).as("th")).distinct()
+    val df = tf.join(broadcast(seedTerms), "th")
+      .groupBy("th").agg(count(lit(1)).as("df"))
+    seedTerms.join(broadcast(df), "th").join(broadcast(stats))
+      .where(col("df") <= floor(lit(dfCapFrac) * col("n_docs")))
+      .select(col("th"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6).as("idf"),
+        col("avgdl"))
+  }
+
+  /** Profile ADMISSION score: every corpus document scored against the
+    * seed-term profile — BM25 with the per-query dimension collapsed to
+    * the seed-term union, the batch twin of the score-at-ingest stream
+    * ([[StreamingSelect]]). score = Σ over matched profile terms of the
+    * micro-unit BM25 contribution; admitted = score ≥ threshold.
+    * Output: (doc_id, n_matched, score_micro, admitted) for every
+    * corpus document.
+    */
+  def profileScore(docs: DataFrame, isQuery: Column, k1: Double = 1.2,
+                   b: Double = 0.75, nQueryTerms: Int = 8,
+                   dfCapFrac: Double = 0.5,
+                   thresholdMicro: Long = 1000000L): DataFrame = {
+    val corpus = docs.where(!isQuery)
+    val weights = profileWeights(docs, isQuery, nQueryTerms, dfCapFrac)
+    val tf = corpus
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
+        explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
+      .groupBy("doc_id", "th")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val contrib = tf.join(broadcast(weights), "th")
+      .select(col("doc_id"),
+        floor(col("idf") * (col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          1e6 + 0.5).cast("long").as("c_micro"))
+    val per = contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("c_micro").as("score_micro"))
+    corpus.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+      .withColumn("admitted", col("score_micro") >= thresholdMicro)
+  }
+
+  def profileScoreOracleSql(isQuerySql: String, k1: Double = 1.2,
+                            b: Double = 0.75, nQueryTerms: Int = 8,
+                            dfCapFrac: Double = 0.5,
+                            thresholdMicro: Long = 1000000L): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
+       |tf AS (
+       |  SELECT doc_id, ${h64Sql("t")} AS th, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM corpus)
+       |  GROUP BY doc_id, 2),
+       |dl AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::BIGINT AS dl
+       |  FROM corpus),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl),
+       |seed AS (
+       |  SELECT DISTINCT ${h64Sql("t")} AS th
+       |  FROM (SELECT unnest(${shinglesSql(2)}) AS t
+       |        FROM (SELECT ($wordsSql)[1:${nQueryTerms + 1}] AS w
+       |              FROM documents WHERE $isQuerySql))),
+       |df AS (
+       |  SELECT th, count(*)::BIGINT AS df FROM tf
+       |  WHERE th IN (SELECT th FROM seed) GROUP BY th),
+       |weights AS (
+       |  SELECT s.th,
+       |         round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       |         st.avgdl
+       |  FROM seed s JOIN df d USING (th), stats st
+       |  WHERE d.df <= floor($dfCapFrac * st.n_docs)),
+       |contrib AS (
+       |  SELECT t.doc_id,
+       |         floor(w.idf * (t.tf * ($k1 + 1) /
+       |             (t.tf + $k1 * (1.0 - $b + $b * l.dl / w.avgdl))) *
+       |           1e6 + 0.5)::BIGINT AS c_micro
+       |  FROM tf t JOIN weights w USING (th) JOIN dl l ON t.doc_id = l.doc_id),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_matched,
+       |         sum(c_micro)::BIGINT AS score_micro
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT c.doc_id, coalesce(n_matched, 0)::BIGINT AS n_matched,
+       |       coalesce(score_micro, 0)::BIGINT AS score_micro,
+       |       coalesce(score_micro, 0) >= $thresholdMicro AS admitted
+       |FROM corpus c LEFT JOIN per USING (doc_id)""".stripMargin
+
   /** isQuery predicate of the registered queries: a fixed 1% slice — the
     * "benchmark seed set" of a targeted-selection run.
     */
