@@ -808,6 +808,10 @@ object SparkEntry {
     // fractions — the dynamic-batching decision table
     "cur_length_buckets" -> ((s, dir) =>
       Curation.lengthBuckets(Tables.load(s, dir, "documents"))),
+    // Zipf-slope fit of the word-frequency distribution (integer-exact
+    // OLS over log-log top-V) — the corpus-health diagnostic
+    "cur_zipf_fit" -> ((s, dir) =>
+      Curation.zipfFit(Tables.load(s, dir, "documents"))),
     // capstone 7 — targeted selection in ONE plan: BM25-retrieve corpus
     // docs relevant to the benchmark seed set (top-20 per seed), roll the
     // hits up per doc, keep the ones passing the quality gate
@@ -1414,6 +1418,7 @@ object SparkEntry {
     "cur_topic_balance" -> Curation.topicBalanceOracleSql(),
     "cur_dist_shift" -> Curation.distShiftOracleSql(),
     "cur_length_buckets" -> Curation.lengthBucketsOracleSql(),
+    "cur_zipf_fit" -> Curation.zipfFitOracleSql(),
     "dedup_incremental" -> Dedup.incrementalOracleSql,
     "dedup_minhash_incremental" -> Dedup.minHashLshIncrementalOracleSql(),
     "dedup_chain_clusters" ->

@@ -1277,6 +1277,77 @@ object Curation {
        |       round(sum(kl_nano) / 1e9, 6) AS kl_nats
        |FROM contrib GROUP BY source""".stripMargin
 
+  /** Zipf-law fit of the corpus word-frequency distribution: OLS slope
+    * of ln(count) against ln(rank) over the global top-`vocabCap` words —
+    * the corpus-health diagnostic that flags synthetic/degenerate token
+    * distributions (natural corpora sit near slope −1; templated or
+    * machine-generated text flattens toward 0). Output one row:
+    * (n_vocab, slope, intercept), 6 dp.
+    *
+    * Determinism: per-word ln(rank)/ln(count) are rounded to integer
+    * MICRO-units and the five OLS sums run over exact int64 products
+    * (micro² ≈ 6e13 per term × vocabCap ≪ 2⁶³) — accumulation-order
+    * free; the closed-form slope/intercept arithmetic then runs on those
+    * exact integers identically in both engines. Same two-stage bucketed
+    * top-V as [[distShift]]; everything after the vocabulary-sized count
+    * relation is vocabCap-bounded.
+    */
+  def zipfFit(docs: DataFrame, vocabCap: Int = 2000): DataFrame = {
+    require(vocabCap > 1)
+    val toks = docs
+      .select(explode(words(col("text"))).as("word"))
+      .select(h64(col("word")).as("wh"))
+    val global = toks.groupBy("wh").agg(count(lit(1)).as("cg"))
+    val ord = Seq(desc("cg"), asc("wh"))
+    val pre = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("wh"), lit(64))).orderBy(ord: _*)
+    val fin = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    val ranked = global
+      .withColumn("r1", row_number().over(pre)).where(col("r1") <= vocabCap)
+      .withColumn("r", row_number().over(fin)).where(col("r") <= vocabCap)
+    val m = ranked.select(
+      floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+      floor(log(col("cg").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+    // sums stay exact int64; the closed form then runs on each sum CAST
+    // to double (n·Σxy would overflow int64 at large corpora — both
+    // engines round the same exact int64 to the same double, so the
+    // double arithmetic is still deterministic)
+    val agg = m.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").cast("long").as("n_vocab"),
+      round(slope, 6).as("slope"),
+      round((col("sy") / col("n") - slope * (col("sx") / col("n"))) / 1e6, 6)
+        .as("intercept"))
+  }
+
+  def zipfFitOracleSql(vocabCap: Int = 2000): String =
+    s"""WITH toks AS (
+       |  SELECT ${h64Sql("word")} AS wh
+       |  FROM (SELECT unnest($wordsSql) AS word FROM documents)),
+       |global AS (SELECT wh, count(*)::BIGINT AS cg FROM toks GROUP BY wh),
+       |ranked AS (
+       |  SELECT cg, row_number() OVER (ORDER BY cg DESC, wh) AS r
+       |  FROM global QUALIFY r <= $vocabCap),
+       |m AS (
+       |  SELECT floor(ln(r::DOUBLE) * 1e6 + 0.5)::BIGINT AS x,
+       |         floor(ln(cg::DOUBLE) * 1e6 + 0.5)::BIGINT AS y
+       |  FROM ranked),
+       |s AS (
+       |  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+       |         sum(y)::DOUBLE AS sy, sum(x * y)::DOUBLE AS sxy,
+       |         sum(x * x)::DOUBLE AS sxx
+       |  FROM m)
+       |SELECT n::BIGINT AS n_vocab,
+       |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |       round((sy / n -
+       |              ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+       |              * (sx / n)) / 1e6, 6) AS intercept
+       |FROM s""".stripMargin
+
   /** Length-bucket batching report: documents assigned to power-of-two
     * token-length buckets (16 … `maxLen`, longer docs truncated to
     * `maxLen`), with per-bucket padded-token mass and padding-waste

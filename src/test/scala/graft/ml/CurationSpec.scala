@@ -536,6 +536,22 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) === ((5L, 0L, 0.0)))
   }
 
+  test("zipfFit recovers a planted power-law slope") {
+    // counts follow c(r) = round(1000·r^-1): a near-exact slope −1 line
+    // in log-log space (micro-rounding + count integering add the noise)
+    val words = (1 to 50).flatMap { r =>
+      val c = math.max(1, math.round(1000.0 / r).toInt)
+      Seq.fill(c)(s"w$r")
+    }
+    val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.zipfFit(d, vocabCap = 50)
+      .select("n_vocab", "slope", "intercept")
+      .as[(Long, Double, Double)].collect().head
+    assert(out._1 === 50L)
+    assert(math.abs(out._2 - (-1.0)) < 0.02)
+    assert(math.abs(out._3 - math.log(1000.0)) < 0.05)
+  }
+
   test("lengthBuckets: power-of-two assignment, truncation at maxLen, waste math") {
     def mkText(n: Int) = Seq.fill(n)("w").mkString(" ")
     val d = Seq(
