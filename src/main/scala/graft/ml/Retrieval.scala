@@ -35,6 +35,24 @@ import org.apache.spark.sql.functions._
 object Retrieval {
   import Portable._
 
+  /** (doc_id, th, tf [, carried cols]) from the exploded term stream —
+    * SORT-based, not hash-based: a groupBy(doc_id, th) carries
+    * corpus-cardinality keys (~every (doc, term) pair is distinct), so
+    * its aggregation map holds millions of entries per task and dies
+    * with AGGREGATE_OUT_OF_MEMORY at the 1000× corpus — the exact
+    * per-task-state class the simhash dedupe hit (SCALING.md). The
+    * window form sorts once on the same keys (UnsafeExternalSorter
+    * spills incrementally, per-task memory is a bounded buffer) and is
+    * bit-identical: tf = partition count, one survivor row per key.
+    */
+  private def termFrequencies(terms: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy("doc_id", "th")
+    terms
+      .withColumn("tf", count(lit(1)).over(byKey))
+      .withColumn("rn", row_number().over(byKey.orderBy("th")))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   /** BM25 top-k: for every query document (selected by `isQuery`; its
     * query terms are the distinct bigrams among its first
     * `nQueryTerms`+1 words), the `k` highest-scoring CORPUS documents
@@ -70,9 +88,7 @@ object Retrieval {
     // read tf — without this each consumer re-runs the corpus explode +
     // md5 pass, whose interpreted shingle lambda is the dominant cost
     // (measured 3 redundant passes ≈ 3× the query's wall time)
-    val tf = terms.groupBy("doc_id", "th")
-      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
-      .localCheckpoint()
+    val tf = termFrequencies(terms).localCheckpoint()
     // corpus-global scalars WITHOUT a second text pass: Σtf over the
     // index is exactly Σ dl, and n_docs is a column-pruned count (docs
     // with < 2 words hold no postings but still count toward N/avgdl)
@@ -175,11 +191,10 @@ object Retrieval {
                      nQueryTerms: Int = 8,
                      dfCapFrac: Double = 0.5): DataFrame = {
     val corpus = docs.where(!isQuery)
-    val tf = corpus
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), explode(shingles(col("w"), 2)).as("t"))
-      .select(col("doc_id"), h64(col("t")).as("th"))
-      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(corpus
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), explode(shingles(col("w"), 2)).as("t"))
+        .select(col("doc_id"), h64(col("t")).as("th")))
       .localCheckpoint()
     val nDocs = corpus.count()
     val stats = tf.agg(lit(nDocs).as("n_docs"),
@@ -212,14 +227,12 @@ object Retrieval {
                    thresholdMicro: Long = 1000000L): DataFrame = {
     val corpus = docs.where(!isQuery)
     val weights = profileWeights(docs, isQuery, nQueryTerms, dfCapFrac)
-    val tf = corpus
+    val tf = termFrequencies(corpus
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
         greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
         explode(shingles(col("w"), 2)).as("t"))
-      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
-      .groupBy("doc_id", "th")
-      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th")))
     val contrib = tf.join(broadcast(weights), "th")
       .select(col("doc_id"),
         floor(col("idf") * (col("tf") * (k1 + 1) /
