@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   * side of a targeted-selection run is tiny relative to a 100-TB corpus
   * (a benchmark suite, not a second corpus), so everything derived from
   * it — query terms, their document frequencies, their idf weights — is
-  * a broadcast relation; the corpus-sized term stream joins it MAP-SIDE
-  * (no shuffle of the postings), and the only corpus-scale shuffle is the
-  * (query, doc) partial-sum aggregation, whose input is already pruned to
-  * postings that matched a query term. Terms above the df cap are dropped
-  * before the posting join (standard stopword pruning — an uncapped
-  * stopword term would drag ~every document into every query's candidate
-  * set).
+  * a broadcast relation, and the query-term filter is pushed BELOW the
+  * index build: the exploded corpus term stream semi-joins the broadcast
+  * query vocabulary map-side BEFORE any aggregation, so only postings a
+  * query can ever score are sorted, counted, or materialized. The full
+  * index is never built — the one corpus-global quantity that would need
+  * it, avgdl, falls out of the word counts alone (Σ tf over the full
+  * index ≡ Σ per-doc bigram counts, bit-identical). The 1000× ladder
+  * forced this shape: materializing the unfiltered (doc, term, tf) index
+  * held ~3 on-disk copies of an ~800M-posting relation at once (window
+  * sort shuffle + spills + checkpoint blocks) and exhausted a 75 GB
+  * scratch volume; post-pushdown the sorted/stored stream is the matched
+  * postings only. Terms above the df cap are dropped before the posting
+  * join (standard stopword pruning — an uncapped stopword term would
+  * drag ~every document into every query's candidate set).
   *
   * Determinism: per-term contributions are rounded to integer micro-units
   * BEFORE the per-document sum, so the score is an integer sum —
@@ -69,41 +76,52 @@ object Retrieval {
                nQueryTerms: Int = 8, dfCapFrac: Double = 0.5): DataFrame = {
     require(k > 0 && nQueryTerms > 0 && dfCapFrac > 0)
     val corpus = docs.where(!isQuery)
-    // corpus-sized relations carry 8-byte term hashes only (shingleTable
-    // rule); words materialized before the shingle lambda. dl rides the
-    // term stream (functionally dependent on doc_id), so the tf
-    // normalization later needs NO corpus×corpus doc_id re-attach join.
-    // dl = |bigrams| = max(|words| − 1, 0): computed from the word count,
-    // NOT via size(shingles(...)) — the shingle HOF is interpreted
-    // (non-codegen), and evaluating it twice per row doubled the scan
-    // stage's cost (measured; it dominates this operator's wall time)
-    val terms = corpus
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"),
-        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
-        explode(shingles(col("w"), 2)).as("t"))
-      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
-    // materialize the inverted index ONCE (the kmeans localCheckpoint
-    // discipline): df, the global term total, and the posting join all
-    // read tf — without this each consumer re-runs the corpus explode +
-    // md5 pass, whose interpreted shingle lambda is the dominant cost
-    // (measured 3 redundant passes ≈ 3× the query's wall time)
-    val tf = termFrequencies(terms).localCheckpoint()
-    // corpus-global scalars WITHOUT a second text pass: Σtf over the
-    // index is exactly Σ dl, and n_docs is a column-pruned count (docs
-    // with < 2 words hold no postings but still count toward N/avgdl)
+    // corpus-global scalars from the word counts ALONE — no posting pass:
+    // Σ tf over the full index is exactly Σ dl (each posting is one
+    // bigram occurrence), so avgdl never needs index entries for terms no
+    // query asks about; n_docs counts docs with < 2 words too. One
+    // column-pruned codegen scan (split + size, no shingle HOF).
     val nDocs = corpus.count()
-    val stats = tf.agg(lit(nDocs).as("n_docs"),
-      round(sum("tf") / nDocs.toDouble, 6).as("avgdl"))
-    // query-derived relations — all bounded by |queries|·nQueryTerms
+    val stats = corpus
+      .select(greatest(size(words(col("text"))) - 1, lit(0))
+        .cast("long").as("dl"))
+      .agg(lit(nDocs).as("n_docs"),
+        round(sum("dl") / nDocs.toDouble, 6).as("avgdl"))
+    // query-derived relations — all bounded by |queries|·nQueryTerms;
+    // materialized once (bounded checkpoint) because both the term filter
+    // and the idf weighting read them
     val qterms = docs.where(isQuery)
       .select(col("doc_id").as("query_id"),
         slice(words(col("text")), 1, nQueryTerms + 1).as("w"))
       .select(col("query_id"), explode(shingles(col("w"), 2)).as("t"))
       .select(col("query_id"), h64(col("t")).as("th"))
       .distinct()
-    val df = tf.join(broadcast(qterms.select("th").distinct()), "th")
-      .groupBy("th").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // THE scale decision: the query-vocabulary semi-join sits BELOW the
+    // index build. Corpus-sized relations carry 8-byte term hashes only
+    // (shingleTable rule); dl rides the term stream (functionally
+    // dependent on doc_id) so tf normalization needs no corpus×corpus
+    // re-attach join; dl = max(|words| − 1, 0) from the word count, NOT
+    // size(shingles(...)) — the shingle HOF is interpreted and evaluating
+    // it twice per row doubled the scan cost (measured). Filtering before
+    // termFrequencies means the window sort, the checkpoint, and every
+    // downstream stage see matched postings only — the unfiltered index
+    // (~3 on-disk copies at the 1000× corpus) exhausted local scratch.
+    val terms = corpus
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
+        explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
+      .join(broadcast(qterms.select("th").distinct()), "th")
+    // materialize the matched-posting index ONCE (the kmeans
+    // localCheckpoint discipline): df and the posting join both read tf —
+    // without this each consumer re-runs the corpus explode + md5 pass,
+    // whose interpreted shingle lambda is the dominant cost (measured)
+    val tf = termFrequencies(terms).localCheckpoint()
+    // tf is already pruned to the query vocabulary, so df is a plain
+    // per-term row count over it
+    val df = tf.groupBy("th").agg(count(lit(1)).as("df"))
     // idf per surviving query term; the df cap prunes stopword-like terms
     val weighted = qterms.join(broadcast(df), "th").join(broadcast(stats))
       .where(col("df") <= floor(lit(dfCapFrac) * col("n_docs")))
@@ -191,20 +209,28 @@ object Retrieval {
                      nQueryTerms: Int = 8,
                      dfCapFrac: Double = 0.5): DataFrame = {
     val corpus = docs.where(!isQuery)
-    val tf = termFrequencies(corpus
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .select(col("doc_id"), explode(shingles(col("w"), 2)).as("t"))
-        .select(col("doc_id"), h64(col("t")).as("th")))
-      .localCheckpoint()
+    // avgdl from word counts (Σ tf over the full index ≡ Σ dl; see
+    // bm25TopK) — the full index is never built
     val nDocs = corpus.count()
-    val stats = tf.agg(lit(nDocs).as("n_docs"),
-      round(sum("tf") / nDocs.toDouble, 6).as("avgdl"))
+    val stats = corpus
+      .select(greatest(size(words(col("text"))) - 1, lit(0))
+        .cast("long").as("dl"))
+      .agg(lit(nDocs).as("n_docs"),
+        round(sum("dl") / nDocs.toDouble, 6).as("avgdl"))
     val seedTerms = docs.where(isQuery)
       .select(slice(words(col("text")), 1, nQueryTerms + 1).as("w"))
       .select(explode(shingles(col("w"), 2)).as("t"))
       .select(h64(col("t")).as("th")).distinct()
-    val df = tf.join(broadcast(seedTerms), "th")
-      .groupBy("th").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // seed-vocabulary semi-join below the index build (bm25TopK shape);
+    // df is tf's only consumer here, so no checkpoint — the filtered
+    // stream flows straight into one aggregation
+    val tf = termFrequencies(corpus
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), h64(col("t")).as("th"))
+      .join(broadcast(seedTerms), "th"))
+    val df = tf.groupBy("th").agg(count(lit(1)).as("df"))
     seedTerms.join(broadcast(df), "th").join(broadcast(stats))
       .where(col("df") <= floor(lit(dfCapFrac) * col("n_docs")))
       .select(col("th"),
@@ -226,13 +252,20 @@ object Retrieval {
                    dfCapFrac: Double = 0.5,
                    thresholdMicro: Long = 1000000L): DataFrame = {
     val corpus = docs.where(!isQuery)
+    // bounded checkpoint: the profile is read twice (term filter below,
+    // idf weighting in the posting join) and recomputing it would re-run
+    // its corpus df pass per consumer
     val weights = profileWeights(docs, isQuery, nQueryTerms, dfCapFrac)
+      .localCheckpoint()
+    // profile-vocabulary semi-join below the index build (bm25TopK
+    // shape); contrib is tf's only consumer, so no checkpoint
     val tf = termFrequencies(corpus
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
         greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
         explode(shingles(col("w"), 2)).as("t"))
-      .select(col("doc_id"), col("dl"), h64(col("t")).as("th")))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
+      .join(broadcast(weights.select("th")), "th"))
     val contrib = tf.join(broadcast(weights), "th")
       .select(col("doc_id"),
         floor(col("idf") * (col("tf") * (k1 + 1) /
