@@ -973,11 +973,16 @@ object Curation {
     * Output: (doc_id, n_grams, log_ratio) for every document.
     */
   def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    // both the count aggregation and the per-doc score join read the
+    // corpus-sized bigram stream: materialize the hashed 17-byte rows
+    // once so the interpreted shingle-explode + md5 pass (the dominant
+    // cost, per the bm25TopK measurement) runs once, not per consumer
     val bi = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), isTarget.as("is_t"),
         explode(shingles(col("w"), 2)).as("bg"))
       .select(col("doc_id"), col("is_t"), h64(col("bg")).as("bgh"))
+      .localCheckpoint()
     // corpus LM counts over ALL docs; target LM over the seed slice —
     // one aggregation produces both (conditional count)
     val counts = bi.groupBy("bgh").agg(
@@ -1239,9 +1244,13 @@ object Curation {
     val gTot = vocab.agg(sum("cg").as("ng"))
     perSrc.join(srcTot, "source").join(broadcast(gTot))
       .select(col("source"), col("n_vocab_words"), col("ns"),
+        // ratio of double ratios, never an int64 product: cs*ng / ns*cg
+        // overflows 2^63 once ng (sum of the global top-vocabCap counts)
+        // crosses ~2^40 at large corpora — non-ANSI Spark would wrap
+        // silently while the DuckDB oracle errors
         floor(col("cs") / col("ns").cast("double") *
-          log((col("cs") * col("ng")).cast("double") /
-            (col("ns") * col("cg")).cast("double")) * 1e9 + 0.5)
+          log((col("cs").cast("double") / col("ns").cast("double")) /
+            (col("cg").cast("double") / col("ng").cast("double"))) * 1e9 + 0.5)
           .cast("long").as("kl_nano"))
       .groupBy("source")
       .agg(first("n_vocab_words").as("n_vocab_words"),
@@ -1269,7 +1278,8 @@ object Curation {
        |contrib AS (
        |  SELECT p.source, s.n_vocab_words, s.ns,
        |         floor(p.cs / s.ns::DOUBLE *
-       |               ln((p.cs * g.ng)::DOUBLE / (s.ns * p.cg)::DOUBLE) * 1e9
+       |               ln((p.cs::DOUBLE / s.ns::DOUBLE) /
+       |                  (p.cg::DOUBLE / g.ng::DOUBLE)) * 1e9
        |               + 0.5)::BIGINT AS kl_nano
        |  FROM per p JOIN st s USING (source), gt g)
        |SELECT source, any_value(n_vocab_words) AS n_vocab_words,

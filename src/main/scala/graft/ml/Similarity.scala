@@ -197,16 +197,23 @@ object Similarity {
     * multiply by the 9-dp-rounded per-neighbor factor is one IEEE op —
     * deterministic ranking, ties on neighbor_id.
     */
-  private def int8TopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+  private[ml] def int8TopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val e = normed(emb)
       .withColumn("scale", aggregate(col("v"), lit(0.0),
         (a, x) => greatest(a, abs(x))))
+      // a zero vector has scale = norm = 0: dividing by either yields
+      // NaN quantization / a NaN factor that poisons its every pair's
+      // cosine; substitute scale 1 (q stays all-zero) and factor 0
+      // (cosine = 0, the true dot with anything)
+      .withColumn("safe_scale",
+        when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
       .select(col("vec_id"),
         // floor() yields BIGINT; VecFold folds doubles — the integer
         // values stay exact in double (≤ 127), so the dot is order-free
         transform(col("v"),
-          x => floor(x * 127.0 / col("scale") + 0.5).cast("double")).as("q"),
-        round(col("scale") / col("norm"), 9).as("r"))
+          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")).as("q"),
+        round(when(col("norm") === 0d, lit(0.0))
+          .otherwise(col("scale") / col("norm")), 9).as("r"))
     val q = e.where(isQuery)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val scored = e.join(q, col("vec_id") =!= col("query_id"))
@@ -231,8 +238,9 @@ object Similarity {
        |  FROM embeddings),
        |e AS (
        |  SELECT vec_id,
-       |         list_transform(v, x -> floor(x * 127.0 / scale + 0.5)) AS q,
-       |         round(scale / norm, 9) AS r
+       |         list_transform(v, x -> floor(x * 127.0 /
+       |           (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5)) AS q,
+       |         round(CASE WHEN norm = 0 THEN 0.0 ELSE scale / norm END, 9) AS r
        |  FROM e0),
        |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE $defaultIsQuerySql),
        |scored AS (
@@ -1066,8 +1074,15 @@ object Similarity {
     val spark = emb.sparkSession
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val scale = base.agg(max(aggregate(col("v"), lit(0.0),
-      (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    val scaleRow = base.agg(max(aggregate(col("v"), lit(0.0),
+      (a, x) => greatest(a, abs(x))))).head()
+    require(!scaleRow.isNullAt(0),
+      "pcaTop: empty embedding corpus — no principal component to compute")
+    val scale = scaleRow.getDouble(0)
+    // an all-zero corpus would give scale 0 -> NaN quantization and a
+    // meaningless zero Gram matrix; refuse rather than emit NaN loadings
+    require(scale > 0,
+      "pcaTop: all-zero embedding corpus (global max-abs scale is 0)")
     val q = base.select(col("vec_id"),
       posexplode(transform(col("v"),
         x => floor(x * 127.0 / scale + 0.5).cast("long"))).as(Seq("i", "qi")))

@@ -71,7 +71,11 @@ object StreamingSelect {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val (n, s) = scoreText(text, bc.value, avgdl, k1, b)
+        // null text scores (0, 0) — the batch profileScore reaches the
+        // same via its left join (no bigrams → no match rows); without
+        // the guard, split would NPE and kill the streaming query on
+        // the first dirty row, diverging from batch
+        val (n, s) = scoreText(Option(text).getOrElse(""), bc.value, avgdl, k1, b)
         (id, n, s)
       }
     ds.toDF("doc_id", "n_matched", "score_micro")

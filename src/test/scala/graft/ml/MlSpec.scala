@@ -690,6 +690,31 @@ class MlSpec extends SparkSpec {
     assert(out(0)._3 > 0.99 && out(0)._3 === out(1)._3) // evr constant per row
   }
 
+  test("pcaTop refuses degenerate corpora instead of emitting NaN") {
+    import spark.implicits._
+    val zero = (0 until 4).map(i => (i.toLong, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ez = intercept[IllegalArgumentException](Similarity.pcaTop(zero))
+    assert(ez.getMessage.contains("all-zero"))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ee = intercept[IllegalArgumentException](Similarity.pcaTop(empty))
+    assert(ee.getMessage.contains("empty"))
+  }
+
+  test("int8TopK ranking: a zero vector scores 0, never NaN") {
+    import spark.implicits._
+    // vec 3 is all-zero: its per-row scale and norm are both 0; without
+    // the guard its quantization is NaN, which sorts ABOVE every real
+    // cosine in a desc ordering and steals rank 1 from vec 1
+    val emb = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(9f, 1f)),
+      (2L, Array(-10f, 0f)), (3L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ranks = Similarity.int8TopK(emb, col("vec_id") === 0, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ranks === Seq(1L, 3L, 2L)) // zero vec scores 0: below +, above −
+  }
+
   test("int8Recall: separated clusters survive quantization at full recall") {
     import spark.implicits._
     // two tight, well-separated clusters: int8 quantization cannot flip

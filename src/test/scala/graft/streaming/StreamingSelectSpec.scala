@@ -51,6 +51,26 @@ class StreamingSelectSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("null text scores (0, 0, not admitted) — like the batch left join") {
+    val (profile, avgdl) =
+      StreamingSelect.collectProfile(Retrieval.profileWeights(docs, isSeed))
+    // batch: a null-text doc falls out of the bigram explode, so the
+    // left join scores it 0/0/false — the stream must match, not NPE
+    val dirty = Seq((1L, "alpha beta gamma delta"), (2L, null: String))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSelect.scoreStream(
+      input.toDF().toDF("doc_id", "text"), profile, avgdl)
+      .writeStream.format("memory").queryName("sselect_null")
+      .outputMode("append").start()
+    try {
+      input.addData(dirty: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sselect_null").orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(streamed.exists(r => r._1 == 2L && r._2 == 0L && r._3 == 0L && !r._4))
+    assert(streamed.exists(r => r._1 == 1L && r._3 > 0L))
+  }
+
   test("admission plan is stateless — no streaming aggregation state") {
     val (profile, avgdl) =
       StreamingSelect.collectProfile(Retrieval.profileWeights(docs, isSeed))
