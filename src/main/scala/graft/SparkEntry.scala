@@ -573,6 +573,11 @@ object SparkEntry {
     "ann_hard_negatives" -> ((s, dir) =>
       KnnEval.hardNegatives(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 5)),
+    // the same mining over IVF probe-cell candidates — the per-epoch
+    // scale path (label filter before ranking, like the exact form)
+    "ann_hard_negatives_ivf" -> ((s, dir) =>
+      KnnEval.hardNegativesIvf(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 5)),
     // neighborhood label-consistency diagnostic over threshold-similar
     // same-cell neighbors (semanticDedup's measured pair kernel)
     "ann_label_consistency" -> ((s, dir) =>
@@ -1015,7 +1020,7 @@ object SparkEntry {
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
     "dedup_semantic", "cur_pipeline4",
     "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6",
-    "ann_ivf_incremental", "ann_knn_clusters")
+    "ann_ivf_incremental", "ann_knn_clusters", "ann_hard_negatives_ivf")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1271,6 +1276,7 @@ object SparkEntry {
     "ann_knn_accuracy" -> KnnEval.knnAccuracyOracleSql(k = 10),
     "ann_knn_classify_ivf" -> KnnEval.knnClassifyIvfOracleSql(k = 10),
     "ann_hard_negatives" -> KnnEval.hardNegativesOracleSql(k = 5),
+    "ann_hard_negatives_ivf" -> KnnEval.hardNegativesIvfOracleSql(k = 5),
     "ann_label_consistency" -> KnnEval.labelConsistencyOracleSql(0.3),
     "ann_knn_clusters" -> KnnEval.knnClustersOracleSql(k = 5),
     "ann_snapshot_drift" -> Similarity.snapshotDriftOracleSql(),

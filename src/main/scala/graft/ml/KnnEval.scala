@@ -125,6 +125,33 @@ object KnnEval {
         col("cosine"), col("rank"))
   }
 
+  /** [[hardNegatives]] over the IVF probe-cell candidate set instead of
+    * the exact query × corpus pass — the scale path: hard-negative
+    * mining runs once per training epoch, so at corpus scale it must
+    * ride the index ([[Similarity.ivfCandidates]] keeps candidates/query
+    * ≈ nProbe · occupancy under autoCells) the way [[knnClassifyIvf]]
+    * already does for the vote. The label-mismatch filter applies to the
+    * CANDIDATE set before ranking (identical semantics to the exact
+    * form: rank 1 = hardest negative, dense ranks within the negative
+    * set); negatives outside the probed cells are missed by construction
+    * — the standard ANN-mining recall trade-off, priced by comparing
+    * against [[hardNegatives]] on a sample. Same output contract and
+    * tie-break (cosine desc, id asc) as the exact form.
+    */
+  def hardNegativesIvf(emb: DataFrame, isQuery: Column, k: Int,
+                       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lab = emb.select(col("vec_id"), col("label").cast("int").as("label"))
+    val negs = Similarity.ivfCandidates(emb, isQuery, nCells, nProbe)
+      .join(lab.toDF("neighbor_id", "n_label"), Seq("neighbor_id"))
+      .join(lab.toDF("query_id", "qlabel"), Seq("query_id"))
+      .where(col("n_label") =!= col("qlabel"))
+    Similarity.topK(negs, k)
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("neighbor_id").as("neg_id"), col("n_label").as("neg_label"),
+        col("cosine"), col("rank"))
+  }
+
   /** Neighborhood label consistency over threshold-similar neighbors:
     * for every vector with at least one same-cell neighbor of cosine >=
     * `threshold`, the fraction of those neighbors sharing its label —
@@ -220,6 +247,24 @@ object KnnEval {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY cosine DESC, neg_id) AS rank
        |  FROM scored)
+       |SELECT query_id, qlabel AS label, neg_id, neg_label, cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  def hardNegativesIvfOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+      isQuerySql: String = Similarity.defaultIsQuerySql): String =
+    s"""WITH ${Similarity.ivfScoredCtesSql(nCells, nProbe, isQuerySql)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |negs AS (
+       |  SELECT s.query_id, ql.label AS qlabel, s.neighbor_id AS neg_id,
+       |         nl.label AS neg_label, s.cosine
+       |  FROM scored s
+       |  JOIN lab nl ON nl.vec_id = s.neighbor_id
+       |  JOIN lab ql ON ql.vec_id = s.query_id
+       |  WHERE nl.label != ql.label),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neg_id) AS rank
+       |  FROM negs)
        |SELECT query_id, qlabel AS label, neg_id, neg_label, cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 

@@ -441,8 +441,14 @@ object Similarity {
     // (n > ~10^13) must fail loudly, not truncate to a garbage cell count
     math.max(floorCells, math.toIntExact(n / target))
 
-  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Scored IVF probe-cell candidate table (query_id, neighbor_id,
+    * cosine) — the candidate set BEFORE any top-k cut. Shared by
+    * [[ivfTopK]] and the label-aware miners ([[KnnEval.hardNegativesIvf]])
+    * that must filter candidates before ranking: cutting first would
+    * discard exactly the rows the filter is looking for.
+    */
+  private[ml] def ivfCandidates(emb: DataFrame, isQuery: Column,
+                                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = normed(emb)
     // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
     // keep ranks <= nProbe as their probe set
@@ -457,12 +463,16 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
     val q = e.where(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = cand.join(q, "query_id")
+    cand.join(q, "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
       .distinct() // a neighbor can surface via several probed cells
-    topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    topK(ivfCandidates(emb, isQuery, nCells, nProbe), k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
 
   /** Shared oracle CTE block: normalized vectors, seed centroids, and the
     * per-vector centroid similarity ranking (defines `e`, `cents`,
@@ -953,9 +963,13 @@ object Similarity {
   def ivfPqRerankRecallOracleSql(k: Int): String =
     recallOracleSql(bruteForceTopKOracleSql(k), ivfPqRerankTopKOracleSql(k), k)
 
-  def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
-                       isQuerySql: String = defaultIsQuerySql): String =
-    s"""WITH ${cellCtesSql(nCells)},
+  /** CTE chain ending in `scored(query_id, neighbor_id, cosine)` — the
+    * SQL twin of [[ivfCandidates]]; shared by [[ivfTopKOracleSql]] and
+    * [[KnnEval.hardNegativesIvfOracleSql]].
+    */
+  private[ml] def ivfScoredCtesSql(nCells: Int, nProbe: Int,
+                                   isQuerySql: String): String =
+    s"""${cellCtesSql(nCells)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
@@ -969,7 +983,11 @@ object Similarity {
        |  JOIN assigned a ON a.cell = p.cell
        |  JOIN e ON e.vec_id = a.vec_id
        |  JOIN q ON q.query_id = p.query_id
-       |  WHERE a.vec_id != p.query_id),
+       |  WHERE a.vec_id != p.query_id)""".stripMargin
+
+  def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                       isQuerySql: String = defaultIsQuerySql): String =
+    s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql)},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY cosine DESC, neighbor_id) AS rank

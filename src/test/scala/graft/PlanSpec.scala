@@ -333,7 +333,7 @@ class PlanSpec extends SparkSpec {
 
   test("kNN family candidates stay equi-joined — no cartesian; drift and incremental assign never join") {
     for (q <- Seq("ann_knn_classify_ivf", "ann_label_consistency",
-                  "cur_pipeline6")) {
+                  "cur_pipeline6", "ann_hard_negatives_ivf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       // cur_pipeline6 carries ONE BroadcastNestedLoopJoin by design: the

@@ -79,6 +79,36 @@ class KnnEvalSpec extends SparkSpec {
     assert(hardest0.map(_.getAs[Long]("query_id")).nonEmpty)
   }
 
+  test("hardNegativesIvf with full probe coverage ≡ exact hardNegatives") {
+    // nProbe = nCells: every query probes every cell, so the candidate
+    // set is the whole corpus minus self — the IVF miner must reproduce
+    // the exact form row for row (contract + tie-break parity)
+    val exact = KnnEval.hardNegatives(emb, lit(true), k = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ivf = KnnEval.hardNegativesIvf(emb, lit(true), k = 2,
+      nCells = 2, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf === exact)
+  }
+
+  test("hardNegativesIvf scopes mining to the probed cells") {
+    // alternating ids put one seed centroid per family (cells = the two
+    // axis clusters); nProbe = 1 probes only the query's own cell
+    val e = Seq(
+      (0L, Array(1.00f, 0.01f), 0), (2L, Array(0.99f, 0.02f), 0),
+      (4L, Array(0.98f, 0.01f), 0), (6L, Array(0.97f, 0.03f), 1),
+      (1L, Array(0.01f, 1.00f), 1), (3L, Array(0.02f, 0.99f), 1),
+      (5L, Array(0.01f, 0.98f), 1), (7L, Array(0.03f, 0.97f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = KnnEval.hardNegativesIvf(e, col("vec_id") === 0, k = 5,
+      nCells = 2, nProbe = 1)
+      .select("neg_id", "neg_label", "rank").collect()
+    // own-cell negatives only: vec 6 (the planted cross-label near-dup);
+    // the y-family label-1 vectors live in the unprobed cell
+    assert(out.map(_.getLong(0)).toSeq === Seq(6L))
+    assert(out.head.getInt(1) === 1 && out.head.getInt(2) === 1)
+  }
+
   test("labelConsistency: planted noise scores 0, its clean cluster-mates score 2/3") {
     // threshold 0.9 keeps only within-cluster neighbors (cross-cluster
     // cosine ~ 0.03); nCells=1 so cell scoping cannot hide anything here
