@@ -115,7 +115,18 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"full":"$fullPath","sf":"$sfDir"}""")
+    // The driver's tail capture keeps ~2 KB of stdout and parses the LAST
+    // line; the full ~175-entry map can never fit, but a "queries" field
+    // is what its parser looks for — so the summary line carries a FIXED
+    // headline subset (one representative per operator family, ms
+    // precision, ~400 bytes) and points at the full-map file.
+    val headline = Seq("q01_agg", "trend_rebin", "trend_detect", "trend_mk",
+      "trend_wdt", "dedup_exact", "dedup_minhash_lsh", "ann_ivf_topk",
+      "cur_pack", "text_token_stats", "evt_sessionize", "ret_bm25")
+    val hqs = results.collect {
+      case (k, v, _) if headline.contains(k) => f""""$k":$v%.3f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

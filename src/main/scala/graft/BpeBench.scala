@@ -22,13 +22,19 @@ object BpeBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfL")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BPE_OUT", "BENCH_bpe.json")
-    // combos as "merges:batch" args; default curve doubles merges at
-    // batch 32 plus a batch sweep at the 2048-merge point
-    val combos: Seq[(Int, Int)] =
+    // combos as "merges:batch" args (fixed-round bpeMerges) or
+    // "t<merges>:batch" (train-to-target bpeMergesToVocab — runs until
+    // the vocab actually reaches <merges>); default curve doubles merges
+    // at batch 32 plus a batch sweep at the 2048-merge point
+    val combos: Seq[(Int, Int, Boolean)] =
       (if (args.nonEmpty) args.toSeq
        else Seq("256:32", "512:32", "1024:32", "2048:32",
                 "2048:8", "2048:64", "2048:128"))
-        .map { s => val Array(m, b) = s.split(":"); (m.toInt, b.toInt) }
+        .map { s =>
+          val Array(m, b) = s.split(":")
+          if (m.startsWith("t")) (m.drop(1).toInt, b.toInt, true)
+          else (m.toInt, b.toInt, false)
+        }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,17 +45,19 @@ object BpeBench {
     val docs = Tables.load(spark, sfDir, "documents").localCheckpoint()
     // warm-up: session/codegen/scan-cache startup out of the measurements
     ml.Curation.bpeMerges(docs, nMerges = 8, batch = 8).count()
-    val rows = combos.map { case (m, b) =>
+    val rows = combos.map { case (m, b, toVocab) =>
       val t0 = System.nanoTime()
-      val merges = ml.Curation.bpeMerges(docs, nMerges = m, batch = b)
+      val merges =
+        if (toVocab) ml.Curation.bpeMergesToVocab(docs, targetMerges = m, batch = b)
+        else ml.Curation.bpeMerges(docs, nMerges = m, batch = b)
       val n = merges.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"merges":$m,"batch":$b,"gotMerges":$n,"sec":$sec%.1f}""")
+      println(f"""{"merges":$m,"batch":$b,"toVocab":$toVocab,"gotMerges":$n,"sec":$sec%.1f}""")
       System.out.flush()
-      (m, b, n, sec)
+      (m, b, toVocab, n, sec)
     }
-    val json = rows.map { case (m, b, n, s) =>
-      s"""{"merges":$m,"batch":$b,"gotMerges":$n,"sec":$s}"""
+    val json = rows.map { case (m, b, tv, n, s) =>
+      s"""{"merges":$m,"batch":$b,"toVocab":$tv,"gotMerges":$n,"sec":$s}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"sf":"$sfDir","curve":$json}""" + "\n")

@@ -1774,7 +1774,8 @@ object Curation {
     * application order), so the DuckDB oracle replays every round — the
     * greedy used-symbol state unrolls as a recursive CTE.
     */
-  private[ml] def bpeTrain(docs: DataFrame, nMerges: Int, batch: Int = 8)
+  private[ml] def bpeTrain(docs: DataFrame, nMerges: Int, batch: Int = 8,
+                           untilTarget: Boolean = false)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val wf = docs
       .select(explode(words(col("text"))).as("word"))
@@ -1783,13 +1784,40 @@ object Curation {
     var seq = wf
       .select(col("word"),
         regexp_replace(col("word"), "(.)", "<$1>").as("s"), col("freq"))
-      .localCheckpoint()
     val poolK = 5 * batch
-    val rounds = (nMerges + batch - 1) / batch
+    // Round-checkpoint hygiene: every round re-checkpoints the symbol
+    // table; at tokenizer scale (hundreds of rounds for a 32k vocab) the
+    // dead checkpoints would otherwise pile up until driver GC happens to
+    // run the ContextCleaner. Track the block IDs each checkpoint call
+    // creates and free the PREVIOUS round's explicitly — never touching
+    // caller-owned checkpoints (e.g. the bench's reused corpus).
+    val sc = docs.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var seqBlocks = Set.empty[Int]
+    def recheckpoint(df: DataFrame): DataFrame = {
+      val (out, created) = checkpointTracked(df)
+      seqBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      seqBlocks = created
+      out
+    }
+    seq = { val (out, created) = checkpointTracked(seq); seqBlocks = created; out }
+    // Fixed-round mode (the oracle-replayed shape): exactly
+    // ceil(nMerges/batch) rounds, round t capped so requested merge
+    // SLOTS never exceed nMerges. Until-target mode (the tokenizer-
+    // training shape, [[bpeMergesToVocab]]): keep running full-batch
+    // rounds until the merge LIST reaches nMerges — each non-exhausted
+    // round applies >= 1 merge, so the loop takes at most nMerges rounds.
+    val rounds = if (untilTarget) nMerges else (nMerges + batch - 1) / batch
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
-    for (t <- 1 to rounds if !exhausted) {
-      val cap = math.min(batch, nMerges - (t - 1) * batch)
+    for (t <- 1 to rounds if !exhausted && merges.size < nMerges) {
+      val cap = if (untilTarget) math.min(batch, nMerges - merges.size)
+                else math.min(batch, nMerges - (t - 1) * batch)
       val sy = split(expr("trim(BOTH '<>' FROM s)"), "><")
       val cands = seq
         .select(col("freq"), sy.as("sy"))
@@ -1816,9 +1844,8 @@ object Curation {
         val mergedS = sel.foldLeft(col("s")) { case (e, (a, b, _)) =>
           replace(e, lit(s"<$a><$b>"), lit(s"<$a$b>"))
         }
-        seq = seq
-          .select(col("word"), mergedS.as("s"), col("freq"))
-          .localCheckpoint()
+        seq = recheckpoint(
+          seq.select(col("word"), mergedS.as("s"), col("freq")))
       }
     }
     (seq, merges.toSeq)
@@ -1828,6 +1855,25 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     bpeTrain(docs, nMerges, batch)._2.toDF("step", "pair_a", "pair_b", "cnt")
+  }
+
+  /** Train until the merge list actually REACHES `targetMerges` (or the
+    * corpus exhausts) — the contract a tokenizer trainer wants ("give me
+    * a 32k vocab"), as opposed to [[bpeMerges]]'s fixed
+    * ceil(nMerges/batch) round budget, which under-fills early rounds:
+    * round 1 can select at most ~(alphabet/2) symbol-disjoint pairs
+    * regardless of batch, so a fixed-round run at batch 512 ends far
+    * short of its request. Each round still applies at most `batch`
+    * merges with the same candidate pool, greedy disjointness rule, and
+    * tie-break — at batch = 1 the two modes are step-for-step identical
+    * (spec-pinned). Same output schema as [[bpeMerges]].
+    */
+  def bpeMergesToVocab(docs: DataFrame, targetMerges: Int,
+                       batch: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, targetMerges, batch, untilTarget = true)._2
+      .toDF("step", "pair_a", "pair_b", "cnt")
   }
 
   /** Corpus tokenization under the trained BPE vocabulary: per document,

@@ -88,11 +88,19 @@ object StreamingNearDup {
                          threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // The static side of a stream-static join is RE-PLANNED every
+    // micro-batch: without checkpoints the minhash band computation and
+    // the shingle-set aggregation would re-run per batch — O(corpus)
+    // work per arriving handful of documents. Materialize all three
+    // standing relations once; each micro-batch then only pays the join
+    // probe (in production these are the persisted on-disk index tables).
     val snapSh = Dedup.shingleTable(snapshot, k).localCheckpoint()
     val snapBands = Dedup.bandTable(snapSh, numHashes, bands)
       .select(col("doc_id").as("snap_id"), col("band"), col("bkey"))
+      .localCheckpoint()
     val snapSets = snapSh.groupBy(col("doc_id").as("set_id"))
       .agg(sort_array(collect_list("sh")).as("snap_shs"))
+      .localCheckpoint()
     val probe = batch.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val (shs, keys) = signature(text, k, numHashes, bands)

@@ -444,6 +444,39 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq((1L, "a", "b", 2L)))
   }
 
+  test("bpeMergesToVocab reaches the requested vocab where fixed rounds fall short") {
+    // small batch-disjointness ceiling: with batch 4, round 1 can select
+    // at most 2 disjoint pairs from a 4-symbol alphabet, so the
+    // fixed-round form (ceil(8/4) = 2 rounds) ends short of 8 merges;
+    // the to-vocab form keeps going until it has exactly 8
+    val d = Seq(1L -> "abcd abcd dcba badc cabd abdc acbd",
+                2L -> "ab cd dc ba bd ca ad cb").toDF("doc_id", "text")
+    val fixed = Curation.bpeMerges(d, nMerges = 8, batch = 4).count()
+    assert(fixed < 8, s"premise: fixed rounds fell short (got $fixed)")
+    val got = Curation.bpeMergesToVocab(d, targetMerges = 8, batch = 4)
+      .select("step", "pair_a", "pair_b", "cnt")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got.length === 8)
+    assert(got.map(_._1).toSeq === (1L to 8L)) // dense merge steps
+  }
+
+  test("bpeMergesToVocab: batch=1 is step-for-step bpeMerges; exhaustion stops it") {
+    // at batch 1 both modes run one merge per round with identical caps,
+    // so the merge sequences must be identical
+    val d = Seq(1L -> "low low low lower lower newest newest newest aaab",
+                2L -> "wider wider new newest aaab aaab").toDF("doc_id", "text")
+    val a = Curation.bpeMerges(d, nMerges = 6, batch = 1)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val b = Curation.bpeMergesToVocab(d, targetMerges = 6, batch = 1)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // an unreachable target terminates at corpus exhaustion, not a hang
+    val tiny = Seq(1L -> "ab ab a").toDF("doc_id", "text")
+    val got = Curation.bpeMergesToVocab(tiny, targetMerges = 50, batch = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", "b", 2L)))
+  }
+
   test("bpeEncode: tokens_per_word reflects the trained merges") {
     // after enough merges 'ab' is a single token; 'cd cd' likewise
     val d = Seq(1L -> "ab ab cd", 2L -> "abcd").toDF("doc_id", "text")
