@@ -578,6 +578,12 @@ object SparkEntry {
     "ann_hard_negatives_ivf" -> ((s, dir) =>
       KnnEval.hardNegativesIvf(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 5)),
+    // prices the probed-cell scope: fraction of the exact hardest
+    // negatives the IVF miner surfaces (sample-scale eval, like the
+    // other ANN recalls)
+    "ann_hard_negatives_recall" -> ((s, dir) =>
+      KnnEval.hardNegativesRecall(Tables.load(s, dir, "embeddings"),
+        Similarity.defaultIsQuery, k = 5)),
     // neighborhood label-consistency diagnostic over threshold-similar
     // same-cell neighbors (semanticDedup's measured pair kernel)
     "ann_label_consistency" -> ((s, dir) =>
@@ -1020,7 +1026,8 @@ object SparkEntry {
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivfpq_recall",
     "dedup_semantic", "cur_pipeline4",
     "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6",
-    "ann_ivf_incremental", "ann_knn_clusters", "ann_hard_negatives_ivf")
+    "ann_ivf_incremental", "ann_knn_clusters", "ann_hard_negatives_ivf",
+    "ann_hard_negatives_recall")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1277,6 +1284,7 @@ object SparkEntry {
     "ann_knn_classify_ivf" -> KnnEval.knnClassifyIvfOracleSql(k = 10),
     "ann_hard_negatives" -> KnnEval.hardNegativesOracleSql(k = 5),
     "ann_hard_negatives_ivf" -> KnnEval.hardNegativesIvfOracleSql(k = 5),
+    "ann_hard_negatives_recall" -> KnnEval.hardNegativesRecallOracleSql(k = 5),
     "ann_label_consistency" -> KnnEval.labelConsistencyOracleSql(0.3),
     "ann_knn_clusters" -> KnnEval.knnClustersOracleSql(k = 5),
     "ann_snapshot_drift" -> Similarity.snapshotDriftOracleSql(),

@@ -187,7 +187,11 @@ object StreamBench {
       val proj = df.localCheckpoint()
       (0 until n).foreach { i =>
         val tmp = s"$work/chunk_tmp"
-        proj.where(pmod(col(key), lit(n)) === i)
+        // chunk on a HASH of the key: key-modulus would collapse onto a
+        // few chunks whenever the key itself has modular structure (the
+        // neardup arrivals are doc_id ≡ 0 mod 100, which mod 40 hits
+        // only two residues — 38 empty chunks, 2 mega-batches)
+        proj.where(pmod(hash(col(key)), lit(n)) === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(f => f.getName.endsWith(".parquet")).get

@@ -152,6 +152,21 @@ object KnnEval {
         col("cosine"), col("rank"))
   }
 
+  /** Recall of the IVF-mined hard negatives against the exact mining —
+    * the number that prices [[hardNegativesIvf]]'s probed-cell scope:
+    * the fraction of each query's exact top-k hardest negatives the
+    * index-ridden miner also surfaces, averaged over queries (the same
+    * contract as the ANN recall evals — run it on a SAMPLE at corpus
+    * scale, it embeds the exact Θ(queries × corpus) pass by definition).
+    */
+  def hardNegativesRecall(emb: DataFrame, isQuery: Column, k: Int,
+                          nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    Similarity.recallVs(
+      hardNegatives(emb, isQuery, k)
+        .withColumnRenamed("neg_id", "neighbor_id"),
+      hardNegativesIvf(emb, isQuery, k, nCells, nProbe)
+        .withColumnRenamed("neg_id", "neighbor_id"), k)
+
   /** Neighborhood label consistency over threshold-similar neighbors:
     * for every vector with at least one same-cell neighbor of cosine >=
     * `threshold`, the fraction of those neighbors sharing its label —
@@ -267,6 +282,15 @@ object KnnEval {
        |  FROM negs)
        |SELECT query_id, qlabel AS label, neg_id, neg_label, cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
+
+  def hardNegativesRecallOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+      isQuerySql: String = Similarity.defaultIsQuerySql): String =
+    Similarity.recallOracleSql(
+      s"""SELECT query_id, neg_id AS neighbor_id
+         |FROM (${hardNegativesOracleSql(k, isQuerySql)})""".stripMargin,
+      s"""SELECT query_id, neg_id AS neighbor_id
+         |FROM (${hardNegativesIvfOracleSql(k, nCells, nProbe, isQuerySql)})""".stripMargin,
+      k)
 
   def labelConsistencyOracleSql(threshold: Double, nCells: Int = 16): String =
     s"""WITH pairs AS (

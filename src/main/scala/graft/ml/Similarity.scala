@@ -117,7 +117,7 @@ object Similarity {
     * queries (one row), 6 dp. Integer intersection counts make it
     * accumulation-order independent.
     */
-  private def recallVs(exactTopK: DataFrame, approxTopK: DataFrame,
+  private[ml] def recallVs(exactTopK: DataFrame, approxTopK: DataFrame,
                        k: Int): DataFrame = {
     val exact = exactTopK.select("query_id", "neighbor_id")
     val approx = approxTopK.select(
@@ -145,7 +145,7 @@ object Similarity {
     recallVs(bruteForceTopK(emb, isQuery, k), ivfPqTopK(emb, isQuery, k), k)
 
   /** Shared oracle for [[recallVs]]: both args are full SELECTs. */
-  private def recallOracleSql(exactSql: String, approxSql: String, k: Int): String =
+  private[ml] def recallOracleSql(exactSql: String, approxSql: String, k: Int): String =
     s"""WITH bf AS (SELECT * FROM ($exactSql)),
        |ap AS (SELECT * FROM ($approxSql)),
        |hits AS (

@@ -109,6 +109,25 @@ class KnnEvalSpec extends SparkSpec {
     assert(out.head.getInt(1) === 1 && out.head.getInt(2) === 1)
   }
 
+  test("hardNegativesRecall: 1.0 under full probing, below 1 when cells hide negatives") {
+    // full probe coverage → IVF ≡ exact → recall exactly 1
+    val full = KnnEval.hardNegativesRecall(emb, lit(true), k = 2,
+      nCells = 2, nProbe = 2).collect()
+    assert(full.map(_.getDouble(0)).toSeq === Seq(1.0))
+    // two axis-cluster cells, nProbe=1: vec 0's exact top-5 negatives
+    // include the y-family label-1 vectors, but its probed cell holds
+    // only vec 6 — the miner finds 1 of 5
+    val e = Seq(
+      (0L, Array(1.00f, 0.01f), 0), (2L, Array(0.99f, 0.02f), 0),
+      (4L, Array(0.98f, 0.01f), 0), (6L, Array(0.97f, 0.03f), 1),
+      (1L, Array(0.01f, 1.00f), 1), (3L, Array(0.02f, 0.99f), 1),
+      (5L, Array(0.01f, 0.98f), 1), (7L, Array(0.03f, 0.97f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val scoped = KnnEval.hardNegativesRecall(e, col("vec_id") === 0, k = 5,
+      nCells = 2, nProbe = 1).collect()
+    assert(scoped.map(_.getDouble(0)).toSeq === Seq(0.2))
+  }
+
   test("labelConsistency: planted noise scores 0, its clean cluster-mates score 2/3") {
     // threshold 0.9 keeps only within-cluster neighbors (cross-cluster
     // cosine ~ 0.03); nCells=1 so cell scoping cannot hide anything here
