@@ -68,6 +68,23 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(!rowBands.exists(_._1 == 9L))
   }
 
+  test("standing index materializes at plan construction, not per micro-batch") {
+    // the stream-static join re-plans its static side every micro-batch:
+    // the three snapshot relations (shingles, band index, shingle sets)
+    // must be localCheckpointed at CONSTRUCTION, or each arriving batch
+    // re-runs the O(corpus) minhash pass (round-8 StreamBench finding)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val input = MemoryStream[(Long, String)]
+    StreamingNearDup.nearDupProbeStream(
+      input.toDF().toDF("doc_id", "text"), snapshot)
+    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(created.size >= 3,
+      s"expected >= 3 checkpointed index relations, got ${created.size}")
+    created.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   test("probe plan is stateless — no streaming aggregation state") {
     val input = MemoryStream[(Long, String)]
     val sdf = StreamingNearDup.nearDupProbeStream(
