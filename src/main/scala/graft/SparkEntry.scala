@@ -549,6 +549,13 @@ object SparkEntry {
     "ret_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
         Retrieval.defaultIsQuery, k = 10)),
+    // the per-seed listing's scale twin: the SAME ranking against a
+    // corpus-independent 100-seed set — with the seed side fixed,
+    // matched-posting volume grows linearly in the corpus instead of
+    // quadratically (the 1000x scratch-exhaustion boundary)
+    "ret_bm25_seeds" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
+        Retrieval.boundedIsQuery, k = 10)),
     // profile admission score: BM25 against the seed-term union — the
     // batch twin of the score-at-ingest stream (StreamingSelect)
     "ret_bm25_profile" -> ((s, dir) =>
@@ -1266,6 +1273,8 @@ object SparkEntry {
       Curation.dsirWeightsOracleSql(Retrieval.defaultIsQuerySql),
     "ret_bm25" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
+    "ret_bm25_seeds" ->
+      Retrieval.bm25TopKOracleSql(Retrieval.boundedIsQuerySql, k = 10),
     "ret_bm25_profile" ->
       Retrieval.profileScoreOracleSql(Retrieval.defaultIsQuerySql),
     "cur_pipeline7" ->

@@ -330,4 +330,17 @@ object Retrieval {
     */
   val defaultIsQuery: Column = pmod(col("doc_id"), lit(100)) === 0
   val defaultIsQuerySql: String = "((doc_id % 100) + 100) % 100 = 0"
+
+  /** A CORPUS-INDEPENDENT seed set (the first 100 base doc_ids — scale
+    * replication appends high-id copies, so this stays exactly 100 docs
+    * at every scale). The per-seed listing's scale boundary is the seed
+    * set growing with the corpus: matched-posting volume is
+    * Σ_term df(term) × queries(term), quadratic when both factors scale
+    * (measured: 576× contrib growth for 100× input; >70 GB scratch
+    * exhaustion at 1000× with corpus-proportional seeds — SCALING.md
+    * round 8). With the seed side FIXED, only df grows — linear, the
+    * shape a real corpus loop has.
+    */
+  val boundedIsQuery: Column = col("doc_id") < 100
+  val boundedIsQuerySql: String = "doc_id < 100"
 }
