@@ -100,6 +100,14 @@ object StreamBench {
     val nChunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "40").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_streaming.json")
     val work = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR", "/tmp/graft_stream")
+    // stage filter (comma list) — at the 1000x corpus the full five-stage
+    // run is impractically long (select alone streams 5M docs at its
+    // md5-bound rate), so scale runs pick the stages whose cost model
+    // makes an XL measurement informative
+    val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
+      "trend,sessions,select,neardup,drift").split(",").map(_.trim).toSet
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[BatchRow], Double)]
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -129,50 +137,55 @@ object StreamBench {
     if (workRoot.exists()) clean(workRoot)
     val dir = new java.io.File(inDir)
     dir.mkdirs()
-    val ev = Tables.load(spark, sfDir, "events")
-    val tsCol = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_seconds(expr("ts DIV 1000000000"))
-      case _ => date_trunc("second", col("ts"))
+    if (stages("trend") || stages("sessions")) {
+      val ev = Tables.load(spark, sfDir, "events")
+      val tsCol = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_seconds(expr("ts DIV 1000000000"))
+        case _ => date_trunc("second", col("ts"))
+      }
+      val events = ev.select(tsCol.as("ts"), col("user_id"), col("value"))
+        .localCheckpoint()
+      val Row2 = events.agg(min("ts"), max("ts")).head()
+      val (loTs, hiTs) = (Row2.getTimestamp(0).getTime, Row2.getTimestamp(1).getTime)
+      val span = math.max(1L, hiTs - loTs + 1)
+      val total = (0 until nChunks).map { i =>
+        val lo = loTs + span * i / nChunks
+        val hi = if (i == nChunks - 1) hiTs + 1 else loTs + span * (i + 1) / nChunks
+        val tmp = s"$work/chunk_tmp"
+        val chunk = events.where(col("ts") >= lit(new java.sql.Timestamp(lo)) &&
+                                 col("ts") <  lit(new java.sql.Timestamp(hi)))
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(dir, f"chunk-$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.length()
+      }.sum
+      System.err.println(s"[streambench] staged $nChunks chunks, $total bytes")
+
+      val schema = events.schema
+      def src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+
+      // ---- trend stage: per-user hourly rebin ----
+      if (stages("trend")) {
+        val trendOut = streaming.StreamingTrend.rebinStream(
+          src.select(col("ts"), concat(lit("u"), col("user_id")).as("counter"),
+            lit(1.0).as("count")),
+          "hours", 1, watermarkSlack = "2 hours")
+        results("trend") = runStage(spark, "trend", trendOut, s"$work/ckpt_trend")
+      }
+
+      // ---- sessions stage: native session_window store ----
+      if (stages("sessions")) {
+        val sessOut = streaming.StreamingSessions.sessionizeStream(
+          src.select(col("ts"), col("user_id"), col("value")),
+          gapSec = 1800L, watermarkSlack = "2 hours")
+        results("sessions") =
+          runStage(spark, "sessions", sessOut, s"$work/ckpt_sessions")
+      }
     }
-    val events = ev.select(tsCol.as("ts"), col("user_id"), col("value"))
-      .localCheckpoint()
-    val Row2 = events.agg(min("ts"), max("ts")).head()
-    val (loTs, hiTs) = (Row2.getTimestamp(0).getTime, Row2.getTimestamp(1).getTime)
-    val span = math.max(1L, hiTs - loTs + 1)
-    val total = (0 until nChunks).map { i =>
-      val lo = loTs + span * i / nChunks
-      val hi = if (i == nChunks - 1) hiTs + 1 else loTs + span * (i + 1) / nChunks
-      val tmp = s"$work/chunk_tmp"
-      val chunk = events.where(col("ts") >= lit(new java.sql.Timestamp(lo)) &&
-                               col("ts") <  lit(new java.sql.Timestamp(hi)))
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(dir, f"chunk-$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.length()
-    }.sum
-    System.err.println(s"[streambench] staged $nChunks chunks, $total bytes")
-
-    val schema = events.schema
-    def src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
-
-    // ---- trend stage: per-user hourly rebin ----
-    val trendOut = streaming.StreamingTrend.rebinStream(
-      src.select(col("ts"), concat(lit("u"), col("user_id")).as("counter"),
-        lit(1.0).as("count")),
-      "hours", 1, watermarkSlack = "2 hours")
-    val (trendRows, trendWall) =
-      runStage(spark, "trend", trendOut, s"$work/ckpt_trend")
-
-    // ---- sessions stage: native session_window store ----
-    val sessOut = streaming.StreamingSessions.sessionizeStream(
-      src.select(col("ts"), col("user_id"), col("value")),
-      gapSec = 1800L, watermarkSlack = "2 hours")
-    val (sessRows, sessWall) =
-      runStage(spark, "sessions", sessOut, s"$work/ckpt_sessions")
 
     // ---- corpus-ingest stages: the ml streaming operators ----
     // These are stateless (select, neardup) or dim-bounded-state (drift)
@@ -203,46 +216,49 @@ object StreamBench {
     }
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+    val docSchema = docs.schema
 
     // select: score-at-ingest against the standing BM25 seed profile.
     // Stream side = every non-seed document; profile = broadcast map.
-    val (profile, avgdl) = ml.StreamingSelect.collectProfile(
-      ml.Retrieval.profileWeights(docs, ml.Retrieval.defaultIsQuery))
-    val selDir = stageChunks(
-      docs.where(!ml.Retrieval.defaultIsQuery), "doc_id", "docs_in", nChunks)
-    val docSchema = docs.schema
-    val selOut = ml.StreamingSelect.scoreStream(
-      spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(selDir),
-      profile, avgdl)
-    val (selRows, selWall) =
-      runStage(spark, "select", selOut, s"$work/ckpt_select")
+    if (stages("select")) {
+      val (profile, avgdl) = ml.StreamingSelect.collectProfile(
+        ml.Retrieval.profileWeights(docs, ml.Retrieval.defaultIsQuery))
+      val selDir = stageChunks(
+        docs.where(!ml.Retrieval.defaultIsQuery), "doc_id", "docs_in", nChunks)
+      val selOut = ml.StreamingSelect.scoreStream(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(selDir),
+        profile, avgdl)
+      results("select") = runStage(spark, "select", selOut, s"$work/ckpt_select")
+    }
 
     // neardup: 1% of documents arrive as the stream, the other 99% are
     // the standing snapshot (its three index relations materialize ONCE
     // — the stream-static join must not re-run the minhash pass per
     // micro-batch; per-batch cost is the indexed probe only).
-    val arriving = docs.where(pmod(col("doc_id"), lit(100)) === 0)
-    val ndDir = stageChunks(arriving, "doc_id", "nd_in", nChunks)
-    val ndOut = ml.StreamingNearDup.nearDupProbeStream(
-      spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(ndDir),
-      docs.where(pmod(col("doc_id"), lit(100)) =!= 0))
-    val (ndRows, ndWall) =
-      runStage(spark, "neardup", ndOut, s"$work/ckpt_neardup")
+    if (stages("neardup")) {
+      val arriving = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+      val ndDir = stageChunks(arriving, "doc_id", "nd_in", nChunks)
+      val ndOut = ml.StreamingNearDup.nearDupProbeStream(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(ndDir),
+        docs.where(pmod(col("doc_id"), lit(100)) =!= 0))
+      results("neardup") = runStage(spark, "neardup", ndOut, s"$work/ckpt_neardup")
+    }
 
     // drift: per-dimension cumulative means vs the standing baseline —
     // the one ml stream WITH state; the plateau check proves it pins at
     // the dimension count (64 rows) while the full corpus flows through.
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val embDir = stageChunks(emb, "vec_id", "emb_in", nChunks)
-    val driftOut = ml.StreamingDrift.driftStream(
-      spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1").parquet(embDir),
-      Tables.load(spark, sfDir, "embeddings"))
-    val (driftRows, driftWall) =
-      runStage(spark, "drift", driftOut, s"$work/ckpt_drift", "update")
+    if (stages("drift")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val embDir = stageChunks(emb, "vec_id", "emb_in", nChunks)
+      val driftOut = ml.StreamingDrift.driftStream(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(embDir),
+        Tables.load(spark, sfDir, "embeddings"))
+      results("drift") = runStage(spark, "drift", driftOut, s"$work/ckpt_drift", "update")
+    }
 
     def stageJson(name: String, rows: Seq[BatchRow], wall: Double): String = {
       val (ok, mid, last) = plateau(rows)
@@ -257,25 +273,20 @@ object StreamBench {
       s""""midThirdPeakStateRows":$mid,"lastThirdPeakStateRows":$last,""" +
       s""""plateau":$ok}"""
     }
-    val json = "{" + stageJson("trend", trendRows, trendWall) + "," +
-      stageJson("sessions", sessRows, sessWall) + "," +
-      stageJson("select", selRows, selWall) + "," +
-      stageJson("neardup", ndRows, ndWall) + "," +
-      stageJson("drift", driftRows, driftWall) +
+    val json = "{" +
+      results.map { case (n, (rows, wall)) => stageJson(n, rows, wall) }
+        .mkString(",") +
       s""","sf":"$sfDir","chunks":$nChunks}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    val (tOk, _, _) = plateau(trendRows)
-    val (sOk, _, _) = plateau(sessRows)
-    val (dOk, _, _) = plateau(driftRows)
     def tput(rows: Seq[BatchRow], wall: Double): Long =
       if (wall <= 0) 0 else (rows.map(_.inputRows).sum / wall).toLong
-    println(s"""{"metric":"streaming","trendPlateau":$tOk,"sessionsPlateau":$sOk,""" +
-      s""""driftPlateau":$dOk,"driftPeakStateRows":${
-        if (driftRows.isEmpty) 0 else driftRows.map(_.stateRows).max},""" +
-      s""""trendWallSec":$trendWall,"sessionsWallSec":$sessWall,""" +
-      s""""selectRowsPerSec":${tput(selRows, selWall)},""" +
-      s""""neardupRowsPerSec":${tput(ndRows, ndWall)},""" +
-      s""""driftRowsPerSec":${tput(driftRows, driftWall)},"out":"$outPath"}""")
+    val summary = results.map { case (n, (rows, wall)) =>
+      val (ok, _, _) = plateau(rows)
+      val peak = if (rows.isEmpty) 0L else rows.map(_.stateRows).max
+      s""""$n":{"wallSec":$wall,"rowsPerSec":${tput(rows, wall)},""" +
+      s""""peakStateRows":$peak,"plateau":$ok}"""
+    }.mkString(",")
+    println(s"""{"metric":"streaming",$summary,"out":"$outPath"}""")
     spark.stop()
   }
 }
