@@ -104,8 +104,15 @@ object StreamBench {
     // run is impractically long (select alone streams 5M docs at its
     // md5-bound rate), so scale runs pick the stages whose cost model
     // makes an XL measurement informative
+    val known = Set("trend", "sessions", "select", "neardup", "drift")
     val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
-      "trend,sessions,select,neardup,drift").split(",").map(_.trim).toSet
+      "trend,sessions,select,neardup,drift")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // a typo'd stage name must fail loudly, not silently produce an
+    // empty (and malformed) result file after paying session startup
+    require(stages.nonEmpty && stages.subsetOf(known),
+      s"SPARK_GRAFT_STREAM_STAGES: unknown stage(s) ${stages -- known}; " +
+        s"known: ${known.mkString(",")}")
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, (Seq[BatchRow], Double)]
     val spark = SparkSession.builder()
@@ -113,10 +120,11 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // keep every micro-batch's progress: the default 100 is enough for
-      // the chunk counts used here, but be explicit — dropped progress
-      // rows would silently hide the ramp-up phase from the plateau check
-      .config("spark.sql.streaming.numRecentProgressUpdates", "256")
+      // keep every micro-batch's progress (sized to the chunk count):
+      // dropped progress rows would silently hide the ramp-up phase from
+      // the plateau check and undercount inputRows in the throughput sum
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(256, nChunks + 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -197,7 +205,14 @@ object StreamBench {
     def stageChunks(df: DataFrame, key: String, sub: String,
                     n: Int): String = {
       val d = new java.io.File(s"$work/$sub"); d.mkdirs()
+      // track the checkpoint's RDD ids so the corpus-sized blocks can be
+      // freed when staging is done: Dataset.unpersist goes through the
+      // SQL CacheManager, which never tracked a localCheckpoint's RDD —
+      // the bpeTrain checkpointTracked pattern is the one that works
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
       val proj = df.localCheckpoint()
+      val created = sc.getPersistentRDDs.keySet.toSet -- before
       (0 until n).foreach { i =>
         val tmp = s"$work/chunk_tmp"
         // chunk on a HASH of the key: key-modulus would collapse onto a
@@ -211,7 +226,8 @@ object StreamBench {
         java.nio.file.Files.move(part.toPath,
           new java.io.File(d, f"chunk-$i%04d.parquet").toPath)
       }
-      proj.unpersist(blocking = false)
+      created.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       d.getPath
     }
     val docs = Tables.load(spark, sfDir, "documents")

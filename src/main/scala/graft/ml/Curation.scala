@@ -1851,10 +1851,26 @@ object Curation {
     (seq, merges.toSeq)
   }
 
+  /** Run bpeTrain for its merge list only, freeing the final symbol-table
+    * checkpoint the round-hygiene loop leaves alive for seq-consuming
+    * callers (bpeEncode) — the merge list is already a driver-side Seq,
+    * so nothing downstream can reference the blocks.
+    */
+  private def bpeMergesOnly(docs: DataFrame, nMerges: Int, batch: Int,
+                            untilTarget: Boolean): Seq[(Long, String, String, Long)] = {
+    val sc = docs.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val merges = bpeTrain(docs, nMerges, batch, untilTarget)._2
+    (sc.getPersistentRDDs.keySet.toSet -- before).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    merges
+  }
+
   def bpeMerges(docs: DataFrame, nMerges: Int = 8, batch: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, nMerges, batch)._2.toDF("step", "pair_a", "pair_b", "cnt")
+    bpeMergesOnly(docs, nMerges, batch, untilTarget = false)
+      .toDF("step", "pair_a", "pair_b", "cnt")
   }
 
   /** Train until the merge list actually REACHES `targetMerges` (or the
@@ -1872,7 +1888,7 @@ object Curation {
                        batch: Int = 512): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, targetMerges, batch, untilTarget = true)._2
+    bpeMergesOnly(docs, targetMerges, batch, untilTarget = true)
       .toDF("step", "pair_a", "pair_b", "cnt")
   }
 

@@ -125,9 +125,15 @@ object Similarity {
     val hits = exact.join(approx,
         col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    exact.select("query_id").distinct()
+    // denominator = what the exact side actually HAS for that query,
+    // capped at k: for the ANN recalls the exact top-k always holds k
+    // rows, but a filtered exact set (hard-negative mining on a label
+    // that covers most of the corpus) can hold fewer — dividing by a
+    // fixed k would cap such queries below 1.0 even on a perfect match
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("query_id"), "left")
-      .agg(round(avg(coalesce(col("n_hit"), lit(0L)) / k.toDouble), 6)
+      .agg(round(avg(coalesce(col("n_hit"), lit(0L)) /
+          least(col("n_exact"), lit(k.toLong))), 6)
         .as("recall_at_k"))
   }
 
@@ -153,8 +159,9 @@ object Similarity {
        |  FROM bf SEMI JOIN ap ON bf.query_id = ap.query_id
        |                      AND bf.neighbor_id = ap.neighbor_id
        |  GROUP BY bf.query_id),
-       |qs AS (SELECT DISTINCT query_id FROM bf)
-       |SELECT round(avg(coalesce(h.n_hit, 0) / ${k.toDouble}), 6) AS recall_at_k
+       |qs AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+       |SELECT round(avg(coalesce(h.n_hit, 0)::DOUBLE / least(qs.n_exact, $k)), 6)
+       |       AS recall_at_k
        |FROM qs LEFT JOIN hits h USING (query_id)""".stripMargin
 
   def lshRecallOracleSql(k: Int): String =

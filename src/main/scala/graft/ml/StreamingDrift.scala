@@ -34,7 +34,12 @@ object StreamingDrift {
     * with outputMode update (deltas per micro-batch) or complete.
     */
   def driftStream(stream: DataFrame, baseline: DataFrame): DataFrame = {
-    val base = baselineMeans(baseline)
+    // materialize the dim-row baseline ONCE: the static side of a
+    // stream-static join is re-planned every micro-batch, and without
+    // the checkpoint each batch re-runs the full-corpus posexplode +
+    // groupBy just to rebuild these 64 rows (the StreamingNearDup
+    // standing-index lesson)
+    val base = baselineMeans(baseline).localCheckpoint()
     stream
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("i", "x")))

@@ -126,6 +126,12 @@ class KnnEvalSpec extends SparkSpec {
     val scoped = KnnEval.hardNegativesRecall(e, col("vec_id") === 0, k = 5,
       nCells = 2, nProbe = 1).collect()
     assert(scoped.map(_.getDouble(0)).toSeq === Seq(0.2))
+    // sub-k exact set: vec 0 has only 5 negatives in the corpus, so at
+    // k=8 a perfect full-probe match must still score 1.0 — the
+    // denominator is what the exact side HAS, not the fixed k
+    val subK = KnnEval.hardNegativesRecall(e, col("vec_id") === 0, k = 8,
+      nCells = 2, nProbe = 2).collect()
+    assert(subK.map(_.getDouble(0)).toSeq === Seq(1.0))
   }
 
   test("labelConsistency: planted noise scores 0, its clean cluster-mates score 2/3") {
