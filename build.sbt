@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures Bench/Verify stdout and parses the LAST line as
+// JSON. sbt's default forked-output strategy prefixes every line with
+// "[info] " and appends its own "[success] Total time ..." epilogue —
+// both break that parse (BENCH_r06–r08 "parsed": null). StdoutOutput
+// inherits this process's raw stdout/stderr; showSuccess drops the
+// epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

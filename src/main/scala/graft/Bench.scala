@@ -11,6 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * across rounds.
   */
 object Bench {
+  /** Locale-pinned 3-dp format: the f-interpolator follows the JVM
+    * default locale, and a comma-decimal locale would turn every emitted
+    * line into invalid JSON for the driver's tail parser.
+    */
+  private[graft] def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def materialize(df: DataFrame): Unit = {
     df.write.mode("overwrite").format("noop").save()
     // drop this query's localCheckpoint blocks: across ~100 queries in
@@ -98,7 +105,7 @@ object Bench {
       // of 143 timings); streaming short lines means the tail holds the
       // most recent queries and a hung/failed run shows exactly where it
       // stopped. Milliseconds precision keeps the lines tail-friendly.
-      println(f"""{"q":"$name","sec":$sec%.3f}""")
+      println(s"""{"q":"$name","sec":${fmt3(sec)}}""")
       System.out.flush()
       (name, sec, ok)
     }
@@ -124,7 +131,7 @@ object Bench {
       "trend_wdt", "dedup_exact", "dedup_minhash_lsh", "ann_ivf_topk",
       "cur_pack", "text_token_stats", "evt_sessionize", "ret_bm25")
     val hqs = results.collect {
-      case (k, v, _) if headline.contains(k) => f""""$k":$v%.3f"""
+      case (k, v, _) if headline.contains(k) => s""""$k":${fmt3(v)}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()

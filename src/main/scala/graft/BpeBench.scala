@@ -52,7 +52,8 @@ object BpeBench {
         else ml.Curation.bpeMerges(docs, nMerges = m, batch = b)
       val n = merges.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"merges":$m,"batch":$b,"toVocab":$toVocab,"gotMerges":$n,"sec":$sec%.1f}""")
+      println(s"""{"merges":$m,"batch":$b,"toVocab":$toVocab,"gotMerges":$n,"sec":${
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec))}}""")
       System.out.flush()
       (m, b, toVocab, n, sec)
     }

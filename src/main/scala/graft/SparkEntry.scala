@@ -488,6 +488,18 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // the shared IVF index-build step as its own operator: default form
+    // goes two-level once autoCells scales past twoLevelMinCells, _flat
+    // pins the exact one-level scan (the A/B baseline), _agree measures
+    // the two paths' assignment agreement (structurally 1.0 at the
+    // oracle floor where both are flat; the real number at 100×/1000×)
+    "ann_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.load(s, dir, "embeddings"))),
+    "ann_ivf_assign_flat" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.load(s, dir, "embeddings"),
+        forceFlat = true)),
+    "ann_ivf_assign_agree" -> ((s, dir) =>
+      Similarity.ivfAssignAgreement(Tables.load(s, dir, "embeddings"))),
     // the deployment-quality metric: LSH recall against the exact ranking
     "ann_lsh_recall" -> ((s, dir) =>
       Similarity.lshRecall(Tables.load(s, dir, "embeddings"),
@@ -1034,7 +1046,8 @@ object SparkEntry {
     "dedup_semantic", "cur_pipeline4",
     "ann_knn_classify_ivf", "ann_label_consistency", "cur_pipeline6",
     "ann_ivf_incremental", "ann_knn_clusters", "ann_hard_negatives_ivf",
-    "ann_hard_negatives_recall")
+    "ann_hard_negatives_recall",
+    "ann_ivf_assign", "ann_ivf_assign_flat", "ann_ivf_assign_agree")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1253,6 +1266,9 @@ object SparkEntry {
     "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
+    "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
+    "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
+    "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,
     "ann_lsh_recall" -> Similarity.lshRecallOracleSql(k = 10),
     "ann_ivf_recall" -> Similarity.ivfRecallOracleSql(k = 10),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracleSql(k = 10),

@@ -375,6 +375,90 @@ object Similarity {
     * scores are rounded to 9 dp so both engines pick identical cells
     * despite sub-ulp accumulation differences; ties break on cell id.
     */
+  /** Flat-scan ceiling for the coarse quantizer: corpora whose
+    * [[autoCells]] stays BELOW this keep the exact one-level scan — that
+    * includes every oracle-floor run (16/17 cells), so sf-level results
+    * are bit-identical to the fixed-parameter DuckDB oracle. At/above it
+    * the two-level quantizer activates (see [[withCellRanks]]).
+    */
+  private[ml] val twoLevelMinCells = 64
+
+  /** Super-cells probed per vector on the two-level path. With nSuper ≈
+    * √nCells children per super-cell, cost per vector is
+    * nSuper + superProbe·√nCells instead of nCells — at 400 cells
+    * (2M-vector corpus) that is 20 + 6·20 = 140 vs 400 dot products.
+    */
+  private[ml] val defaultSuperProbe = 6
+
+  /** Driver-side super-quantizer over the already-collected centroid set:
+    * ⌈√nCells⌉ unit-norm super-centroids (seeded from the smallest-cid
+    * centroids, refined by `iters` spherical-k-means rounds, ties to the
+    * lower super id) plus the children index (super-cell → centroid
+    * positions). O(nCells^1.5 · dim) driver arithmetic on data already in
+    * hand — no extra Spark job, no new collect. Deterministic: seeds,
+    * assignment ties, and mean updates contain no randomness.
+    */
+  private[ml] def superQuantizer(cents: Array[(Long, Array[Double], Double)],
+                             iters: Int = 3): (Array[Array[Double]], Array[Array[Int]]) = {
+    val dim = cents(0)._2.length
+    val unit = cents.map { case (_, cv, cn) =>
+      val u = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { u(d) = cv(d) / cn; d += 1 }
+      u
+    }
+    val nSuper = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    val sup = Array.tabulate(nSuper)(i => unit(i).clone())
+    val assign = new Array[Int](cents.length)
+    var it = 0
+    while (it <= iters) {
+      var i = 0
+      while (i < unit.length) {
+        var best = 0
+        var bestS = -2.0
+        var s = 0
+        while (s < nSuper) {
+          var acc = 0.0
+          var d = 0
+          while (d < dim) { acc += unit(i)(d) * sup(s)(d); d += 1 }
+          if (acc > bestS) { bestS = acc; best = s }
+          s += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      if (it < iters) {
+        // spherical mean update; an empty / zero-norm cluster keeps its
+        // previous centroid (stays deterministic, never divides by 0)
+        val acc = Array.fill(nSuper)(new Array[Double](dim))
+        i = 0
+        while (i < unit.length) {
+          val a = acc(assign(i))
+          var d = 0
+          while (d < dim) { a(d) += unit(i)(d); d += 1 }
+          i += 1
+        }
+        var s = 0
+        while (s < nSuper) {
+          var nrm = 0.0
+          var d = 0
+          while (d < dim) { nrm += acc(s)(d) * acc(s)(d); d += 1 }
+          nrm = math.sqrt(nrm)
+          if (nrm > 1e-12) {
+            d = 0
+            while (d < dim) { sup(s)(d) = acc(s)(d) / nrm; d += 1 }
+          }
+          s += 1
+        }
+      }
+      it += 1
+    }
+    val children = Array.fill(nSuper)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < assign.length) { children(assign(i)) += i; i += 1 }
+    (sup, children.map(_.toArray))
+  }
+
   /** Adds a `cells` column: the `keep` nearest seed-centroid ids ordered
     * by similarity (9-dp-rounded, tie on cell id) — element 1 is the
     * nearest-centroid assignment. Centroids are the `nCells` smallest-id
@@ -385,22 +469,39 @@ object Similarity {
     * needs nProbe): materializing the full ranking would make the cells
     * column n·nCells·8 bytes — with autoCells that is Θ(n²/target) bytes,
     * petabytes at 1B vectors. Selection is a bounded O(nCells·keep)
-    * insertion pass, not a full sort. Assignment COMPUTE is still flat
-    * O(n·nCells) dot products — the honest cost of a single-level coarse
-    * quantizer; at the 1B-vector scale a production index switches to a
-    * two-level / hierarchical quantizer (assign to √nCells super-cells,
-    * then within), which changes only this one function.
+    * insertion pass, not a full sort.
+    *
+    * Assignment compute is TWO-LEVEL once nCells reaches
+    * [[twoLevelMinCells]]: each vector ranks the ⌈√nCells⌉ super-centroids
+    * (built driver-side by [[superQuantizer]] from the same collected
+    * centroid set) and scans only the children of its `superProbe` closest
+    * super-cells — nSuper + superProbe·√nCells dot products per vector
+    * instead of nCells, the standard hierarchical coarse quantizer (cf.
+    * FAISS IVF on an IMI/2-level coarse index). Below the threshold —
+    * which includes every oracle-floor corpus — the scan is the exact flat
+    * O(n·nCells) pass, bit-identical to the DuckDB oracle. The two-level
+    * path is approximate by construction (a nearest centroid whose
+    * super-cell is not probed is missed); [[ivfAssignAgreement]] measures
+    * that agreement on any corpus, and the scale sweep records it.
     */
   private[ml] def withCellRanks(e: DataFrame, nCells: Int,
                             keep: Int = 1,
-                            seedFrom: DataFrame = null): DataFrame = {
+                            seedFrom: DataFrame = null,
+                            twoLevelMin: Int = twoLevelMinCells,
+                            superProbe: Int = defaultSuperProbe): DataFrame = {
     val cents: Array[(Long, Array[Double], Double)] = (
       if (seedFrom == null) e else seedFrom)
       .orderBy("vec_id").limit(nCells)
       .select("vec_id", "v", "norm").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val bc = e.sparkSession.sparkContext.broadcast(cents)
+    val sc = e.sparkSession.sparkContext
+    val bc = sc.broadcast(cents)
+    // (super-centroids, children) broadcast only when the two-level path
+    // is active; null otherwise so the flat path ships nothing extra
+    val bcSup: org.apache.spark.broadcast.Broadcast[(Array[Array[Double]], Array[Array[Int]])] =
+      if (cents.length >= twoLevelMin) sc.broadcast(superQuantizer(cents)) else null
     val kKeep = math.max(1, keep)
+    val nProbeSup = superProbe
     val cellRanks = udf { (v: Seq[Double], norm: Double) =>
       val va = v.toArray
       val cs = bc.value
@@ -410,9 +511,8 @@ object Similarity {
       val topId = new Array[Long](m)
       val topC = new Array[Double](m)
       var filled = 0
-      var i = 0
-      while (i < cs.length) {
-        val (cid, cv, cn) = cs(i)
+      def offer(ci: Int): Unit = {
+        val (cid, cv, cn) = cs(ci)
         var s = 0.0
         var d = 0
         while (d < va.length) { s += va(d) * cv(d); d += 1 }
@@ -428,7 +528,43 @@ object Similarity {
           topC(pos) = c
           if (filled < m) filled += 1
         }
-        i += 1
+      }
+      if (bcSup == null) {
+        var i = 0
+        while (i < cs.length) { offer(i); i += 1 }
+      } else {
+        val (sup, children) = bcSup.value
+        // rank super-cells by raw dot against unit super-centroids (the
+        // vector's own norm divides out of the ranking); ties keep the
+        // earlier (lower) super id — strict < in the insertion test
+        val p = math.min(nProbeSup, sup.length)
+        val supId = new Array[Int](p)
+        val supS = new Array[Double](p)
+        var sf = 0
+        var s = 0
+        while (s < sup.length) {
+          var acc = 0.0
+          var d = 0
+          while (d < va.length) { acc += va(d) * sup(s)(d); d += 1 }
+          var pos = sf
+          while (pos > 0 && supS(pos - 1) < acc) pos -= 1
+          if (pos < p) {
+            val last = math.min(sf, p - 1)
+            var j = last
+            while (j > pos) { supId(j) = supId(j - 1); supS(j) = supS(j - 1); j -= 1 }
+            supId(pos) = s
+            supS(pos) = acc
+            if (sf < p) sf += 1
+          }
+          s += 1
+        }
+        var pi = 0
+        while (pi < sf) {
+          val ch = children(supId(pi))
+          var ki = 0
+          while (ki < ch.length) { offer(ch(ki)); ki += 1 }
+          pi += 1
+        }
       }
       topId.take(filled)
     }
@@ -501,6 +637,50 @@ object Similarity {
        |           ORDER BY floor(list_dot_product(e.v, c.cv) / (e.norm * c.cn) * 1e9 + 0.5) / 1e9 DESC,
        |                    c.cid) AS rnk
        |  FROM e CROSS JOIN cents c)""".stripMargin
+
+  /** Coarse-quantizer assignment table (vec_id, cell) for the whole
+    * corpus — the index-build step every IVF-family operator shares,
+    * exposed as its own operator so the assignment wall (the dominant
+    * build cost once [[autoCells]] scales nCells with the corpus) can be
+    * measured and A/B'd directly. `forceFlat = true` pins the exact
+    * one-level scan at ANY corpus size — the A/B baseline; the default
+    * follows [[withCellRanks]]'s two-level activation at
+    * [[twoLevelMinCells]].
+    */
+  def ivfAssign(emb: DataFrame, nCells: Int = 16,
+                forceFlat: Boolean = false): DataFrame =
+    withCellRanks(normed(emb), autoCells(emb.count(), nCells),
+      twoLevelMin = if (forceFlat) Int.MaxValue else twoLevelMinCells)
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+
+  def ivfAssignOracleSql(nCells: Int = 16): String =
+    s"""WITH ${cellCtesSql(nCells)}
+       |SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1""".stripMargin
+
+  /** Fraction of vectors whose two-level assignment matches the exact
+    * flat scan — the honesty metric for the approximate two-level path.
+    * At the oracle floor both paths are the same flat scan, so the
+    * sf-level oracle row checks the join/aggregation plumbing (agreement
+    * is structurally 1.0 there); the 100×/1000× sweeps, where two-level
+    * is live, record the real number. Output: (n_vectors, n_agree,
+    * agreement).
+    */
+  def ivfAssignAgreement(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val two = ivfAssign(emb, nCells).withColumnRenamed("cell", "cell_two")
+    val flat = ivfAssign(emb, nCells, forceFlat = true)
+      .withColumnRenamed("cell", "cell_flat")
+    two.join(flat, "vec_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cell_two") === col("cell_flat"), 1L).otherwise(0L))
+          .as("n_agree"),
+        round(avg(when(col("cell_two") === col("cell_flat"), 1.0)
+          .otherwise(0.0)), 6).as("agreement"))
+  }
+
+  def ivfAssignAgreementOracleSql: String =
+    """SELECT count(*) AS n_vectors, count(*) AS n_agree,
+      |       cast(1.0 AS DOUBLE) AS agreement
+      |FROM embeddings""".stripMargin
 
   // Spark's encoder codegen needs public access (cf. Dedup.VecBlock)
   final case class CellBlock(cell: Long, sub: Int, ids: Array[Long],

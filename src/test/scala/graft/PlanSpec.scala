@@ -238,6 +238,24 @@ class PlanSpec extends SparkSpec {
       "anti join shuffles document text")
   }
 
+  test("ivf assignment is a scan against closure centroids — no join, no shuffle") {
+    // the coarse-quantizer build (flat OR two-level — the super-quantizer
+    // is driver-side arithmetic on the already-collected centroid set):
+    // one pass over the corpus, centroids in the udf closure, nothing
+    // exchanged. A join or exchange here means the index build started
+    // shuffling the corpus.
+    for (q <- Seq("ann_ivf_assign", "ann_ivf_assign_flat")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q joins during assignment")
+      assert(!p.contains("Exchange"), s"$q shuffles during assignment")
+    }
+    // the agreement A/B joins the two assignment tables by vec_id only —
+    // hash join, never a nested loop
+    val pa = plan("ann_ivf_assign_agree")
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("kmeans assignment is a scan against broadcast centroids — no join") {
     // the Lloyd output plan: quantize scan + assignment projection; the
     // centroid table must live in the closure (driver-collected, k·dim

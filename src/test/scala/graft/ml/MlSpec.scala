@@ -779,4 +779,79 @@ class MlSpec extends SparkSpec {
     assert(kernel === reference)
     assert(kernel.nonEmpty)
   }
+
+  test("two-level quantizer with exhaustive super-probe is bit-equal to flat") {
+    // superProbe >= nSuper means every super-cell's children get scanned,
+    // so the two-level path must reproduce the flat scan EXACTLY on any
+    // corpus — pseudo-random vectors, no clustering assumption. nCells=12
+    // gives nSuper = ceil(sqrt(12)) = 4.
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (Similarity.planeWeight(i, d) / 1000.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val e = Similarity.normed(emb)
+    def cells(twoLevelMin: Int, superProbe: Int) =
+      Similarity.withCellRanks(e, nCells = 12, keep = 3,
+          twoLevelMin = twoLevelMin, superProbe = superProbe)
+        .select($"vec_id", $"cells")
+        .as[(Long, Seq[Long])].collect().toMap
+    val flat = cells(Int.MaxValue, Similarity.defaultSuperProbe)
+    val two = cells(1, 4)
+    assert(two === flat)
+    assert(flat.values.forall(_.length === 3))
+  }
+
+  test("two-level rank-1 assignment matches flat on separated clusters at superProbe=1") {
+    // 4 orthogonal cluster directions (dims 0-3), 3 centroids per cluster
+    // among ids 0-11 (the seed-centroid window), members 12-59 jittered on
+    // dims 4-7 only. The super-quantizer's 4 super-cells recover the 4
+    // clusters, so probing a SINGLE super-cell still contains each
+    // vector's true nearest centroid.
+    val emb = (0 until 60).map { i =>
+      val c = i % 4
+      val jitter = ((i * 7) % 5 - 2) * 0.03f
+      val v = Array.fill(8)(0.0f)
+      v(c) = 10.0f
+      v(4 + c) = jitter
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val e = Similarity.normed(emb)
+    def rank1(twoLevelMin: Int, superProbe: Int) =
+      Similarity.withCellRanks(e, nCells = 12, keep = 1,
+          twoLevelMin = twoLevelMin, superProbe = superProbe)
+        .select($"vec_id", element_at($"cells", 1))
+        .as[(Long, Long)].collect().toMap
+    val flat = rank1(Int.MaxValue, 1)
+    val two = rank1(1, 1)
+    assert(two === flat)
+    // sanity on the fixture itself: assignments land within-cluster
+    assert(flat.forall { case (id, cell) => cell % 4 === id % 4 })
+  }
+
+  test("superQuantizer children partition the centroid set into ceil(sqrt(n)) groups") {
+    val cents = (0 until 12).map { i =>
+      val v = Array.tabulate(8)(d => Similarity.planeWeight(100 + i, d))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v, n)
+    }.toArray
+    val (sup, children) = Similarity.superQuantizer(cents)
+    assert(sup.length === 4) // ceil(sqrt(12))
+    assert(children.length === 4)
+    assert(children.flatten.sorted.toSeq === (0 until 12))
+    // super-centroids are unit-norm (spherical k-means invariant)
+    sup.foreach { s =>
+      assert(math.abs(math.sqrt(s.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
+  test("ivfAssignAgreement is exactly 1.0 below the two-level threshold") {
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (Similarity.planeWeight(i, d) / 1000.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val row = Similarity.ivfAssignAgreement(emb, nCells = 12)
+      .select("n_vectors", "n_agree", "agreement")
+      .as[(Long, Long, Double)].head()
+    assert(row === ((60L, 60L, 1.0)))
+  }
 }
