@@ -104,7 +104,16 @@ object StreamBench {
     // run is impractically long (select alone streams 5M docs at its
     // md5-bound rate), so scale runs pick the stages whose cost model
     // makes an XL measurement informative
-    val known = Set("trend", "sessions", "select", "neardup", "drift")
+    // *_recover stages are the kill-and-restart recovery proofs (run
+    // explicitly, not part of the default load suite): one uninterrupted
+    // reference run, then a run stopped MID-STREAM (q.stop() interrupts
+    // the micro-batch thread; an in-flight batch's offsets are never
+    // committed, so the restart must replay it) and restarted from the
+    // same checkpoint. Pass = the restart resumes with its state at the
+    // kill-time plateau (not empty) and the final output is bit-equal to
+    // the uninterrupted run (exactly-once sink contract).
+    val known = Set("trend", "sessions", "select", "neardup", "drift",
+      "trend_recover", "drift_recover")
     val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
       "trend,sessions,select,neardup,drift")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -115,6 +124,8 @@ object StreamBench {
         s"known: ${known.mkString(",")}")
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, (Seq[BatchRow], Double)]
+    // recovery stages emit a self-contained JSON object each
+    val recResults = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -145,7 +156,7 @@ object StreamBench {
     if (workRoot.exists()) clean(workRoot)
     val dir = new java.io.File(inDir)
     dir.mkdirs()
-    if (stages("trend") || stages("sessions")) {
+    if (stages("trend") || stages("sessions") || stages("trend_recover")) {
       val ev = Tables.load(spark, sfDir, "events")
       val tsCol = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -192,6 +203,65 @@ object StreamBench {
           gapSec = 1800L, watermarkSlack = "2 hours")
         results("sessions") =
           runStage(spark, "sessions", sessOut, s"$work/ckpt_sessions")
+      }
+
+      // ---- trend recovery: kill mid-stream, restart, prove bit-equal ----
+      if (stages("trend_recover")) {
+        def mkTrend() = streaming.StreamingTrend.rebinStream(
+          src.select(col("ts"), concat(lit("u"), col("user_id")).as("counter"),
+            lit(1.0).as("count")),
+          "hours", 1, watermarkSlack = "2 hours")
+        // order-independent content checksum over the finalized windows:
+        // count + two 60-bit sums of md5 slices of canonical JSON rows —
+        // collecting millions of output rows to the driver would not scale
+        def checksum(df: DataFrame): String = {
+          val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+          val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+            sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+            sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+          (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+            .getOrElse("0")).mkString(":")
+        }
+        // parquet sink: its _spark_metadata commit log is what makes the
+        // restart exactly-once — files from the replayed in-flight batch
+        // are only visible once committed, and a reader goes through the
+        // log, never the raw directory listing
+        def runTrend(out: String, ckpt: String, killAfter: Int)
+            : (Double, Int, Long) = {
+          val t0 = System.nanoTime()
+          val q = mkTrend().writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          if (killAfter > 0) {
+            while (q.isActive &&
+                q.recentProgress.count(_.numInputRows > 0) < killAfter)
+              Thread.sleep(100)
+            q.stop() // interrupts the micro-batch thread mid-flight
+          } else { q.processAllAvailable(); q.stop() }
+          val prog = q.recentProgress.filter(_.numInputRows > 0)
+          val firstState = prog.headOption
+            .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+            .getOrElse(0L)
+          ((System.nanoTime() - t0) / 1e9, prog.length, firstState)
+        }
+        val refOut = s"$work/rec_trend_ref_out"
+        val (refWall, refBatches, _) =
+          runTrend(refOut, s"$work/rec_trend_ref_ckpt", 0)
+        val recOut = s"$work/rec_trend_out"
+        val recCkpt = s"$work/rec_trend_ckpt"
+        val (killWall, killedAfter, _) = runTrend(recOut, recCkpt, nChunks / 2)
+        val (resumeWall, resumeBatches, resumeState) = runTrend(recOut, recCkpt, 0)
+        val refSum = checksum(spark.read.parquet(refOut))
+        val recSum = checksum(spark.read.parquet(recOut))
+        recResults("trend_recover") =
+          s"""{"refWallSec":$refWall,"refBatches":$refBatches,""" +
+          s""""killWallSec":$killWall,"killedAfterBatches":$killedAfter,""" +
+          s""""resumeWallSec":$resumeWall,"resumeBatches":$resumeBatches,""" +
+          s""""resumeFirstStateRows":$resumeState,""" +
+          s""""refChecksum":"$refSum","recChecksum":"$recSum",""" +
+          s""""bitEqual":${refSum == recSum}}"""
+        println(s"""{"stage":"trend_recover","killedAfterBatches":$killedAfter,""" +
+          s""""resumeFirstStateRows":$resumeState,"bitEqual":${refSum == recSum}}""")
       }
     }
 
@@ -276,6 +346,65 @@ object StreamBench {
       results("drift") = runStage(spark, "drift", driftOut, s"$work/ckpt_drift", "update")
     }
 
+    // ---- drift recovery: the STATEFUL recovery proof ----
+    // Cumulative per-dimension means live in the aggregation state store;
+    // a mid-stream kill and restart must restore that state exactly (the
+    // restart's first batch reports the 64-row plateau, not 0) and the
+    // final per-dimension values must bit-equal an uninterrupted run.
+    // Update-mode aggregations cannot use the parquet sink; the sink here
+    // is a foreachBatch UPSERT into a driver map keyed by dimension — the
+    // idempotent-sink pattern an update-mode deployment uses, where a
+    // replayed batch overwrites with identical values.
+    if (stages("drift_recover")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val embDir = stageChunks(emb, "vec_id", "emb_rec_in", nChunks)
+      def mkDrift() = ml.StreamingDrift.driftStream(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(embDir),
+        Tables.load(spark, sfDir, "embeddings"))
+      def runDrift(ckpt: String,
+                   sinkMap: java.util.concurrent.ConcurrentHashMap[Long, String],
+                   killAfter: Int): (Double, Int, Long) = {
+        val t0 = System.nanoTime()
+        val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (df, _) => df.collect().foreach { r =>
+            sinkMap.put(r.getAs[Long]("i"), r.mkString("|")); ()
+          }
+        val q = mkDrift().writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(upsert).start()
+        if (killAfter > 0) {
+          while (q.isActive &&
+              q.recentProgress.count(_.numInputRows > 0) < killAfter)
+            Thread.sleep(100)
+          q.stop()
+        } else { q.processAllAvailable(); q.stop() }
+        val prog = q.recentProgress.filter(_.numInputRows > 0)
+        val firstState = prog.headOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+          .getOrElse(0L)
+        ((System.nanoTime() - t0) / 1e9, prog.length, firstState)
+      }
+      val refMap = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      val (refWall, refBatches, _) =
+        runDrift(s"$work/rec_drift_ref_ckpt", refMap, 0)
+      val recMap = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      val recCkpt = s"$work/rec_drift_ckpt"
+      val (killWall, killedAfter, _) = runDrift(recCkpt, recMap, nChunks / 2)
+      val (resumeWall, resumeBatches, resumeState) = runDrift(recCkpt, recMap, 0)
+      val equal = refMap.equals(recMap)
+      recResults("drift_recover") =
+        s"""{"refWallSec":$refWall,"refBatches":$refBatches,""" +
+        s""""killWallSec":$killWall,"killedAfterBatches":$killedAfter,""" +
+        s""""resumeWallSec":$resumeWall,"resumeBatches":$resumeBatches,""" +
+        s""""resumeFirstStateRows":$resumeState,""" +
+        s""""refDims":${refMap.size},"recDims":${recMap.size},""" +
+        s""""bitEqual":$equal}"""
+      println(s"""{"stage":"drift_recover","killedAfterBatches":$killedAfter,""" +
+        s""""resumeFirstStateRows":$resumeState,"bitEqual":$equal}""")
+    }
+
     def stageJson(name: String, rows: Seq[BatchRow], wall: Double): String = {
       val (ok, mid, last) = plateau(rows)
       val batches = rows.map(r =>
@@ -290,18 +419,19 @@ object StreamBench {
       s""""plateau":$ok}"""
     }
     val json = "{" +
-      results.map { case (n, (rows, wall)) => stageJson(n, rows, wall) }
+      (results.map { case (n, (rows, wall)) => stageJson(n, rows, wall) } ++
+        recResults.map { case (n, body) => s""""$n":$body""" })
         .mkString(",") +
       s""","sf":"$sfDir","chunks":$nChunks}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     def tput(rows: Seq[BatchRow], wall: Double): Long =
       if (wall <= 0) 0 else (rows.map(_.inputRows).sum / wall).toLong
-    val summary = results.map { case (n, (rows, wall)) =>
+    val summary = (results.map { case (n, (rows, wall)) =>
       val (ok, _, _) = plateau(rows)
       val peak = if (rows.isEmpty) 0L else rows.map(_.stateRows).max
       s""""$n":{"wallSec":$wall,"rowsPerSec":${tput(rows, wall)},""" +
       s""""peakStateRows":$peak,"plateau":$ok}"""
-    }.mkString(",")
+    } ++ recResults.map { case (n, body) => s""""$n":$body""" }).mkString(",")
     println(s"""{"metric":"streaming",$summary,"out":"$outPath"}""")
     spark.stop()
   }

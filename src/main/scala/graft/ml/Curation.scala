@@ -976,7 +976,14 @@ object Curation {
     // both the count aggregation and the per-doc score join read the
     // corpus-sized bigram stream: materialize the hashed 17-byte rows
     // once so the interpreted shingle-explode + md5 pass (the dominant
-    // cost, per the bm25TopK measurement) runs once, not per consumer
+    // cost, per the bm25TopK measurement) runs once, not per consumer.
+    // Checkpoint lifetime: the blocks must outlive this function (they
+    // back the RETURNED plan), so they cannot be freed here; both
+    // harnesses unpersist all persistent RDDs after consuming each query
+    // (Bench.materialize, Verify's post-dump sweep — Dataset.unpersist
+    // alone would NOT free them, the SQL CacheManager never tracked
+    // checkpoint RDDs). A library caller embedding dsirWeights in a
+    // long-lived session owns the same sweep after consumption.
     val bi = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), isTarget.as("is_t"),

@@ -1301,7 +1301,10 @@ object Dedup {
               val oi = i * dim
               val oj = j * dim
               while (d < dim) { s += a.flat(oi + d) * b.flat(oj + d); d += 1 }
-              val c = s / (a.norms(i) * b.norms(j))
+              // zero-vector convention: cosine 0, never NaN (swept in
+              // round 9 — see Similarity.safeCosine)
+              val nn = a.norms(i) * b.norms(j)
+              val c = if (nn == 0) 0.0 else s / nn
               if (c >= margin)
                 out += RawPair(math.min(ia, jb), math.max(ia, jb), c)
             }
@@ -1322,7 +1325,9 @@ object Dedup {
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+       |       round(CASE WHEN a.norm * b.norm = 0 THEN 0.0
+       |             ELSE list_dot_product(a.v, b.v) / (a.norm * b.norm) END, 6) AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $threshold""".stripMargin
+       |WHERE round(CASE WHEN a.norm * b.norm = 0 THEN 0.0
+       |            ELSE list_dot_product(a.v, b.v) / (a.norm * b.norm) END, 6) >= $threshold""".stripMargin
 }

@@ -56,8 +56,8 @@ object KnnEval {
     e.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qlabel"),
         col("vec_id").as("neighbor_id"), col("label").as("n_label"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6)
-          .as("cosine"))
+        round(Similarity.safeCosine(dot(col("v"), col("qv")),
+          col("norm"), col("qnorm")), 6).as("cosine"))
   }
 
   /** Majority vote over a top-k candidate table
@@ -256,7 +256,8 @@ object KnnEval {
        |      FROM e WHERE $isQuerySql),
        |scored AS (
        |  SELECT q.query_id, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
-       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |         round(${Similarity.safeCosineSql(
+                  "list_dot_product(e.v, q.qv)", "e.norm", "q.qnorm")}, 6) AS cosine
        |  FROM e JOIN q ON e.vec_id != q.query_id AND e.label != q.qlabel),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -51,6 +51,21 @@ object Similarity {
     */
   private def dot(a: Column, b: Column): Column = VecFold.dot(a, b)
 
+  /** Cosine with the zero-vector convention pinned (round-8's int8TopK
+    * convention, swept across every entry point in round 9): a zero norm
+    * on either side scores 0 — dot(0, x) = 0, and "similar to nothing" is
+    * the only ranking-safe reading. An unguarded division yields NaN, and
+    * Spark (and DuckDB) order NaN ABOVE every real cosine — a single
+    * all-zero embedding would rank FIRST for every query. Oracle SQL
+    * builders mirror the same CASE (see [[safeCosineSql]]).
+    */
+  private[ml] def safeCosine(d: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0d, lit(0.0)).otherwise(d / (na * nb))
+
+  /** The DuckDB mirror of [[safeCosine]]. */
+  private[ml] def safeCosineSql(d: String, na: String, nb: String): String =
+    s"CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $d / ($na * $nb) END"
+
   private[ml] def normed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(VecFold.dot(col("v"), col("v"))))
@@ -77,7 +92,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+        round(safeCosine(dot(col("v"), col("qv")), col("norm"), col("qnorm")), 6).as("cosine"))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -140,8 +155,21 @@ object Similarity {
   def lshRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
     recallVs(bruteForceTopK(emb, isQuery, k), lshTopK(emb, isQuery, k), k)
 
-  def ivfRecall(emb: DataFrame, isQuery: Column, k: Int): DataFrame =
-    recallVs(bruteForceTopK(emb, isQuery, k), ivfTopK(emb, isQuery, k), k)
+  def ivfRecall(emb: DataFrame, isQuery: Column, k: Int,
+                forceFlat: Boolean = false,
+                superProbe: Int = defaultSuperProbe): DataFrame =
+    recallVs(bruteForceTopK(emb, isQuery, k),
+      ivfTopK(emb, isQuery, k, forceFlat = forceFlat, superProbe = superProbe), k)
+
+  /** Bounded-query-set (first 50 base vec_ids — corpus-independent, the
+    * [[graft.ml.Retrieval.boundedIsQuery]] convention) sample predicate
+    * for recall evals: with the query side FIXED, the brute-force exact
+    * side is O(50·n) — LINEAR in the corpus, so this recall runs at any
+    * scale. This is the executable form of the "run recalls on a SAMPLE"
+    * guidance: the corpus-proportional recall evals stay sf-scale-only.
+    */
+  val sampledIsQuery: Column = col("vec_id") < 50
+  val sampledIsQuerySql: String = "vec_id < 50"
 
   /** Recall of the compressed-index ranking (IVF-PQ ADC) against the
     * exact one — quantifies what PQ compression costs on top of cell
@@ -169,6 +197,11 @@ object Similarity {
 
   def ivfRecallOracleSql(k: Int): String =
     recallOracleSql(bruteForceTopKOracleSql(k), ivfTopKOracleSql(k), k)
+
+  def ivfRecallSampledOracleSql(k: Int): String =
+    recallOracleSql(
+      bruteForceTopKOracleSql(k, isQuerySql = sampledIsQuerySql),
+      ivfTopKOracleSql(k, isQuerySql = sampledIsQuerySql), k)
 
   def ivfPqRecallOracleSql(k: Int): String =
     recallOracleSql(bruteForceTopKOracleSql(k), ivfPqTopKOracleSql(k), k)
@@ -290,7 +323,8 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
        |scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |         round(${safeCosineSql(
+                  "list_dot_product(e.v, q.qv)", "e.norm", "q.qnorm")}, 6) AS cosine
        |  FROM e JOIN q ON e.vec_id != q.query_id),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -362,7 +396,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = cand.join(q, "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+        round(safeCosine(dot(col("v"), col("qv")), col("norm"), col("qnorm")), 6).as("cosine"))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -404,7 +438,9 @@ object Similarity {
     val unit = cents.map { case (_, cv, cn) =>
       val u = new Array[Double](dim)
       var d = 0
-      while (d < dim) { u(d) = cv(d) / cn; d += 1 }
+      // zero-norm centroid stays the zero vector (dots 0 everywhere, never
+      // NaN — a NaN super-centroid would poison every assignment compare)
+      while (d < dim) { u(d) = if (cn == 0) 0.0 else cv(d) / cn; d += 1 }
       u
     }
     val nSuper = math.ceil(math.sqrt(cents.length.toDouble)).toInt
@@ -516,7 +552,11 @@ object Similarity {
         var s = 0.0
         var d = 0
         while (d < va.length) { s += va(d) * cv(d); d += 1 }
-        val c = math.floor(s / (norm * cn) * 1e9 + 0.5) / 1e9
+        // zero-vector / zero-centroid convention: cosine 0, never NaN
+        // (NaN comparisons are all-false, which would append the row at
+        // the tail in centroid order — deterministic by accident; pin 0)
+        val c = if (norm * cn == 0) 0.0
+          else math.floor(s / (norm * cn) * 1e9 + 0.5) / 1e9
         var pos = filled
         while (pos > 0 && (topC(pos - 1) < c ||
           (topC(pos - 1) == c && topId(pos - 1) > cid))) pos -= 1
@@ -591,11 +631,15 @@ object Similarity {
     * discard exactly the rows the filter is looking for.
     */
   private[ml] def ivfCandidates(emb: DataFrame, isQuery: Column,
-                                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                                nCells: Int = 16, nProbe: Int = 4,
+                                forceFlat: Boolean = false,
+                                superProbe: Int = defaultSuperProbe): DataFrame = {
     val e = normed(emb)
     // (vec, cell, rank-by-similarity) — rank 1 = assignment; queries also
     // keep ranks <= nProbe as their probe set
-    val ranked = withCellRanks(e, autoCells(emb.count(), nCells), nProbe)
+    val ranked = withCellRanks(e, autoCells(emb.count(), nCells), nProbe,
+      twoLevelMin = if (forceFlat) Int.MaxValue else twoLevelMinCells,
+      superProbe = superProbe)
     val assigned = ranked.select(col("vec_id"), col("v"), col("norm"),
       element_at(col("cells"), 1).as("cell"))
     val probes = ranked.where(isQuery)
@@ -608,13 +652,15 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     cand.join(q, "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+        round(safeCosine(dot(col("v"), col("qv")), col("norm"), col("qnorm")), 6).as("cosine"))
       .distinct() // a neighbor can surface via several probed cells
   }
 
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame =
-    topK(ivfCandidates(emb, isQuery, nCells, nProbe), k)
+              nCells: Int = 16, nProbe: Int = 4,
+              forceFlat: Boolean = false,
+              superProbe: Int = defaultSuperProbe): DataFrame =
+    topK(ivfCandidates(emb, isQuery, nCells, nProbe, forceFlat, superProbe), k)
       .select("query_id", "neighbor_id", "cosine", "rank")
 
   /** Shared oracle CTE block: normalized vectors, seed centroids, and the
@@ -634,7 +680,7 @@ object Similarity {
        |  SELECT e.vec_id, c.cid,
        |         row_number() OVER (
        |           PARTITION BY e.vec_id
-       |           ORDER BY floor(list_dot_product(e.v, c.cv) / (e.norm * c.cn) * 1e9 + 0.5) / 1e9 DESC,
+       |           ORDER BY floor((CASE WHEN e.norm * c.cn = 0 THEN 0.0 ELSE list_dot_product(e.v, c.cv) / (e.norm * c.cn) END) * 1e9 + 0.5) / 1e9 DESC,
        |                    c.cid) AS rnk
        |  FROM e CROSS JOIN cents c)""".stripMargin
 
@@ -648,9 +694,11 @@ object Similarity {
     * [[twoLevelMinCells]].
     */
   def ivfAssign(emb: DataFrame, nCells: Int = 16,
-                forceFlat: Boolean = false): DataFrame =
+                forceFlat: Boolean = false,
+                superProbe: Int = defaultSuperProbe): DataFrame =
     withCellRanks(normed(emb), autoCells(emb.count(), nCells),
-      twoLevelMin = if (forceFlat) Int.MaxValue else twoLevelMinCells)
+      twoLevelMin = if (forceFlat) Int.MaxValue else twoLevelMinCells,
+      superProbe = superProbe)
       .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
 
   def ivfAssignOracleSql(nCells: Int = 16): String =
@@ -665,8 +713,10 @@ object Similarity {
     * is live, record the real number. Output: (n_vectors, n_agree,
     * agreement).
     */
-  def ivfAssignAgreement(emb: DataFrame, nCells: Int = 16): DataFrame = {
-    val two = ivfAssign(emb, nCells).withColumnRenamed("cell", "cell_two")
+  def ivfAssignAgreement(emb: DataFrame, nCells: Int = 16,
+                         superProbe: Int = defaultSuperProbe): DataFrame = {
+    val two = ivfAssign(emb, nCells, superProbe = superProbe)
+      .withColumnRenamed("cell", "cell_two")
     val flat = ivfAssign(emb, nCells, forceFlat = true)
       .withColumnRenamed("cell", "cell_flat")
     two.join(flat, "vec_id")
@@ -758,7 +808,11 @@ object Similarity {
               val oi = i * dim
               val oj = j * dim
               while (d < dim) { s += a.flat(oi + d) * b.flat(oj + d); d += 1 }
-              val c = s / (a.norms(i) * b.norms(j))
+              // zero-vector convention: cosine 0 (a NaN here would fail
+              // the >= margin compare — same skip outcome, but by
+              // accident; pin it)
+              val nn = a.norms(i) * b.norms(j)
+              val c = if (nn == 0) 0.0 else s / nn
               if (c >= margin)
                 out += CellPair(a.cell, math.min(ia, jb), math.max(ia, jb), c)
             }
@@ -779,12 +833,14 @@ object Similarity {
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1)
        |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6) AS cosine
+       |       round(${safeCosineSql(
+                "list_dot_product(ea.v, eb.v)", "ea.norm", "eb.norm")}, 6) AS cosine
        |FROM assigned a
        |JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |JOIN e ea ON ea.vec_id = a.vec_id
        |JOIN e eb ON eb.vec_id = b.vec_id
-       |WHERE round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6)
+       |WHERE round(${safeCosineSql(
+                "list_dot_product(ea.v, eb.v)", "ea.norm", "eb.norm")}, 6)
        |      >= $threshold""".stripMargin
 
   /** Cell-scoped top-k for EVERY vector — the all-queries sibling of
@@ -856,7 +912,9 @@ object Similarity {
               val oi = i * dim
               val oj = j * dim
               while (d < dim) { sDot += a.flat(oi + d) * b.flat(oj + d); d += 1 }
-              val raw = sDot / (a.norms(i) * b.norms(j))
+              // zero-vector convention: cosine 0, never NaN (see offer())
+              val nn = a.norms(i) * b.norms(j)
+              val raw = if (nn == 0) 0.0 else sDot / nn
               val c6 = math.floor(raw * 1e6 + 0.5) / 1e6
               var pos = filled
               while (pos > 0 && (topC6(pos - 1) < c6 ||
@@ -1107,7 +1165,7 @@ object Similarity {
         col("norm").as("qnorm"))
     val scored = short.join(nbr, Seq("neighbor_id")).join(q, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6)
+        round(safeCosine(dot(col("v"), col("qv")), col("norm"), col("qnorm")), 6)
           .as("cosine"))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -1127,7 +1185,8 @@ object Similarity {
        |       FROM ee WHERE $isQuerySql),
        |scored AS (
        |  SELECT s.query_id, s.neighbor_id,
-       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |         round(${safeCosineSql(
+                  "list_dot_product(e.v, q.qv)", "e.norm", "q.qnorm")}, 6) AS cosine
        |  FROM short s
        |  JOIN ee e ON e.vec_id = s.neighbor_id
        |  JOIN qq q ON q.query_id = s.query_id),
@@ -1165,7 +1224,8 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
        |scored AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
-       |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cosine
+       |         round(${safeCosineSql(
+                  "list_dot_product(e.v, q.qv)", "e.norm", "q.qnorm")}, 6) AS cosine
        |  FROM probes p
        |  JOIN assigned a ON a.cell = p.cell
        |  JOIN e ON e.vec_id = a.vec_id
@@ -1211,7 +1271,8 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE $isQuerySql),
        |scored AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |         round(list_dot_product(c.v, q.qv) / (c.norm * q.qnorm), 6) AS cosine
+       |         round(${safeCosineSql(
+                  "list_dot_product(c.v, q.qv)", "c.norm", "q.qnorm")}, 6) AS cosine
        |  FROM cand c JOIN q USING (query_id)),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1763,7 +1824,7 @@ object Similarity {
        |  SELECT e.vec_id, c.cid,
        |         row_number() OVER (
        |           PARTITION BY e.vec_id
-       |           ORDER BY floor(list_dot_product(e.v, c.cv) / (e.norm * c.cn) * 1e9 + 0.5) / 1e9 DESC,
+       |           ORDER BY floor((CASE WHEN e.norm * c.cn = 0 THEN 0.0 ELSE list_dot_product(e.v, c.cv) / (e.norm * c.cn) END) * 1e9 + 0.5) / 1e9 DESC,
        |                    c.cid) AS rnk
        |  FROM e CROSS JOIN cents c
        |  WHERE $isNewSql)

@@ -370,7 +370,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bm25 posting join is broadcast — query-side relations never shuffle the corpus") {
-    for (q <- Seq("ret_bm25", "ret_bm25_seeds", "cur_pipeline7")) {
+    for (q <- Seq("ret_bm25_eval", "ret_bm25_seeds", "cur_pipeline7")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       // every corpus-touching join must build its hash side from the

@@ -844,6 +844,52 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("zero-vector convention: cosine 0, never NaN, across every ANN entry point") {
+    // Spark and DuckDB both order NaN ABOVE every real double, so an
+    // unguarded 0/0 would rank a single all-zero embedding FIRST at every
+    // query. The pinned convention (round 8's int8TopK, swept across the
+    // rest of the surface in round 9): cosine against a zero vector is 0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.0f, 0.0f)), // the zero vector
+      (5L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val isQ = col("vec_id") === 0
+    // bruteForceTopK: zero vector scores EXACTLY 0 — below the aligned
+    // neighbors, above the anti-aligned one
+    val bf = Similarity.bruteForceTopK(emb, isQ, k = 5).collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    assert(bf(4L) === 0.0)
+    assert(!bf.values.exists(_.isNaN))
+    assert(bf(1L) > bf(4L) && bf(4L) > bf(5L))
+    // zero vector AS the query: every cosine 0, ranking = id tie-break
+    val bq = Similarity.bruteForceTopK(emb, col("vec_id") === 4, k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(bq === Seq(0L, 1L, 2L, 3L, 5L))
+    // lshTopK: any zero-vector pair that surfaces from the band buckets
+    // scores 0, never NaN
+    val lsh = Similarity.lshTopK(emb, lit(true), k = 5, dim = 2).collect()
+    assert(!lsh.exists(r => r.getAs[Double]("cosine").isNaN))
+    // ivfTopK / ivfAssign: the zero vector's all-cosines-equal tie
+    // resolves to the lowest centroid id; candidate scoring yields 0
+    val ivf = Similarity.ivfTopK(emb, isQ, k = 5, nCells = 2, nProbe = 2)
+      .collect()
+    assert(!ivf.exists(r => r.getAs[Double]("cosine").isNaN))
+    val assign = Similarity.ivfAssign(emb, nCells = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(4L) === 0L)
+    // kmeans: distance-based (no division) — the zero vector joins its
+    // nearest-to-origin cluster without error
+    val km = Similarity.kmeans(emb, k = 2, iters = 2).collect()
+    assert(km.length === 6)
+    // semanticDedup: a zero-vector pair can never leak a NaN past the
+    // threshold gate
+    val sd = Similarity.semanticDedup(emb, threshold = 0.5, nCells = 2)
+      .collect()
+    assert(!sd.exists(r => r.getAs[Double]("cosine").isNaN))
+  }
+
   test("ivfAssignAgreement is exactly 1.0 below the two-level threshold") {
     val emb = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d =>
