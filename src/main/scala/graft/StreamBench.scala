@@ -113,7 +113,7 @@ object StreamBench {
     // kill-time plateau (not empty) and the final output is bit-equal to
     // the uninterrupted run (exactly-once sink contract).
     val known = Set("trend", "sessions", "select", "neardup", "drift",
-      "trend_recover", "drift_recover")
+      "trend_recover", "drift_recover", "drift_killexec")
     val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
       "trend,sessions,select,neardup,drift")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -126,8 +126,13 @@ object StreamBench {
       .empty[String, (Seq[BatchRow], Double)]
     // recovery stages emit a self-contained JSON object each
     val recResults = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER mirrors Bench: local-cluster[n,cores,mem] forks
+    // real executor JVMs — required by drift_killexec, whose whole point
+    // is SIGKILLing one of them mid-stream. Same executor-classpath and
+    // heap-from-worker-offer handling as Bench.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -136,7 +141,15 @@ object StreamBench {
       // the plateau check and undercount inputRows in the throughput sum
       .config("spark.sql.streaming.numRecentProgressUpdates",
         math.max(256, nChunks + 16).toString)
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_CP").foreach { cp =>
+      builder.config("spark.executor.extraClassPath", cp)
+    }
+    val LocalClusterMem = """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
+    master match {
+      case LocalClusterMem(mem) => builder.config("spark.executor.memory", s"${mem}m")
+      case _ => ()
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- stage the corpus as a chronological file stream ----
@@ -403,6 +416,83 @@ object StreamBench {
         s""""bitEqual":$equal}"""
       println(s"""{"stage":"drift_recover","killedAfterBatches":$killedAfter,""" +
         s""""resumeFirstStateRows":$resumeState,"bitEqual":$equal}""")
+    }
+
+    // ---- executor-loss proof: SIGKILL a real executor JVM mid-stream ----
+    // The recovery stages stop the QUERY; this stage kills a PROCESS.
+    // Under local-cluster the executors are separate JVMs
+    // (CoarseGrainedExecutorBackend): one of them is kill -9'd a third of
+    // the way through the stateful drift stream. The standalone worker
+    // relaunches the executor, lost tasks retry, state partitions that
+    // lived on the dead JVM reload from the checkpoint — and the final
+    // per-dimension values must still be bit-equal to an undisturbed run.
+    // This is the closest a single box gets to node failure: real process
+    // death, real task retry, real state reload, loopback transport.
+    if (stages("drift_killexec")) {
+      require(master.startsWith("local-cluster"),
+        "drift_killexec needs SPARK_GRAFT_MASTER=local-cluster[n,cores,mem]" +
+          " — the point is killing a REAL executor JVM, and local[] has none")
+      import scala.sys.process._
+      def executorPids(): Seq[Long] =
+        (try "pgrep -f CoarseGrainedExecutorBackend".!!
+         catch { case _: Throwable => "" })
+          .split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val embDir = stageChunks(emb, "vec_id", "emb_kill_in", nChunks)
+      def mkDrift() = ml.StreamingDrift.driftStream(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(embDir),
+        Tables.load(spark, sfDir, "embeddings"))
+      def runKill(ckpt: String,
+                  sinkMap: java.util.concurrent.ConcurrentHashMap[Long, String],
+                  killAt: Int): (Double, Int, Long, Int, Int) = {
+        val t0 = System.nanoTime()
+        val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (df, _) => df.collect().foreach { r =>
+            sinkMap.put(r.getAs[Long]("i"), r.mkString("|")); ()
+          }
+        val q = mkDrift().writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(upsert).start()
+        var killedPid = 0L
+        var execsBefore = 0
+        if (killAt > 0) {
+          while (q.isActive &&
+              q.recentProgress.count(_.numInputRows > 0) < killAt)
+            Thread.sleep(100)
+          val pids = executorPids()
+          execsBefore = pids.length
+          killedPid = pids.headOption.getOrElse(0L)
+          if (killedPid > 0L) {
+            System.err.println(s"[streambench] kill -9 executor $killedPid " +
+              s"(of ${pids.length}) after $killAt batches")
+            s"kill -9 $killedPid".!
+          }
+        }
+        q.processAllAvailable()
+        q.stop()
+        val prog = q.recentProgress.filter(_.numInputRows > 0)
+        ((System.nanoTime() - t0) / 1e9, prog.length,
+          killedPid, execsBefore, executorPids().length)
+      }
+      val refMap = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      val (refWall, refBatches, _, _, _) =
+        runKill(s"$work/kill_drift_ref_ckpt", refMap, 0)
+      val recMap = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      val (killWall, killBatches, killedPid, execsBefore, execsAfter) =
+        runKill(s"$work/kill_drift_ckpt", recMap, nChunks / 3)
+      val equal = refMap.equals(recMap)
+      recResults("drift_killexec") =
+        s"""{"refWallSec":$refWall,"refBatches":$refBatches,""" +
+        s""""killWallSec":$killWall,"killRunBatches":$killBatches,""" +
+        s""""killedPid":$killedPid,"executorsBefore":$execsBefore,""" +
+        s""""executorsAfterCompletion":$execsAfter,""" +
+        s""""refDims":${refMap.size},"recDims":${recMap.size},""" +
+        s""""bitEqual":$equal}"""
+      println(s"""{"stage":"drift_killexec","killedPid":$killedPid,""" +
+        s""""executorsBefore":$execsBefore,"executorsAfterCompletion":$execsAfter,""" +
+        s""""bitEqual":$equal}""")
     }
 
     def stageJson(name: String, rows: Seq[BatchRow], wall: Double): String = {

@@ -34,12 +34,21 @@ object StreamingDrift {
     * with outputMode update (deltas per micro-batch) or complete.
     */
   def driftStream(stream: DataFrame, baseline: DataFrame): DataFrame = {
-    // materialize the dim-row baseline ONCE: the static side of a
-    // stream-static join is re-planned every micro-batch, and without
-    // the checkpoint each batch re-runs the full-corpus posexplode +
-    // groupBy just to rebuild these 64 rows (the StreamingNearDup
-    // standing-index lesson)
-    val base = baselineMeans(baseline).localCheckpoint()
+    // materialize the dim-row baseline ONCE, ON THE DRIVER: the static
+    // side of a stream-static join is re-planned every micro-batch, so
+    // without materialization each batch re-runs the full-corpus
+    // posexplode + groupBy just to rebuild these rows. The round-8 fix
+    // (localCheckpoint) traded away fault tolerance silently — its
+    // blocks live on ONE executor with NO lineage, and the round-9
+    // executor-kill test (StreamBench drift_killexec) watched a dead
+    // executor take the whole query down with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The baseline is dim-bounded
+    // (64 rows), so a driver-held LocalRelation is both fault-free and
+    // replan-free — no executor state at all.
+    val spark = baseline.sparkSession
+    val bm = baselineMeans(baseline)
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(bm.collect(): _*), bm.schema)
     stream
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("i", "x")))

@@ -94,13 +94,24 @@ object StreamingNearDup {
     // work per arriving handful of documents. Materialize all three
     // standing relations once; each micro-batch then only pays the join
     // probe (in production these are the persisted on-disk index tables).
-    val snapSh = Dedup.shingleTable(snapshot, k).localCheckpoint()
-    val snapBands = Dedup.bandTable(snapSh, numHashes, bands)
-      .select(col("doc_id").as("snap_id"), col("band"), col("bkey"))
-      .localCheckpoint()
-    val snapSets = snapSh.groupBy(col("doc_id").as("set_id"))
-      .agg(sort_array(collect_list("sh")).as("snap_shs"))
-      .localCheckpoint()
+    // persist, NOT localCheckpoint: the round-9 executor-kill test
+    // showed a localCheckpoint'ed static relation dies WITH its executor
+    // (no lineage — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND aborts the query);
+    // persist keeps lineage, so a lost block recomputes on a surviving
+    // executor instead. The eager count() builds each index once at plan
+    // time; every micro-batch's re-planned static subtree then resolves
+    // to the cache, keeping per-batch cost at the join probe.
+    def materialized(df: DataFrame): DataFrame = {
+      val out = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    }
+    val snapSh = materialized(Dedup.shingleTable(snapshot, k))
+    val snapBands = materialized(Dedup.bandTable(snapSh, numHashes, bands)
+      .select(col("doc_id").as("snap_id"), col("band"), col("bkey")))
+    val snapSets = materialized(snapSh.groupBy(col("doc_id").as("set_id"))
+      .agg(sort_array(collect_list("sh")).as("snap_shs")))
     val probe = batch.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val (shs, keys) = signature(text, k, numHashes, bands)
