@@ -74,6 +74,11 @@ object Bench {
       }
     }
     val spark = builder.getOrCreate()
+    // SPARK_GRAFT_CHECKPOINT_DIR flips every lineage cut in the library
+    // (graft.ml.Ckpt.cut) from localCheckpoint to RELIABLE checkpoints —
+    // the executor-loss-safe deployment shape; BatchKill measures the A/B
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark.sparkContext.setLogLevel("WARN")
     // optional args restrict the run (local profiling aid; the driver
     // always calls with no args)

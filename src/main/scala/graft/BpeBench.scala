@@ -1,5 +1,6 @@
 package graft
 
+import graft.ml.Ckpt.CutOps
 import org.apache.spark.sql.SparkSession
 
 /** BPE training-curve harness: wall time vs merge count at several round
@@ -42,7 +43,7 @@ object BpeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.load(spark, sfDir, "documents").localCheckpoint()
+    val docs = Tables.load(spark, sfDir, "documents").lineageCut
     // warm-up: session/codegen/scan-cache startup out of the measurements
     ml.Curation.bpeMerges(docs, nMerges = 8, batch = 8).count()
     val rows = combos.map { case (m, b, toVocab) =>

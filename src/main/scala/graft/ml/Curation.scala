@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.ml.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -989,7 +990,7 @@ object Curation {
       .select(col("doc_id"), isTarget.as("is_t"),
         explode(shingles(col("w"), 2)).as("bg"))
       .select(col("doc_id"), col("is_t"), h64(col("bg")).as("bgh"))
-      .localCheckpoint()
+      .lineageCut
     // corpus LM counts over ALL docs; target LM over the seed slice —
     // one aggregation produces both (conditional count)
     val counts = bi.groupBy("bgh").agg(
@@ -1799,9 +1800,13 @@ object Curation {
     // creates and free the PREVIOUS round's explicitly — never touching
     // caller-owned checkpoints (e.g. the bench's reused corpus).
     val sc = docs.sparkSession.sparkContext
+    // Under Ckpt.cut's RELIABLE path (a checkpoint dir is configured —
+    // the executor-loss-safe deployment) no persistent RDD blocks are
+    // created, so `created` is empty and the per-round unpersist is a
+    // no-op: cleanup is the checkpoint FILES' job (see Ckpt's scaladoc).
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
+      val out = df.lineageCut
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     var seqBlocks = Set.empty[Int]

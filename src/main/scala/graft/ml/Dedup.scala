@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.ml.Ckpt.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -166,7 +167,7 @@ object Dedup {
     // three consumers (signature agg + both sides of the exact-verify
     // join) — materialize the scan→explode→md5→distinct subtree once,
     // as in ngramJaccard
-    minHashLshFrom(shingleTable(docs, k).localCheckpoint(),
+    minHashLshFrom(shingleTable(docs, k).lineageCut,
       shingleSizes(docs, k), numHashes, bands, threshold)
 
   /** (doc_id, band, bkey) LSH band table of a shingle table: all
@@ -303,8 +304,8 @@ object Dedup {
                             k: Int = 3, numHashes: Int = 16,
                             bands: Int = 8,
                             threshold: Double = 0.5): DataFrame = {
-    val snapSh = shingleTable(snapshot, k).localCheckpoint()
-    val batchSh = shingleTable(batch, k).localCheckpoint()
+    val snapSh = shingleTable(snapshot, k).lineageCut
+    val batchSh = shingleTable(batch, k).lineageCut
     val snapBands = bandTable(snapSh, numHashes, bands)
     val batchBands = bandTable(batchSh, numHashes, bands)
     val cross = batchBands.as("n")
@@ -343,7 +344,7 @@ object Dedup {
     */
   def minHashLshChain(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, k).localCheckpoint()
+    val sh = shingleTable(docs, k).lineageCut
     val banded = bandTable(sh, numHashes, bands)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bkey").orderBy("doc_id")
@@ -459,7 +460,7 @@ object Dedup {
   def lshRecall(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     // ONE shingle scan feeds both operands (the per-operator checkpoints
     // would otherwise each re-run scan→explode→md5→distinct)
-    val shBase = shingleTable(docs, k).localCheckpoint()
+    val shBase = shingleTable(docs, k).lineageCut
     val sizes = shingleSizes(docs, k)
     val e = ngramJaccardFrom(shBase, sizes, threshold, maxDf = 1000)
       .select("doc_a", "doc_b").withColumn("in_e", lit(1))
@@ -546,7 +547,7 @@ object Dedup {
     // query's dominant cost. Spill-safe (MEMORY_AND_DISK blocks); at
     // cluster scale this is the explicit index-materialization step every
     // MinHash/Jaccard pipeline has (cf. the S4 columnar intermediate).
-    val sh = shBase.join(dfs, "sh").localCheckpoint()
+    val sh = shBase.join(dfs, "sh").lineageCut
     val rare = sh.where(col("df") <= maxDf).drop("df")
     val hot = sh.where(col("df") > maxDf).drop("df")
 
@@ -717,7 +718,7 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .localCheckpoint()
+      .lineageCut
   }
 
   /** (doc_id, simhash, b, bkey) — each signature fanned out to its four
@@ -1125,7 +1126,7 @@ object Dedup {
     // re-execute per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .lineageCut
     // iterate ONLY over vertices that appear in an edge: un-paired docs
     // are their own cluster by definition and must not ride through every
     // propagation round (at corpus scale near-dup pairs touch a small
@@ -1163,7 +1164,7 @@ object Dedup {
           col("cluster_id").as("cc")).as("h2"), Seq("cluster_id"), "left")
         .select(col("doc_id"), newLabel.as("cluster_id"),
           (newLabel =!= col("old")).as("chg"))
-        .localCheckpoint() // truncate the growing iterative lineage
+        .lineageCut // truncate the growing iterative lineage
       val changed = next.where(col("chg")).limit(1).count()
       labels = next.select("doc_id", "cluster_id")
       converged = changed == 0

@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.ml.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,7 +97,7 @@ object Retrieval {
       .select(col("query_id"), explode(shingles(col("w"), 2)).as("t"))
       .select(col("query_id"), h64(col("t")).as("th"))
       .distinct()
-      .localCheckpoint()
+      .lineageCut
     // THE scale decision: the query-vocabulary semi-join sits BELOW the
     // index build. Corpus-sized relations carry 8-byte term hashes only
     // (shingleTable rule); dl rides the term stream (functionally
@@ -118,7 +119,7 @@ object Retrieval {
     // localCheckpoint discipline): df and the posting join both read tf —
     // without this each consumer re-runs the corpus explode + md5 pass,
     // whose interpreted shingle lambda is the dominant cost (measured)
-    val tf = termFrequencies(terms).localCheckpoint()
+    val tf = termFrequencies(terms).lineageCut
     // tf is already pruned to the query vocabulary, so df is a plain
     // per-term row count over it
     val df = tf.groupBy("th").agg(count(lit(1)).as("df"))
@@ -221,7 +222,7 @@ object Retrieval {
       .select(slice(words(col("text")), 1, nQueryTerms + 1).as("w"))
       .select(explode(shingles(col("w"), 2)).as("t"))
       .select(h64(col("t")).as("th")).distinct()
-      .localCheckpoint()
+      .lineageCut
     // seed-vocabulary semi-join below the index build (bm25TopK shape);
     // df is tf's only consumer here, so no checkpoint — the filtered
     // stream flows straight into one aggregation
@@ -256,7 +257,7 @@ object Retrieval {
     // idf weighting in the posting join) and recomputing it would re-run
     // its corpus df pass per consumer
     val weights = profileWeights(docs, isQuery, nQueryTerms, dfCapFrac)
-      .localCheckpoint()
+      .lineageCut
     // profile-vocabulary semi-join below the index build (bm25TopK
     // shape); contrib is tf's only consumer, so no checkpoint
     val tf = termFrequencies(corpus

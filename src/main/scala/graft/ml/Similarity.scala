@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.ml.Ckpt.CutOps
 import graft.functions.VecFold
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -1506,7 +1507,7 @@ object Similarity {
     val q = base.select(col("vec_id"),
       transform(col("v"),
         x => floor(x * 127.0 / scale + 0.5).cast("long")).as("q"))
-      .localCheckpoint()
+      .lineageCut
 
     // seed centroids: the k smallest-id vectors, cluster = seed position
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
@@ -1585,7 +1586,7 @@ object Similarity {
         col("qfull"))
       .select(col("vec_id"), col("sub"),
         slice(col("qfull"), col("sub").cast("int") * subDim + 1, lit(subDim)).as("qs"))
-      .localCheckpoint()
+      .lineageCut
 
     // seeds: per sub, the nCode smallest-id vectors' subvectors
     val seedIds = base.orderBy("vec_id").limit(nCode)

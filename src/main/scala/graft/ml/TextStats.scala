@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.ml.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -382,7 +383,7 @@ object TextStats {
     // three consumers (cells, total, heavy probe) — materialize the
     // vocab-sized wordcount once instead of re-running the corpus scan
     // and its shuffle per consumer (the shingleTable discipline)
-    val cnt = w.groupBy("word").agg(count(lit(1)).as("n")).localCheckpoint()
+    val cnt = w.groupBy("word").agg(count(lit(1)).as("n")).lineageCut
     def bucket(word: Column, r: Column): Column =
       h64(concat(lit("cms"), r.cast("string"), lit(":"), word)) % width
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
