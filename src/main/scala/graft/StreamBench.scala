@@ -113,7 +113,7 @@ object StreamBench {
     // kill-time plateau (not empty) and the final output is bit-equal to
     // the uninterrupted run (exactly-once sink contract).
     val known = Set("trend", "sessions", "select", "neardup", "drift",
-      "trend_recover", "drift_recover", "drift_killexec")
+      "trend_recover", "drift_recover", "scorer_recover", "drift_killexec")
     val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
       "trend,sessions,select,neardup,drift")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -169,7 +169,8 @@ object StreamBench {
     if (workRoot.exists()) clean(workRoot)
     val dir = new java.io.File(inDir)
     dir.mkdirs()
-    if (stages("trend") || stages("sessions") || stages("trend_recover")) {
+    if (stages("trend") || stages("sessions") || stages("trend_recover") ||
+        stages("scorer_recover")) {
       val ev = Tables.load(spark, sfDir, "events")
       val tsCol = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -181,20 +182,24 @@ object StreamBench {
       val Row2 = events.agg(min("ts"), max("ts")).head()
       val (loTs, hiTs) = (Row2.getTimestamp(0).getTime, Row2.getTimestamp(1).getTime)
       val span = math.max(1L, hiTs - loTs + 1)
-      val total = (0 until nChunks).map { i =>
-        val lo = loTs + span * i / nChunks
-        val hi = if (i == nChunks - 1) hiTs + 1 else loTs + span * (i + 1) / nChunks
-        val tmp = s"$work/chunk_tmp"
-        val chunk = events.where(col("ts") >= lit(new java.sql.Timestamp(lo)) &&
-                                 col("ts") <  lit(new java.sql.Timestamp(hi)))
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(dir, f"chunk-$i%04d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.length()
-      }.sum
-      System.err.println(s"[streambench] staged $nChunks chunks, $total bytes")
+      // scorer_recover streams the BINNED table, not raw events — skip
+      // the event-chunk staging when it is the only stage requested
+      if (stages("trend") || stages("sessions") || stages("trend_recover")) {
+        val total = (0 until nChunks).map { i =>
+          val lo = loTs + span * i / nChunks
+          val hi = if (i == nChunks - 1) hiTs + 1 else loTs + span * (i + 1) / nChunks
+          val tmp = s"$work/chunk_tmp"
+          val chunk = events.where(col("ts") >= lit(new java.sql.Timestamp(lo)) &&
+                                   col("ts") <  lit(new java.sql.Timestamp(hi)))
+          chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(dir, f"chunk-$i%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.length()
+        }.sum
+        System.err.println(s"[streambench] staged $nChunks chunks, $total bytes")
+      }
 
       val schema = events.schema
       def src = spark.readStream.schema(schema)
@@ -274,6 +279,93 @@ object StreamBench {
           s""""refChecksum":"$refSum","recChecksum":"$recSum",""" +
           s""""bitEqual":${refSum == recSum}}"""
         println(s"""{"stage":"trend_recover","killedAfterBatches":$killedAfter,""" +
+          s""""resumeFirstStateRows":$resumeState,"bitEqual":${refSum == recSum}}""")
+      }
+
+      // ---- scorer recovery: the flatMapGroupsWithState state store ----
+      // trend_recover proves the WINDOWED-AGG store restores and
+      // drift_recover the streaming-agg store; this stage proves the
+      // third state flavor — the CUSTOM GroupState the model scorers
+      // keep (poissonLcStream: per-counter (lastTs, lastCount), one row
+      // per counter ≈ 136k at 100×). The scorer is the second job of the
+      // two-stage trend pipeline (rebin composes with it through a
+      // sink), so its input here is the binned table itself, staged as
+      // chronological time-range chunks — the arrival order the
+      // scorer's lastTs regression filter assumes, identical in the
+      // reference and recovery runs so a divergence can only come from
+      // state restore or batch replay.
+      if (stages("scorer_recover")) {
+        val binned = events
+          .select(concat(lit("u"), col("user_id")).as("counter"), col("ts"))
+          .groupBy(col("counter"), window(col("ts"), "3600 seconds"))
+          .agg(count(lit(1)).cast("double").as("count"))
+          .select(col("counter"), col("window.start").as("ts"),
+            lit(3600.0).as("duration_sec"), col("count"))
+          .localCheckpoint()
+        val binDir = new java.io.File(s"$work/binned_rec_in")
+        binDir.mkdirs()
+        val ext = binned.agg(min("ts"), max("ts")).head()
+        val (bLo, bHi) = (ext.getTimestamp(0).getTime, ext.getTimestamp(1).getTime)
+        val bSpan = math.max(1L, bHi - bLo + 1)
+        (0 until nChunks).foreach { i =>
+          val lo = bLo + bSpan * i / nChunks
+          val hi = if (i == nChunks - 1) bHi + 1 else bLo + bSpan * (i + 1) / nChunks
+          val tmp = s"$work/chunk_tmp"
+          binned.where(col("ts") >= lit(new java.sql.Timestamp(lo)) &&
+                       col("ts") <  lit(new java.sql.Timestamp(hi)))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(binDir, f"chunk-$i%04d.parquet").toPath)
+          ()
+        }
+        def mkScorer() = streaming.StreamingTrend.poissonLcStream(
+          spark.readStream.schema(binned.schema)
+            .option("maxFilesPerTrigger", "1").parquet(binDir.getPath)).toDF()
+        def checksum(df: DataFrame): String = {
+          val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+          val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+            sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+            sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+          (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+            .getOrElse("0")).mkString(":")
+        }
+        def runScorer(out: String, ckpt: String, killAfter: Int)
+            : (Double, Int, Long) = {
+          val t0 = System.nanoTime()
+          val q = mkScorer().writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          if (killAfter > 0) {
+            while (q.isActive &&
+                q.recentProgress.count(_.numInputRows > 0) < killAfter)
+              Thread.sleep(100)
+            q.stop() // interrupts the micro-batch thread mid-flight
+          } else { q.processAllAvailable(); q.stop() }
+          val prog = q.recentProgress.filter(_.numInputRows > 0)
+          val firstState = prog.headOption
+            .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+            .getOrElse(0L)
+          ((System.nanoTime() - t0) / 1e9, prog.length, firstState)
+        }
+        val refOut = s"$work/rec_scorer_ref_out"
+        val (refWall, refBatches, _) =
+          runScorer(refOut, s"$work/rec_scorer_ref_ckpt", 0)
+        val recOut = s"$work/rec_scorer_out"
+        val recCkpt = s"$work/rec_scorer_ckpt"
+        val (killWall, killedAfter, _) = runScorer(recOut, recCkpt, nChunks / 2)
+        val (resumeWall, resumeBatches, resumeState) = runScorer(recOut, recCkpt, 0)
+        val refSum = checksum(spark.read.parquet(refOut))
+        val recSum = checksum(spark.read.parquet(recOut))
+        recResults("scorer_recover") =
+          s"""{"refWallSec":$refWall,"refBatches":$refBatches,""" +
+          s""""killWallSec":$killWall,"killedAfterBatches":$killedAfter,""" +
+          s""""resumeWallSec":$resumeWall,"resumeBatches":$resumeBatches,""" +
+          s""""resumeFirstStateRows":$resumeState,""" +
+          s""""refChecksum":"$refSum","recChecksum":"$recSum",""" +
+          s""""bitEqual":${refSum == recSum}}"""
+        println(s"""{"stage":"scorer_recover","killedAfterBatches":$killedAfter,""" +
           s""""resumeFirstStateRows":$resumeState,"bitEqual":${refSum == recSum}}""")
       }
     }
