@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Events, Joins, KnnEval, Layout, Multimodal, Retrieval, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Index, Joins, KnnEval, Layout, Multimodal, Retrieval, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -493,6 +493,26 @@ object SparkEntry {
     // pins the exact one-level scan (the A/B baseline), _agree measures
     // the two paths' assignment agreement (structurally 1.0 at the
     // oracle floor where both are flat; the real number at 100×/1000×)
+    // the SERVING path: the same IVF-Flat index persisted to a
+    // cell-partitioned parquet store (build once), then the query batch
+    // answered from the store alone — probed-cell partitions read, raw
+    // corpus untouched. Hash-equal to ann_ivf_topk's oracle: the stored
+    // assignment is the same coarse pass, persisted.
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfidx", dir)
+      Index.saveIvf(e, path)
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // the COMPRESSED serving path: cell-partitioned PQ codes + codebook
+    // on disk; queries answered by ADC over the stored codes — ~6% of
+    // the flat postings bytes, no raw vector read at query time
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqidx", dir)
+      Index.saveIvfPq(e, path)
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     "ann_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.load(s, dir, "embeddings"))),
     "ann_ivf_assign_flat" -> ((s, dir) =>
@@ -592,6 +612,19 @@ object SparkEntry {
     "ret_bm25_eval" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
         Retrieval.defaultIsQuery, k = 10)),
+    // hybrid lexical+dense selection: per bounded seed, the BM25 list
+    // and the dense IVF list fused by integer reciprocal-rank fusion —
+    // both component workloads corpus-linear, the fusion join k-bounded
+    "ret_hybrid_rrf" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val nSeeds = d.where(Retrieval.boundedIsQuery).count()
+      val nVecSeeds = e.where(col("vec_id") < 100).count()
+      require(nSeeds == 100 && nVecSeeds == 100, s"ret_hybrid_rrf: seed " +
+        s"sets have $nSeeds docs / $nVecSeeds vectors, expected 100 each " +
+        "(corpus lacks dense base ids 0..99)")
+      Retrieval.hybridRrf(d, e, k = 10)
+    }),
     // profile admission score: BM25 against the seed-term union — the
     // batch twin of the score-at-ingest stream (StreamingSelect)
     "ret_bm25_profile" -> ((s, dir) =>
@@ -1072,7 +1105,8 @@ object SparkEntry {
     "ann_ivf_incremental", "ann_knn_clusters", "ann_hard_negatives_ivf",
     "ann_hard_negatives_recall",
     "ann_ivf_assign", "ann_ivf_assign_flat", "ann_ivf_assign_agree",
-    "ann_ivf_recall_sampled")
+    "ann_ivf_recall_sampled",
+    "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1291,6 +1325,9 @@ object SparkEntry {
     "ann_brute_topk" -> Similarity.bruteForceTopKOracleSql(k = 10),
     "ann_lsh_topk" -> Similarity.lshTopKOracleSql(k = 10),
     "ann_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 10),
+    // persisted round-trips answer the SAME oracle as their inline twins
+    "ann_ivf_persisted" -> Similarity.ivfTopKOracleSql(k = 10),
+    "ann_ivfpq_persisted" -> Similarity.ivfPqTopKOracleSql(k = 10),
     "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,
@@ -1317,6 +1354,7 @@ object SparkEntry {
       Retrieval.bm25TopKOracleSql(Retrieval.boundedIsQuerySql, k = 10),
     "ret_bm25_eval" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
+    "ret_hybrid_rrf" -> Retrieval.hybridRrfOracleSql(k = 10),
     "ret_bm25_profile" ->
       Retrieval.profileScoreOracleSql(Retrieval.defaultIsQuerySql),
     "cur_pipeline7" ->

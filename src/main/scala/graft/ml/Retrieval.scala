@@ -344,4 +344,79 @@ object Retrieval {
     */
   val boundedIsQuery: Column = col("doc_id") < 100
   val boundedIsQuerySql: String = "doc_id < 100"
+
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    * standard two-tower data-selection shape (a lexical BM25 list and a
+    * dense embedding-ANN list per seed, fused by RRF; cf. the
+    * Cormack/Clarke/Buettcher RRF formulation every hybrid search stack
+    * ships). Per seed query q and candidate c:
+    *   rrf(c) = Σ_lists 1/(kRrf + rank_list(c)),
+    * computed in integer micro-units (floor(1e6/(kRrf+rank) + 0.5), a sum
+    * of ≤ 2 terms — accumulation-order independent, bit-identical to the
+    * DuckDB oracle). A candidate absent from a list contributes 0 from
+    * it; fused ties break on candidate id.
+    *
+    * The seed set is the CORPUS-INDEPENDENT bounded convention
+    * ([[boundedIsQuery]]: base ids < `nSeeds`, identical for the doc and
+    * vector tables since vec_id keys documents): both component
+    * workloads stay linear in the corpus — the lexical side is
+    * `ret_bm25_seeds`' measured scale path, the dense side is IVF with
+    * corpus-scaled cells. Fusion itself touches only the two k-bounded
+    * rank lists (≤ nSeeds·k rows each): a full-outer join of two tiny
+    * relations, broadcastable at any corpus scale.
+    *
+    * Output: (query_id, cand_id, lex_rank, dense_rank, rrf_micro, rank),
+    * ranks −1 when the candidate is absent from that list.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, k: Int = 10,
+                kRrf: Int = 60, nSeeds: Int = 100): DataFrame = {
+    val lex = bm25TopK(docs, col("doc_id") < nSeeds, k)
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        col("rank").as("lex_rank"))
+    val den = Similarity.ivfTopK(emb, col("vec_id") < nSeeds, k)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("dense_rank"))
+    def contrib(r: Column): Column =
+      when(r.isNull, lit(0L))
+        .otherwise(floor(lit(1e6) / (lit(kRrf) + r) + 0.5).cast("long"))
+    val fused = lex.join(den, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_micro",
+        contrib(col("lex_rank")) + contrib(col("dense_rank")))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(-1)))
+      .withColumn("dense_rank", coalesce(col("dense_rank"), lit(-1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf_micro"), asc("cand_id"))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "cand_id", "lex_rank", "dense_rank",
+        "rrf_micro", "rank")
+  }
+
+  /** DuckDB oracle for [[hybridRrf]]: the two component oracles as
+    * subqueries, fused by the same integer RRF arithmetic.
+    */
+  def hybridRrfOracleSql(k: Int = 10, kRrf: Int = 60,
+                         nSeeds: Int = 100): String = {
+    def c(r: String): String =
+      s"CASE WHEN $r IS NULL THEN 0 ELSE floor(1e6 / ($kRrf + $r) + 0.5)::BIGINT END"
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id AS cand_id, rank AS lex_rank
+       |  FROM (${bm25TopKOracleSql(s"doc_id < $nSeeds", k)})),
+       |den AS (
+       |  SELECT query_id, neighbor_id AS cand_id, rank AS dense_rank
+       |  FROM (${Similarity.ivfTopKOracleSql(k, isQuerySql = s"vec_id < $nSeeds")})),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |         coalesce(l.cand_id, d.cand_id) AS cand_id,
+       |         coalesce(l.lex_rank, -1) AS lex_rank,
+       |         coalesce(d.dense_rank, -1) AS dense_rank,
+       |         (${c("l.lex_rank")} + ${c("d.dense_rank")}) AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN den d
+       |    ON l.query_id = d.query_id AND l.cand_id = d.cand_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf_micro DESC, cand_id) AS rank
+       |  FROM fused)
+       |SELECT query_id, cand_id, lex_rank, dense_rank, rrf_micro, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
 }

@@ -1,0 +1,91 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted-index serving path: round-trip equality with the inline
+  * operators (the sf-scale oracle hash is the driver's t2 gate) plus the
+  * serving contracts the inline path cannot express — external queries
+  * and the probed-cell partition prune.
+  */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_idx_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // 120 unit-ish vectors over 8 dims, 20 centroids' worth of spread —
+  // enough that probe sets differ per query and cells are non-trivial
+  private def emb = (0L until 120L).map { i =>
+    val v = (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat)
+    (i, v)
+  }.toDF("vec_id", "embedding")
+
+  test("ivfTopKIndexed round-trips bit-equal to inline ivfTopK") {
+    val path = freshPath("ivf")
+    Index.saveIvf(emb, path)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val inline = Similarity.ivfTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("ivfPqTopKIndexed round-trips bit-equal to inline ivfPqTopK") {
+    val path = freshPath("ivfpq")
+    Index.saveIvfPq(emb, path)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val inline = Similarity.ivfPqTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val served = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("serving answers EXTERNAL queries (ids not in the stored corpus)") {
+    val path = freshPath("ext")
+    Index.saveIvf(emb, path)
+    // a query vector not stored in the index: no self-exclusion applies,
+    // every stored vector in its probed cells is a candidate
+    val q = Seq((1000L, (0 until 8).map(d => math.sin(3.1 + d * 0.73).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Index.ivfTopKIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._1).toSet === Set(1000L))
+    assert(out.map(_._4) === Seq(1, 2, 3, 4, 5))
+    assert(out.forall(r => r._2 >= 0L && r._2 < 120L))
+  }
+
+  test("serving scan prunes to the probed cell partitions") {
+    val path = freshPath("prune")
+    Index.saveIvf(emb, path)
+    val isQ = col("vec_id") === 7L // one query → at most nProbe cells read
+    val df = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the postings scan must carry a partition filter on cell — reading
+    // every cell directory would be a full-corpus scan per query batch
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"no partition filter on the postings scan:\n$plan")
+    val probed = "cell#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    assert(probed.exists(_ <= 4), s"probe list not bounded by nProbe: $probed")
+  }
+
+  test("an empty query batch serves an empty result, not a failure") {
+    val path = freshPath("empty")
+    Index.saveIvf(emb, path)
+    val out = Index.ivfTopKIndexed(spark, path,
+      emb.where(col("vec_id") < 0), k = 5)
+    assert(out.count() === 0L)
+  }
+}

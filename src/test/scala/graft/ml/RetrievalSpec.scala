@@ -55,4 +55,45 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0)._2 === out(1)._2)
     assert(out.forall(_._2 > 0))
   }
+
+  test("hybridRrf fuses the component lists by exact integer RRF") {
+    // corpus: doc 1 is the lexical hit, vec 3 is the dense hit; doc/vec 2
+    // shows up in both lists → must collect BOTH contributions
+    val d = Seq(
+      0L -> "a b c d",
+      1L -> "a b c z",
+      2L -> "a b y y",
+      3L -> "q r s t").toDF("doc_id", "text")
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f, 0f),
+      3L -> Seq(0.99f, 0f, 0.1f, 0f)).toDF("vec_id", "embedding")
+    val k = 3
+    val fused = Retrieval.hybridRrf(d, emb, k = k, nSeeds = 1)
+      .orderBy("rank")
+      .select("query_id", "cand_id", "lex_rank", "dense_rank", "rrf_micro", "rank")
+      .as[(Long, Long, Int, Int, Long, Int)].collect().toSeq
+    // expected fusion recomputed from the component operators themselves
+    val lex = Retrieval.bm25TopK(d, col("doc_id") < 1, k)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val den = Similarity.ivfTopK(emb, col("vec_id") < 1, k)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def c(r: Option[Int]): Long =
+      r.map(x => math.floor(1e6 / (60 + x) + 0.5).toLong).getOrElse(0L)
+    val expect = (lex.keySet ++ den.keySet).toSeq
+      .map { key =>
+        (key._1, key._2, lex.get(key).getOrElse(-1), den.get(key).getOrElse(-1),
+          c(lex.get(key)) + c(den.get(key)))
+      }
+      .sortBy(t => (t._1, -t._5, t._2))
+      .take(k).zipWithIndex
+      .map { case ((q, cand, lr, dr, s), i) => (q, cand, lr, dr, s, i + 1) }
+    assert(fused === expect)
+    // the fixture exercises all three membership cases
+    assert(fused.exists(r => r._3 > 0 && r._4 > 0), "no both-lists candidate")
+    assert(fused.exists(r => r._3 === -1 || r._4 === -1), "no one-list candidate")
+  }
 }
