@@ -1,0 +1,87 @@
+package graft
+
+import graft.ml.{Index, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once/serve-many A/B for the persisted ANN indexes: on the
+  * SPARK_GRAFT_SF_DIR embeddings corpus, time (a) the one-time index
+  * build+write, (b) the inline operator (which re-runs the build inside
+  * every call), and (c) the serve-from-store path, for a bounded 50-query
+  * batch and a 5-query "interactive" batch. Reports the probed-cell
+  * fraction — the share of the store a serve actually reads — and the
+  * on-disk store bytes (flat postings vs PQ codes, the 64-double vs
+  * 8-code storage story).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sfL sbt "runMain graft.ServeBench"
+  * One JSON line per measurement; timing = noop-write of the result
+  * (warm-up pass first, as in Bench/IvfSweep).
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfL")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_servebench").toString
+
+    def time(body: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timed(tag: String, extra: String = "")(body: => DataFrame): Double = {
+      time(body) // warm-up
+      val sec = time(body)
+      println(s"""{"stage":"$tag","sec":${Bench.fmt3(sec)},"n":$n$extra}""")
+      System.out.flush()
+      sec
+    }
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(x => dirBytes(x.getPath)).sum
+    }
+
+    val q50 = emb.where(Similarity.sampledIsQuery)
+    val q5 = emb.where(col("vec_id") < 5)
+
+    // one-time build+write (timed once — a build is not a steady state)
+    val ivfPath = s"$root/ivf"
+    val t0 = System.nanoTime()
+    Index.saveIvf(emb, ivfPath)
+    val buildIvf = (System.nanoTime() - t0) / 1e9
+    val ivfBytes = dirBytes(s"$ivfPath/postings")
+    println(s"""{"stage":"ivf_build_write","sec":${Bench.fmt3(buildIvf)},"n":$n,"store_bytes":$ivfBytes}""")
+
+    val pqPath = s"$root/ivfpq"
+    val t1 = System.nanoTime()
+    Index.saveIvfPq(emb, pqPath)
+    val buildPq = (System.nanoTime() - t1) / 1e9
+    val pqBytes = dirBytes(s"$pqPath/pq_codes")
+    println(s"""{"stage":"ivfpq_build_write","sec":${Bench.fmt3(buildPq)},"n":$n,"store_bytes":$pqBytes}""")
+
+    val nCells = spark.read.parquet(s"$ivfPath/centroids").count()
+    for ((tag, q, isQ) <- Seq(
+        ("q50", q50, Similarity.sampledIsQuery),
+        ("q5", q5, col("vec_id") < 5))) {
+      val probed = Index.probeCells(spark, ivfPath, q, nProbe = 4).length
+      val cellsNote = s""","probed_cells":$probed,"total_cells":$nCells"""
+      timed(s"ivf_inline_$tag")(Similarity.ivfTopK(emb, isQ, k = 10))
+      timed(s"ivf_serve_$tag", cellsNote)(
+        Index.ivfTopKIndexed(spark, ivfPath, q, k = 10))
+      timed(s"ivfpq_inline_$tag")(Similarity.ivfPqTopK(emb, isQ, k = 10))
+      timed(s"ivfpq_serve_$tag", cellsNote)(
+        Index.ivfPqTopKIndexed(spark, pqPath, q, k = 10))
+    }
+    spark.stop()
+  }
+}

@@ -513,6 +513,17 @@ object SparkEntry {
       Index.saveIvfPq(e, path)
       Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // index REFRESH without rebuild: build the store over the even half,
+    // append the odd half against the FROZEN stored centroids, then
+    // serve — the oracle's centroid seed set is pinned to the even half,
+    // everything else is the standard IVF serve contract
+    "ann_ivf_append" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfappend", dir)
+      Index.saveIvf(e.where(pmod(col("vec_id"), lit(2)) === 0), path)
+      Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(2)) === 1))
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     "ann_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.load(s, dir, "embeddings"))),
     "ann_ivf_assign_flat" -> ((s, dir) =>
@@ -834,6 +845,14 @@ object SparkEntry {
     "cur_redact" -> ((s, dir) => Curation.redact(Tables.load(s, dir, "documents"))),
     "cur_perplexity" -> ((s, dir) =>
       Curation.perplexity(Tables.load(s, dir, "documents"))),
+    // in-engine distillation of the heuristic quality gate into a
+    // logistic-regression scorer (full-batch GD, integer-exact gradient
+    // sums, one scan + 5-col aggregate per iteration) and the corpus
+    // scored under the trained weights with the teacher-agreement audit
+    "cur_quality_lr" -> ((s, dir) =>
+      Curation.qualityLr(Tables.load(s, dir, "documents"))),
+    "cur_quality_lr_scores" -> ((s, dir) =>
+      Curation.qualityLrScores(Tables.load(s, dir, "documents"))),
     "cur_dataset_card" -> ((s, dir) =>
       Curation.datasetCard(Tables.load(s, dir, "documents"))),
     "cur_tfidf_terms" -> ((s, dir) =>
@@ -1106,7 +1125,8 @@ object SparkEntry {
     "ann_hard_negatives_recall",
     "ann_ivf_assign", "ann_ivf_assign_flat", "ann_ivf_assign_agree",
     "ann_ivf_recall_sampled",
-    "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf")
+    "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
+    "ann_ivf_append")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1328,6 +1348,8 @@ object SparkEntry {
     // persisted round-trips answer the SAME oracle as their inline twins
     "ann_ivf_persisted" -> Similarity.ivfTopKOracleSql(k = 10),
     "ann_ivfpq_persisted" -> Similarity.ivfPqTopKOracleSql(k = 10),
+    "ann_ivf_append" -> Similarity.ivfTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 2) + 2) % 2 = 0"),
     "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,
@@ -1490,6 +1512,8 @@ object SparkEntry {
     "cur_quality_buckets" -> Curation.qualityBucketsOracleSql(),
     "cur_redact" -> Curation.redactOracleSql,
     "cur_perplexity" -> Curation.perplexityOracleSql(),
+    "cur_quality_lr" -> Curation.qualityLrOracleSql(),
+    "cur_quality_lr_scores" -> Curation.qualityLrScoresOracleSql(),
     "cur_dataset_card" -> Curation.datasetCardOracleSql,
     "cur_tfidf_terms" -> Curation.tfidfTermsOracleSql(),
     "cur_chunk" -> Curation.chunkOracleSql(),

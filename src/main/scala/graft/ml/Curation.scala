@@ -2081,4 +2081,177 @@ object Curation {
        |FROM enc e JOIN lang l ON e.doc_id = l.doc_id
        |GROUP BY l.lang_pred""".stripMargin
   }
+
+  // ---- quality-classifier distillation (logistic regression, GD) ----
+
+  /** Per-doc training features for the quality distiller, every value a
+    * 6-dp-rounded rational of integer counts (the determinism discipline
+    * of [[TextStats.quality]]): stopword ratio, punctuation ratio,
+    * length saturation min(1, nwords/50), mean word length / 10, and the
+    * teacher label y = [quality_score ≥ `teacherThreshold`] — the
+    * heuristic gate this classifier distills. Degenerate docs (no words
+    * or no chars) are excluded from training and scoring alike.
+    */
+  private[ml] def lrFeats(docs: DataFrame,
+                          teacherThreshold: Double): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"), col("text"))
+      .select(col("doc_id"),
+        size(col("w")).cast("double").as("nwords"),
+        size(filter(col("w"), x => x.isin(TextStats.stopwords: _*)))
+          .cast("double").as("nstop"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+          .cast("double").as("npunct"),
+        length(col("text")).cast("double").as("nchars"))
+      .where(col("nwords") > 0 && col("nchars") > 0)
+      .select(col("doc_id"),
+        round(col("nstop") / col("nwords"), 6).as("x1"),
+        round(col("npunct") / col("nchars"), 6).as("x2"),
+        round(least(lit(1.0), col("nwords") / 50.0), 6).as("x3"),
+        round((col("nchars") - (col("nwords") - 1)) / col("nwords") / 10.0, 6)
+          .as("x4"),
+        when(round((lit(1.0) - col("nstop") / col("nwords")) *
+          least(lit(1.0), col("nwords") / 50.0), 6) >= teacherThreshold,
+          lit(1)).otherwise(lit(0)).as("y"))
+
+  /** σ(w·x) under micro-unit integer weights, association-pinned: z =
+    * ((((w0 + w1·x1) + w2·x2) + w3·x3) + w4·x4)/1e6 rounded to 6 dp, p =
+    * round(1/(1+exp(−z)), 6). The single transcendental (exp on a
+    * 6-dp-rounded argument, result re-rounded) is the same accepted
+    * cross-engine risk class as BM25's ln(idf).
+    */
+  private def lrP(w: Array[Long]): Column = {
+    val z = round((lit(w(0).toDouble) + lit(w(1).toDouble) * col("x1")
+      + lit(w(2).toDouble) * col("x2") + lit(w(3).toDouble) * col("x3")
+      + lit(w(4).toDouble) * col("x4")) / 1e6, 6)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Distill the heuristic quality gate into a logistic-regression
+    * scorer by full-batch gradient descent — the "train a cheap linear
+    * classifier to imitate the expensive teacher" step of a production
+    * data pipeline (fastText-style quality filters), run IN-ENGINE.
+    * Each iteration is ONE corpus scan ending in a 5-column integer
+    * aggregate: per-doc gradient contributions floor((p−y)·x·1e6 + 0.5)
+    * are summed as int64 (accumulation-order exact), the driver holds
+    * exactly 5 micro-unit weights and applies w ← w − round(lr·Σg/n) —
+    * the kmeans/pqTrain iterative-build shape, so cost is
+    * iters × O(corpus/cluster) with nothing corpus-sized ever
+    * collected. Output: one row per iteration with the post-update
+    * weights (micro units) — the training trajectory.
+    */
+  def qualityLr(docs: DataFrame, iters: Int = 16, lr: Double = 16.0,
+                teacherThreshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = lrFeats(docs, teacherThreshold).lineageCut
+    val n = f.count()
+    require(n > 0, "qualityLr: no trainable documents")
+    var w = Array.fill(5)(0L)
+    val rows = (1 to iters).map { it =>
+      val scored = f.withColumn("p", lrP(w))
+      def g(x: Column): Column =
+        sum(floor((col("p") - col("y")) * x * 1e6 + 0.5).cast("long"))
+      val r = scored.agg(g(lit(1.0)), g(col("x1")), g(col("x2")),
+        g(col("x3")), g(col("x4"))).head()
+      w = w.indices.toArray.map(i =>
+        w(i) - math.floor(lr * r.getLong(i) / n + 0.5).toLong)
+      (it, w(0), w(1), w(2), w(3), w(4))
+    }
+    spark.createDataset(rows).toDF("iter", "w_bias_micro", "w_stop_micro",
+      "w_punct_micro", "w_len_micro", "w_wlen_micro")
+  }
+
+  /** Score the corpus under the trained distiller (the inference side):
+    * per doc, p in micro units, the predicted admission flag, the
+    * teacher's flag, and their agreement — the distillation-quality
+    * audit a pipeline runs before swapping the teacher out.
+    */
+  def qualityLrScores(docs: DataFrame, iters: Int = 16, lr: Double = 16.0,
+                      teacherThreshold: Double = 0.9): DataFrame = {
+    val last = qualityLr(docs, iters, lr, teacherThreshold)
+      .orderBy(desc("iter")).head()
+    val w = Array.tabulate(5)(i => last.getLong(i + 1))
+    lrFeats(docs, teacherThreshold)
+      .withColumn("p", lrP(w))
+      .select(col("doc_id"),
+        floor(col("p") * 1e6 + 0.5).cast("long").as("score_micro"),
+        (col("p") >= 0.5).as("predicted"),
+        (col("y") === 1).as("teacher"),
+        ((col("p") >= 0.5) === (col("y") === 1)).as("agree"))
+  }
+
+  private def lrFeatsSql(teacherThreshold: Double): String = {
+    val stopList = TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    round(nstop/nwords, 6) AS x1,
+       |    round(npunct/nchars, 6) AS x2,
+       |    round(least(1.0, nwords/50.0), 6) AS x3,
+       |    round((nchars - (nwords - 1))/nwords/10.0, 6) AS x4,
+       |    CASE WHEN round((1.0 - nstop/nwords)*least(1.0, nwords/50.0), 6)
+       |         >= $teacherThreshold THEN 1 ELSE 0 END AS y
+       |  FROM (
+       |    SELECT doc_id,
+       |      len($wordsSql)::DOUBLE AS nwords,
+       |      len(list_filter($wordsSql, x -> x IN ($stopList)))::DOUBLE AS nstop,
+       |      length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE AS npunct,
+       |      length(text)::DOUBLE AS nchars
+       |    FROM documents)
+       |  WHERE nwords > 0 AND nchars > 0),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM feats),
+       |w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
+       |              0::BIGINT AS w3, 0::BIGINT AS w4)""".stripMargin
+  }
+
+  private def lrIterCtesSql(iters: Int, lr: Double): String =
+    (1 to iters).map { k =>
+      val z = s"round((w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)/1e6, 6)"
+      // MATERIALIZED is load-bearing: each w_k reads w_{k-1} twice (the
+      // update and the gradient's scoring pass) — inlined CTEs would
+      // expand the chain 2^iters times (measured: 16 iters exhausted the
+      // file-handle ulimit before planning finished)
+      s"""p$k AS MATERIALIZED (
+         |  SELECT f.*, round(1/(1 + exp(-$z)), 6) AS p
+         |  FROM feats f, w${k - 1} w),
+         |g$k AS MATERIALIZED (
+         |  SELECT sum(floor((p - y)*1e6 + 0.5))::BIGINT AS g0,
+         |         sum(floor((p - y)*x1*1e6 + 0.5))::BIGINT AS g1,
+         |         sum(floor((p - y)*x2*1e6 + 0.5))::BIGINT AS g2,
+         |         sum(floor((p - y)*x3*1e6 + 0.5))::BIGINT AS g3,
+         |         sum(floor((p - y)*x4*1e6 + 0.5))::BIGINT AS g4
+         |  FROM p$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT ${(0 to 4).map(i =>
+             s"w.w$i - floor($lr*g.g$i/n.n + 0.5)::BIGINT AS w$i").mkString(", ")}
+         |  FROM w${k - 1} w, g$k g, nn n)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB oracle for [[qualityLr]]: the same iterations unrolled as a
+    * CTE chain (the kmeans/pqTrain oracle convention).
+    */
+  def qualityLrOracleSql(iters: Int = 16, lr: Double = 16.0,
+                         teacherThreshold: Double = 0.9): String = {
+    val per = (1 to iters).map(k =>
+      s"""SELECT $k AS iter, w0 AS w_bias_micro, w1 AS w_stop_micro,
+         |       w2 AS w_punct_micro, w3 AS w_len_micro, w4 AS w_wlen_micro
+         |FROM w$k""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${lrFeatsSql(teacherThreshold)},
+       |${lrIterCtesSql(iters, lr)}
+       |$per""".stripMargin
+  }
+
+  /** DuckDB oracle for [[qualityLrScores]]. */
+  def qualityLrScoresOracleSql(iters: Int = 16, lr: Double = 16.0,
+                               teacherThreshold: Double = 0.9): String = {
+    val z = s"round((w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)/1e6, 6)"
+    s"""WITH ${lrFeatsSql(teacherThreshold)},
+       |${lrIterCtesSql(iters, lr)},
+       |scored AS (
+       |  SELECT f.doc_id, round(1/(1 + exp(-$z)), 6) AS p, f.y
+       |  FROM feats f, w$iters w)
+       |SELECT doc_id, floor(p*1e6 + 0.5)::BIGINT AS score_micro,
+       |       p >= 0.5 AS predicted, y = 1 AS teacher,
+       |       (p >= 0.5) = (y = 1) AS agree
+       |FROM scored""".stripMargin
+  }
 }

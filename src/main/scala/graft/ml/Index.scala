@@ -151,6 +151,39 @@ object Index {
     store.where(col("cell").isin(cells: _*))
   }
 
+  /** Refresh a stored IVF-Flat index WITHOUT a rebuild: assign only the
+    * arriving batch against the STORED centroids (the
+    * [[Similarity.ivfAssignIncremental]] daily-refresh contract —
+    * O(batch · nCells), no standing rescan, two-level routing past the
+    * activation threshold exactly like the build) and append its postings
+    * to the cell partitions. The quantizer is intentionally frozen: cell
+    * ids stay stable, so existing postings never move — the standard IVF
+    * refresh trade-off (centroid drift is the [[Similarity.snapshotDrift]]
+    * monitor's job; a drifted corpus warrants a rebuild, not an append).
+    */
+  def appendIvf(spark: SparkSession, path: String, newEmb: DataFrame,
+                superProbe: Int = Similarity.defaultSuperProbe): Unit = {
+    val cents = spark.read.parquet(centroidsPath(path))
+    val nCells = cents.count().toInt
+    Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
+      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
+        col("cn").as("norm")),
+      superProbe = superProbe)
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(postingsPath(path))
+  }
+
+  /** The distinct cells a query batch would probe — the measurement hook
+    * for the pruning story (|probed| vs |cells| is the fraction of the
+    * store a serve actually reads).
+    */
+  def probeCells(spark: SparkSession, path: String, queries: DataFrame,
+                 nProbe: Int = 4): Array[Long] =
+    probeSet(spark, path, queries, nProbe)._1
+      .select("cell").distinct().collect().map(_.getLong(0))
+
   /** Answer a query batch from a stored IVF-Flat index: rank cells
     * against the stored centroids, read ONLY the probed posting
     * partitions, exact-cosine the candidates, top-k. `queries` carries

@@ -669,13 +669,15 @@ object Similarity {
     * `ranks`) — the coarse-quantizer assignment both [[ivfTopK]] and
     * [[semanticDedup]] build on.
     */
-  private[ml] def cellCtesSql(nCells: Int): String =
+  private[ml] def cellCtesSql(nCells: Int,
+                              centroidWhereSql: String = "TRUE"): String =
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings),
        |cents AS (
        |  SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+       |  WHERE $centroidWhereSql
        |  ORDER BY vec_id LIMIT $nCells),
        |ranks AS (
        |  SELECT e.vec_id, c.cid,
@@ -1215,8 +1217,9 @@ object Similarity {
     * [[KnnEval.hardNegativesIvfOracleSql]].
     */
   private[ml] def ivfScoredCtesSql(nCells: Int, nProbe: Int,
-                                   isQuerySql: String): String =
-    s"""${cellCtesSql(nCells)},
+                                   isQuerySql: String,
+                                   centroidWhereSql: String = "TRUE"): String =
+    s"""${cellCtesSql(nCells, centroidWhereSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
@@ -1234,8 +1237,9 @@ object Similarity {
        |  WHERE a.vec_id != p.query_id)""".stripMargin
 
   def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
-                       isQuerySql: String = defaultIsQuerySql): String =
-    s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql)},
+                       isQuerySql: String = defaultIsQuerySql,
+                       centroidWhereSql: String = "TRUE"): String =
+    s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql, centroidWhereSql)},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY cosine DESC, neighbor_id) AS rank

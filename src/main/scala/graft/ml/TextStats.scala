@@ -27,7 +27,7 @@ object TextStats {
     "es" -> Seq("el", "la", "de", "los", "es"),
     "fr" -> Seq("le", "les", "et", "est", "une"))
 
-  private val stopwords: Seq[String] =
+  private[ml] val stopwords: Seq[String] =
     Seq("a", "the", "of", "and", "to", "in", "is", "it", "on", "for")
 
   // BPE-ish token regex: letter/digit runs, else one symbol per char

@@ -602,4 +602,54 @@ class CurationSpec extends SparkSpec {
     assert(out(2048L)._3 === 2048L && out(2048L)._5 === 0.0)
     assert(out.keySet === Set(16L, 32L, 2048L))
   }
+
+  test("qualityLr replicates driver-side integer GD over its own features") {
+    // mixed corpus: stopword-heavy short docs (teacher 0) vs long
+    // content-word docs (teacher 1)
+    val d = ((0L until 10L).map(i => (i, Seq.fill(30)("the in of it").mkString(" "))) ++
+      (10L until 20L).map(i => (i, Seq.fill(60)("quartz lattice phonon").mkString(" "))))
+      .toDF("doc_id", "text")
+    val iters = 2
+    val lr = 4.0
+    val out = Curation.qualityLr(d, iters = iters, lr = lr)
+      .orderBy("iter")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // replicate the exact integer GD from the collected feature rows
+    val feats = Curation.lrFeats(d, 0.9)
+      .select("x1", "x2", "x3", "x4", "y")
+      .as[(Double, Double, Double, Double, Int)].collect()
+    val n = feats.length
+    var w = Array.fill(5)(0L)
+    val expect = (1 to iters).map { it =>
+      def rnd6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      val grads = Array.fill(5)(0L)
+      feats.foreach { case (x1, x2, x3, x4, y) =>
+        val z = rnd6((w(0).toDouble + w(1).toDouble * x1 + w(2).toDouble * x2
+          + w(3).toDouble * x3 + w(4).toDouble * x4) / 1e6)
+        val p = rnd6(1.0 / (1.0 + math.exp(-z)))
+        val xs = Array(1.0, x1, x2, x3, x4)
+        for (i <- 0 until 5)
+          grads(i) += math.floor((p - y) * xs(i) * 1e6 + 0.5).toLong
+      }
+      w = w.indices.toArray.map(i =>
+        w(i) - math.floor(lr * grads(i) / n + 0.5).toLong)
+      (it, w(0), w(1), w(2), w(3), w(4))
+    }
+    assert(out === expect)
+  }
+
+  test("qualityLrScores: audit fields are self-consistent, degenerates excluded") {
+    val d = ((0L until 8L).map(i => (i, Seq.fill(40)("the in of it and").mkString(" "))) ++
+      (8L until 16L).map(i => (i, Seq.fill(60)("quartz lattice phonon").mkString(" "))) :+
+      (99L, "")).toDF("doc_id", "text") // empty doc must be excluded
+    val out = Curation.qualityLrScores(d, iters = 4)
+      .select("doc_id", "score_micro", "predicted", "teacher", "agree")
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(!out.exists(_._1 === 99L), "degenerate doc leaked into scoring")
+    assert(out.size === 16)
+    assert(out.forall(r => r._2 >= 0L && r._2 <= 1000000L))
+    assert(out.forall(r => r._5 === ((r._3 === r._4))), "agree flag inconsistent")
+    // the two blocks have opposite teacher labels (threshold 0.9)
+    assert(out.count(_._4) === 8)
+  }
 }

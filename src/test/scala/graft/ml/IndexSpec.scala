@@ -81,6 +81,24 @@ class IndexSpec extends SparkSpec {
     assert(probed.exists(_ <= 4), s"probe list not bounded by nProbe: $probed")
   }
 
+  test("appendIvf: split build+append serves bit-equal to a one-shot build") {
+    // base holds the 16 smallest vec_ids → the frozen centroid set equals
+    // the one-shot build's, so the two stores must serve identical results
+    val path = freshPath("append")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val oneShot = Similarity.ivfTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === oneShot)
+    // appended vectors are really discoverable: some neighbor id >= 60
+    assert(served.exists(_._2 >= 60L), "no appended vector ever surfaced")
+  }
+
   test("an empty query batch serves an empty result, not a failure") {
     val path = freshPath("empty")
     Index.saveIvf(emb, path)
