@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** ONLINE ANN serving: a stream of arriving query vectors answered from
+  * a PERSISTED [[Index]] store — the query-side complement of the ingest
+  * streams (StreamingSelect admits documents, StreamingNearDup probes
+  * them, StreamingDrift watches the distribution; this one ANSWERS
+  * retrieval queries against the standing index).
+  *
+  * Shape: `foreachBatch`, deliberately. Per-query top-k is a global rank
+  * per key; in pure append-mode streaming that is an unbounded stateful
+  * aggregation (query ids never expire — no watermark can bound the
+  * state). The correct bound is the serving contract itself: a query's
+  * results are complete within its OWN micro-batch — exactly
+  * `foreachBatch`'s semantics, and the shape every production vector
+  * store uses (queries are micro-batched, each batch answered whole).
+  * Inside the batch the full BATCH serving path runs unchanged —
+  * including the probed-cell static partition prune, which NEEDS a
+  * materialized batch (the probe list is collected driver-side) and is
+  * exactly what a plan-time stream-static join could never do. The
+  * stream holds ZERO state; recovery is the sink's offset log.
+  *
+  * Bit-equality with the batch path across arbitrary micro-batch splits
+  * is pinned in StreamingAnnServeSpec.
+  */
+object StreamingAnnServe {
+
+  private def writer(queryStream: DataFrame)
+                    (serve: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], id: java.lang.Long) =>
+        serve(batch.toDF(), id.longValue())
+      }
+
+  /** Serve each arriving (vec_id, embedding) micro-batch from a stored
+    * IVF-Flat index; `sink` receives ([[Index.ivfTopKIndexed]] rows,
+    * batchId). Configure trigger/checkpoint on the returned writer,
+    * then `.start()`.
+    */
+  def serveIvf(queryStream: DataFrame, path: String, k: Int,
+               nProbe: Int = 4)
+              (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    writer(queryStream) { (batch, id) =>
+      sink(Index.ivfTopKIndexed(batch.sparkSession, path, batch, k, nProbe), id)
+    }
+
+  /** The compressed twin: micro-batches answered by ADC over the stored
+    * PQ codes ([[Index.ivfPqTopKIndexed]]).
+    */
+  def serveIvfPq(queryStream: DataFrame, path: String, k: Int,
+                 nProbe: Int = 4)
+                (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    writer(queryStream) { (batch, id) =>
+      sink(Index.ivfPqTopKIndexed(batch.sparkSession, path, batch, k, nProbe), id)
+    }
+}

@@ -1,0 +1,76 @@
+// package graft.ml for access to the Index/Similarity internals the
+// equality pins compare against
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streamed serve must emit EXACTLY the batch serving path's rows,
+  * across arbitrary micro-batch splits of the query stream.
+  */
+class StreamingAnnServeSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def emb = (0L until 120L).map { i =>
+    val v = (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat)
+    (i, v)
+  }.toDF("vec_id", "embedding")
+
+  private val queryRows = (0L until 120L by 10L).map { i =>
+    (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+  }
+
+  private def freshPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_sserve_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def runStream(path: String, pq: Boolean): Set[(Long, Long, Long)] = {
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def collect(df: DataFrame, id: Long): Unit = got.synchronized {
+      // (query, neighbor, rank) triples identify rows for both flavors
+      got ++= df.select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .as[(Long, Long, Long)].collect()
+    }
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val writer =
+      if (pq) StreamingAnnServe.serveIvfPq(stream, path, k = 5)(collect)
+      else StreamingAnnServe.serveIvf(stream, path, k = 5)(collect)
+    val q = writer.start()
+    try {
+      input.addData(queryRows.take(1)); q.processAllAvailable()
+      input.addData(queryRows.slice(1, 7)); q.processAllAvailable()
+      input.addData(queryRows.drop(7)); q.processAllAvailable()
+    } finally q.stop()
+    got.toSet
+  }
+
+  test("streamed IVF serve ≡ batch serve, any micro-batch split") {
+    val path = freshPath("ivf")
+    Index.saveIvf(emb, path)
+    val streamed = runStream(path, pq = false)
+    val batch = Index.ivfTopKIndexed(spark, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamed IVF-PQ serve ≡ batch serve, any micro-batch split") {
+    val path = freshPath("pq")
+    Index.saveIvfPq(emb, path)
+    val streamed = runStream(path, pq = true)
+    val batch = Index.ivfPqTopKIndexed(spark, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
