@@ -75,7 +75,15 @@ object Index {
       .orderBy("vec_id").limit(cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
       .write.mode("overwrite").parquet(centroidsPath(path))
+    // repartition BY THE PARTITION COLUMN before writing: partitionBy
+    // alone emits one file per (task × cell) — 12,800 ~65 KB files for
+    // 400 cells at the 1000× corpus (measured), 2B files at 200k cells.
+    // Hash-clustering on cell makes it one file per cell; a build is the
+    // one place a full-corpus shuffle is the right trade for a store
+    // that is read for weeks. (An over-large cell can still be split via
+    // spark.sql.files.maxRecordsPerFile.)
     assigned(emb, nCells, forceFlat, superProbe)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(postingsPath(path))
   }
@@ -100,6 +108,7 @@ object Index {
       .select("vec_id", "cell")
     Similarity.pqCodes(emb, nSub, nCode)
       .join(cellOf, "vec_id")
+      .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(pqCodesPath(path))
     // codebook: the nCode smallest-id corpus vectors sliced per subspace —
@@ -171,6 +180,7 @@ object Index {
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
+      .repartition(col("cell")) // one appended file per touched cell
       .write.mode("append").partitionBy("cell")
       .parquet(postingsPath(path))
   }
