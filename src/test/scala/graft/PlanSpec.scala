@@ -406,4 +406,34 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(tt).length == 1,
       s"transitions re-shuffle the fact table:\n$tt")
   }
+
+  test("hybrid RRF fuses two k-bounded lists — no cartesian; fusion join is hash-equi") {
+    val p = plan("ret_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"hybrid fusion has a cartesian:\n$p")
+    // the BM25 component legitimately BNL-joins its 1-ROW stats relation
+    // (avgdl — the q13 scalar-broadcast pattern); the FUSION itself must
+    // be the equi join of the two rank lists: a SortMergeJoin/ShuffledHash
+    // FullOuter on (query_id, cand_id)
+    assert(p.contains("FullOuter"), s"fusion join missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, FullOuter") &&
+      !p.contains("BroadcastNestedLoopJoin BuildLeft, FullOuter"),
+      s"fusion degraded to a nested loop:\n$p")
+  }
+
+  test("LR scoring is a joinless literal-weight scan") {
+    // after training, the 5 weights are literals — the scoring pass must
+    // never join a weight table into the per-row path
+    val p = plan("cur_quality_lr_scores")
+    assert(!p.contains("Join"), s"LR scoring joins where a scan was promised:\n$p")
+  }
+
+  test("persisted-index serves scan only probed cell partitions") {
+    // both serve flavors must carry a partition filter on cell: reading
+    // every cell directory would be a full-store scan per query batch
+    for (q <- Seq("ann_ivf_persisted", "ann_ivfpq_persisted", "ann_ivf_append")) {
+      val p = plan(q)
+      assert(p.contains("PartitionFilters") && p.contains("cell#"),
+        s"$q: no partition filter on the store scan:\n$p")
+    }
+  }
 }
