@@ -901,6 +901,12 @@ object SparkEntry {
     // topic cell, smallest-salted-hash rank fills them
     "cur_topic_balance" -> ((s, dir) =>
       Curation.topicBalance(Tables.load(s, dir, "embeddings"))),
+    // corpus cartography: the distinguishing terms of each kmeans topic
+    // cell (tf x topic-idf, integer micro units) — what a cell IS,
+    // before topicBalance decides how much of it to keep
+    "cur_topic_keywords" -> ((s, dir) =>
+      Curation.topicKeywords(Tables.load(s, dir, "embeddings"),
+        Tables.load(s, dir, "documents"))),
     // per-source unigram KL vs the corpus distribution over the global
     // top-2000 words — the domain-drift number next to sourceMix's shares
     "cur_dist_shift" -> ((s, dir) =>
@@ -1543,6 +1549,7 @@ object SparkEntry {
     "cur_curriculum" -> Curation.curriculumOracleSql(),
     "cur_rebalance" -> Curation.rebalanceSampleOracleSql,
     "cur_topic_balance" -> Curation.topicBalanceOracleSql(),
+    "cur_topic_keywords" -> Curation.topicKeywordsOracleSql(),
     "cur_dist_shift" -> Curation.distShiftOracleSql(),
     "cur_length_buckets" -> Curation.lengthBucketsOracleSql(),
     "cur_zipf_fit" -> Curation.zipfFitOracleSql(),

@@ -161,6 +161,70 @@ object Curation {
        |  FROM cells)
        |SELECT doc_id, topic, rk, quota FROM ranked WHERE rk <= quota""".stripMargin
 
+  /** Corpus cartography: label each embedding-space topic (a
+    * [[Similarity.kmeans]] cell, vec_id ≡ doc_id) with its most
+    * DISTINGUISHING terms — per-topic tf × topic-idf, the standard
+    * cluster-naming readout a curation team uses to decide what a cell
+    * IS before up/down-weighting it ([[topicBalance]] decides how much
+    * of a topic to keep; this says what the topic contains). Score =
+    * floor(tf · round(ln(k/df_topics), 6) · 1e6 + 0.5) — integer micro
+    * units, a word present in every topic scores exactly 0. Stopwords
+    * and empty tokens are excluded; ties break (tf desc, word asc).
+    *
+    * Scale: one corpus-sized explode into a (topic, word) partial-agg
+    * shuffle (vocabulary×k keys, map-side combined); the topic-df and
+    * ranking relations are vocabulary-bounded, and the final window
+    * sorts vocabulary rows per topic — never corpus rows.
+    */
+  def topicKeywords(emb: DataFrame, docs: DataFrame, k: Int = 8,
+                    iters: Int = 3, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && topN > 0)
+    val cells = Similarity.kmeans(emb, k, iters)
+      .select(col("vec_id").as("doc_id"), col("cluster").as("topic"))
+    val toks = docs.join(cells, "doc_id")
+      .select(col("topic"), explode(words(col("text"))).as("word"))
+      .where(!col("word").isin(TextStats.stopwords: _*) && col("word") =!= "")
+    val tf = toks.groupBy("topic", "word").agg(count(lit(1)).as("tf"))
+    val dfTopics = tf.groupBy("word")
+      .agg(count(lit(1)).as("df_topics"))
+    val scored = tf.join(dfTopics, "word")
+      .withColumn("score_micro",
+        floor(col("tf") * round(log(lit(k.toDouble) / col("df_topics")), 6)
+          * 1e6 + 0.5).cast("long"))
+    val w = Window.partitionBy("topic")
+      .orderBy(desc("score_micro"), desc("tf"), asc("word"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= topN)
+      .select("topic", "word", "tf", "df_topics", "score_micro", "rnk")
+  }
+
+  def topicKeywordsOracleSql(k: Int = 8, iters: Int = 3,
+                             topN: Int = 5): String = {
+    val stopList = TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH km AS (${Similarity.kmeansOracleSql(k, iters)}),
+       |cells AS (SELECT vec_id AS doc_id, cluster AS topic FROM km),
+       |toks AS (
+       |  SELECT c.topic, t.word FROM (
+       |    SELECT doc_id, unnest($wordsSql) AS word FROM documents) t
+       |  JOIN cells c USING (doc_id)
+       |  WHERE t.word NOT IN ($stopList) AND t.word != ''),
+       |tf AS (
+       |  SELECT topic, word, count(*)::BIGINT AS tf
+       |  FROM toks GROUP BY topic, word),
+       |dft AS (SELECT word, count(*)::BIGINT AS df_topics FROM tf GROUP BY word),
+       |scored AS (
+       |  SELECT topic, word, tf, df_topics,
+       |         floor(tf * round(ln($k.0 / df_topics), 6) * 1e6 + 0.5)::BIGINT
+       |           AS score_micro
+       |  FROM tf JOIN dft USING (word)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY topic
+       |            ORDER BY score_micro DESC, tf DESC, word) AS rnk
+       |  FROM scored)
+       |SELECT topic, word, tf, df_topics, score_micro, rnk
+       |FROM ranked WHERE rnk <= $topN""".stripMargin
+  }
+
   /** Split-leakage audit: near-dup clusters that straddle the train/eval
     * boundary — the contamination a hash split cannot see (it assigns
     * doc-by-doc, so two near-copies routinely land on opposite sides, and

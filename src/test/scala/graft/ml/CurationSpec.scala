@@ -603,6 +603,30 @@ class CurationSpec extends SparkSpec {
     assert(out.keySet === Set(16L, 32L, 2048L))
   }
 
+  test("topicKeywords: exclusive terms score positive, ubiquitous terms zero, stopwords absent") {
+    // two separable clusters; kmeans seeds are vec 0 (→ x-axis) and
+    // vec 1 (→ y-axis), so membership is deterministic by construction
+    val emb = (0L until 10L).map { i =>
+      val a = if (i == 0 || (i >= 2 && i < 6)) 1f else 0f
+      (i, Seq(a, 1f - a, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val docs = (0L until 10L).map { i =>
+      val marker = if (i == 0 || (i >= 2 && i < 6)) "quartz" else "lattice"
+      (i, s"the $marker shared shared")
+    }.toDF("doc_id", "text")
+    val out = Curation.topicKeywords(emb, docs, k = 2, iters = 2, topN = 5)
+      .select("topic", "word", "df_topics", "score_micro", "rnk")
+      .as[(Long, String, Long, Long, Int)].collect().toSeq
+    assert(!out.exists(_._2 === "the"), "stopword leaked into keywords")
+    // each topic's rank-1 keyword is its exclusive marker, positive score
+    val r1 = out.filter(_._5 === 1).map(r => r._2 -> r._4)
+    assert(r1.map(_._1).toSet === Set("quartz", "lattice"))
+    assert(r1.forall(_._2 > 0L))
+    // a word present in every topic carries exactly zero score
+    assert(out.filter(_._2 === "shared").forall(r => r._3 === 2L && r._4 === 0L))
+    assert(out.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("qualityLr replicates driver-side integer GD over its own features") {
     // mixed corpus: stopword-heavy short docs (teacher 0) vs long
     // content-word docs (teacher 1)
