@@ -134,7 +134,8 @@ object Bench {
     // precision, ~400 bytes) and points at the full-map file.
     val headline = Seq("q01_agg", "trend_rebin", "trend_detect", "trend_mk",
       "trend_wdt", "dedup_exact", "dedup_minhash_lsh", "ann_ivf_topk",
-      "cur_pack", "text_token_stats", "evt_sessionize", "ret_bm25_seeds")
+      "cur_pack", "text_token_stats", "evt_sessionize", "ret_bm25_seeds",
+      "ann_ivf_persisted", "cur_quality_lr")
     val hqs = results.collect {
       case (k, v, _) if headline.contains(k) => s""""$k":${fmt3(v)}"""
     }.mkString("{", ",", "}")

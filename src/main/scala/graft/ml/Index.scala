@@ -169,6 +169,10 @@ object Index {
     * ids stay stable, so existing postings never move — the standard IVF
     * refresh trade-off (centroid drift is the [[Similarity.snapshotDrift]]
     * monitor's job; a drifted corpus warrants a rebuild, not an append).
+    * Concurrency: a parquet reader lists files at PLAN time, so a serve
+    * planned before an append completes simply answers from the
+    * pre-append snapshot — appends are atomic-per-file and
+    * eventually-visible, never torn.
     */
   def appendIvf(spark: SparkSession, path: String, newEmb: DataFrame,
                 superProbe: Int = Similarity.defaultSuperProbe): Unit = {
@@ -183,6 +187,42 @@ object Index {
       .repartition(col("cell")) // one appended file per touched cell
       .write.mode("append").partitionBy("cell")
       .parquet(postingsPath(path))
+  }
+
+  /** Compact a store's posting partitions back to one file per cell.
+    * Every [[appendIvf]] adds one file per touched cell; after many
+    * refresh cycles a hot cell is dozens of small files and the serve
+    * scan pays per-file open/footer overhead — the same small-files
+    * failure the build writer fixed, re-accumulating incrementally.
+    * Rewrite-then-swap: the compacted postings land beside the live
+    * directory and are atomically renamed over it, so a concurrent serve
+    * planned mid-compaction reads the old listing in full (parquet
+    * readers list files at plan time). Content is unchanged —
+    * IndexSpec pins serve bit-equality across a compaction.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val live = postingsPath(path)
+    val tmp = s"$path/postings_compacting"
+    spark.read.parquet(live)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new java.io.File(live)
+    val bak = new java.io.File(s"$path/postings_old")
+    if (bak.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(bak)
+    }
+    require(fs.renameTo(bak), s"compact: could not stage out $live")
+    require(new java.io.File(tmp).renameTo(fs),
+      s"compact: could not swap in $tmp")
+    def rm2(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm2)
+      f.delete(); ()
+    }
+    rm2(bak)
   }
 
   /** The distinct cells a query batch would probe — the measurement hook

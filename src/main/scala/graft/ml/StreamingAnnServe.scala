@@ -55,4 +55,22 @@ object StreamingAnnServe {
     writer(queryStream) { (batch, id) =>
       sink(Index.ivfPqTopKIndexed(batch.sparkSession, path, batch, k, nProbe), id)
     }
+
+  /** The INGEST side of the same loop: each arriving (vec_id, embedding)
+    * micro-batch is [[Index.appendIvf]]'d into the store — assignment
+    * against the frozen stored centroids, postings appended to their
+    * cell partitions. foreachBatch again, and again deliberately: the
+    * append is a batch write whose atomicity unit is the micro-batch,
+    * its offset log is the recovery contract, and serves planned between
+    * appends read consistent pre/post-append snapshots (parquet listings
+    * are plan-time). Together with [[serveIvf]] this closes the
+    * streaming index lifecycle: vectors stream IN, queries stream OUT,
+    * the store is the only state. Periodic [[Index.compact]] folds the
+    * per-append files back to one per cell.
+    */
+  def appendStream(vecStream: DataFrame, path: String)
+                  : DataStreamWriter[Row] =
+    writer(vecStream) { (batch, _) =>
+      if (!batch.isEmpty) Index.appendIvf(batch.sparkSession, path, batch)
+    }
 }

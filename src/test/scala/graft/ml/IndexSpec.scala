@@ -99,6 +99,30 @@ class IndexSpec extends SparkSpec {
     assert(served.exists(_._2 >= 60L), "no appended vector ever surfaced")
   }
 
+  test("compact folds per-append files to one per cell, serve bit-equal") {
+    val path = freshPath("compact")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60 && col("vec_id") < 90))
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 90))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val before = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    def filesPerCell: Map[String, Int] = {
+      val post = new java.io.File(s"$path/postings")
+      post.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerCell.values.exists(_ > 1), "appends never split a cell — fixture too weak")
+    Index.compact(spark, path)
+    assert(filesPerCell.values.forall(_ === 1), s"compaction left multi-file cells: $filesPerCell")
+    val after = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === before)
+  }
+
   test("an empty query batch serves an empty result, not a failure") {
     val path = freshPath("empty")
     Index.saveIvf(emb, path)

@@ -62,6 +62,33 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("appendStream ≡ batch append: streamed ingest, then serve") {
+    val path = freshPath("appstream")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val arrivals = (60L until 120L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+    }
+    val q = StreamingAnnServe.appendStream(
+      input.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      input.addData(arrivals.take(10)); q.processAllAvailable()
+      input.addData(arrivals.slice(10, 11)); q.processAllAvailable()
+      input.addData(arrivals.drop(11)); q.processAllAvailable()
+    } finally q.stop()
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val streamed = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // base holds the 16 smallest ids → centroids equal the one-shot
+    // build's, so the streamed-ingest store must serve identically to
+    // the inline operator over the full corpus
+    val oneShot = Similarity.ivfTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(streamed === oneShot)
+  }
+
   test("streamed IVF-PQ serve ≡ batch serve, any micro-batch split") {
     val path = freshPath("pq")
     Index.saveIvfPq(emb, path)
