@@ -524,6 +524,17 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(2)) === 1))
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // the COMPRESSED refresh: same even/odd split, but the store is the
+    // PQ codes one — the appended half is coarse-assigned against the
+    // frozen stored centroids AND encoded against the frozen stored
+    // codebook, so both oracle quantizer seed sets pin to the even half
+    "ann_ivfpq_append" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqappend", dir)
+      Index.saveIvfPq(e.where(pmod(col("vec_id"), lit(2)) === 0), path)
+      Index.appendIvfPq(s, path, e.where(pmod(col("vec_id"), lit(2)) === 1))
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     "ann_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.load(s, dir, "embeddings"))),
     "ann_ivf_assign_flat" -> ((s, dir) =>
@@ -1132,7 +1143,7 @@ object SparkEntry {
     "ann_ivf_assign", "ann_ivf_assign_flat", "ann_ivf_assign_agree",
     "ann_ivf_recall_sampled",
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
-    "ann_ivf_append")
+    "ann_ivf_append", "ann_ivfpq_append")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1356,6 +1367,9 @@ object SparkEntry {
     "ann_ivfpq_persisted" -> Similarity.ivfPqTopKOracleSql(k = 10),
     "ann_ivf_append" -> Similarity.ivfTopKOracleSql(k = 10,
       centroidWhereSql = "((vec_id % 2) + 2) % 2 = 0"),
+    "ann_ivfpq_append" -> Similarity.ivfPqTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 2) + 2) % 2 = 0",
+      codebookWhereSql = "((vec_id % 2) + 2) % 2 = 0"),
     "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,

@@ -189,40 +189,101 @@ object Index {
       .parquet(postingsPath(path))
   }
 
-  /** Compact a store's posting partitions back to one file per cell.
-    * Every [[appendIvf]] adds one file per touched cell; after many
-    * refresh cycles a hot cell is dozens of small files and the serve
-    * scan pays per-file open/footer overhead — the same small-files
-    * failure the build writer fixed, re-accumulating incrementally.
-    * Rewrite-then-swap: the compacted postings land beside the live
-    * directory and are atomically renamed over it, so a concurrent serve
-    * planned mid-compaction reads the old listing in full (parquet
-    * readers list files at plan time). Content is unchanged —
-    * IndexSpec pins serve bit-equality across a compaction.
+  /** Refresh a stored IVF-PQ index without a rebuild — the compressed
+    * twin of [[appendIvf]], and the one that matters at corpus scale
+    * (the PQ store is what a 100-TB deployment actually serves from).
+    * The arriving batch is coarse-assigned against the FROZEN stored
+    * centroids and PQ-encoded against the FROZEN stored codebook
+    * ([[Similarity.pqCodes]] rounding and tie-break semantics exactly:
+    * 9-dp-rounded subspace L2, smaller code id wins ties), then appended
+    * to its `pq_codes` cell partitions. Both quantizers stay frozen for
+    * the same reason the IVF one does: code/cell ids remain stable so
+    * existing rows never move; codebook drift, like centroid drift, is a
+    * rebuild decision informed by [[Similarity.snapshotDrift]].
+    */
+  def appendIvfPq(spark: SparkSession, path: String, newEmb: DataFrame,
+                  superProbe: Int = Similarity.defaultSuperProbe): Unit = {
+    val cents = spark.read.parquet(centroidsPath(path))
+    val nCells = cents.count().toInt
+    val cellOf = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
+      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
+        col("cn").as("norm")),
+      superProbe = superProbe)
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+    // stored codebook, grouped per subspace and sorted by code id so the
+    // linear scan reproduces pqCodes' first-smallest-id tie-break
+    val bySub: Map[Long, Array[(Long, Array[Double])]] =
+      spark.read.parquet(codewordsPath(path))
+        .select("sub", "code", "cw").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1)
+        .map { case (m, rows) => m -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
+    val nSub = bySub.size
+    val bc = spark.sparkContext.broadcast(bySub)
+    val codesUdf = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      val sub = va.length / nSub
+      Array.tabulate(nSub) { m =>
+        var bestCode = -1L
+        var bestD = Double.MaxValue
+        bc.value(m.toLong).foreach { case (cid, cw) =>
+          var d2 = 0.0
+          var d = 0
+          while (d < sub) {
+            val diff = va(m * sub + d) - cw(d)
+            d2 += diff * diff
+            d += 1
+          }
+          val r = math.floor(d2 * 1e9 + 0.5) / 1e9
+          if (r < bestD || (r == bestD && cid < bestCode)) {
+            bestD = r; bestCode = cid
+          }
+        }
+        bestCode
+      }
+    }
+    Similarity.normed(newEmb)
+      .select(col("vec_id"), posexplode(codesUdf(col("v"))).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+      .join(cellOf, "vec_id")
+      .repartition(col("cell")) // one appended file per touched cell
+      .write.mode("append").partitionBy("cell")
+      .parquet(pqCodesPath(path))
+  }
+
+  /** Compact a store's cell partitions back to one file per cell — both
+    * flavors, whichever of `postings/` / `pq_codes/` the store carries.
+    * Every append adds one file per touched cell; after many refresh
+    * cycles a hot cell is dozens of small files and the serve scan pays
+    * per-file open/footer overhead — the same small-files failure the
+    * build writer fixed, re-accumulating incrementally.
+    * Rewrite-then-swap via the Hadoop FileSystem API (atomic directory
+    * rename on HDFS-like stores, plain rename on local FS): the
+    * compacted layout lands beside the live directory and is swapped
+    * over it, so a concurrent serve planned mid-compaction reads the old
+    * listing in full (parquet readers list files at plan time). Content
+    * is unchanged — IndexSpec pins serve bit-equality across a
+    * compaction for both flavors.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val live = postingsPath(path)
-    val tmp = s"$path/postings_compacting"
-    spark.read.parquet(live)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val fs = new java.io.File(live)
-    val bak = new java.io.File(s"$path/postings_old")
-    if (bak.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(postingsPath(path), pqCodesPath(path)).foreach { dir =>
+      val live = new Path(dir)
+      val fs = live.getFileSystem(hconf)
+      if (fs.exists(live)) {
+        val tmp = new Path(s"${dir}_compacting")
+        val bak = new Path(s"${dir}_old")
+        spark.read.parquet(dir)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        require(fs.rename(live, bak), s"compact: could not stage out $live")
+        require(fs.rename(tmp, live), s"compact: could not swap in $tmp")
+        fs.delete(bak, true)
+        ()
       }
-      rm(bak)
     }
-    require(fs.renameTo(bak), s"compact: could not stage out $live")
-    require(new java.io.File(tmp).renameTo(fs),
-      s"compact: could not swap in $tmp")
-    def rm2(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm2)
-      f.delete(); ()
-    }
-    rm2(bak)
   }
 
   /** The distinct cells a query batch would probe — the measurement hook

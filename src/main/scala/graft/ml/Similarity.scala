@@ -998,7 +998,8 @@ object Similarity {
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
-  def pqCodesOracleSql(nSub: Int = 8, k: Int = 16, dim: Int = 64): String = {
+  def pqCodesOracleSql(nSub: Int = 8, k: Int = 16, dim: Int = 64,
+                       codebookWhereSql: String = "TRUE"): String = {
     val sub = dim / nSub
     val branches = (0 until nSub).map { m =>
       val d2 = (0 until sub).map { d =>
@@ -1010,7 +1011,9 @@ object Similarity {
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cents AS (
-       |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  WHERE $codebookWhereSql
+       |  ORDER BY vec_id LIMIT $k),
        |dists AS (
        |  $branches),
        |ranked AS (
@@ -1098,7 +1101,9 @@ object Similarity {
 
   def ivfPqTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                          nSub: Int = 8, nCode: Int = 16, dim: Int = 64,
-                         isQuerySql: String = defaultIsQuerySql): String = {
+                         isQuerySql: String = defaultIsQuerySql,
+                         centroidWhereSql: String = "TRUE",
+                         codebookWhereSql: String = "TRUE"): String = {
     val sub = dim / nSub
     val lutBranches = (0 until nSub).map { m =>
       val d2 = (0 until sub).map { d =>
@@ -1109,15 +1114,16 @@ object Similarity {
          |         floor(($d2) * 1e9 + 0.5)::BIGINT AS d2i
          |  FROM q, pqcents c""".stripMargin
     }.mkString("\n  UNION ALL ")
-    s"""WITH ${cellCtesSql(nCells)},
+    s"""WITH ${cellCtesSql(nCells, centroidWhereSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cid AS cell
        |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
        |q AS (SELECT vec_id, v FROM e WHERE $isQuerySql),
-       |pqcents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nCode),
-       |codes AS (SELECT * FROM (${pqCodesOracleSql(nSub, nCode, dim)})),
+       |pqcents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |  WHERE $codebookWhereSql ORDER BY vec_id LIMIT $nCode),
+       |codes AS (SELECT * FROM (${pqCodesOracleSql(nSub, nCode, dim, codebookWhereSql)})),
        |lut AS (
        |  $lutBranches),
        |cand AS (

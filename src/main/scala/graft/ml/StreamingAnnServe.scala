@@ -73,4 +73,16 @@ object StreamingAnnServe {
     writer(vecStream) { (batch, _) =>
       if (!batch.isEmpty) Index.appendIvf(batch.sparkSession, path, batch)
     }
+
+  /** The compressed ingest twin: arriving vectors are
+    * [[Index.appendIvfPq]]'d — coarse-assigned against the frozen stored
+    * centroids AND PQ-encoded against the frozen stored codebook — so a
+    * deployment can run the whole lifecycle on the 30–40×-smaller codes
+    * store alone.
+    */
+  def appendStreamPq(vecStream: DataFrame, path: String)
+                    : DataStreamWriter[Row] =
+    writer(vecStream) { (batch, _) =>
+      if (!batch.isEmpty) Index.appendIvfPq(batch.sparkSession, path, batch)
+    }
 }

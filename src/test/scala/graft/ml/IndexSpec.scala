@@ -99,6 +99,23 @@ class IndexSpec extends SparkSpec {
     assert(served.exists(_._2 >= 60L), "no appended vector ever surfaced")
   }
 
+  test("appendIvfPq: split build+append serves bit-equal to a one-shot build") {
+    // base holds the 16 smallest vec_ids → BOTH frozen quantizer seed
+    // sets (coarse centroids and PQ codebook) equal the one-shot build's
+    val path = freshPath("pqappend")
+    Index.saveIvfPq(emb.where(col("vec_id") < 60), path)
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val served = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val oneShot = Similarity.ivfPqTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === oneShot)
+    assert(served.exists(_._2 >= 60L), "no appended vector ever surfaced")
+  }
+
   test("compact folds per-append files to one per cell, serve bit-equal") {
     val path = freshPath("compact")
     Index.saveIvf(emb.where(col("vec_id") < 60), path)
@@ -120,6 +137,30 @@ class IndexSpec extends SparkSpec {
     val after = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === before)
+  }
+
+  test("compact also folds the PQ codes store, serve bit-equal") {
+    val path = freshPath("pqcompact")
+    Index.saveIvfPq(emb.where(col("vec_id") < 60), path)
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 60 && col("vec_id") < 90))
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 90))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val before = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    def filesPerCell: Map[String, Int] = {
+      val post = new java.io.File(s"$path/pq_codes")
+      post.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerCell.values.exists(_ > 1), "appends never split a cell — fixture too weak")
+    Index.compact(spark, path)
+    assert(filesPerCell.values.forall(_ === 1), s"compaction left multi-file cells: $filesPerCell")
+    val after = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
     assert(after === before)
   }
 

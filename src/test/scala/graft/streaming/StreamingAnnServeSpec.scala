@@ -89,6 +89,31 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed === oneShot)
   }
 
+  test("appendStreamPq ≡ batch append: streamed compressed ingest, then serve") {
+    val path = freshPath("appstreampq")
+    Index.saveIvfPq(emb.where(col("vec_id") < 60), path)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val arrivals = (60L until 120L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+    }
+    val q = StreamingAnnServe.appendStreamPq(
+      input.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      input.addData(arrivals.take(25)); q.processAllAvailable()
+      input.addData(arrivals.drop(25)); q.processAllAvailable()
+    } finally q.stop()
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val streamed = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // base holds the 16 smallest ids → frozen centroid AND codebook seed
+    // sets equal the one-shot build's
+    val oneShot = Similarity.ivfPqTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(streamed === oneShot)
+  }
+
   test("streamed IVF-PQ serve ≡ batch serve, any micro-batch split") {
     val path = freshPath("pq")
     Index.saveIvfPq(emb, path)
