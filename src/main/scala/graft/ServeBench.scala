@@ -66,6 +66,58 @@ object ServeBench {
     val q50 = emb.where(Similarity.sampledIsQuery)
     val q5 = emb.where(col("vec_id") < 5)
 
+    // stage selection: no args = the build/serve A/B (the recorded
+    // BENCH_serve_* shape, unchanged); "frag" = the fragmentation /
+    // compaction A/B (40 append cycles, then compact); pass both to
+    // run both
+    val stages = if (args.isEmpty) Set("serve") else args.toSet
+    def want(s: String): Boolean = stages(s)
+
+    def countFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else if (f.isDirectory) f.listFiles().map(walk).sum
+        else 0
+      walk(new java.io.File(p))
+    }
+
+    if (want("frag")) {
+      // FRAGMENTATION A/B: a store refreshed 40 times accumulates one
+      // file per (append × touched cell); measure the serve penalty the
+      // small files cost and what compaction buys back. Base = even ids
+      // (holds every quantizer seed at any sf), appends = odd half in 40
+      // slices (pmod 80 ∈ {1,3,…,79}) — each slice touches most cells.
+      for ((flavor, save, append, serve) <- Seq(
+          ("ivf",
+            (e: DataFrame, p: String) => Index.saveIvf(e, p),
+            (p: String, e: DataFrame) => Index.appendIvf(spark, p, e),
+            (p: String, q: DataFrame) => Index.ivfTopKIndexed(spark, p, q, k = 10)),
+          ("ivfpq",
+            (e: DataFrame, p: String) => Index.saveIvfPq(e, p),
+            (p: String, e: DataFrame) => Index.appendIvfPq(spark, p, e),
+            (p: String, q: DataFrame) => Index.ivfPqTopKIndexed(spark, p, q, k = 10)))) {
+        val path = s"$root/frag_$flavor"
+        val store = if (flavor == "ivf") s"$path/postings" else s"$path/pq_codes"
+        save(emb.where(pmod(col("vec_id"), lit(2)) === 0), path)
+        val ta = System.nanoTime()
+        (0 until 40).foreach { s0 =>
+          append(path, emb.where(pmod(col("vec_id"), lit(80)) === (2 * s0 + 1)))
+        }
+        val appendSec = (System.nanoTime() - ta) / 1e9
+        val filesBefore = countFiles(store)
+        println(s"""{"stage":"${flavor}_append_40x","sec":${Bench.fmt3(appendSec)},"n":$n,"files":$filesBefore}""")
+        timed(s"${flavor}_frag_serve_q50", s""","files":$filesBefore""")(serve(path, q50))
+        val tc = System.nanoTime()
+        Index.compact(spark, path)
+        val compactSec = (System.nanoTime() - tc) / 1e9
+        val filesAfter = countFiles(store)
+        println(s"""{"stage":"${flavor}_compact","sec":${Bench.fmt3(compactSec)},"n":$n,"files":$filesAfter}""")
+        timed(s"${flavor}_compacted_serve_q50", s""","files":$filesAfter""")(serve(path, q50))
+      }
+    }
+
+    if (!want("serve")) { spark.stop(); return }
+
     // one-time build+write (timed once — a build is not a steady state)
     val ivfPath = s"$root/ivf"
     val t0 = System.nanoTime()

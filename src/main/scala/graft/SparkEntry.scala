@@ -524,15 +524,21 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(2)) === 1))
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
-    // the COMPRESSED refresh: same even/odd split, but the store is the
-    // PQ codes one — the appended half is coarse-assigned against the
-    // frozen stored centroids AND encoded against the frozen stored
-    // codebook, so both oracle quantizer seed sets pin to the even half
+    // the COMPRESSED refresh: 90/10 split — the daily-refresh shape, and
+    // deliberately NOT the ivf_append 50/50 torture split. autoCells is
+    // sized from the BASE corpus and appends never add cells, so a store
+    // doubled by appends serves 2× the corpus fraction per query; for
+    // the PQ serve, whose ADC join multiplies candidates ×nSub, that
+    // measured 359 s→timeout at 100× (SCALING.md). At +10% the cell
+    // budget is within 10% of a full rebuild's and the serve stays at
+    // the persisted twin's cost. The appended tenth is coarse-assigned
+    // against the frozen stored centroids AND encoded against the
+    // frozen stored codebook; both oracle seed sets pin to the base.
     "ann_ivfpq_append" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val path = tmpPath(s, "ivfpqappend", dir)
-      Index.saveIvfPq(e.where(pmod(col("vec_id"), lit(2)) === 0), path)
-      Index.appendIvfPq(s, path, e.where(pmod(col("vec_id"), lit(2)) === 1))
+      Index.saveIvfPq(e.where(pmod(col("vec_id"), lit(10)) =!= 9), path)
+      Index.appendIvfPq(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
       Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
     "ann_ivf_assign" -> ((s, dir) =>
@@ -1368,8 +1374,8 @@ object SparkEntry {
     "ann_ivf_append" -> Similarity.ivfTopKOracleSql(k = 10,
       centroidWhereSql = "((vec_id % 2) + 2) % 2 = 0"),
     "ann_ivfpq_append" -> Similarity.ivfPqTopKOracleSql(k = 10,
-      centroidWhereSql = "((vec_id % 2) + 2) % 2 = 0",
-      codebookWhereSql = "((vec_id % 2) + 2) % 2 = 0"),
+      centroidWhereSql = "((vec_id % 10) + 10) % 10 != 9",
+      codebookWhereSql = "((vec_id % 10) + 10) % 10 != 9"),
     "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,

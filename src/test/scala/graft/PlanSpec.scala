@@ -430,7 +430,8 @@ class PlanSpec extends SparkSpec {
   test("persisted-index serves scan only probed cell partitions") {
     // both serve flavors must carry a partition filter on cell: reading
     // every cell directory would be a full-store scan per query batch
-    for (q <- Seq("ann_ivf_persisted", "ann_ivfpq_persisted", "ann_ivf_append")) {
+    for (q <- Seq("ann_ivf_persisted", "ann_ivfpq_persisted", "ann_ivf_append",
+                  "ann_ivfpq_append")) {
       val p = plan(q)
       assert(p.contains("PartitionFilters") && p.contains("cell#"),
         s"$q: no partition filter on the store scan:\n$p")
