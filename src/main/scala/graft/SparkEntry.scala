@@ -541,6 +541,28 @@ object SparkEntry {
       Index.appendIvfPq(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
       Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // FILTERED vector search: label metadata persisted into the postings
+    // (metaCols), predicate pushed into the store scan next to the
+    // partition prune — top-k AMONG matches (filter before rank), the
+    // standard production filtered-ANN contract
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivffiltered", dir)
+      Index.saveIvf(e, path, metaCols = Seq("label"))
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10,
+        candWhere = col("label") === 3)
+    }),
+    // the rebuild-decision hook: store cell budget vs what a fresh build
+    // would get for the CURRENT corpus (dilution multiplies the corpus
+    // fraction every serve reads) — reported for a store built on 90%
+    // and refreshed with the remaining tenth
+    "ann_index_stats" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfstats", dir)
+      Index.saveIvf(e.where(pmod(col("vec_id"), lit(10)) =!= 9), path)
+      Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
+      Index.stats(s, path)
+    }),
     "ann_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.load(s, dir, "embeddings"))),
     "ann_ivf_assign_flat" -> ((s, dir) =>
@@ -1149,7 +1171,7 @@ object SparkEntry {
     "ann_ivf_assign", "ann_ivf_assign_flat", "ann_ivf_assign_agree",
     "ann_ivf_recall_sampled",
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
-    "ann_ivf_append", "ann_ivfpq_append")
+    "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1376,6 +1398,19 @@ object SparkEntry {
     "ann_ivfpq_append" -> Similarity.ivfPqTopKOracleSql(k = 10,
       centroidWhereSql = "((vec_id % 10) + 10) % 10 != 9",
       codebookWhereSql = "((vec_id % 10) + 10) % 10 != 9"),
+    "ann_ivf_filtered" -> Similarity.ivfTopKOracleSql(k = 10,
+      candWhereSql = "label = 3"),
+    // the store is built on 90% (frozen cell budget), refreshed with the
+    // tenth; auto_cells is what the full corpus would get — both sides
+    // of the ratio are pure count formulas, scale-safe at any sf
+    "ann_index_stats" ->
+      """SELECT n_vectors, n_cells, auto_cells,
+        |       round(auto_cells::DOUBLE / n_cells, 4) AS dilution
+        |FROM (SELECT
+        |  (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  GREATEST(16, (SELECT count(*) FROM embeddings
+        |                WHERE ((vec_id % 10) + 10) % 10 != 9) // 5000) AS n_cells,
+        |  GREATEST(16, (SELECT count(*) FROM embeddings) // 5000) AS auto_cells)""".stripMargin,
     "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,

@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.functions.VecFold
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,10 +66,19 @@ object Index {
         element_at(col("cells"), 1).as("cell"))
   }
 
-  /** Build + persist an IVF-Flat index of `emb` under `path`. */
+  /** Build + persist an IVF-Flat index of `emb` under `path`.
+    * `metaCols` names extra `emb` columns to carry INTO the postings
+    * (e.g. a label or language id): filtered serving
+    * ([[ivfTopKIndexed]]'s `candWhere`) then pushes its predicate into
+    * the postings parquet scan itself — candidates are cut at the
+    * source, before any join, which is the only shape that survives a
+    * low-selectivity filter at corpus scale (a post-join filter would
+    * materialize every candidate first).
+    */
   def saveIvf(emb: DataFrame, path: String, nCells: Int = 16,
               forceFlat: Boolean = false,
-              superProbe: Int = Similarity.defaultSuperProbe): Unit = {
+              superProbe: Int = Similarity.defaultSuperProbe,
+              metaCols: Seq[String] = Nil): Unit = {
     val cells = Similarity.autoCells(emb.count(), nCells)
     Similarity.normed(emb)
       .orderBy("vec_id").limit(cells)
@@ -82,7 +91,11 @@ object Index {
     // one place a full-corpus shuffle is the right trade for a store
     // that is read for weeks. (An over-large cell can still be split via
     // spark.sql.files.maxRecordsPerFile.)
-    assigned(emb, nCells, forceFlat, superProbe)
+    val post = assigned(emb, nCells, forceFlat, superProbe)
+    val withMeta =
+      if (metaCols.isEmpty) post
+      else post.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    withMeta
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(postingsPath(path))
@@ -175,15 +188,22 @@ object Index {
     * eventually-visible, never torn.
     */
   def appendIvf(spark: SparkSession, path: String, newEmb: DataFrame,
-                superProbe: Int = Similarity.defaultSuperProbe): Unit = {
+                superProbe: Int = Similarity.defaultSuperProbe,
+                metaCols: Seq[String] = Nil): Unit = {
     val cents = spark.read.parquet(centroidsPath(path))
     val nCells = cents.count().toInt
-    Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
+    val post = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
         col("cn").as("norm")),
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
+    // pass `metaCols` matching the build's, or appended rows read back
+    // with null metadata (parquet schema union)
+    val withMeta =
+      if (metaCols.isEmpty) post
+      else post.join(newEmb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    withMeta
       .repartition(col("cell")) // one appended file per touched cell
       .write.mode("append").partitionBy("cell")
       .parquet(postingsPath(path))
@@ -286,6 +306,27 @@ object Index {
     }
   }
 
+  /** The rebuild-decision hook: how far a refreshed store has drifted
+    * from the cell budget a fresh build would get. `n_cells` is what the
+    * store HAS (frozen at build); `auto_cells` is what
+    * [[Similarity.autoCells]] would give the CURRENT corpus; their ratio
+    * (`dilution`) multiplies the corpus fraction every serve reads
+    * (probed fraction = nProbe / cells). SCALING.md's append-dilution
+    * section measures what unchecked dilution costs — the operational
+    * rule is to rebuild (alongside the [[Similarity.snapshotDrift]]
+    * distribution check) once dilution crosses the serve's spill
+    * headroom. One row: (n_vectors, n_cells, auto_cells, dilution).
+    */
+  def stats(spark: SparkSession, path: String, floorCells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val n = spark.read.parquet(postingsPath(path)).count()
+    val nc = spark.read.parquet(centroidsPath(path)).count()
+    val auto = Similarity.autoCells(n, floorCells).toLong
+    Seq((n, nc, auto)).toDF("n_vectors", "n_cells", "auto_cells")
+      .withColumn("dilution",
+        round(col("auto_cells").cast("double") / col("n_cells"), 4))
+  }
+
   /** The distinct cells a query batch would probe — the measurement hook
     * for the pruning story (|probed| vs |cells| is the fraction of the
     * store a serve actually reads).
@@ -302,11 +343,23 @@ object Index {
     * excluded from its own result (the inline self-exclusion contract).
     * Output: (query_id, neighbor_id, cosine, rank) — bit-equal to
     * [[Similarity.ivfTopK]] at every flat-assignment corpus.
+    *
+    * `candWhere` is FILTERED vector search (the label/language/tenant
+    * predicate every production store supports): candidates failing the
+    * predicate are cut BEFORE ranking, so the result is the true top-k
+    * AMONG matches — not a rank-then-filter that can return fewer than k
+    * while matches exist. The predicate references postings columns, so
+    * it lands in the parquet scan next to the partition prune
+    * (PushedFilters; metadata columns persist via [[saveIvf]]'s
+    * `metaCols`) — at a 1% selectivity the serve reads 1% of the probed
+    * postings bytes instead of filtering after a full candidate join.
     */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                     k: Int, nProbe: Int = 4): DataFrame = {
+                     k: Int, nProbe: Int = 4,
+                     candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val post = prunedToProbes(spark.read.parquet(postingsPath(path)), probes)
+    val post = prunedToProbes(
+      spark.read.parquet(postingsPath(path)).where(candWhere), probes)
     val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))
     val scored = post.join(broadcast(probes), Seq("cell"))

@@ -1224,7 +1224,8 @@ object Similarity {
     */
   private[ml] def ivfScoredCtesSql(nCells: Int, nProbe: Int,
                                    isQuerySql: String,
-                                   centroidWhereSql: String = "TRUE"): String =
+                                   centroidWhereSql: String = "TRUE",
+                                   candWhereSql: String = "TRUE"): String =
     s"""${cellCtesSql(nCells, centroidWhereSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
@@ -1240,12 +1241,15 @@ object Similarity {
        |  JOIN assigned a ON a.cell = p.cell
        |  JOIN e ON e.vec_id = a.vec_id
        |  JOIN q ON q.query_id = p.query_id
-       |  WHERE a.vec_id != p.query_id)""".stripMargin
+       |  WHERE a.vec_id != p.query_id
+       |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql))""".stripMargin
 
   def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                        isQuerySql: String = defaultIsQuerySql,
-                       centroidWhereSql: String = "TRUE"): String =
-    s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql, centroidWhereSql)},
+                       centroidWhereSql: String = "TRUE",
+                       candWhereSql: String = "TRUE"): String =
+    s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql, centroidWhereSql,
+                                candWhereSql)},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY cosine DESC, neighbor_id) AS rank

@@ -164,6 +164,44 @@ class IndexSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("filtered serve = top-k AMONG matches, predicate pushed to the scan") {
+    val path = freshPath("filtered")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel, path, metaCols = Seq("label"))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val filtered = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5,
+      candWhere = col("label") === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate not pushed into the postings scan:\n$plan")
+    val got = filtered.orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // reference: UNFILTERED serve deep enough to hold every candidate,
+    // then filter-then-rerank — filter-before-rank semantics, not a
+    // rank-then-filter that could return fewer than k while matches exist
+    val all = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 120)
+      .as[(Long, Long, Double, Int)].collect()
+    val expected = all.filter(_._2 % 3 == 1)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (qid, r._2, r._3, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    assert(got === expected)
+    assert(got.forall(_._2 % 3 == 1))
+    assert(got.nonEmpty)
+  }
+
+  test("stats reports the dilution of a refreshed store") {
+    val path = freshPath("stats")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    val row = Index.stats(spark, path).collect().head
+    assert(row.getLong(0) === 120L)   // n_vectors: full corpus
+    assert(row.getLong(1) === 16L)    // n_cells: frozen at build (floor)
+    assert(row.getLong(2) === 16L)    // auto_cells: still the floor here
+    assert(row.getDouble(3) === 1.0)  // no dilution below the floor
+  }
+
   test("an empty query batch serves an empty result, not a failure") {
     val path = freshPath("empty")
     Index.saveIvf(emb, path)
