@@ -552,6 +552,15 @@ object SparkEntry {
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10,
         candWhere = col("label") === 3)
     }),
+    // the compressed twin: label rides the pq_codes store, ADC ranks
+    // only matching candidates — still no raw vector read at serve time
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqfiltered", dir)
+      Index.saveIvfPq(e, path, metaCols = Seq("label"))
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10,
+        candWhere = col("label") === 3)
+    }),
     // the rebuild-decision hook: store cell budget vs what a fresh build
     // would get for the CURRENT corpus (dilution multiplies the corpus
     // fraction every serve reads) — reported for a store built on 90%
@@ -1171,7 +1180,8 @@ object SparkEntry {
     "ann_ivf_assign", "ann_ivf_assign_flat", "ann_ivf_assign_agree",
     "ann_ivf_recall_sampled",
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
-    "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered")
+    "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered",
+    "ann_ivfpq_filtered")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1399,6 +1409,8 @@ object SparkEntry {
       centroidWhereSql = "((vec_id % 10) + 10) % 10 != 9",
       codebookWhereSql = "((vec_id % 10) + 10) % 10 != 9"),
     "ann_ivf_filtered" -> Similarity.ivfTopKOracleSql(k = 10,
+      candWhereSql = "label = 3"),
+    "ann_ivfpq_filtered" -> Similarity.ivfPqTopKOracleSql(k = 10,
       candWhereSql = "label = 3"),
     // the store is built on 90% (frozen cell budget), refreshed with the
     // tenth; auto_cells is what the full corpus would get — both sides

@@ -109,7 +109,8 @@ object Index {
   def saveIvfPq(emb: DataFrame, path: String, nCells: Int = 16,
                 nSub: Int = 8, nCode: Int = 16,
                 forceFlat: Boolean = false,
-                superProbe: Int = Similarity.defaultSuperProbe): Unit = {
+                superProbe: Int = Similarity.defaultSuperProbe,
+                metaCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
@@ -119,8 +120,12 @@ object Index {
       .write.mode("overwrite").parquet(centroidsPath(path))
     val cellOf = assigned(emb, nCells, forceFlat, superProbe)
       .select("vec_id", "cell")
-    Similarity.pqCodes(emb, nSub, nCode)
+    val codesDf = Similarity.pqCodes(emb, nSub, nCode)
       .join(cellOf, "vec_id")
+    val withMeta =
+      if (metaCols.isEmpty) codesDf
+      else codesDf.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    withMeta
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(pqCodesPath(path))
@@ -378,9 +383,12 @@ object Index {
     * [[Similarity.ivfPqTopK]] at every flat-assignment corpus.
     */
   def ivfPqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                       k: Int, nProbe: Int = 4): DataFrame = {
+                       k: Int, nProbe: Int = 4,
+                       candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val codes = prunedToProbes(spark.read.parquet(pqCodesPath(path)), probes)
+    val codes = prunedToProbes(
+      spark.read.parquet(pqCodesPath(path)).where(candWhere), probes)
+      .select("vec_id", "sub", "code", "cell")
     val cw = spark.read.parquet(codewordsPath(path))
     val nSub = cw.select("sub").distinct().count().toInt
     // per-query ADC lookup table, exactly the inline construction:

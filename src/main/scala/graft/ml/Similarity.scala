@@ -1103,7 +1103,8 @@ object Similarity {
                          nSub: Int = 8, nCode: Int = 16, dim: Int = 64,
                          isQuerySql: String = defaultIsQuerySql,
                          centroidWhereSql: String = "TRUE",
-                         codebookWhereSql: String = "TRUE"): String = {
+                         codebookWhereSql: String = "TRUE",
+                         candWhereSql: String = "TRUE"): String = {
     val sub = dim / nSub
     val lutBranches = (0 until nSub).map { m =>
       val d2 = (0 until sub).map { d =>
@@ -1129,7 +1130,8 @@ object Similarity {
        |cand AS (
        |  SELECT p.query_id, a.vec_id
        |  FROM probes p JOIN assigned a ON a.cell = p.cell
-       |  WHERE a.vec_id != p.query_id),
+       |  WHERE a.vec_id != p.query_id
+       |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
        |adc AS (
        |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
        |         sum(l.d2i)::BIGINT AS adc_e9

@@ -431,7 +431,8 @@ class PlanSpec extends SparkSpec {
     // both serve flavors must carry a partition filter on cell: reading
     // every cell directory would be a full-store scan per query batch
     for (q <- Seq("ann_ivf_persisted", "ann_ivfpq_persisted", "ann_ivf_append",
-                  "ann_ivfpq_append", "ann_ivf_filtered")) {
+                  "ann_ivfpq_append", "ann_ivf_filtered",
+                  "ann_ivfpq_filtered")) {
       val p = plan(q)
       assert(p.contains("PartitionFilters") && p.contains("cell#"),
         s"$q: no partition filter on the store scan:\n$p")
@@ -442,9 +443,11 @@ class PlanSpec extends SparkSpec {
     // both cuts must land in the SCAN: partition prune on cell (probe
     // list) and the label predicate as a pushed parquet filter — a
     // post-join label filter would materialize every candidate first
-    val p = plan("ann_ivf_filtered")
-    assert(p.contains("PushedFilters") &&
-      p.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
-      s"label predicate not pushed into the postings scan:\n$p")
+    for (q <- Seq("ann_ivf_filtered", "ann_ivfpq_filtered")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters") &&
+        p.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
+        s"$q: label predicate not pushed into the store scan:\n$p")
+    }
   }
 }

@@ -191,6 +191,27 @@ class IndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("filtered PQ serve = ADC top-k AMONG matches") {
+    val path = freshPath("pqfiltered")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvfPq(withLabel, path, metaCols = Seq("label"))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5,
+        candWhere = col("label") === 1)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val all = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 120)
+      .as[(Long, Long, Long, Int)].collect()
+    val expected = all.filter(_._2 % 3 == 1)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (qid, r._2, r._3, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    assert(got === expected)
+    assert(got.forall(_._2 % 3 == 1))
+    assert(got.nonEmpty)
+  }
+
   test("stats reports the dilution of a refreshed store") {
     val path = freshPath("stats")
     Index.saveIvf(emb.where(col("vec_id") < 60), path)
