@@ -116,6 +116,26 @@ object ServeBench {
       }
     }
 
+    if (want("filtered")) {
+      // FILTERED-SERVE A/B: same store (label persisted via metaCols),
+      // same 50-query batch, with and without the ≈10%-selectivity
+      // label predicate — the pushdown win, isolated from build cost
+      for ((flavor, save, serve) <- Seq(
+          ("ivf",
+            (e: DataFrame, p: String) => Index.saveIvf(e, p, metaCols = Seq("label")),
+            (p: String, q: DataFrame, w: org.apache.spark.sql.Column) =>
+              Index.ivfTopKIndexed(spark, p, q, k = 10, candWhere = w)),
+          ("ivfpq",
+            (e: DataFrame, p: String) => Index.saveIvfPq(e, p, metaCols = Seq("label")),
+            (p: String, q: DataFrame, w: org.apache.spark.sql.Column) =>
+              Index.ivfPqTopKIndexed(spark, p, q, k = 10, candWhere = w)))) {
+        val path = s"$root/filtered_$flavor"
+        save(emb, path)
+        timed(s"${flavor}_serve_unfiltered_q50")(serve(path, q50, lit(true)))
+        timed(s"${flavor}_serve_filtered_q50")(serve(path, q50, col("label") === 3))
+      }
+    }
+
     if (!want("serve")) { spark.stop(); return }
 
     // one-time build+write (timed once — a build is not a steady state)
