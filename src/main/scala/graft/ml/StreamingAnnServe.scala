@@ -40,20 +40,29 @@ object StreamingAnnServe {
     * then `.start()`.
     */
   def serveIvf(queryStream: DataFrame, path: String, k: Int,
-               nProbe: Int = 4)
+               nProbe: Int = 4,
+               candWhere: org.apache.spark.sql.Column =
+                 org.apache.spark.sql.functions.lit(true))
               (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     writer(queryStream) { (batch, id) =>
-      sink(Index.ivfTopKIndexed(batch.sparkSession, path, batch, k, nProbe), id)
+      sink(Index.ivfTopKIndexed(batch.sparkSession, path, batch, k, nProbe,
+        candWhere), id)
     }
 
   /** The compressed twin: micro-batches answered by ADC over the stored
-    * PQ codes ([[Index.ivfPqTopKIndexed]]).
+    * PQ codes ([[Index.ivfPqTopKIndexed]]). `candWhere` serves FILTERED
+    * queries (label/language/tenant predicate against metaCols persisted
+    * in the store) — pushed into the per-batch store scan like the batch
+    * path, because it IS the batch path.
     */
   def serveIvfPq(queryStream: DataFrame, path: String, k: Int,
-                 nProbe: Int = 4)
+                 nProbe: Int = 4,
+                 candWhere: org.apache.spark.sql.Column =
+                   org.apache.spark.sql.functions.lit(true))
                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     writer(queryStream) { (batch, id) =>
-      sink(Index.ivfPqTopKIndexed(batch.sparkSession, path, batch, k, nProbe), id)
+      sink(Index.ivfPqTopKIndexed(batch.sparkSession, path, batch, k, nProbe,
+        candWhere), id)
     }
 
   /** The INGEST side of the same loop: each arriving (vec_id, embedding)

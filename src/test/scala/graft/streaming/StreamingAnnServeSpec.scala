@@ -62,6 +62,34 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed FILTERED serve ≡ filtered batch serve") {
+    val path = freshPath("filt")
+    Index.saveIvf(emb.withColumn("label",
+      pmod(col("vec_id"), lit(3)).cast("int")), path, metaCols = Seq("label"))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingAnnServe.serveIvf(
+        input.toDF().toDF("vec_id", "embedding"), path, k = 5,
+        candWhere = col("label") === 1) { (df, _) =>
+      got.synchronized {
+        got ++= df.select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+          .as[(Long, Long, Long)].collect()
+      }
+    }.start()
+    try {
+      input.addData(queryRows.take(4)); q.processAllAvailable()
+      input.addData(queryRows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Index.ivfTopKIndexed(spark, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 5,
+        candWhere = col("label") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet === batch)
+    assert(got.forall(_._2 % 3 == 1))
+    assert(got.nonEmpty)
+  }
+
   test("appendStream ≡ batch append: streamed ingest, then serve") {
     val path = freshPath("appstream")
     Index.saveIvf(emb.where(col("vec_id") < 60), path)
