@@ -986,6 +986,32 @@ object SparkEntry {
         .select(col("doc_id"), col("best_rank").cast("long").as("best_rank"),
           col("n_queries"))
     }),
+    // capstone 8 — the round-10 serving surface composed end-to-end in
+    // ONE plan: build a labeled store on 90% of the corpus, refresh it
+    // with the remaining tenth (frozen centroids, metadata riding the
+    // postings), answer the benchmark query set FILTERED to one label
+    // (predicate in the store scan), roll hits up per doc and keep the
+    // ones passing the quality gate — dense label-targeted selection,
+    // the dense sibling of cur_pipeline7's BM25 form
+    "cur_pipeline8" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val path = tmpPath(s, "pipeline8", dir)
+      Index.saveIvf(e.where(pmod(col("vec_id"), lit(10)) =!= 9), path,
+        metaCols = Seq("label"))
+      Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9),
+        metaCols = Seq("label"))
+      val hits = Index.ivfTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10,
+        candWhere = col("label") === 3)
+      val perDoc = hits.groupBy(col("neighbor_id").as("doc_id"))
+        .agg(min("rank").cast("long").as("best_rank"),
+          count(lit(1)).as("n_queries"))
+      val keep = TextStats.quality(docs)
+        .where(col("quality_score") > 0.5).select("doc_id")
+      perDoc.join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "best_rank", "n_queries")
+    }),
     // incremental refresh: odd-doc batch deduped against the even-doc
     // standing snapshot by content key (anti join, no snapshot rescan)
     "dedup_incremental" -> ((s, dir) => {
@@ -1181,7 +1207,7 @@ object SparkEntry {
     "ann_ivf_recall_sampled",
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
     "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered",
-    "ann_ivfpq_filtered")
+    "ann_ivfpq_filtered", "cur_pipeline8")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1412,6 +1438,21 @@ object SparkEntry {
       candWhereSql = "label = 3"),
     "ann_ivfpq_filtered" -> Similarity.ivfPqTopKOracleSql(k = 10,
       candWhereSql = "label = 3"),
+    // capstone 8: the filtered-refreshed-store serve (centroid seed set
+    // pinned to the 90% base), rolled up per doc, quality-gated
+    "cur_pipeline8" ->
+      s"""WITH hits AS (
+         |  ${Similarity.ivfTopKOracleSql(k = 10,
+                centroidWhereSql = "((vec_id % 10) + 10) % 10 != 9",
+                candWhereSql = "label = 3")}),
+         |per AS (
+         |  SELECT neighbor_id AS doc_id, min(rank)::BIGINT AS best_rank,
+         |         count(*)::BIGINT AS n_queries
+         |  FROM hits GROUP BY neighbor_id),
+         |q AS (${TextStats.qualityOracleSql})
+         |SELECT p.doc_id, p.best_rank, p.n_queries
+         |FROM per p SEMI JOIN q ON p.doc_id = q.doc_id
+         |                      AND q.quality_score > 0.5""".stripMargin,
     // the store is built on 90% (frozen cell budget), refreshed with the
     // tenth; auto_cells is what the full corpus would get — both sides
     // of the ratio are pure count formulas, scale-safe at any sf
