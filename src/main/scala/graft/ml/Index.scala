@@ -227,7 +227,8 @@ object Index {
     * rebuild decision informed by [[Similarity.snapshotDrift]].
     */
   def appendIvfPq(spark: SparkSession, path: String, newEmb: DataFrame,
-                  superProbe: Int = Similarity.defaultSuperProbe): Unit = {
+                  superProbe: Int = Similarity.defaultSuperProbe,
+                  metaCols: Seq[String] = Nil): Unit = {
     val cents = spark.read.parquet(centroidsPath(path))
     val nCells = cents.count().toInt
     val cellOf = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
@@ -267,10 +268,16 @@ object Index {
         bestCode
       }
     }
-    Similarity.normed(newEmb)
+    val codesDf = Similarity.normed(newEmb)
       .select(col("vec_id"), posexplode(codesUdf(col("v"))).as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .join(cellOf, "vec_id")
+    // pass `metaCols` matching the build's, or appended rows read back
+    // with null metadata and a filtered serve silently never matches them
+    val withMeta =
+      if (metaCols.isEmpty) codesDf
+      else codesDf.join(newEmb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    withMeta
       .repartition(col("cell")) // one appended file per touched cell
       .write.mode("append").partitionBy("cell")
       .parquet(pqCodesPath(path))

@@ -77,10 +77,12 @@ object StreamingAnnServe {
     * the store is the only state. Periodic [[Index.compact]] folds the
     * per-append files back to one per cell.
     */
-  def appendStream(vecStream: DataFrame, path: String)
+  def appendStream(vecStream: DataFrame, path: String,
+                   metaCols: Seq[String] = Nil)
                   : DataStreamWriter[Row] =
     writer(vecStream) { (batch, _) =>
-      if (!batch.isEmpty) Index.appendIvf(batch.sparkSession, path, batch)
+      if (!batch.isEmpty)
+        Index.appendIvf(batch.sparkSession, path, batch, metaCols = metaCols)
     }
 
   /** The compressed ingest twin: arriving vectors are
@@ -89,9 +91,11 @@ object StreamingAnnServe {
     * deployment can run the whole lifecycle on the 30–40×-smaller codes
     * store alone.
     */
-  def appendStreamPq(vecStream: DataFrame, path: String)
+  def appendStreamPq(vecStream: DataFrame, path: String,
+                     metaCols: Seq[String] = Nil)
                     : DataStreamWriter[Row] =
     writer(vecStream) { (batch, _) =>
-      if (!batch.isEmpty) Index.appendIvfPq(batch.sparkSession, path, batch)
+      if (!batch.isEmpty)
+        Index.appendIvfPq(batch.sparkSession, path, batch, metaCols = metaCols)
     }
 }

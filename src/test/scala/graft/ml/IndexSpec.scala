@@ -212,6 +212,23 @@ class IndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("append with metaCols keeps appended vectors visible to a filtered serve") {
+    val path = freshPath("appendmeta")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel.where(col("vec_id") < 60), path, metaCols = Seq("label"))
+    Index.appendIvf(spark, path, withLabel.where(col("vec_id") >= 60),
+      metaCols = Seq("label"))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5,
+        candWhere = col("label") === 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.forall(_._2 % 3 == 1))
+    // an appended label-1 vector must be findable — without metaCols on
+    // the append it would read back null and silently never match
+    assert(got.exists(_._2 >= 60L),
+      "no appended vector survived the filtered serve")
+  }
+
   test("stats reports the dilution of a refreshed store") {
     val path = freshPath("stats")
     Index.saveIvf(emb.where(col("vec_id") < 60), path)
