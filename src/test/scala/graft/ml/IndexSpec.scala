@@ -227,6 +227,12 @@ class IndexSpec extends SparkSpec {
     // the append it would read back null and silently never match
     assert(got.exists(_._2 >= 60L),
       "no appended vector survived the filtered serve")
+    // compaction rewrites the postings wholesale — metadata must survive
+    Index.compact(spark, path)
+    val afterCompact = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5,
+        candWhere = col("label") === 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(afterCompact.sortBy(r => (r._1, r._4)) === got.sortBy(r => (r._1, r._4)))
   }
 
   test("stats reports the dilution of a refreshed store") {
