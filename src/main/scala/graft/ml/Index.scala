@@ -46,9 +46,106 @@ import org.apache.spark.sql.functions._
 object Index {
 
   private def centroidsPath(path: String) = s"$path/centroids"
-  private def postingsPath(path: String) = s"$path/postings"
-  private def pqCodesPath(path: String) = s"$path/pq_codes"
   private def codewordsPath(path: String) = s"$path/codewords"
+
+  /** The two compactable data families; everything else in a store
+    * (centroids, codewords) is written once at build and never rewritten.
+    */
+  private[graft] val PostingsKind = "postings"
+  private[graft] val PqCodesKind = "pq_codes"
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Version number of a data directory: the build writes the flat
+    * `postings/` (version 0); every compaction publishes `postings_v<n>`.
+    */
+  private def versionOf(kind: String, name: String): Option[Int] =
+    if (name == kind) Some(0)
+    else if (name.startsWith(s"${kind}_v"))
+      scala.util.Try(name.stripPrefix(s"${kind}_v").toInt).toOption
+    else None
+
+  /** All on-disk generations of `kind` under the store, committed or not,
+    * as (version, path) — version 0 is the flat build directory.
+    */
+  private def generations(spark: SparkSession, path: String, kind: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => versionOf(kind, st.getPath.getName).map(_ -> st.getPath))
+  }
+
+  private def isCommitted(spark: SparkSession,
+                          p: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = fsOf(spark, p)
+    // the flat build dir (v0) is committed by construction: save/append
+    // write it directly and a reader only ever exists after a build.
+    // Versioned dirs are committed by their _SUCCESS marker — compact's
+    // atomic publish point (single-file create).
+    !p.getName.contains("_v") ||
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
+  /** Resolve the LIVE data directory for `kind`: the highest COMMITTED
+    * generation. This is the crash-safety contract: a compaction that
+    * died mid-write left an uncommitted `_v<n>` directory that no reader
+    * ever selects, and the previous generation — still on disk — stays
+    * live. Readers, appends, and stats all resolve through here.
+    */
+  private[graft] def liveDir(spark: SparkSession, path: String,
+                             kind: String): String = {
+    val committed = generations(spark, path, kind)
+      .filter { case (_, p) => isCommitted(spark, p) }
+    if (committed.isEmpty) s"$path/$kind" // fresh store: the build target
+    else committed.maxBy(_._1)._2.toString
+  }
+
+  private def postingsPath(path: String) = s"$path/$PostingsKind"
+  private def pqCodesPath(path: String) = s"$path/$PqCodesKind"
+
+  /** The non-metadata columns of each store flavor — everything else in a
+    * stored schema is caller metadata persisted via `metaCols`.
+    */
+  private val postingsCore = Set("vec_id", "v", "norm", "cell")
+  private val pqCodesCore = Set("vec_id", "sub", "code", "cell")
+
+  /** The metadata columns a store was BUILT with, read from its parquet
+    * schema (footer-only, no data scan). Appends derive their effective
+    * metaCols from this instead of trusting the caller: an append that
+    * omitted a build-time metadata column would write rows that read back
+    * with null metadata, which a filtered serve silently never matches —
+    * an operational trap, so the mismatch fails loudly at append time.
+    */
+  private def storedMetaCols(spark: SparkSession, dir: String,
+                             core: Set[String]): Seq[String] =
+    spark.read.parquet(dir).schema.map(_.name).filterNot(core.contains)
+
+  /** Validates + derives the effective metadata columns for an append:
+    * the STORE's metadata set wins; the incoming batch must carry every
+    * stored metadata column, and a caller-specified `metaCols` must match
+    * the stored set exactly (passing extras the store lacks would fork
+    * the on-disk schema).
+    */
+  private def appendMetaCols(spark: SparkSession, dir: String,
+                             core: Set[String], newEmb: DataFrame,
+                             callerMeta: Seq[String]): Seq[String] = {
+    val stored = storedMetaCols(spark, dir, core)
+    require(callerMeta.isEmpty || callerMeta.toSet == stored.toSet,
+      s"append: metaCols ${callerMeta.mkString("[", ",", "]")} does not match " +
+        s"the store's metadata columns ${stored.mkString("[", ",", "]")} — " +
+        "appending with mismatched metadata would write rows a filtered " +
+        "serve silently never matches")
+    val missing = stored.filterNot(newEmb.columns.contains)
+    require(missing.isEmpty,
+      s"append: incoming batch lacks the store's metadata column(s) " +
+        s"${missing.mkString(", ")} — the store was built with " +
+        s"metaCols = ${stored.mkString("[", ",", "]")}")
+    stored
+  }
 
   /** The corpus assignment both index flavors persist: (vec_id, v, norm,
     * cell) from the shared coarse-quantizer pass ([[Similarity.ivfAssign]]
@@ -95,6 +192,7 @@ object Index {
     val withMeta =
       if (metaCols.isEmpty) post
       else post.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    retireGenerations(emb.sparkSession, path, PostingsKind) // in-place rebuild
     withMeta
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -125,6 +223,7 @@ object Index {
     val withMeta =
       if (metaCols.isEmpty) codesDf
       else codesDf.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    retireGenerations(spark, path, PqCodesKind) // in-place rebuild
     withMeta
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
@@ -203,15 +302,17 @@ object Index {
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
-    // pass `metaCols` matching the build's, or appended rows read back
-    // with null metadata (parquet schema union)
+    // the store's schema decides the metadata set — a caller-side
+    // mismatch fails loudly instead of writing silently-unfilterable rows
+    val live = liveDir(spark, path, PostingsKind)
+    val meta = appendMetaCols(spark, live, postingsCore, newEmb, metaCols)
     val withMeta =
-      if (metaCols.isEmpty) post
-      else post.join(newEmb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+      if (meta.isEmpty) post
+      else post.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
     withMeta
       .repartition(col("cell")) // one appended file per touched cell
       .write.mode("append").partitionBy("cell")
-      .parquet(postingsPath(path))
+      .parquet(live)
   }
 
   /** Refresh a stored IVF-PQ index without a rebuild — the compressed
@@ -272,16 +373,28 @@ object Index {
       .select(col("vec_id"), posexplode(codesUdf(col("v"))).as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .join(cellOf, "vec_id")
-    // pass `metaCols` matching the build's, or appended rows read back
-    // with null metadata and a filtered serve silently never matches them
+    // the store's schema decides the metadata set — a caller-side
+    // mismatch fails loudly instead of writing silently-unfilterable rows
+    val live = liveDir(spark, path, PqCodesKind)
+    val meta = appendMetaCols(spark, live, pqCodesCore, newEmb, metaCols)
     val withMeta =
-      if (metaCols.isEmpty) codesDf
-      else codesDf.join(newEmb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+      if (meta.isEmpty) codesDf
+      else codesDf.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
     withMeta
       .repartition(col("cell")) // one appended file per touched cell
       .write.mode("append").partitionBy("cell")
-      .parquet(pqCodesPath(path))
+      .parquet(live)
   }
+
+  /** Drop every generation of `kind` (used by an in-place REBUILD: the
+    * overwrite save targets the flat v0 directory, so stale higher
+    * versions from a previous store's compactions must not outrank it).
+    */
+  private def retireGenerations(spark: SparkSession, path: String,
+                                kind: String): Unit =
+    generations(spark, path, kind).foreach { case (_, p) =>
+      fsOf(spark, p).delete(p, true); ()
+    }
 
   /** Compact a store's cell partitions back to one file per cell — both
     * flavors, whichever of `postings/` / `pq_codes/` the store carries.
@@ -289,34 +402,76 @@ object Index {
     * cycles a hot cell is dozens of small files and the serve scan pays
     * per-file open/footer overhead — the same small-files failure the
     * build writer fixed, re-accumulating incrementally.
-    * Rewrite-then-swap via the Hadoop FileSystem API (atomic directory
-    * rename on HDFS-like stores, plain rename on local FS): the
-    * compacted layout lands beside the live directory and is swapped
-    * over it, so a concurrent serve planned mid-compaction reads the old
-    * listing in full (parquet readers list files at plan time). Content
-    * is unchanged — IndexSpec pins serve bit-equality across a
-    * compaction for both flavors.
+    *
+    * Publication is VERSIONED, not rename-swapped: the compacted layout
+    * lands in a fresh `<kind>_v<n+1>` directory and becomes live the
+    * instant its `_SUCCESS` marker commits (one atomic file create —
+    * [[liveDir]] only ever selects committed generations). This buys the
+    * two safety properties a rename swap lacks:
+    *   - CRASH safety: a compaction that dies mid-write leaves an
+    *     uncommitted directory no reader selects; the store never passes
+    *     through a state where the live data is missing or partial.
+    *   - READER safety: the PREVIOUS generation stays on disk until the
+    *     NEXT compaction retires it, so a serve planned against the old
+    *     listing (parquet readers pin file paths at plan time) executes
+    *     to completion even if the flip happens mid-query — no
+    *     FileNotFoundException window. ServeBench races a pre-planned
+    *     serve against the flip and pins checksum equality at 100×.
+    * Cost: up to one retained previous generation (≤ 2× kind bytes
+    * between compactions) — the standard MVCC trade every table format
+    * (Iceberg/Delta snapshots) makes.
+    * Content is unchanged — IndexSpec pins serve bit-equality across a
+    * compaction for both flavors. The rewrite reads with mergeSchema so
+    * a store whose files disagree on metadata columns (possible only for
+    * stores written before appends validated metaCols) compacts to the
+    * union schema instead of silently dropping metadata.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    Seq(PostingsKind, PqCodesKind)
+      .foreach(compactKind(spark, path, _, "cell"))
+
+  /** One kind's compaction cycle (shared with [[LexIndex]], whose posting
+    * store is bucket- rather than cell-partitioned).
+    */
+  /** `sortCols`: in-file order the rewrite restores (lexical postings
+    * re-sort by term hash so row-group min/max stats keep the serve's
+    * term-predicate pushdown selective; the ANN stores have no in-file
+    * order contract).
+    */
+  private[graft] def compactKind(spark: SparkSession, path: String,
+                                 kind: String, partitionCol: String,
+                                 sortCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
-    val hconf = spark.sparkContext.hadoopConfiguration
-    Seq(postingsPath(path), pqCodesPath(path)).foreach { dir =>
-      val live = new Path(dir)
-      val fs = live.getFileSystem(hconf)
-      if (fs.exists(live)) {
-        val tmp = new Path(s"${dir}_compacting")
-        val bak = new Path(s"${dir}_old")
-        spark.read.parquet(dir)
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-        if (fs.exists(bak)) fs.delete(bak, true)
-        require(fs.rename(live, bak), s"compact: could not stage out $live")
-        require(fs.rename(tmp, live), s"compact: could not swap in $tmp")
-        fs.delete(bak, true)
-        ()
+    val gens = generations(spark, path, kind)
+    if (gens.exists { case (_, p) => isCommitted(spark, p) }) {
+      val src = liveDir(spark, path, kind)
+      // next version past EVERY on-disk generation, committed or not —
+      // a crashed compaction's leftover is simply overwritten later,
+      // never reused as-is
+      val next = gens.map(_._1).max + 1
+      val dst = s"$path/${kind}_v$next"
+      val rewritten = spark.read.option("mergeSchema", "true").parquet(src)
+        .repartition(col(partitionCol))
+      (if (sortCols.isEmpty) rewritten
+       else rewritten.sortWithinPartitions(sortCols.map(col): _*))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(dst)
+      val dstPath = new Path(dst)
+      val fs = fsOf(spark, dstPath)
+      // the publish point: ensure the commit marker exists even when
+      // the committer was configured not to write one
+      val marker = new Path(dstPath, "_SUCCESS")
+      if (!fs.exists(marker)) { fs.create(marker).close() }
+      // retire everything older than the generation readers may still
+      // hold plans against: keep dst (live) + src (grace window).
+      // Compare by directory NAME — generation paths from the fs
+      // listing carry a scheme (file:/…) the constructed strings lack.
+      val keep = Set(dstPath.getName, new Path(src).getName)
+      generations(spark, path, kind).foreach { case (_, p) =>
+        if (!keep.contains(p.getName)) { fs.delete(p, true); () }
       }
     }
   }
+
 
   /** The rebuild-decision hook: how far a refreshed store has drifted
     * from the cell budget a fresh build would get. `n_cells` is what the
@@ -331,7 +486,15 @@ object Index {
     */
   def stats(spark: SparkSession, path: String, floorCells: Int = 16): DataFrame = {
     import spark.implicits._
-    val n = spark.read.parquet(postingsPath(path)).count()
+    // flavor-aware like compact: a PQ-only store (saveIvfPq writes no
+    // postings/) counts distinct vec_id over its codes instead
+    val hasPostings = generations(spark, path, PostingsKind)
+      .exists { case (_, p) => isCommitted(spark, p) }
+    val n =
+      if (hasPostings)
+        spark.read.parquet(liveDir(spark, path, PostingsKind)).count()
+      else spark.read.parquet(liveDir(spark, path, PqCodesKind))
+        .select("vec_id").distinct().count()
     val nc = spark.read.parquet(centroidsPath(path)).count()
     val auto = Similarity.autoCells(n, floorCells).toLong
     Seq((n, nc, auto)).toDF("n_vectors", "n_cells", "auto_cells")
@@ -371,7 +534,8 @@ object Index {
                      candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
     val post = prunedToProbes(
-      spark.read.parquet(postingsPath(path)).where(candWhere), probes)
+      spark.read.parquet(liveDir(spark, path, PostingsKind))
+        .where(candWhere), probes)
     val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))
     val scored = post.join(broadcast(probes), Seq("cell"))
@@ -394,7 +558,8 @@ object Index {
                        candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
     val codes = prunedToProbes(
-      spark.read.parquet(pqCodesPath(path)).where(candWhere), probes)
+      spark.read.parquet(liveDir(spark, path, PqCodesKind))
+        .where(candWhere), probes)
       .select("vec_id", "sub", "code", "cell")
     val cw = spark.read.parquet(codewordsPath(path))
     val nSub = cw.select("sub").distinct().count().toInt

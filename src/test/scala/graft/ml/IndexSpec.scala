@@ -126,7 +126,8 @@ class IndexSpec extends SparkSpec {
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect().toSeq
     def filesPerCell: Map[String, Int] = {
-      val post = new java.io.File(s"$path/postings")
+      val post = new java.io.File(
+        Index.liveDir(spark, path, Index.PostingsKind).stripPrefix("file:"))
       post.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
       }.toMap
@@ -150,7 +151,8 @@ class IndexSpec extends SparkSpec {
       .orderBy("query_id", "rank")
       .as[(Long, Long, Long, Int)].collect().toSeq
     def filesPerCell: Map[String, Int] = {
-      val post = new java.io.File(s"$path/pq_codes")
+      val post = new java.io.File(
+        Index.liveDir(spark, path, Index.PqCodesKind).stripPrefix("file:"))
       post.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
       }.toMap
@@ -244,6 +246,134 @@ class IndexSpec extends SparkSpec {
     assert(row.getLong(1) === 16L)    // n_cells: frozen at build (floor)
     assert(row.getLong(2) === 16L)    // auto_cells: still the floor here
     assert(row.getDouble(3) === 1.0)  // no dilution below the floor
+  }
+
+  test("append DERIVES the metadata set from the store schema") {
+    val path = freshPath("derivemeta")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel.where(col("vec_id") < 60), path, metaCols = Seq("label"))
+    // no metaCols passed: the store's schema decides — appended rows must
+    // still carry the label and stay visible to a filtered serve
+    Index.appendIvf(spark, path, withLabel.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5,
+        candWhere = col("label") === 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.forall(_._2 % 3 == 1))
+    assert(got.exists(_._2 >= 60L),
+      "appended vector lost its metadata despite the store schema carrying it")
+  }
+
+  test("append fails loudly when the batch lacks the store's metadata column") {
+    val path = freshPath("metamissing")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel.where(col("vec_id") < 60), path, metaCols = Seq("label"))
+    val ex = intercept[IllegalArgumentException] {
+      Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60)) // no label col
+    }
+    assert(ex.getMessage.contains("label"))
+    // the PQ flavor enforces the same contract
+    val pqPath = freshPath("metamissingpq")
+    Index.saveIvfPq(withLabel.where(col("vec_id") < 60), pqPath, metaCols = Seq("label"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Index.appendIvfPq(spark, pqPath, emb.where(col("vec_id") >= 60))
+    }
+    assert(ex2.getMessage.contains("label"))
+  }
+
+  test("append fails loudly on an explicit metaCols mismatch") {
+    val path = freshPath("metamismatch")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+      .withColumn("other", lit(7))
+    Index.saveIvf(withLabel.where(col("vec_id") < 60), path, metaCols = Seq("label"))
+    val ex = intercept[IllegalArgumentException] {
+      Index.appendIvf(spark, path, withLabel.where(col("vec_id") >= 60),
+        metaCols = Seq("other")) // store was built with label, not other
+    }
+    assert(ex.getMessage.contains("does not match"))
+  }
+
+  test("a crashed compaction (no _SUCCESS marker) never becomes live") {
+    val path = freshPath("crash")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val quiet = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // simulate a compaction that died mid-write: an uncommitted versioned
+    // directory with partial garbage and no commit marker
+    val dead = new java.io.File(s"$path/postings_v7/cell=0")
+    assert(dead.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/postings_v7/cell=0/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Index.liveDir(spark, path, Index.PostingsKind).endsWith("/postings"),
+      "uncommitted generation was selected as live")
+    val after = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === quiet)
+    // a later compaction recovers: publishes PAST the dead generation
+    Index.compact(spark, path)
+    assert(Index.liveDir(spark, path, Index.PostingsKind).endsWith("postings_v8"))
+    val compacted = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(compacted === quiet)
+  }
+
+  test("a serve PLANNED before a compaction executes correctly after the flip") {
+    val path = freshPath("race")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val quiet = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // plan now (parquet file listing is pinned at plan time), flip the
+    // store underneath, execute after: the previous generation is
+    // retained for exactly this reader, so the result is bit-equal
+    val planned = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+    planned.queryExecution.executedPlan // force planning before the flip
+    Index.compact(spark, path)
+    val racing = planned.as[(Long, Long, Double, Int)].collect().toSeq
+    assert(racing === quiet)
+    // and the old generation IS retired by the next compaction, so disk
+    // stays bounded at live + one grace generation
+    Index.compact(spark, path)
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(n => n == "postings" || n.startsWith("postings_v")).sorted
+    assert(dirs.length === 2, s"more than live+grace retained: ${dirs.toSeq}")
+  }
+
+  test("an in-place rebuild retires stale compacted generations") {
+    val path = freshPath("rebuild")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.compact(spark, path) // live moves to postings_v1
+    assert(Index.liveDir(spark, path, Index.PostingsKind).endsWith("postings_v1"))
+    Index.saveIvf(emb, path) // rebuild over the full corpus
+    assert(Index.liveDir(spark, path, Index.PostingsKind).endsWith("/postings"),
+      "rebuild left a stale compacted generation outranking the fresh build")
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val inline = Similarity.ivfTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === inline)
+  }
+
+  test("stats works on a PQ-only store") {
+    val path = freshPath("pqstats")
+    Index.saveIvfPq(emb.where(col("vec_id") < 60), path)
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 60))
+    val row = Index.stats(spark, path).collect().head
+    assert(row.getLong(0) === 120L)  // n_vectors via distinct vec_id in codes
+    assert(row.getLong(1) === 16L)
+    assert(row.getDouble(3) === 1.0)
   }
 
   test("an empty query batch serves an empty result, not a failure") {
