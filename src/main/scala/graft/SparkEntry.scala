@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Curation, Dedup, Events, Index, Joins, KnnEval, Layout, Multimodal, Retrieval, Similarity, TextStats}
+import graft.ml.{Curation, Dedup, Events, Index, Joins, KnnEval, Layout, LexIndex, Multimodal, Retrieval, Similarity, TextStats}
 import graft.pipeline.{IniConfig, Pipeline}
 import graft.sources.{Counters, Csv}
 import graft.trend.{Detect, MannKendall, Models, Rebin, SeriesTransforms, Wdt}
@@ -671,9 +671,45 @@ object SparkEntry {
     "ret_bm25_eval" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
         Retrieval.defaultIsQuery, k = 10)),
-    // hybrid lexical+dense selection: per bounded seed, the BM25 list
-    // and the dense IVF list fused by integer reciprocal-rank fusion —
-    // both component workloads corpus-linear, the fusion join k-bounded
+    // the persisted-index serving path: the inverted index built ONCE
+    // (postings bucket-partitioned by term hash, df/avgdl frozen), then
+    // the seed batch answered from seed-bucket partitions alone — the
+    // lexical twin of ann_ivf_persisted, hash-equal to ret_bm25_seeds'
+    // oracle (the stored tf/df/stats are the same relations the inline
+    // operator derives per call)
+    "ret_bm25_persisted" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nSeeds = d.where(Retrieval.boundedIsQuery).count()
+      require(nSeeds == 100, s"ret_bm25_persisted: bounded seed set has " +
+        s"$nSeeds docs, expected exactly 100 (corpus lacks dense doc_ids 0..99)")
+      val path = tmpPath(s, "lexidx", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), path)
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery), k = 10)
+    }),
+    // lexical index REFRESH without rebuild: store built over 90% of the
+    // corpus, the remaining tenth appended with df/avgdl/n_docs FROZEN
+    // at their build values (the frozen-quantizer trade of the dense
+    // appends) — the oracle freezes its df/stats CTEs to the base slice
+    "ret_bm25_appended" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nSeeds = d.where(Retrieval.boundedIsQuery).count()
+      require(nSeeds == 100, s"ret_bm25_appended: bounded seed set has " +
+        s"$nSeeds docs, expected exactly 100 (corpus lacks dense doc_ids 0..99)")
+      val corpus = d.where(!Retrieval.boundedIsQuery)
+      val path = tmpPath(s, "lexappend", dir)
+      LexIndex.saveLexical(corpus.where(pmod(col("doc_id"), lit(10)) =!= 9), path)
+      LexIndex.appendLexical(s, path,
+        corpus.where(pmod(col("doc_id"), lit(10)) === 9))
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery), k = 10)
+    }),
+    // hybrid lexical+dense selection SERVED FROM THE PERSISTED STORES:
+    // per bounded seed, the BM25 list from the LexIndex store (seed-
+    // bucket-pruned postings) and the dense IVF list from the Index
+    // store (probed-cell partitions), fused by integer reciprocal-rank
+    // fusion — neither leg touches the raw corpus at serve time; the
+    // fusion join is k-bounded. Same composed oracle as the inline form
+    // (both legs carry their stores' bit-equality contracts); the inline
+    // twin stays available as Retrieval.hybridRrf for the serve A/B.
     "ret_hybrid_rrf" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val e = Tables.load(s, dir, "embeddings")
@@ -682,7 +718,12 @@ object SparkEntry {
       require(nSeeds == 100 && nVecSeeds == 100, s"ret_hybrid_rrf: seed " +
         s"sets have $nSeeds docs / $nVecSeeds vectors, expected 100 each " +
         "(corpus lacks dense base ids 0..99)")
-      Retrieval.hybridRrf(d, e, k = 10)
+      val lexPath = tmpPath(s, "hybridlex", dir)
+      val annPath = tmpPath(s, "hybridann", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), lexPath)
+      Index.saveIvf(e, annPath)
+      Retrieval.hybridRrfIndexed(s, lexPath, annPath,
+        d.where(Retrieval.boundedIsQuery), e.where(col("vec_id") < 100), k = 10)
     }),
     // profile admission score: BM25 against the seed-term union — the
     // batch twin of the score-at-ingest stream (StreamingSelect)
@@ -1488,6 +1529,13 @@ object SparkEntry {
       Curation.dsirWeightsOracleSql(Retrieval.defaultIsQuerySql),
     "ret_bm25_seeds" ->
       Retrieval.bm25TopKOracleSql(Retrieval.boundedIsQuerySql, k = 10),
+    // the persisted serve answers the SAME oracle as the inline form
+    "ret_bm25_persisted" ->
+      Retrieval.bm25TopKOracleSql(Retrieval.boundedIsQuerySql, k = 10),
+    // refresh with FROZEN df/avgdl: stats CTEs pinned to the 90% base
+    "ret_bm25_appended" ->
+      LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
+        baseWhereSql = "((doc_id % 10) + 10) % 10 != 9", k = 10),
     "ret_bm25_eval" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
     "ret_hybrid_rrf" -> Retrieval.hybridRrfOracleSql(k = 10),

@@ -163,6 +163,24 @@ object Index {
         element_at(col("cells"), 1).as("cell"))
   }
 
+  /** Corpus assignment against the JUST-PERSISTED centroid table (the
+    * trained-build path: centroids are not corpus rows, so the
+    * assignment must rank against the stored table — the same
+    * `seedFrom` pass every append uses).
+    */
+  private def assignedTo(emb: DataFrame, path: String, forceFlat: Boolean,
+                         superProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = spark.read.parquet(centroidsPath(path))
+    Similarity.withCellRanks(Similarity.normed(emb), cents.count().toInt, 1,
+      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
+        col("cn").as("norm")),
+      twoLevelMin = if (forceFlat) Int.MaxValue else Similarity.twoLevelMinCells,
+      superProbe = superProbe)
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+  }
+
   /** Build + persist an IVF-Flat index of `emb` under `path`.
     * `metaCols` names extra `emb` columns to carry INTO the postings
     * (e.g. a label or language id): filtered serving
@@ -175,12 +193,20 @@ object Index {
   def saveIvf(emb: DataFrame, path: String, nCells: Int = 16,
               forceFlat: Boolean = false,
               superProbe: Int = Similarity.defaultSuperProbe,
-              metaCols: Seq[String] = Nil): Unit = {
+              metaCols: Seq[String] = Nil,
+              trained: Boolean = false): Unit = {
     val cells = Similarity.autoCells(emb.count(), nCells)
-    Similarity.normed(emb)
-      .orderBy("vec_id").limit(cells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-      .write.mode("overwrite").parquet(centroidsPath(path))
+    // trained = true swaps the deterministic smallest-id seed centroids
+    // for [[Similarity.kmeansCentroids]] — the build pays iters extra
+    // corpus scans (the Lloyd rounds) for cells that actually tile the
+    // distribution; every downstream shape (store layout, probe ranking,
+    // appends against frozen centroids) is unchanged
+    val cents =
+      if (trained) Similarity.kmeansCentroids(emb, cells)
+      else Similarity.normed(emb)
+        .orderBy("vec_id").limit(cells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    cents.write.mode("overwrite").parquet(centroidsPath(path))
     // repartition BY THE PARTITION COLUMN before writing: partitionBy
     // alone emits one file per (task × cell) — 12,800 ~65 KB files for
     // 400 cells at the 1000× corpus (measured), 2B files at 200k cells.
@@ -188,7 +214,9 @@ object Index {
     // one place a full-corpus shuffle is the right trade for a store
     // that is read for weeks. (An over-large cell can still be split via
     // spark.sql.files.maxRecordsPerFile.)
-    val post = assigned(emb, nCells, forceFlat, superProbe)
+    val post =
+      if (trained) assignedTo(emb, path, forceFlat, superProbe)
+      else assigned(emb, nCells, forceFlat, superProbe)
     val withMeta =
       if (metaCols.isEmpty) post
       else post.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
@@ -208,18 +236,53 @@ object Index {
                 nSub: Int = 8, nCode: Int = 16,
                 forceFlat: Boolean = false,
                 superProbe: Int = Similarity.defaultSuperProbe,
-                metaCols: Seq[String] = Nil): Unit = {
+                metaCols: Seq[String] = Nil,
+                trained: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
     val e = Similarity.normed(emb)
-    e.orderBy("vec_id").limit(cells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-      .write.mode("overwrite").parquet(centroidsPath(path))
-    val cellOf = assigned(emb, nCells, forceFlat, superProbe)
-      .select("vec_id", "cell")
-    val codesDf = Similarity.pqCodes(emb, nSub, nCode)
-      .join(cellOf, "vec_id")
+    // trained = true upgrades BOTH quantizers: kmeans coarse centroids
+    // and pqTrain codebooks (per-subspace Lloyd) replace the smallest-id
+    // seeds — the build pays the training scans once, the serve path is
+    // byte-for-byte the same store contract. ann_ivfpq_trained_recall
+    // prices what the training buys.
+    val cents =
+      if (trained) Similarity.kmeansCentroids(emb, cells)
+      else e.orderBy("vec_id").limit(cells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    cents.write.mode("overwrite").parquet(centroidsPath(path))
+    // codebook FIRST (codes are encoded against it): trained = pqTrain's
+    // dequantized Lloyd output; seeded = the nCode smallest-id corpus
+    // vectors sliced per subspace — the same seed codewords pqCodes
+    // assigns against
+    val codebook =
+      if (trained) Similarity.pqTrainCodebook(emb, nSub, nCode)
+      else {
+        val seedCents: Array[(Long, Array[Double])] = e
+          .orderBy("vec_id").limit(nCode)
+          .select("vec_id", "v").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val dim = if (seedCents.nonEmpty) seedCents(0)._2.length else 0
+        val sub = dim / nSub
+        val cwRows = for {
+          m <- 0 until nSub
+          (cid, cv) <- seedCents
+        } yield (m.toLong, cid, cv.slice(m * sub, (m + 1) * sub).toSeq)
+        spark.createDataset(cwRows).toDF("sub", "code", "cw")
+      }
+    codebook.write.mode("overwrite").parquet(codewordsPath(path))
+    val cellOf =
+      (if (trained) assignedTo(emb, path, forceFlat, superProbe)
+       else assigned(emb, nCells, forceFlat, superProbe))
+        .select("vec_id", "cell")
+    // seeded builds keep the pqCodes plan (oracle-pinned); trained builds
+    // encode against the stored codebook with the same kernel appends use
+    val codesDf =
+      (if (trained) encodeAgainst(spark, emb,
+        spark.read.parquet(codewordsPath(path)))
+       else Similarity.pqCodes(emb, nSub, nCode))
+        .join(cellOf, "vec_id")
     val withMeta =
       if (metaCols.isEmpty) codesDf
       else codesDf.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
@@ -228,20 +291,52 @@ object Index {
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(pqCodesPath(path))
-    // codebook: the nCode smallest-id corpus vectors sliced per subspace —
-    // the same seed codewords pqCodes assigns against
-    val cents: Array[(Long, Array[Double])] = e
-      .orderBy("vec_id").limit(nCode)
-      .select("vec_id", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val dim = if (cents.nonEmpty) cents(0)._2.length else 0
-    val sub = dim / nSub
-    val cwRows = for {
-      m <- 0 until nSub
-      (cid, cv) <- cents
-    } yield (m.toLong, cid, cv.slice(m * sub, (m + 1) * sub).toSeq)
-    spark.createDataset(cwRows).toDF("sub", "code", "cw")
-      .write.mode("overwrite").parquet(codewordsPath(path))
+  }
+
+  /** PQ-encode `emb` against an EXPLICIT codeword table (sub, code, cw) —
+    * [[Similarity.pqCodes]]' rounding and tie semantics exactly
+    * (9-dp-rounded subspace L2, smaller code id wins ties). Shared by the
+    * frozen-codebook append path and the trained build (the codebook is
+    * the caller's choice; the encoding kernel is one). The codebook is
+    * grouped per subspace and sorted by code id driver-side
+    * (constant-bounded: nSub·nCode rows) so the linear scan reproduces
+    * the first-smallest-id tie-break.
+    */
+  private def encodeAgainst(spark: SparkSession, emb: DataFrame,
+                            codewords: DataFrame): DataFrame = {
+    val bySub: Map[Long, Array[(Long, Array[Double])]] =
+      codewords
+        .select("sub", "code", "cw").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1)
+        .map { case (m, rows) => m -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
+    val nSub = bySub.size
+    val bc = spark.sparkContext.broadcast(bySub)
+    val codesUdf = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      val sub = va.length / nSub
+      Array.tabulate(nSub) { m =>
+        var bestCode = -1L
+        var bestD = Double.MaxValue
+        bc.value(m.toLong).foreach { case (cid, cw) =>
+          var d2 = 0.0
+          var d = 0
+          while (d < sub) {
+            val diff = va(m * sub + d) - cw(d)
+            d2 += diff * diff
+            d += 1
+          }
+          val r = math.floor(d2 * 1e9 + 0.5) / 1e9
+          if (r < bestD || (r == bestD && cid < bestCode)) {
+            bestD = r; bestCode = cid
+          }
+        }
+        bestCode
+      }
+    }
+    Similarity.normed(emb)
+      .select(col("vec_id"), posexplode(codesUdf(col("v"))).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
   /** (query_id, cell) probe pairs + the normalized query table: the
@@ -337,41 +432,8 @@ object Index {
         col("cn").as("norm")),
       superProbe = superProbe)
       .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
-    // stored codebook, grouped per subspace and sorted by code id so the
-    // linear scan reproduces pqCodes' first-smallest-id tie-break
-    val bySub: Map[Long, Array[(Long, Array[Double])]] =
-      spark.read.parquet(codewordsPath(path))
-        .select("sub", "code", "cw").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
-        .groupBy(_._1)
-        .map { case (m, rows) => m -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
-    val nSub = bySub.size
-    val bc = spark.sparkContext.broadcast(bySub)
-    val codesUdf = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      val sub = va.length / nSub
-      Array.tabulate(nSub) { m =>
-        var bestCode = -1L
-        var bestD = Double.MaxValue
-        bc.value(m.toLong).foreach { case (cid, cw) =>
-          var d2 = 0.0
-          var d = 0
-          while (d < sub) {
-            val diff = va(m * sub + d) - cw(d)
-            d2 += diff * diff
-            d += 1
-          }
-          val r = math.floor(d2 * 1e9 + 0.5) / 1e9
-          if (r < bestD || (r == bestD && cid < bestCode)) {
-            bestD = r; bestCode = cid
-          }
-        }
-        bestCode
-      }
-    }
-    val codesDf = Similarity.normed(newEmb)
-      .select(col("vec_id"), posexplode(codesUdf(col("v"))).as(Seq("sub", "code")))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+    val codesDf = encodeAgainst(spark, newEmb,
+      spark.read.parquet(codewordsPath(path)))
       .join(cellOf, "vec_id")
     // the store's schema decides the metadata set — a caller-side
     // mismatch fails loudly instead of writing silently-unfilterable rows

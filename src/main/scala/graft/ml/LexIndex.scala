@@ -1,0 +1,266 @@
+package graft.ml
+
+import graft.ml.Ckpt.CutOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted LEXICAL (BM25) index: build the inverted index ONCE, serve
+  * every later seed batch from the stored layout — the sparse twin of the
+  * dense [[Index]] store, closing the serving-surface asymmetry: the
+  * inline [[Retrieval.bm25TopK]] re-tokenizes the corpus and rebuilds
+  * tf/df/idf per call (the right shape for a one-shot selection query,
+  * priced by `ret_bm25_seeds`' scale rows), but a 100-TB retrieval
+  * deployment amortizes exactly one corpus pass into an index and then
+  * answers from postings alone — Lucene/Anserini's contract, re-expressed
+  * as partitioned parquet + Catalyst pruning.
+  *
+  * On-disk layout (all parquet under `path/`):
+  *   - `postings/` (doc_id, th, tf, dl) PARTITIONED BY `bucket` =
+  *     pmod(th, n_buckets), one file per bucket, SORTED by th within the
+  *     file. Partitioning is the scale decision: a seed batch's term set
+  *     hashes to a bounded bucket list (query-side cardinality —
+  *     |seeds|·nQueryTerms at most), so the serve scan statically prunes
+  *     to those directories, and the within-file th order keeps parquet
+  *     row-group min/max stats selective for the term-level pushdown
+  *     below the prune. dl (the document's bigram count) is denormalized
+  *     onto every posting — functionally dependent on doc_id — so tf
+  *     normalization at serve time needs no corpus-side join.
+  *   - `terms/` (th, df) partitioned the same way: the document
+  *     frequencies, FROZEN at build time.
+  *   - `stats/` one row (n_docs, avgdl, n_buckets), frozen at build.
+  *
+  * Scoring at serve time is bit-identical to [[Retrieval.bm25TopK]] for a
+  * store built over the same corpus: same 6-dp idf rounding, same
+  * integer-micro-unit contributions, same two-stage top-k and tie-breaks
+  * — `ret_bm25_persisted` answers the SAME DuckDB oracle as
+  * `ret_bm25_seeds`.
+  *
+  * Refresh ([[appendLexical]]) appends the arriving documents' postings
+  * to their bucket partitions with df / avgdl / n_docs intentionally
+  * FROZEN — the same trade the dense store makes with its quantizers
+  * (cell ids stable ⇒ rows never move; here: idf weights stable ⇒ scores
+  * of existing documents never change under append). Consequences, by
+  * design: an appended posting whose term the base corpus never saw has
+  * no df row and cannot be scored; frozen df understates how common a
+  * term has become. Both are rebuild signals, not append-time fixes —
+  * [[Retrieval.profileWeights]] over a corpus sample vs the stored
+  * `terms/` is the drift monitor, exactly as `snapshotDrift` is for the
+  * dense store.
+  */
+object LexIndex {
+  import Portable._
+
+  private[graft] val PostingsKind = "postings"
+  private def termsPath(path: String) = s"$path/terms"
+  private def statsPath(path: String) = s"$path/stats"
+
+  /** (doc_id, th, tf, dl) — every bigram posting of `docs`, via the
+    * sort-based tf shape ([[Retrieval.termFrequencies]]: corpus-
+    * cardinality keys make a hash aggregate die at the 1000× corpus; the
+    * window form spills incrementally).
+    */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    Retrieval.termFrequencies(docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
+        explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th")))
+
+  /** Build + persist the inverted index of `corpus` under `path`. This is
+    * the ONE full-corpus pass the inline operator pays per call: tokenize,
+    * tf per (doc, term), df per term, corpus stats — written once,
+    * amortized over every later serve. `nBuckets` sizes the partition
+    * grid: large enough that a seed batch's bucket list prunes most of
+    * the store, small enough that per-bucket files stay block-sized (a
+    * 100-TB corpus wants thousands; the sf-scale default keeps directory
+    * counts sane on the test grids).
+    */
+  def saveLexical(corpus: DataFrame, path: String, nBuckets: Int = 256): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = corpus.sparkSession
+    val nDocs = corpus.count()
+    // one file per bucket, th-sorted within it (row-group stats carry the
+    // term pushdown); the full-index write is the build's whole point —
+    // the one place this shuffle+sort is the right trade
+    postingsOf(corpus)
+      .withColumn("bucket", pmod(col("th"), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("th")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$PostingsKind")
+    // df from the JUST-WRITTEN postings — a column-pruned (th-only)
+    // re-read beats re-running the corpus tokenize+explode lineage
+    spark.read.parquet(s"$path/$PostingsKind")
+      .groupBy("th").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", pmod(col("th"), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("th")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(termsPath(path))
+    corpus
+      .select(greatest(size(words(col("text"))) - 1, lit(0))
+        .cast("long").as("dl"))
+      .agg(lit(nDocs).as("n_docs"),
+        round(sum("dl") / nDocs.toDouble, 6).as("avgdl"),
+        lit(nBuckets.toLong).as("n_buckets"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Refresh the store WITHOUT a rebuild: the arriving documents'
+    * postings land in their bucket partitions (one appended file per
+    * touched bucket); df / n_docs / avgdl stay FROZEN at their build
+    * values (see the object doc for why, and what drift signals a
+    * rebuild). O(batch tokens) — no standing rescan.
+    */
+  def appendLexical(spark: SparkSession, path: String,
+                    newDocs: DataFrame): Unit = {
+    val nBuckets = spark.read.parquet(statsPath(path))
+      .select("n_buckets").head().getLong(0)
+    postingsOf(newDocs)
+      .withColumn("bucket", pmod(col("th"), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("th")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(Index.liveDir(spark, path, PostingsKind))
+  }
+
+  /** Fold per-append files back to one th-sorted file per bucket — the
+    * dense store's versioned-generation cycle ([[Index.compactKind]]):
+    * crash-safe (`_SUCCESS` is the publish point) and reader-safe (the
+    * previous generation survives until the next compaction).
+    */
+  def compactLexical(spark: SparkSession, path: String): Unit =
+    Index.compactKind(spark, path, PostingsKind, "bucket", Seq("th"))
+
+  /** Answer a seed batch from the stored index: seed bigrams hashed and
+    * collected driver-side (bounded by |seeds|·nQueryTerms — query-side
+    * cardinality), the postings and terms scans statically pruned to the
+    * seed buckets AND term-filtered inside them (`PartitionFilters` +
+    * `PushedFilters` on th — PlanSpec pins both), idf from the stored
+    * frozen df/stats, then the exact [[Retrieval.bm25TopK]] arithmetic:
+    * integer micro-unit contributions, 64-way pre-pruned two-stage
+    * top-k, ties on doc_id. `queryDocs` carries (doc_id, text) — seeds
+    * need not be stored documents (external-seed serving).
+    * Output: (query_id, doc_id, score_micro, rank).
+    */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+                      queryDocs: DataFrame, k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      nQueryTerms: Int = 8,
+                      dfCapFrac: Double = 0.5): DataFrame = {
+    require(k > 0 && nQueryTerms > 0 && dfCapFrac > 0)
+    val stats = spark.read.parquet(statsPath(path))
+    val nBuckets = stats.select("n_buckets").head().getLong(0)
+    // the seed vocabulary: bounded, materialized once, read three times
+    // (bucket/term collect below, df weighting, posting join)
+    val qterms = queryDocs
+      .select(col("doc_id").as("query_id"),
+        slice(words(col("text")), 1, nQueryTerms + 1).as("w"))
+      .select(col("query_id"), explode(shingles(col("w"), 2)).as("t"))
+      .select(col("query_id"), h64(col("t")).as("th"))
+      .distinct()
+      .lineageCut
+    // driver-side probe lists — the serving-path scan cut (the
+    // prunedToProbes pattern): both literal filters land IN the parquet
+    // scans, the bucket list as a static partition prune, the term list
+    // as a row-group predicate inside the probed buckets
+    val ths = qterms.select("th").distinct().collect().map(_.getLong(0))
+    val buckets = ths.map(t => ((t % nBuckets) + nBuckets) % nBuckets).distinct
+    def pruned(dir: String): DataFrame =
+      spark.read.parquet(dir)
+        .where(col("bucket").isin(buckets.toSeq: _*))
+        .where(col("th").isin(ths.toSeq: _*))
+    // idf per (query, surviving term) from the FROZEN stored df + stats;
+    // bounded by the seed vocabulary — broadcast everywhere below
+    val weighted = pruned(termsPath(path))
+      .join(broadcast(qterms), "th")
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .where(col("df") <= floor(lit(dfCapFrac) * col("n_docs")))
+      .select(col("query_id"), col("th"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6).as("idf"),
+        col("avgdl"))
+    // posting join: pruned stored postings × broadcast weights — map-side,
+    // the only store-touching operation (df-capped terms never leave the
+    // scan: their weights don't exist, the join drops their postings)
+    val contrib = pruned(Index.liveDir(spark, path, PostingsKind))
+      .join(broadcast(weighted), "th")
+      .select(col("query_id"), col("doc_id"),
+        floor(col("idf") * (col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          1e6 + 0.5).cast("long").as("c_micro"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c_micro").as("score_micro"))
+    val order = Seq(desc("score_micro"), asc("doc_id"))
+    val pre = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(64)))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy("query_id").orderBy(order: _*)
+    scored
+      .withColumn("r1", row_number().over(pre)).where(col("r1") <= k).drop("r1")
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+      .select("query_id", "doc_id", "score_micro", "rank")
+  }
+
+  /** DuckDB oracle for a REFRESHED store ([[saveLexical]] over the base
+    * slice, [[appendLexical]] of the rest, then [[bm25TopKIndexed]]):
+    * postings (tf, dl) over the FULL corpus, df / n_docs / avgdl frozen
+    * to the base slice — the lexical twin of the dense append oracles'
+    * pinned centroid seed sets. `baseWhereSql` selects the base slice
+    * among corpus rows.
+    */
+  def bm25FrozenOracleSql(isQuerySql: String, baseWhereSql: String,
+                          k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                          nQueryTerms: Int = 8,
+                          dfCapFrac: Double = 0.5): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
+       |base AS (SELECT * FROM corpus WHERE $baseWhereSql),
+       |tf AS (
+       |  SELECT doc_id, ${h64Sql("t")} AS th, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM corpus)
+       |  GROUP BY doc_id, 2),
+       |dl AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::BIGINT AS dl
+       |  FROM corpus),
+       |basedl AS (
+       |  SELECT (CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::BIGINT AS dl
+       |  FROM base),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+       |  FROM basedl),
+       |qw AS (
+       |  SELECT doc_id AS query_id, ($wordsSql)[1:${nQueryTerms + 1}] AS w
+       |  FROM documents WHERE $isQuerySql),
+       |qterms AS (
+       |  SELECT DISTINCT query_id, ${h64Sql("t")} AS th
+       |  FROM (SELECT query_id, unnest(${shinglesSql(2)}) AS t FROM qw)),
+       |df AS (
+       |  SELECT th, count(DISTINCT doc_id)::BIGINT AS df
+       |  FROM (SELECT doc_id, ${h64Sql("t")} AS th
+       |        FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM base))
+       |  WHERE th IN (SELECT th FROM qterms) GROUP BY th),
+       |weighted AS (
+       |  SELECT q.query_id, q.th,
+       |         round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       |         s.avgdl
+       |  FROM qterms q JOIN df d USING (th), stats s
+       |  WHERE d.df <= floor($dfCapFrac * s.n_docs)),
+       |contrib AS (
+       |  SELECT w.query_id, t.doc_id,
+       |         floor(w.idf * (t.tf * ($k1 + 1) /
+       |             (t.tf + $k1 * (1.0 - $b + $b * l.dl / w.avgdl))) *
+       |           1e6 + 0.5)::BIGINT AS c_micro
+       |  FROM tf t JOIN weighted w USING (th) JOIN dl l ON t.doc_id = l.doc_id),
+       |scored AS (
+       |  SELECT query_id, doc_id, sum(c_micro)::BIGINT AS score_micro
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, score_micro, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+}

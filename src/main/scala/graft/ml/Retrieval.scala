@@ -53,7 +53,7 @@ object Retrieval {
     * spills incrementally, per-task memory is a bounded buffer) and is
     * bit-identical: tf = partition count, one survivor row per key.
     */
-  private def termFrequencies(terms: DataFrame): DataFrame = {
+  private[ml] def termFrequencies(terms: DataFrame): DataFrame = {
     val byKey = Window.partitionBy("doc_id", "th")
     terms
       .withColumn("tf", count(lit(1)).over(byKey))
@@ -376,6 +376,15 @@ object Retrieval {
     val den = Similarity.ivfTopK(emb, col("vec_id") < nSeeds, k)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         col("rank").as("dense_rank"))
+    fuseRrf(lex, den, k, kRrf)
+  }
+
+  /** The RRF fusion stage alone: both rank lists are k-bounded
+    * (≤ |seeds|·k rows), so the full-outer join and final window touch
+    * only query-side-cardinality relations at any corpus scale.
+    */
+  private def fuseRrf(lex: DataFrame, den: DataFrame, k: Int,
+                      kRrf: Int): DataFrame = {
     def contrib(r: Column): Column =
       when(r.isNull, lit(0L))
         .otherwise(floor(lit(1e6) / (lit(kRrf) + r) + 0.5).cast("long"))
@@ -389,6 +398,30 @@ object Retrieval {
     fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "cand_id", "lex_rank", "dense_rank",
         "rrf_micro", "rank")
+  }
+
+  /** Hybrid retrieval SERVED FROM THE PERSISTED STORES: the lexical leg
+    * from a [[LexIndex]] store (seed-bucket-pruned postings scan, frozen
+    * idf) and the dense leg from an [[Index]] IVF store (probed-cell
+    * partitions), fused by the same integer RRF. This is the deployment
+    * shape: neither leg touches the raw corpus — both read exactly the
+    * index fragments the seed batch probes. Bit-equal to [[hybridRrf]]
+    * when the stores were built over the same corpus (both legs carry
+    * their inline twins' bit-equality contracts), so it answers the SAME
+    * composed oracle. `queryDocs` and `queryEmb` carry the seed texts
+    * and vectors.
+    */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       lexPath: String, annPath: String,
+                       queryDocs: DataFrame, queryEmb: DataFrame,
+                       k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val lex = LexIndex.bm25TopKIndexed(spark, lexPath, queryDocs, k)
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        col("rank").as("lex_rank"))
+    val den = Index.ivfTopKIndexed(spark, annPath, queryEmb, k)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("dense_rank"))
+    fuseRrf(lex, den, k, kRrf)
   }
 
   /** DuckDB oracle for [[hybridRrf]]: the two component oracles as

@@ -669,16 +669,23 @@ object Similarity {
     * `ranks`) — the coarse-quantizer assignment both [[ivfTopK]] and
     * [[semanticDedup]] build on.
     */
+  /** `preCtesSql` (trained variants): extra CTEs emitted after `e` —
+    * e.g. a kmeans-centroid replay chain — that `centsSql` (an override
+    * for the seeded centroid SELECT) may then reference.
+    */
   private[ml] def cellCtesSql(nCells: Int,
-                              centroidWhereSql: String = "TRUE"): String =
+                              centroidWhereSql: String = "TRUE",
+                              centsSql: Option[String] = None,
+                              preCtesSql: Option[String] = None): String =
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings),
-       |cents AS (
-       |  SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
-       |  WHERE $centroidWhereSql
-       |  ORDER BY vec_id LIMIT $nCells),
+       |${preCtesSql.map(p => s"$p,\n").getOrElse("")}cents AS (
+       |  ${centsSql.getOrElse(
+             s"""SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+                |  WHERE $centroidWhereSql
+                |  ORDER BY vec_id LIMIT $nCells""".stripMargin)}),
        |ranks AS (
        |  SELECT e.vec_id, c.cid,
        |         row_number() OVER (
@@ -1510,52 +1517,62 @@ object Similarity {
     * no per-row state. Output: (vec_id, cluster, dist2) from the final
     * assignment pass.
     */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
+  /** The quantized input table + global scale the integer-Lloyd family
+    * shares: (vec_id, q) with q = floor(v·127/scale + 0.5), materialized
+    * once (seeds, every update round, and the final assignment all scan
+    * it).
+    */
+  private def kmeansQuantized(emb: DataFrame): (DataFrame, Double) = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val scale = base.agg(max(aggregate(col("v"), lit(0.0),
       (a, x) => greatest(a, abs(x))))).head().getDouble(0)
-    // materialize the quantized table ONCE (MLlib caches its input the
-    // same way): seeds, every update round, and the final assignment all
-    // scan it — without this each action re-reads parquet and re-runs
-    // the quantize projection
     val q = base.select(col("vec_id"),
       transform(col("v"),
         x => floor(x * 127.0 / scale + 0.5).cast("long")).as("q"))
       .lineageCut
+    (q, scale)
+  }
 
-    // seed centroids: the k smallest-id vectors, cluster = seed position
+  /** The per-round assignment pass of [[kmeans]]: integer argmin against
+    * broadcast centroids, strict < so ties keep the lower cluster id.
+    */
+  private def kmeansAssigned(q: DataFrame,
+                             cents: Array[Array[Long]]): DataFrame = {
+    val bc = q.sparkSession.sparkContext.broadcast(cents)
+    val assign = udf { (qv: Seq[Long]) =>
+      val va = qv.toArray
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < bc.value.length) {
+        val cv = bc.value(c)
+        var d2 = 0L
+        var d = 0
+        while (d < va.length) {
+          val diff = va(d) - cv(d); d2 += diff * diff; d += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie keeps lower id
+        c += 1
+      }
+      (bestC.toLong, bestD)
+    }
+    q.withColumn("a", assign(col("q")))
+      .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"),
+        col("q"))
+  }
+
+  /** The Lloyd loop alone: `iters−1` centroid updates from the seed set
+    * (k·dim cells per round, map-side partial agg, tiny collect; an
+    * empty cluster keeps its previous centroid). Returns the FINAL
+    * integer centroids — what the last assignment pass ranks against.
+    */
+  private def kmeansCentsFrom(q: DataFrame, k: Int,
+                              iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
-
-    def assigned: DataFrame = {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assign = udf { (qv: Seq[Long]) =>
-        val va = qv.toArray
-        var bestC = 0
-        var bestD = Long.MaxValue
-        var c = 0
-        while (c < bc.value.length) {
-          val cv = bc.value(c)
-          var d2 = 0L
-          var d = 0
-          while (d < va.length) {
-            val diff = va(d) - cv(d); d2 += diff * diff; d += 1
-          }
-          if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie keeps lower id
-          c += 1
-        }
-        (bestC.toLong, bestD)
-      }
-      q.withColumn("a", assign(col("q")))
-        .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"),
-          col("q"))
-    }
-
     for (_ <- 1 to iters - 1) {
-      // centroid update: k·dim cells, map-side partial agg, tiny collect
-      val cells = assigned
+      val cells = kmeansAssigned(q, cents)
         .select(col("cluster"), posexplode(col("q")).as(Seq("i", "qi")))
         .groupBy("cluster", "i")
         .agg(floor(sum("qi").cast("double") / count(lit(1)).cast("double"))
@@ -1567,7 +1584,32 @@ object Similarity {
       }
       cents = next
     }
-    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+    cents
+  }
+
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val (q, _) = kmeansQuantized(emb)
+    val cents = kmeansCentsFrom(q, k, iters)
+    kmeansAssigned(q, cents).select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** The TRAINED coarse quantizer as a centroid table: [[kmeans]]'s final
+    * integer centroids dequantized back to the embedding's double space
+    * (cv = ci·scale/127 — exact double arithmetic, replayed identically
+    * by the oracle). Output (cid, cv, cn) — the exact shape
+    * [[Index.saveIvf]] persists and [[withCellRanks]]' `seedFrom`
+    * consumes, so swapping trained centroids for the smallest-id seeds
+    * changes nothing downstream (the swap the [[pqCodes]] doc promises).
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (q, scale) = kmeansQuantized(emb)
+    val cents = kmeansCentsFrom(q, k, iters)
+    cents.zipWithIndex.map { case (cv, cid) =>
+      val dv = cv.map(ci => ci * scale / 127.0).toSeq
+      (cid.toLong, dv, math.sqrt(dv.map(x => x * x).sum))
+    }.toSeq.toDF("cid", "cv", "cn")
   }
 
   /** PQ codebook TRAINING: per-subspace Lloyd k-means — the step a real
@@ -1584,9 +1626,12 @@ object Similarity {
     * trained per-vector codes (vec_id, sub, code, d2) — smaller d2 than
     * the seed assignment by construction after round 1.
     */
-  def pqTrain(emb: DataFrame, nSub: Int = 8, nCode: Int = 16,
-              iters: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
+  /** The quantized subvector table the PQ-Lloyd family shares:
+    * (vec_id, sub, qs[subDim]), materialized once; plus the global scale
+    * and subspace width.
+    */
+  private def pqQuantized(emb: DataFrame, nSub: Int)
+      : (DataFrame, Double, Int) = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val scale = base.agg(max(aggregate(col("v"), lit(0.0),
@@ -1594,7 +1639,6 @@ object Similarity {
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val subDim = dim / nSub
-    // (vec_id, sub, qs[subDim]) — quantized subvectors, materialized once
     val q = base.select(col("vec_id"),
         transform(col("v"),
           x => floor(x * 127.0 / scale + 0.5).cast("long")).as("qfull"))
@@ -1603,10 +1647,50 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         slice(col("qfull"), col("sub").cast("int") * subDim + 1, lit(subDim)).as("qs"))
       .lineageCut
+    (q, scale, subDim)
+  }
 
-    // seeds: per sub, the nCode smallest-id vectors' subvectors
-    val seedIds = base.orderBy("vec_id").limit(nCode)
-      .select("vec_id").collect().map(_.getLong(0))
+  /** Per-round PQ assignment: per-sub integer argmin against the
+    * broadcast codebook, strict < so ties keep the lower code id.
+    */
+  private def pqAssigned(q: DataFrame,
+                         cents: Array[Array[Array[Long]]]): DataFrame = {
+    val bc = q.sparkSession.sparkContext.broadcast(cents)
+    val assign = udf { (sub: Long, qs: Seq[Long]) =>
+      val va = qs.toArray
+      val book = bc.value(sub.toInt)
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        var d2 = 0L
+        var d = 0
+        while (d < va.length) {
+          val diff = va(d) - cv(d); d2 += diff * diff; d += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie → lower code
+        c += 1
+      }
+      (bestC.toLong, bestD)
+    }
+    q.withColumn("a", assign(col("sub"), col("qs")))
+      .select(col("vec_id"), col("sub"), col("a._1").as("code"),
+        col("a._2").as("d2"), col("qs"))
+  }
+
+  /** The per-subspace Lloyd loop alone: seeds from the nCode smallest-id
+    * vectors' subvectors, `iters−1` floor-of-mean updates (empty codes
+    * keep their previous centroid). Returns the FINAL integer codebooks,
+    * indexed [sub][code].
+    */
+  private def pqCentsFrom(q: DataFrame, nSub: Int, nCode: Int,
+                          iters: Int): Array[Array[Array[Long]]] = {
+    // seed ids via per-sub min: q carries nSub rows per vec_id, and a
+    // corpus-wide distinct here would be an avoidable shuffle
+    val seedIds = q.where(col("sub") === 0).select("vec_id")
+      .orderBy("vec_id").limit(nCode)
+      .collect().map(_.getLong(0))
     var cents: Array[Array[Array[Long]]] = {
       val rows = q.where(col("vec_id").isin(seedIds.toSeq: _*))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
@@ -1615,34 +1699,8 @@ object Similarity {
       rows.foreach { case (vid, s, qs) => a(s.toInt)(idRank(vid)) = qs }
       a
     }
-
-    def assigned: DataFrame = {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assign = udf { (sub: Long, qs: Seq[Long]) =>
-        val va = qs.toArray
-        val book = bc.value(sub.toInt)
-        var bestC = 0
-        var bestD = Long.MaxValue
-        var c = 0
-        while (c < book.length) {
-          val cv = book(c)
-          var d2 = 0L
-          var d = 0
-          while (d < va.length) {
-            val diff = va(d) - cv(d); d2 += diff * diff; d += 1
-          }
-          if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie → lower code
-          c += 1
-        }
-        (bestC.toLong, bestD)
-      }
-      q.withColumn("a", assign(col("sub"), col("qs")))
-        .select(col("vec_id"), col("sub"), col("a._1").as("code"),
-          col("a._2").as("d2"), col("qs"))
-    }
-
     for (_ <- 1 to iters - 1) {
-      val cells = assigned
+      val cells = pqAssigned(q, cents)
         .select(col("sub"), col("code"), posexplode(col("qs")).as(Seq("si", "qi")))
         .groupBy("sub", "code", "si")
         .agg(floor(sum("qi").cast("double") / count(lit(1)).cast("double"))
@@ -1654,7 +1712,35 @@ object Similarity {
       }
       cents = next
     }
-    assigned.select(col("vec_id"), col("sub"), col("code"), col("d2"))
+    cents
+  }
+
+  def pqTrain(emb: DataFrame, nSub: Int = 8, nCode: Int = 16,
+              iters: Int = 3): DataFrame = {
+    val (q, _, _) = pqQuantized(emb, nSub)
+    val cents = pqCentsFrom(q, nSub, nCode, iters)
+    pqAssigned(q, cents).select(col("vec_id"), col("sub"), col("code"), col("d2"))
+  }
+
+  /** The TRAINED PQ codebook as a codeword table: [[pqTrain]]'s final
+    * integer codebooks dequantized back to double space
+    * (cw = ci·scale/127). Output (sub, code, cw) — the exact shape
+    * [[Index.saveIvfPq]] persists and its encode/ADC paths consume, so a
+    * trained build swaps the seed codebooks for k-means ones with every
+    * shape downstream unchanged (the swap [[pqCodes]]' doc promises).
+    */
+  def pqTrainCodebook(emb: DataFrame, nSub: Int = 8, nCode: Int = 16,
+                      iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (q, scale, _) = pqQuantized(emb, nSub)
+    val cents = pqCentsFrom(q, nSub, nCode, iters)
+    (for {
+      m <- 0 until nSub
+      c <- 0 until nCode
+    } yield (m.toLong, c.toLong,
+        cents(m)(c).map(ci => ci * scale / 127.0).toSeq))
+      .toDF("sub", "code", "cw")
   }
 
   /** CTE-by-CTE replay of [[pqTrain]]: the kmeans chain with every stage

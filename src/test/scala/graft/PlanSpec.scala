@@ -450,4 +450,23 @@ class PlanSpec extends SparkSpec {
         s"$q: label predicate not pushed into the store scan:\n$p")
     }
   }
+
+  test("lexical-index serves prune to seed buckets and push the term filter") {
+    // the persisted BM25 serve must carry BOTH scan cuts: a partition
+    // filter on bucket (the seed-term bucket list — reading every bucket
+    // directory would be a full-index scan per seed batch) and the term
+    // hash list as a pushed parquet filter (row-group stats inside the
+    // probed buckets; postings are th-sorted within each file)
+    for (q <- Seq("ret_bm25_persisted", "ret_bm25_appended",
+                  "ret_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("PartitionFilters") && p.contains("bucket#"),
+        s"$q: no bucket partition filter on the postings scan:\n$p")
+      assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(th[^\\]]*\\].*"),
+        s"$q: term-hash filter not pushed into the postings scan:\n$p")
+    }
+    // the hybrid's dense leg stays probed-cell-pruned too
+    assert(plan("ret_hybrid_rrf").contains("cell#"),
+      "ret_hybrid_rrf: dense leg lost its cell partition prune")
+  }
 }

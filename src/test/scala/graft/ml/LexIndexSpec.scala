@@ -1,0 +1,179 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted lexical-index serving path: round-trip equality with the
+  * inline BM25 operator (the sf-scale oracle hash is the driver's t2
+  * gate), the frozen-stats append contract, external-seed serving, and
+  * the bucket partition prune — the [[IndexSpec]] contract set, lexical
+  * flavor.
+  */
+class LexIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_lex_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // 40 docs over a 12-word vocabulary: enough term collisions for real
+  // tf/df spread, deterministic from the doc id
+  private val vocab = Array("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+  private def docText(i: Long): String =
+    (0 until (4 + (i % 4)).toInt)
+      .map(j => vocab(((i * 7 + j * 3 + i * j) % 12).toInt)).mkString(" ")
+  private def docs = (0L until 40L).map(i => (i, docText(i)))
+    .toDF("doc_id", "text")
+
+  private val isQ = col("doc_id") < 4
+
+  test("bm25TopKIndexed round-trips bit-equal to inline bm25TopK") {
+    val path = freshPath("roundtrip")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    val inline = Retrieval.bm25TopK(docs, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("serving answers EXTERNAL seeds (texts never stored)") {
+    val path = freshPath("external")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    val external = Seq((1000L, docText(1) + " " + docText(2)))
+      .toDF("doc_id", "text")
+    val out = LexIndex.bm25TopKIndexed(spark, path, external, k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out.map(_._1).toSet === Set(1000L))
+    assert(out.map(_._4).sorted === (1 to out.length))
+    assert(out.forall(r => r._2 >= 4L && r._2 < 40L))
+    assert(out.nonEmpty)
+  }
+
+  test("serve prunes the postings scan to the seed-term buckets") {
+    val path = freshPath("prune")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 64)
+    // one 3-word seed → ≤ 2 distinct bigrams → ≤ 2 of 64 buckets probed
+    val seed = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val df = LexIndex.bm25TopKIndexed(spark, path, seed, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket#"),
+      s"no partition filter on the postings scan:\n$plan")
+    val probed = "bucket#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    assert(probed.exists(_ <= 2), s"bucket list not seed-bounded: $probed")
+    // the term predicate rides INTO the scan too (row-group pushdown)
+    assert(plan.contains("PushedFilters") && plan.contains("th"),
+      s"term filter not pushed into the postings scan:\n$plan")
+  }
+
+  test("appendLexical: appended docs are served; df/avgdl stay frozen") {
+    val path = freshPath("append")
+    val base = docs.where(!isQ)
+    // appended docs REUSE corpus texts (ids 100+): every appended term has
+    // a frozen df row, and a copy of a top-ranked doc must rank adjacent
+    // to its original — the strongest discoverability probe
+    val extra = (100L until 110L).map(i => (i, docText(i % 20 + 4)))
+      .toDF("doc_id", "text")
+    LexIndex.saveLexical(base, path, nBuckets = 16)
+    val statsBefore = spark.read.parquet(s"$path/stats").collect().head
+    val dfBefore = spark.read.parquet(s"$path/terms")
+      .orderBy("th").as[(Long, Long, Long)].collect().toSeq
+    LexIndex.appendLexical(spark, path, extra)
+    // frozen contract: stats and terms untouched by the append
+    assert(spark.read.parquet(s"$path/stats").collect().head === statsBefore)
+    assert(spark.read.parquet(s"$path/terms")
+      .orderBy("th").as[(Long, Long, Long)].collect().toSeq === dfBefore)
+    val out = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out.exists(_._2 >= 100L), "no appended doc ever surfaced")
+    // appended docs score with the FROZEN weights: recompute one appended
+    // hit's expectation directly from the stored postings + frozen stats
+    val hit = out.filter(_._2 >= 100L).head
+    val k1 = 1.2; val b = 0.75
+    val nDocs = statsBefore.getLong(0); val avgdl = statsBefore.getDouble(1)
+    val dfMap = dfBefore.map(t => t._1 -> t._2).toMap
+    val post = spark.read.parquet(
+        Index.liveDir(spark, path, LexIndex.PostingsKind))
+      .where(col("doc_id") === hit._2)
+      .select("th", "tf", "dl").as[(Long, Long, Long)].collect()
+    val qths = docs.where(col("doc_id") === hit._1)
+      .select(explode(Portable.shingles(slice(Portable.words(col("text")), 1, 9), 2)))
+      .select(Portable.h64(col("col"))).as[Long].collect().toSet
+    val expected = post.filter(p => qths.contains(p._1))
+      .filter(p => dfMap.contains(p._1) &&
+        dfMap(p._1) <= math.floor(0.5 * nDocs).toLong)
+      .map { case (th, tf, dl) =>
+        val idf = BigDecimal(math.log(1.0 +
+          (nDocs - dfMap(th) + 0.5) / (dfMap(th) + 0.5)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.floor(idf * (tf * (k1 + 1) /
+          (tf + k1 * (1.0 - b + b * dl / avgdl))) * 1e6 + 0.5).toLong
+      }.sum
+    assert(hit._3 === expected,
+      "appended doc not scored with the frozen df/avgdl")
+  }
+
+  test("compactLexical folds per-append files to one per bucket, serve bit-equal") {
+    val path = freshPath("compact")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 20), path, nBuckets = 8)
+    LexIndex.appendLexical(spark, path,
+      docs.where(col("doc_id") >= 20 && col("doc_id") < 30))
+    LexIndex.appendLexical(spark, path, docs.where(col("doc_id") >= 30))
+    def filesPerBucket: Map[String, Int] = {
+      val post = new java.io.File(
+        Index.liveDir(spark, path, LexIndex.PostingsKind).stripPrefix("file:"))
+      post.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerBucket.values.exists(_ > 1),
+      "appends never split a bucket — fixture too weak")
+    val before = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    LexIndex.compactLexical(spark, path)
+    assert(filesPerBucket.values.forall(_ === 1),
+      s"compaction left multi-file buckets: $filesPerBucket")
+    val after = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(after === before)
+  }
+
+  test("hybridRrfIndexed matches the inline hybridRrf") {
+    val lexPath = freshPath("hyblex")
+    val annPath = freshPath("hybann")
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+    }.toDF("vec_id", "embedding")
+    val nSeeds = 4
+    LexIndex.saveLexical(docs.where(col("doc_id") >= nSeeds), lexPath,
+      nBuckets = 16)
+    Index.saveIvf(emb, annPath)
+    val inline = Retrieval.hybridRrf(docs, emb, k = 5, nSeeds = nSeeds)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Int, Long, Int)].collect().toSeq
+    val served = Retrieval.hybridRrfIndexed(spark, lexPath, annPath,
+        docs.where(col("doc_id") < nSeeds), emb.where(col("vec_id") < nSeeds),
+        k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Int, Long, Int)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("an empty seed batch serves an empty result, not a failure") {
+    val path = freshPath("empty")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    val out = LexIndex.bm25TopKIndexed(spark, path,
+      docs.where(col("doc_id") < 0), k = 5)
+    assert(out.count() === 0L)
+  }
+}
