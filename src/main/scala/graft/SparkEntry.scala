@@ -572,6 +572,34 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
       Index.stats(s, path)
     }),
+    // TRAINED-quantizer builds: kmeans coarse centroids (ann_ivf_trained)
+    // plus pqTrain codebooks (ann_ivfpq_trained) replace the smallest-id
+    // seeds — the build pays the Lloyd scans once, the store contract and
+    // serve path are unchanged; oracles replay the training CTE-by-CTE
+    "ann_ivf_trained" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivftrained", dir)
+      Index.saveIvf(e, path, trained = true)
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    "ann_ivfpq_trained" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqtrained", dir)
+      Index.saveIvfPq(e, path, trained = true)
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // what the training buys: recall@10 of the trained-store PQ serve vs
+    // the exact ranking, next to ann_ivfpq_recall's seed-codebook number
+    "ann_ivfpq_trained_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqtrrec", dir)
+      Index.saveIvfPq(e, path, trained = true)
+      Similarity.recallOf(
+        Similarity.bruteForceTopK(e, Similarity.defaultIsQuery, 10),
+        Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
+          k = 10),
+        k = 10)
+    }),
     "ann_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.load(s, dir, "embeddings"))),
     "ann_ivf_assign_flat" -> ((s, dir) =>
@@ -1248,7 +1276,8 @@ object SparkEntry {
     "ann_ivf_recall_sampled",
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
     "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered",
-    "ann_ivfpq_filtered", "cur_pipeline8")
+    "ann_ivfpq_filtered", "cur_pipeline8",
+    "ann_ivf_trained", "ann_ivfpq_trained", "ann_ivfpq_trained_recall")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1505,6 +1534,10 @@ object SparkEntry {
         |  GREATEST(16, (SELECT count(*) FROM embeddings
         |                WHERE ((vec_id % 10) + 10) % 10 != 9) // 5000) AS n_cells,
         |  GREATEST(16, (SELECT count(*) FROM embeddings) // 5000) AS auto_cells)""".stripMargin,
+    "ann_ivf_trained" -> Similarity.ivfTopKTrainedOracleSql(k = 10),
+    "ann_ivfpq_trained" -> Similarity.ivfPqTopKTrainedOracleSql(k = 10),
+    "ann_ivfpq_trained_recall" ->
+      Similarity.ivfPqTrainedRecallOracleSql(k = 10),
     "ann_ivf_assign" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_flat" -> Similarity.ivfAssignOracleSql(),
     "ann_ivf_assign_agree" -> Similarity.ivfAssignAgreementOracleSql,

@@ -1234,8 +1234,10 @@ object Similarity {
   private[ml] def ivfScoredCtesSql(nCells: Int, nProbe: Int,
                                    isQuerySql: String,
                                    centroidWhereSql: String = "TRUE",
-                                   candWhereSql: String = "TRUE"): String =
-    s"""${cellCtesSql(nCells, centroidWhereSql)},
+                                   candWhereSql: String = "TRUE",
+                                   centsSql: Option[String] = None,
+                                   preCtesSql: Option[String] = None): String =
+    s"""${cellCtesSql(nCells, centroidWhereSql, centsSql, preCtesSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
@@ -1844,6 +1846,203 @@ object Similarity {
        |$rounds
        |SELECT vec_id, cluster, d2 AS dist2 FROM a$iters""".stripMargin
   }
+  /** CTE chain replaying the [[kmeansCentroids]] TRAINING (assumes a CTE
+    * `e(vec_id, v, …)` is already defined): the kmeansOracleSql rounds,
+    * km-prefixed, ending in `tcents(cid, cv)` — the final integer
+    * centroids dequantized to double space exactly as the Spark side
+    * does (ci·scale/127).
+    */
+  private[ml] def kmeansCentroidCtesSql(k: Int, iters: Int = 3): String = {
+    val header =
+      s"""kms AS (
+         |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+         |kmq AS (
+         |  SELECT vec_id, i,
+         |         floor(v[i] * 127.0 / (SELECT scale FROM kms) + 0.5)::BIGINT AS qi
+         |  FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+         |kmseeds AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cluster,
+         |         vec_id
+         |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+         |kmcent0 AS (
+         |  SELECT s.cluster, q.i, q.qi AS ci
+         |  FROM kmseeds s JOIN kmq q USING (vec_id))""".stripMargin
+    val rounds = (1 until iters).map { t =>
+      val prev = s"kmcent${t - 1}"
+      s"""kmd$t AS (
+         |  SELECT q.vec_id, c.cluster,
+         |         sum((q.qi - c.ci) * (q.qi - c.ci))::BIGINT AS d2
+         |  FROM kmq q JOIN $prev c USING (i) GROUP BY 1, 2),
+         |kma$t AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM kmd$t)
+         |  WHERE rn = 1),
+         |kmcent$t AS (
+         |  SELECT p.cluster, p.i, coalesce(n.ci, p.ci) AS ci
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.cluster, q.i,
+         |           floor(sum(q.qi)::DOUBLE / count(*)::DOUBLE)::BIGINT AS ci
+         |    FROM kma$t a JOIN kmq q USING (vec_id) GROUP BY 1, 2) n
+         |  USING (cluster, i))""".stripMargin
+    }.mkString(",\n")
+    val body = if (iters > 1) s"$header,\n$rounds" else header
+    s"""$body,
+       |tcents AS (
+       |  SELECT cluster AS cid,
+       |         list(ci * (SELECT scale FROM kms) / 127.0 ORDER BY i) AS cv
+       |  FROM kmcent${iters - 1} GROUP BY cluster)""".stripMargin
+  }
+
+  /** CTE chain replaying the [[pqTrainCodebook]] TRAINING (assumes `e`):
+    * the pqTrainOracleSql rounds, pq-prefixed, ending in
+    * `tcw(sub, code, cw)` — the final integer codebooks dequantized.
+    */
+  private[ml] def pqCodebookCtesSql(nSub: Int = 8, nCode: Int = 16,
+                                    iters: Int = 3, dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val header =
+      s"""pqs AS (
+         |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+         |pqq AS (
+         |  SELECT vec_id, (i - 1) // $subDim AS sub, (i - 1) % $subDim + 1 AS si,
+         |         floor(v[i] * 127.0 / (SELECT scale FROM pqs) + 0.5)::BIGINT AS qi
+         |  FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+         |pqseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+         |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $nCode)),
+         |pqcent0 AS (
+         |  SELECT q.sub, s.code, q.si, q.qi AS ci
+         |  FROM pqseeds s JOIN pqq q USING (vec_id))""".stripMargin
+    val rounds = (1 until iters).map { t =>
+      val prev = s"pqcent${t - 1}"
+      s"""pqd$t AS (
+         |  SELECT q.vec_id, q.sub, c.code,
+         |         sum((q.qi - c.ci) * (q.qi - c.ci))::BIGINT AS d2
+         |  FROM pqq q JOIN $prev c ON q.sub = c.sub AND q.si = c.si
+         |  GROUP BY 1, 2, 3),
+         |pqa$t AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM pqd$t)
+         |  WHERE rn = 1),
+         |pqcent$t AS (
+         |  SELECT p.sub, p.code, p.si, coalesce(n.ci, p.ci) AS ci
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.sub, a.code, q.si,
+         |           floor(sum(q.qi)::DOUBLE / count(*)::DOUBLE)::BIGINT AS ci
+         |    FROM pqa$t a JOIN pqq q ON a.vec_id = q.vec_id AND a.sub = q.sub
+         |    GROUP BY 1, 2, 3) n
+         |  USING (sub, code, si))""".stripMargin
+    }.mkString(",\n")
+    val body = if (iters > 1) s"$header,\n$rounds" else header
+    s"""$body,
+       |tcw AS (
+       |  SELECT sub, code,
+       |         list(ci * (SELECT scale FROM pqs) / 127.0 ORDER BY si) AS cw
+       |  FROM pqcent${iters - 1} GROUP BY sub, code)""".stripMargin
+  }
+
+  /** The trained-centroid override for [[cellCtesSql]]'s `centsSql`. */
+  private def trainedCentsSql: String =
+    "SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tcents"
+
+  /** Explicit left-assoc subspace L2 with the sub index as a COLUMN
+    * (`subCol`) — fixed evaluation order, so both engines' float sums
+    * agree bit-for-bit before the 9-dp rounding.
+    */
+  private def subD2Sql(vExpr: String, cwExpr: String, subCol: String,
+                       subDim: Int): String =
+    (0 until subDim).map { d =>
+      val vi = s"$vExpr[$subCol * $subDim + ${d + 1}]"
+      s"($vi - $cwExpr[${d + 1}]) * ($vi - $cwExpr[${d + 1}])"
+    }.mkString(" + ")
+
+  /** Oracle for the TRAINED IVF-Flat serve ([[Index.saveIvf]] with
+    * `trained = true` + [[Index.ivfTopKIndexed]]): the seeded ivfTopK
+    * chain with the centroid CTE swapped for the kmeans-replay result.
+    */
+  def ivfTopKTrainedOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                              iters: Int = 3,
+                              isQuerySql: String = defaultIsQuerySql): String =
+    s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql,
+          centsSql = Some(trainedCentsSql),
+          preCtesSql = Some(kmeansCentroidCtesSql(nCells, iters)))},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Oracle for the TRAINED IVF-PQ serve ([[Index.saveIvfPq]] with
+    * `trained = true` + [[Index.ivfPqTopKIndexed]]): kmeans-replay
+    * coarse centroids, pqTrain-replay codebooks, codes re-derived by the
+    * encode-against-codebook semantics (9-dp-rounded double-space
+    * subspace L2, ties to the smaller code id), per-query integer ADC.
+    */
+  def ivfPqTopKTrainedOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                                nSub: Int = 8, nCode: Int = 16,
+                                dim: Int = 64, iters: Int = 3,
+                                isQuerySql: String = defaultIsQuerySql): String = {
+    val subDim = dim / nSub
+    val codeD2 = subD2Sql("e.v", "c.cw", "c.sub", subDim)
+    val lutD2 = subD2Sql("q.v", "c.cw", "c.sub", subDim)
+    s"""WITH ${cellCtesSql(nCells,
+          centsSql = Some(trainedCentsSql),
+          preCtesSql = Some(kmeansCentroidCtesSql(nCells, iters) + ",\n" +
+            pqCodebookCtesSql(nSub, nCode, iters, dim)))},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |q AS (SELECT vec_id, v FROM e WHERE $isQuerySql),
+       |cd0 AS (
+       |  SELECT e.vec_id, c.sub, c.code, ($codeD2) AS d2
+       |  FROM e, tcw c),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |       ORDER BY floor(d2 * 1e9 + 0.5) / 1e9, code) AS rn FROM cd0)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.code,
+       |         floor(($lutD2) * 1e9 + 0.5)::BIGINT AS d2i
+       |  FROM q, tcw c),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |         sum(l.d2i)::BIGINT AS adc_e9
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id
+       |            AND l.sub = co.sub AND l.code = co.code
+       |  GROUP BY cd.query_id, cd.vec_id),
+       |rankedq AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc_e9, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc_e9, rank
+       |FROM rankedq WHERE rank <= $k""".stripMargin
+  }
+
+  /** Recall@k of the trained-store IVF-PQ serve against the exact
+    * ranking — the number that prices what quantizer training buys over
+    * the seed codebooks (compare [[ivfPqRecall]]).
+    */
+  def ivfPqTrainedRecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), ivfPqTopKTrainedOracleSql(k), k)
+
+  /** Public wrapper over [[recallVs]] for recall evals whose approx side
+    * is a persisted-store serve assembled by the caller (e.g. the
+    * trained-quantizer A/B).
+    */
+  def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    recallVs(exact, approx, k)
+
   /** Per-dimension distribution drift between two corpus snapshots —
     * the monitoring pass a vector-index deployment runs on every refresh
     * (embedding-model regressions and ingestion bugs show up as mean

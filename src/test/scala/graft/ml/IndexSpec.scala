@@ -366,6 +366,46 @@ class IndexSpec extends SparkSpec {
     assert(served === inline)
   }
 
+  test("trained store: kmeans centroids persisted, serve pruned and self-excluding") {
+    val path = freshPath("trained")
+    Index.saveIvf(emb, path, trained = true)
+    // centroids are the kmeans clusters (ids 0..k−1), not corpus rows
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.select("cid").as[Long].collect().sorted ===
+      (0L until 16L).toArray)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      "trained serve lost the probed-cell partition prune")
+    val got = served.as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 != r._2), "self-exclusion broken")
+  }
+
+  test("trained PQ store serves; appends ride the frozen trained quantizers") {
+    val path = freshPath("trainedpq")
+    Index.saveIvfPq(emb.where(col("vec_id") < 100), path, trained = true)
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 100))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.exists(_._2 >= 100L),
+      "appended vectors not discoverable in the trained store")
+  }
+
+  test("kmeansCentroids dequantizes the trained integer centroids") {
+    val c = Similarity.kmeansCentroids(emb, k = 4)
+    val rows = c.orderBy("cid").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val cv = r.getSeq[Double](1)
+      assert(cv.length === 8)
+      assert(math.abs(r.getDouble(2) - math.sqrt(cv.map(x => x * x).sum)) < 1e-12)
+    }
+  }
+
   test("stats works on a PQ-only store") {
     val path = freshPath("pqstats")
     Index.saveIvfPq(emb.where(col("vec_id") < 60), path)
