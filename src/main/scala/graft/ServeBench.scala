@@ -136,6 +136,127 @@ object ServeBench {
       }
     }
 
+    if (want("lex")) {
+      // LEXICAL build-once/serve-many A/B: the inverted-index build is
+      // the one-time corpus pass; the inline operator re-derives
+      // tf/df/idf per call, the indexed serve reads seed-bucket
+      // partitions of the store. q100 = the full bounded seed set (the
+      // ret_bm25_seeds workload); q5 = a 5-seed interactive batch (the
+      // shape where the bucket prune bites hardest).
+      import graft.ml.{LexIndex, Retrieval}
+      val docs = Tables.load(spark, sfDir, "documents")
+      val corpus = docs.where(!Retrieval.boundedIsQuery)
+      val lexPath = s"$root/lex"
+      val tl = System.nanoTime()
+      LexIndex.saveLexical(corpus, lexPath)
+      val buildLex = (System.nanoTime() - tl) / 1e9
+      val lexBytes = dirBytes(s"$lexPath/postings")
+      val nDocs = docs.count()
+      println(s"""{"stage":"lex_build_write","sec":${Bench.fmt3(buildLex)},"n":$nDocs,"store_bytes":$lexBytes}""")
+      for ((tag, qDocs, isQ) <- Seq(
+          ("q100", docs.where(Retrieval.boundedIsQuery), Retrieval.boundedIsQuery),
+          ("q5", docs.where(col("doc_id") < 5), col("doc_id") < 5))) {
+        timed(s"lex_inline_$tag") {
+          // inline corpus convention: everything outside the seed set
+          Retrieval.bm25TopK(docs.where(!Retrieval.boundedIsQuery || isQ),
+            isQ, k = 10)
+        }
+        timed(s"lex_serve_$tag")(
+          LexIndex.bm25TopKIndexed(spark, lexPath, qDocs, k = 10))
+      }
+      // HYBRID A/B over the same stores: inline (both legs re-scan the
+      // corpus) vs persisted (both legs pruned)
+      val annPath = s"$root/hyb_ann"
+      Index.saveIvf(emb, annPath)
+      timed("hybrid_inline_q100")(Retrieval.hybridRrf(docs, emb, k = 10))
+      timed("hybrid_serve_q100")(Retrieval.hybridRrfIndexed(spark, lexPath,
+        annPath, docs.where(Retrieval.boundedIsQuery),
+        emb.where(col("vec_id") < 100), k = 10))
+    }
+
+    if (want("race")) {
+      // COMPACTION RACE: a serve PLANNED before the generation flip must
+      // execute bit-equal after it — the versioned store retains the
+      // previous generation exactly for this reader. Measured, not
+      // asserted: checksum(racing serve) vs checksum(quiet serve).
+      val path = s"$root/race"
+      Index.saveIvf(emb.where(pmod(col("vec_id"), lit(2)) === 0), path)
+      (0 until 8).foreach { s0 =>
+        Index.appendIvf(spark, path,
+          emb.where(pmod(col("vec_id"), lit(16)) === (2 * s0 + 1)))
+      }
+      // order-independent content checksum (the StreamBench convention):
+      // count + two 60-bit md5-slice sums in decimal — no long overflow
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      val quiet = checksum(Index.ivfTopKIndexed(spark, path, q50, k = 10))
+      val planned = Index.ivfTopKIndexed(spark, path, q50, k = 10)
+      planned.queryExecution.executedPlan // pin file listing pre-flip
+      val tr = System.nanoTime()
+      Index.compact(spark, path)
+      val compactSec = (System.nanoTime() - tr) / 1e9
+      val racing = checksum(planned) // executes AFTER the flip
+      val post = checksum(Index.ivfTopKIndexed(spark, path, q50, k = 10))
+      println(s"""{"stage":"race_compact","sec":${Bench.fmt3(compactSec)},"n":$n,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
+    }
+
+    if (want("trained")) {
+      // TRAINED-BUILD cost + quality: what the Lloyd scans add to the
+      // one-time build, and what they buy in sampled recall@10 (50
+      // corpus-independent queries keep the exact side O(50·n)).
+      val seedPath = s"$root/tr_seed"
+      val trainPath = s"$root/tr_train"
+      val ts0 = System.nanoTime()
+      Index.saveIvfPq(emb, seedPath)
+      val seedSec = (System.nanoTime() - ts0) / 1e9
+      val tt0 = System.nanoTime()
+      Index.saveIvfPq(emb, trainPath, trained = true)
+      val trainSec = (System.nanoTime() - tt0) / 1e9
+      println(s"""{"stage":"ivfpq_build_seed","sec":${Bench.fmt3(seedSec)},"n":$n}""")
+      println(s"""{"stage":"ivfpq_build_trained","sec":${Bench.fmt3(trainSec)},"n":$n}""")
+      val exact = Similarity.bruteForceTopK(emb, Similarity.sampledIsQuery, 10)
+      def recall(p: String): Double =
+        Similarity.recallOf(exact,
+            Index.ivfPqTopKIndexed(spark, p, q50, k = 10), 10)
+          .head().getDouble(0)
+      val rSeed = recall(seedPath)
+      val rTrained = recall(trainPath)
+      println(s"""{"stage":"ivfpq_recall_sampled","n":$n,"seed":$rSeed,"trained":$rTrained}""")
+    }
+
+    if (want("rebuild")) {
+      // REBUILD-DECISION closed loop: build on a tenth of the corpus
+      // (frozen cell budget), append the other nine tenths — dilution =
+      // autoCells(now)/n_cells crosses the rebuild threshold — then
+      // rebuild and show the serve time recovered. This turns
+      // ann_index_stats from a reported ratio into an acted-on signal:
+      // the diluted store serves nProbe/n_cells of a 10× corpus per
+      // query; the rebuild restores the designed probed fraction.
+      val path = s"$root/rebuild"
+      Index.saveIvf(emb.where(pmod(col("vec_id"), lit(10)) === 0), path)
+      (1 until 10).foreach { r =>
+        Index.appendIvf(spark, path, emb.where(pmod(col("vec_id"), lit(10)) === r))
+      }
+      val st = Index.stats(spark, path).head()
+      val dilution = st.getDouble(3)
+      println(s"""{"stage":"rebuild_stats","n":$n,"n_cells":${st.getLong(1)},"auto_cells":${st.getLong(2)},"dilution":$dilution}""")
+      val dilutedSec = timed("rebuild_serve_diluted_q50")(
+        Index.ivfTopKIndexed(spark, path, q50, k = 10))
+      val tr = System.nanoTime()
+      Index.saveIvf(emb, path) // the decision: dilution > 1 → rebuild
+      val rebuildSec = (System.nanoTime() - tr) / 1e9
+      println(s"""{"stage":"rebuild_build","sec":${Bench.fmt3(rebuildSec)},"n":$n}""")
+      val freshSec = timed("rebuild_serve_fresh_q50")(
+        Index.ivfTopKIndexed(spark, path, q50, k = 10))
+      println(s"""{"stage":"rebuild_verdict","n":$n,"dilution":$dilution,"diluted_sec":${Bench.fmt3(dilutedSec)},"fresh_sec":${Bench.fmt3(freshSec)},"recovered":${freshSec < dilutedSec}}""")
+    }
+
     if (!want("serve")) { spark.stop(); return }
 
     // one-time build+write (timed once — a build is not a steady state)

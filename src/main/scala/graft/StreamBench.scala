@@ -113,7 +113,8 @@ object StreamBench {
     // kill-time plateau (not empty) and the final output is bit-equal to
     // the uninterrupted run (exactly-once sink contract).
     val known = Set("trend", "sessions", "select", "neardup", "drift",
-      "trend_recover", "drift_recover", "scorer_recover", "drift_killexec")
+      "trend_recover", "drift_recover", "scorer_recover", "drift_killexec",
+      "serve_recover")
     val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
       "trend,sessions,select,neardup,drift")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -508,6 +509,79 @@ object StreamBench {
         s""""bitEqual":$equal}"""
       println(s"""{"stage":"drift_recover","killedAfterBatches":$killedAfter,""" +
         s""""resumeFirstStateRows":$resumeState,"bitEqual":$equal}""")
+    }
+
+    // ---- ANN serve recovery: the zero-state stream's offset-log claim ----
+    // StreamingAnnServe holds NO stream state (per-query top-k completes
+    // within its own micro-batch); its documented recovery contract is
+    // "the sink's offset log". This stage converts that claim into a
+    // measurement: the sink writes each micro-batch's answers to a
+    // batchId-keyed directory with mode=overwrite — the standard
+    // foreachBatch idempotence pattern, where a replayed in-flight batch
+    // overwrites its own partial output instead of duplicating it. Kill
+    // mid-stream, restart from the same checkpoint: every query must be
+    // answered exactly once and the union of answers must bit-equal an
+    // uninterrupted run.
+    if (stages("serve_recover")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val idxPath = s"$work/serve_rec_idx"
+      ml.Index.saveIvf(emb, idxPath)
+      val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+      val qDir = stageChunks(queries, "vec_id", "serve_rec_in", nChunks)
+      def mkServe(out: String) = ml.StreamingAnnServe.serveIvf(
+        spark.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(qDir),
+        idxPath, k = 10) { (res, batchId) =>
+        res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      def runServe(out: String, ckpt: String, killAfter: Int): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val q = mkServe(out).option("checkpointLocation", ckpt).start()
+        if (killAfter > 0) {
+          // count ALL committed batches, not just non-empty ones: a
+          // small-corpus smoke stages query chunks whose value ranges can
+          // be empty, and a rows>0 threshold would never be met. A
+          // deadline bounds the wait either way.
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q.isActive && System.nanoTime() < deadline &&
+              q.recentProgress.length < killAfter)
+            Thread.sleep(100)
+          q.stop() // interrupts the micro-batch thread mid-flight
+        } else { q.processAllAvailable(); q.stop() }
+        ((System.nanoTime() - t0) / 1e9,
+          q.recentProgress.count(_.numInputRows > 0))
+      }
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      val refOut = s"$work/serve_rec_ref_out"
+      val (refWall, refBatches) = runServe(refOut, s"$work/serve_rec_ref_ckpt", 0)
+      val recOut = s"$work/serve_rec_out"
+      val recCkpt = s"$work/serve_rec_ckpt"
+      val (killWall, killedAfter) = runServe(recOut, recCkpt, nChunks / 2)
+      val (resumeWall, resumeBatches) = runServe(recOut, recCkpt, 0)
+      val refDf = spark.read.parquet(refOut)
+      val recDf = spark.read.parquet(recOut)
+      // exactly-once: no query answered in two different micro-batches
+      val dupQueries = recDf.groupBy("query_id")
+        .agg(countDistinct("batch").as("nb")).where(col("nb") > 1).count()
+      val refSum = checksum(refDf.drop("batch"))
+      val recSum = checksum(recDf.drop("batch"))
+      recResults("serve_recover") =
+        s"""{"refWallSec":$refWall,"refBatches":$refBatches,""" +
+        s""""killWallSec":$killWall,"killedAfterBatches":$killedAfter,""" +
+        s""""resumeWallSec":$resumeWall,"resumeBatches":$resumeBatches,""" +
+        s""""dupAnsweredQueries":$dupQueries,""" +
+        s""""refChecksum":"$refSum","recChecksum":"$recSum",""" +
+        s""""bitEqual":${refSum == recSum}}"""
+      println(s"""{"stage":"serve_recover","killedAfterBatches":$killedAfter,""" +
+        s""""dupAnsweredQueries":$dupQueries,"bitEqual":${refSum == recSum}}""")
     }
 
     // ---- executor-loss proof: SIGKILL a real executor JVM mid-stream ----

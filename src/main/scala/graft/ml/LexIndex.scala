@@ -168,10 +168,17 @@ object LexIndex {
     // as a row-group predicate inside the probed buckets
     val ths = qterms.select("th").distinct().collect().map(_.getLong(0))
     val buckets = ths.map(t => ((t % nBuckets) + nBuckets) % nBuckets).distinct
+    // the term-level literal filter is a row-group cut INSIDE the probed
+    // buckets — worth its plan size only while the seed vocabulary is
+    // small; past the cap the bucket prune plus the broadcast term join
+    // below carry the cut alone (an 100k-literal In would bloat every
+    // task's plan for a filter the join already applies)
+    val termFilter =
+      if (ths.length <= 8192) col("th").isin(ths.toSeq: _*) else lit(true)
     def pruned(dir: String): DataFrame =
       spark.read.parquet(dir)
         .where(col("bucket").isin(buckets.toSeq: _*))
-        .where(col("th").isin(ths.toSeq: _*))
+        .where(termFilter)
     // idf per (query, surviving term) from the FROZEN stored df + stats;
     // bounded by the seed vocabulary — broadcast everywhere below
     val weighted = pruned(termsPath(path))
