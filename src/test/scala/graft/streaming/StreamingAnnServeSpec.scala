@@ -117,6 +117,33 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed === oneShot)
   }
 
+  test("streamed ingest into a LABELED store derives metadata from the store schema") {
+    val path = freshPath("appstreammeta")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel.where(col("vec_id") < 60), path,
+      metaCols = Seq("label"))
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val arrivals = (60L until 120L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat),
+        (i % 3).toInt)
+    }
+    // NO metaCols passed: the store's schema decides — streamed rows
+    // must land with their label and stay visible to a filtered serve
+    val q = StreamingAnnServe.appendStream(
+      input.toDF().toDF("vec_id", "embedding", "label"), path).start()
+    try {
+      input.addData(arrivals.take(30)); q.processAllAvailable()
+      input.addData(arrivals.drop(30)); q.processAllAvailable()
+    } finally q.stop()
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5,
+        candWhere = col("label") === 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.forall(_._2 % 3 == 1))
+    assert(got.exists(_._2 >= 60L),
+      "streamed-in labeled vector never surfaced in the filtered serve")
+  }
+
   test("appendStreamPq ≡ batch append: streamed compressed ingest, then serve") {
     val path = freshPath("appstreampq")
     Index.saveIvfPq(emb.where(col("vec_id") < 60), path)
