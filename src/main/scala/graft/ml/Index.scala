@@ -361,16 +361,34 @@ object Index {
   /** The serving-path scan cut: restrict a cell-partitioned store to the
     * query batch's probed cells. The probe list is collected driver-side —
     * bounded by nq·nProbe (and by nCells), a QUERY-side quantity that
-    * stays small at any corpus scale — and applied as a literal isin
-    * filter on the partition column, so the parquet scan statically
-    * prunes to the probed directories (PlanSpec pins PartitionFilters on
-    * the registered round-trip).
+    * stays small at any corpus scale. TWO cuts compose: the read names
+    * ONLY the probed partition directories (basePath + explicit paths —
+    * full-store partition discovery lists every cell directory before
+    * pruning, a driver cost that grows with the CELL COUNT; at a 2,500-
+    * bucket lexical grid it quadrupled a 5-seed serve, and a 100-TB
+    * store has orders of magnitude more cells than any serve probes),
+    * and the literal isin on the partition column stays on top, keeping
+    * the prune visible in the plan (PlanSpec pins PartitionFilters) and
+    * guarding against a path-construction drift.
     */
-  private def prunedToProbes(store: DataFrame, probes: DataFrame): DataFrame = {
-    val cells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0))
-    store.where(col("cell").isin(cells: _*))
+  private[graft] def prunedToProbes(spark: SparkSession, dir: String,
+                                    probeVals: Array[Long],
+                                    partitionCol: String = "cell"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = fsOf(spark, base)
+    // existence-filter the probed dirs: a probed cell can be empty (no
+    // vector ever assigned there) and parquet refuses missing paths
+    val dirs = probeVals.map(v => new Path(base, s"$partitionCol=$v"))
+      .filter(fs.exists).map(_.toString)
+    val pruned =
+      if (dirs.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.option("basePath", dir).parquet(dirs.toSeq: _*)
+    pruned.where(col(partitionCol).isin(probeVals.toSeq: _*))
   }
+
+  private def probedCellVals(probes: DataFrame): Array[Long] =
+    probes.select("cell").distinct().collect().map(_.getLong(0))
 
   /** Refresh a stored IVF-Flat index WITHOUT a rebuild: assign only the
     * arriving batch against the STORED centroids (the
@@ -595,9 +613,8 @@ object Index {
                      k: Int, nProbe: Int = 4,
                      candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val post = prunedToProbes(
-      spark.read.parquet(liveDir(spark, path, PostingsKind))
-        .where(candWhere), probes)
+    val post = prunedToProbes(spark, liveDir(spark, path, PostingsKind),
+      probedCellVals(probes)).where(candWhere)
     val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))
     val scored = post.join(broadcast(probes), Seq("cell"))
@@ -619,9 +636,8 @@ object Index {
                        k: Int, nProbe: Int = 4,
                        candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val codes = prunedToProbes(
-      spark.read.parquet(liveDir(spark, path, PqCodesKind))
-        .where(candWhere), probes)
+    val codes = prunedToProbes(spark, liveDir(spark, path, PqCodesKind),
+      probedCellVals(probes)).where(candWhere)
       .select("vec_id", "sub", "code", "cell")
     val cw = spark.read.parquet(codewordsPath(path))
     val nSub = cw.select("sub").distinct().count().toInt
