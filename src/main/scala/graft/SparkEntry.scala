@@ -575,7 +575,11 @@ object SparkEntry {
     // TRAINED-quantizer builds: kmeans coarse centroids (ann_ivf_trained)
     // plus pqTrain codebooks (ann_ivfpq_trained) replace the smallest-id
     // seeds — the build pays the Lloyd scans once, the store contract and
-    // serve path are unchanged; oracles replay the training CTE-by-CTE
+    // serve path are unchanged; oracles replay the training CTE-by-CTE.
+    // Sweep-cost note: these are TRAINING round trips — their bench time
+    // IS the priced training cost (100×: 26 s / 95 s,
+    // BENCH_sfL_r11_new.json), not a serving number; the serve cost is
+    // the persisted rows'.
     "ann_ivf_trained" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val path = tmpPath(s, "ivftrained", dir)
@@ -745,6 +749,11 @@ object SparkEntry {
     // fusion join is k-bounded. Same composed oracle as the inline form
     // (both legs carry their stores' bit-equality contracts); the inline
     // twin stays available as Retrieval.hybridRrf for the serve A/B.
+    // Sweep-cost note: like every persisted row this is a hermetic
+    // build+serve ROUND TRIP — its bench time is dominated by the two
+    // one-time index builds (100×: ~60 s round trip vs 6.6 s serve-only
+    // vs 10.7 s inline, BENCH_serve_r11_sfL.json) — the serve-only
+    // number is the deployment cost.
     "ret_hybrid_rrf" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val e = Tables.load(s, dir, "embeddings")
