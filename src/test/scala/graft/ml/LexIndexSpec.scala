@@ -169,6 +169,28 @@ class LexIndexSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("a seed vocabulary past the literal-filter cap serves identically") {
+    // > 8192 distinct seed bigrams flips the serve to the no-term-literal
+    // branch (bucket prune + broadcast join carry the cut alone); results
+    // must not change. One giant seed doc: 9000 random-ish words whose
+    // first stretch contains the real query terms.
+    val path = freshPath("bigvocab")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    val filler = (0 until 9000)
+      .map(j => s"w${(j * 2654435761L % 100000)}").mkString(" ")
+    val bigSeed = Seq((0L, docText(1) + " " + filler)).toDF("doc_id", "text")
+    val big = LexIndex.bm25TopKIndexed(spark, path, bigSeed, k = 5,
+        nQueryTerms = 9500)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    // reference: same giant seed through the inline operator (its query
+    // side has no literal-filter branch to diverge)
+    val inline = Retrieval.bm25TopK(docs.where(!isQ).union(bigSeed),
+        col("doc_id") === 0, k = 5, nQueryTerms = 9500)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(big === inline)
+    assert(big.nonEmpty, "giant-vocabulary seed matched nothing — fixture too weak")
+  }
+
   test("an empty seed batch serves an empty result, not a failure") {
     val path = freshPath("empty")
     LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
