@@ -97,7 +97,11 @@ object ServeBench {
             (p: String, e: DataFrame) => Index.appendIvfPq(spark, p, e),
             (p: String, q: DataFrame) => Index.ivfPqTopKIndexed(spark, p, q, k = 10)))) {
         val path = s"$root/frag_$flavor"
-        val store = if (flavor == "ivf") s"$path/postings" else s"$path/pq_codes"
+        // resolve the LIVE generation: after a compaction the flat dir is
+        // the retained grace copy — counting it would report the stale
+        // fragmented layout
+        val kind = if (flavor == "ivf") Index.PostingsKind else Index.PqCodesKind
+        def store = Index.liveDir(spark, path, kind).stripPrefix("file:")
         save(emb.where(pmod(col("vec_id"), lit(2)) === 0), path)
         val ta = System.nanoTime()
         (0 until 40).foreach { s0 =>
