@@ -122,7 +122,13 @@ object Index {
     */
   private def storedMetaCols(spark: SparkSession, dir: String,
                              core: Set[String]): Seq[String] =
-    spark.read.parquet(dir).schema.map(_.name).filterNot(core.contains)
+    // mergeSchema: on a legacy mixed-schema store (pre-validation appends
+    // that omitted metaCols) the UNION schema must decide the stored
+    // metadata set — a single sampled footer could miss a metadata column
+    // and wave through exactly the unfilterable append this check exists
+    // to reject (compactKind reads with mergeSchema for the same reason)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .schema.map(_.name).filterNot(core.contains)
 
   /** Validates + derives the effective metadata columns for an append:
     * the STORE's metadata set wins; the incoming batch must carry every
@@ -232,12 +238,19 @@ object Index {
     * the exact relations [[Similarity.ivfPqTopK]] builds inline
     * ([[Similarity.pqCodes]] + the shared coarse pass).
     */
+  /** `withRaw = true` additionally persists the raw postings flavor from
+    * the SAME assignment pass (one extra cell-partitioned write, no
+    * second assignment scan) — the combined store the rerank serve
+    * ([[ivfPqRerankTopKIndexed]]) reads: PQ codes for the ADC shortlist,
+    * co-located raw vectors for the exact refine.
+    */
   def saveIvfPq(emb: DataFrame, path: String, nCells: Int = 16,
                 nSub: Int = 8, nCode: Int = 16,
                 forceFlat: Boolean = false,
                 superProbe: Int = Similarity.defaultSuperProbe,
                 metaCols: Seq[String] = Nil,
-                trained: Boolean = false): Unit = {
+                trained: Boolean = false,
+                withRaw: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
@@ -272,10 +285,10 @@ object Index {
         spark.createDataset(cwRows).toDF("sub", "code", "cw")
       }
     codebook.write.mode("overwrite").parquet(codewordsPath(path))
-    val cellOf =
-      (if (trained) assignedTo(emb, path, forceFlat, superProbe)
-       else assigned(emb, nCells, forceFlat, superProbe))
-        .select("vec_id", "cell")
+    val assignment =
+      if (trained) assignedTo(emb, path, forceFlat, superProbe)
+      else assigned(emb, nCells, forceFlat, superProbe)
+    val cellOf = assignment.select("vec_id", "cell")
     // seeded builds keep the pqCodes plan (oracle-pinned); trained builds
     // encode against the stored codebook with the same kernel appends use
     val codesDf =
@@ -291,6 +304,21 @@ object Index {
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(pqCodesPath(path))
+    if (withRaw) {
+      // the refine flavor: same assignment, raw vectors, same cell grid —
+      // written AFTER the codes so a crash mid-build leaves at worst a
+      // codes-only store (ivfPqTopKIndexed still serves; rerank fails
+      // loudly on the missing postings, never silently)
+      val rawMeta =
+        if (metaCols.isEmpty) assignment
+        else assignment.join(
+          emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+      retireGenerations(spark, path, PostingsKind)
+      rawMeta
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(postingsPath(path))
+    }
   }
 
   /** PQ-encode `emb` against an EXPLICIT codeword table (sub, code, cw) —
@@ -422,10 +450,12 @@ object Index {
     val withMeta =
       if (meta.isEmpty) post
       else post.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
-    withMeta
-      .repartition(col("cell")) // one appended file per touched cell
-      .write.mode("append").partitionBy("cell")
-      .parquet(live)
+    fencedAppend(spark, path, PostingsKind) { dir =>
+      withMeta
+        .repartition(col("cell")) // one appended file per touched cell
+        .write.mode("append").partitionBy("cell")
+        .parquet(dir)
+    }
   }
 
   /** Refresh a stored IVF-PQ index without a rebuild — the compressed
@@ -445,11 +475,13 @@ object Index {
                   metaCols: Seq[String] = Nil): Unit = {
     val cents = spark.read.parquet(centroidsPath(path))
     val nCells = cents.count().toInt
-    val cellOf = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
+    val assignment = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
         col("cn").as("norm")),
       superProbe = superProbe)
-      .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+    val cellOf = assignment.select("vec_id", "cell")
     val codesDf = encodeAgainst(spark, newEmb,
       spark.read.parquet(codewordsPath(path)))
       .join(cellOf, "vec_id")
@@ -460,21 +492,72 @@ object Index {
     val withMeta =
       if (meta.isEmpty) codesDf
       else codesDf.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
-    withMeta
-      .repartition(col("cell")) // one appended file per touched cell
-      .write.mode("append").partitionBy("cell")
-      .parquet(live)
+    fencedAppend(spark, path, PqCodesKind) { dir =>
+      withMeta
+        .repartition(col("cell")) // one appended file per touched cell
+        .write.mode("append").partitionBy("cell")
+        .parquet(dir)
+    }
+    // a COMBINED store (saveIvfPq withRaw / saveIvf sharing the path)
+    // keeps its refine flavor in step: the same frozen-quantizer
+    // assignment appends the raw vectors too, so a rerank serve can
+    // refine appended candidates instead of silently dropping them at
+    // the refine join
+    if (generations(spark, path, PostingsKind).nonEmpty) {
+      val live = liveDir(spark, path, PostingsKind)
+      val rawMeta = appendMetaCols(spark, live, postingsCore, newEmb, metaCols)
+      val rawWithMeta =
+        if (rawMeta.isEmpty) assignment
+        else assignment.join(
+          newEmb.select((Seq("vec_id") ++ rawMeta).map(col): _*), "vec_id")
+      fencedAppend(spark, path, PostingsKind) { dir =>
+        rawWithMeta
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(dir)
+      }
+    }
   }
 
   /** Drop every generation of `kind` (used by an in-place REBUILD: the
     * overwrite save targets the flat v0 directory, so stale higher
     * versions from a previous store's compactions must not outrank it).
+    * Shared with [[LexIndex.saveLexical]], whose rebuild has the same
+    * stale-generation exposure.
     */
-  private def retireGenerations(spark: SparkSession, path: String,
-                                kind: String): Unit =
+  private[graft] def retireGenerations(spark: SparkSession, path: String,
+                                       kind: String): Unit =
     generations(spark, path, kind).foreach { case (_, p) =>
       fsOf(spark, p).delete(p, true); ()
     }
+
+  /** Append-vs-compaction fence. The refresh paths resolve the live
+    * generation, write into it, then MUST observe the same generation
+    * still live: a compaction whose source listing predates the append
+    * (or a flip landing between resolve and write) strands the appended
+    * files in the retired/grace generation — [[liveDir]] never serves
+    * them and the next compaction deletes them, a silent-data-loss
+    * window. The store's write contract is single-writer (appends and
+    * compact must not interleave); this fence turns a violated contract
+    * into a loud failure instead of lost rows. On failure the append DID
+    * NOT take effect if the flip preceded the write's visibility — but a
+    * compaction that listed mid-write may have folded part of the batch
+    * in, so the safe recovery is: quiesce the compactor, check the live
+    * generation for the batch's ids, re-append what is missing.
+    */
+  private[graft] def fencedAppend(spark: SparkSession, path: String,
+                                  kind: String)(write: String => Unit): Unit = {
+    val live = liveDir(spark, path, kind)
+    write(live)
+    val after = liveDir(spark, path, kind)
+    if (after != live)
+      throw new IllegalStateException(
+        s"append raced a compaction on $path/$kind: wrote into $live but " +
+          s"$after is now live, so the appended rows are stranded in a " +
+          "retired generation and will NOT be served. Appends and compact " +
+          "are single-writer — quiesce the compactor, verify which of the " +
+          "batch's rows reached the live generation, and re-append the rest.")
+  }
 
   /** Compact a store's cell partitions back to one file per cell — both
     * flavors, whichever of `postings/` / `pq_codes/` the store carries.
@@ -636,6 +719,16 @@ object Index {
                        k: Int, nProbe: Int = 4,
                        candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
+    adcRanked(spark, path, probes, q, k, candWhere)
+  }
+
+  /** The ADC ranking over a stored code layout for an already-computed
+    * probe set — shared by [[ivfPqTopKIndexed]] (the whole serve) and
+    * [[ivfPqRerankTopKIndexed]] (its shortlist stage, which must reuse
+    * the probe set so the refine prune reads the same cells).
+    */
+  private def adcRanked(spark: SparkSession, path: String, probes: DataFrame,
+                        q: DataFrame, k: Int, candWhere: Column): DataFrame = {
     val codes = prunedToProbes(spark, liveDir(spark, path, PqCodesKind),
       probedCellVals(probes)).where(candWhere)
       .select("vec_id", "sub", "code", "cell")
@@ -664,5 +757,49 @@ object Index {
       .withColumn("r1", row_number().over(pre)).where(col("r1") <= k).drop("r1")
       .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc_e9", "rank")
+  }
+
+  /** The production compressed-serve shape on the PERSISTED store (cf.
+    * FAISS IndexIVFPQ + IndexRefineFlat; inline eval twin:
+    * [[Similarity.ivfPqRerankTopK]]): the ADC scan shortlists `rerank`
+    * candidates per query from the stored `pq_codes/` alone (probed-cell
+    * partitions, no raw vector read), then ONLY those candidates' full
+    * vectors are fetched from the CO-LOCATED `postings/` flavor
+    * ([[saveIvfPq]] `withRaw`) and scored with the exact cosine.
+    *
+    * Scale shape: the refine reads raw vectors only from the probed cell
+    * directories and inner-joins them to the broadcast shortlist —
+    * nq·rerank rows, a QUERY-side bound — so the full-precision corpus
+    * is pruned twice (partition prune, then the semi-join) and the
+    * refine cost is independent of corpus size. Output matches
+    * [[ivfTopKIndexed]] (query_id, neighbor_id, cosine, rank), bit-equal
+    * to the inline rerank at every flat-assignment corpus.
+    */
+  def ivfPqRerankTopKIndexed(spark: SparkSession, path: String,
+                             queries: DataFrame, k: Int, rerank: Int = 40,
+                             nProbe: Int = 4,
+                             candWhere: Column = lit(true)): DataFrame = {
+    require(rerank >= k, "shortlist depth must be at least k")
+    val (probes, q) = probeSet(spark, path, queries, nProbe)
+    val short = adcRanked(spark, path, probes, q, rerank, candWhere)
+      .select("query_id", "neighbor_id")
+    val raw = generations(spark, path, PostingsKind)
+    require(raw.nonEmpty,
+      s"rerank serve needs the raw-vector flavor co-located at $path — " +
+        "build the store with saveIvfPq(..., withRaw = true) (or saveIvf " +
+        "on the same path)")
+    // every shortlisted candidate came from a probed cell, so the refine
+    // scan prunes to the same cell directories the shortlist read
+    val post = prunedToProbes(spark, liveDir(spark, path, PostingsKind),
+      probedCellVals(probes))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
+    val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm").as("qnorm"))
+    val scored = post.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.safeCosine(VecFold.dot(col("v"), col("qv")),
+          col("norm"), col("qnorm")), 6).as("cosine"))
+    Similarity.topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

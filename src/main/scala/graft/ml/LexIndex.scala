@@ -92,6 +92,11 @@ object LexIndex {
     val spark = corpus.sparkSession
     val nDocs = corpus.count()
     val nb = if (nBuckets > 0) nBuckets else autoBuckets(nDocs)
+    // an in-place REBUILD overwrites only the flat postings/ (v0): stale
+    // compacted generations from the previous store's life would outrank
+    // it in liveDir and silently serve pre-rebuild postings scored with
+    // the fresh df/avgdl — retire them first (the dense saveIvf contract)
+    Index.retireGenerations(spark, path, PostingsKind)
     // one file per bucket, th-sorted within it (row-group stats carry the
     // term pushdown); the full-index write is the build's whole point —
     // the one place this shuffle+sort is the right trade
@@ -129,12 +134,14 @@ object LexIndex {
                     newDocs: DataFrame): Unit = {
     val nBuckets = spark.read.parquet(statsPath(path))
       .select("n_buckets").head().getLong(0)
-    postingsOf(newDocs)
-      .withColumn("bucket", pmod(col("th"), lit(nBuckets)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("th")
-      .write.mode("append").partitionBy("bucket")
-      .parquet(Index.liveDir(spark, path, PostingsKind))
+    Index.fencedAppend(spark, path, PostingsKind) { dir =>
+      postingsOf(newDocs)
+        .withColumn("bucket", pmod(col("th"), lit(nBuckets)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("th")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(dir)
+    }
   }
 
   /** Fold per-append files back to one th-sorted file per bucket — the

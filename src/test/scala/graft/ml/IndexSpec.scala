@@ -52,6 +52,60 @@ class IndexSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("ivfPqRerankTopKIndexed round-trips bit-equal to inline ivfPqRerankTopK") {
+    val path = freshPath("rerank")
+    Index.saveIvfPq(emb, path, withRaw = true)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val inline = Similarity.ivfPqRerankTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val served = Index.ivfPqRerankTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("rerank serve fails loudly on a codes-only store (no raw flavor)") {
+    val path = freshPath("rerankraw")
+    Index.saveIvfPq(emb, path) // withRaw = false: no postings/
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val ex = intercept[IllegalArgumentException] {
+      Index.ivfPqRerankTopKIndexed(spark, path, emb.where(isQ), k = 5)
+    }
+    assert(ex.getMessage.contains("withRaw"))
+  }
+
+  test("rerank serve prunes BOTH store flavors to the probed cells") {
+    val path = freshPath("rerankprune")
+    Index.saveIvfPq(emb, path, withRaw = true)
+    val df = Index.ivfPqRerankTopKIndexed(spark, path,
+      emb.where(col("vec_id") === 7L), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // two pruned scans: pq_codes (shortlist) and postings (refine)
+    val prunedScans = "PartitionFilters: \\[[^\\]]*cell#\\d+L? IN".r
+      .findAllIn(plan).length
+    assert(prunedScans >= 2,
+      s"expected probed-cell partition filters on both flavors, " +
+        s"found $prunedScans:\n$plan")
+  }
+
+  test("appendIvfPq keeps a combined store's raw flavor in step") {
+    val path = freshPath("rerankappend")
+    Index.saveIvfPq(emb.where(col("vec_id") < 100), path, withRaw = true)
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 100))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    // appended vectors must be refinable: raw rows exist for them
+    val raw = spark.read.parquet(
+      Index.liveDir(spark, path, Index.PostingsKind))
+    assert(raw.where(col("vec_id") >= 100).count() === 20L,
+      "appended vectors missing from the raw refine flavor")
+    val got = Index.ivfPqRerankTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 != r._2), "self-exclusion broken")
+  }
+
   test("serving answers EXTERNAL queries (ids not in the stored corpus)") {
     val path = freshPath("ext")
     Index.saveIvf(emb, path)
@@ -279,6 +333,29 @@ class IndexSpec extends SparkSpec {
       Index.appendIvfPq(spark, pqPath, emb.where(col("vec_id") >= 60))
     }
     assert(ex2.getMessage.contains("label"))
+  }
+
+  test("metadata derivation sees the UNION schema of a legacy mixed store") {
+    // a store with PRE-VALIDATION appends: some files carry the label,
+    // some don't. The stored metadata set must come from the union schema
+    // (mergeSchema), not whichever footer Spark samples — otherwise an
+    // append could be validated against the metadata-free schema and
+    // write silently-unfilterable rows.
+    val path = freshPath("legacymeta")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel.where(col("vec_id") < 60), path, metaCols = Seq("label"))
+    // simulate the legacy metadata-free append by writing core-only rows
+    // straight into the live postings dir (what pre-validation code did)
+    val live = Index.liveDir(spark, path, Index.PostingsKind)
+    spark.read.parquet(live).drop("label")
+      .withColumn("cell", lit(0L))
+      .limit(5)
+      .write.mode("append").partitionBy("cell").parquet(live)
+    // a label-free batch must still FAIL: the union schema carries label
+    val ex = intercept[IllegalArgumentException] {
+      Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    }
+    assert(ex.getMessage.contains("label"))
   }
 
   test("append fails loudly on an explicit metaCols mismatch") {

@@ -147,6 +147,52 @@ class LexIndexSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("an in-place rebuild retires stale compacted lexical generations") {
+    val path = freshPath("rebuild")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 20), path,
+      nBuckets = 8)
+    LexIndex.compactLexical(spark, path) // live moves to postings_v1
+    assert(Index.liveDir(spark, path, LexIndex.PostingsKind)
+      .endsWith("postings_v1"))
+    // rebuild over the FULL corpus: the fresh flat postings/ must win —
+    // a stale postings_v1 outranking it would serve the 20-doc corpus
+    // scored with the 36-doc df/avgdl
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 8)
+    assert(Index.liveDir(spark, path, LexIndex.PostingsKind)
+        .endsWith("/postings"),
+      "rebuild left a stale compacted generation outranking the fresh build")
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val inline = Retrieval.bm25TopK(docs, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === inline)
+    // docs 20–39 only exist post-rebuild: prove the serve reads them
+    assert(served.exists(_._2 >= 20L),
+      "rebuilt corpus never surfaced — stale store served")
+  }
+
+  test("an append that races a compaction flip fails loudly, not silently") {
+    val path = freshPath("fence")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 20), path,
+      nBuckets = 8)
+    // simulate the race deterministically: a compaction flips the live
+    // generation while the append's write is in flight — the appended
+    // files land in the now-retired flat dir, which liveDir never serves
+    val thrown = intercept[IllegalStateException] {
+      Index.fencedAppend(spark, path, LexIndex.PostingsKind) { dir =>
+        docs.where(col("doc_id") >= 20 && col("doc_id") < 30)
+          .select(col("doc_id"), Portable.h64(col("text")).as("th"),
+            lit(1L).as("tf"), lit(3L).as("dl"),
+            lit(0L).as("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(dir)
+        LexIndex.compactLexical(spark, path) // the flip, mid-append
+      }
+    }
+    assert(thrown.getMessage.contains("raced a compaction"))
+  }
+
   test("hybridRrfIndexed matches the inline hybridRrf") {
     val lexPath = freshPath("hyblex")
     val annPath = freshPath("hybann")
