@@ -659,6 +659,19 @@ object SparkEntry {
     "ann_ivfpq_rerank_recall" -> ((s, dir) =>
       Similarity.ivfPqRerankRecall(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // the DEPLOYMENT rerank shape (FAISS IVFPQ + RefineFlat, persisted):
+    // one COMBINED store (saveIvfPq withRaw — pq_codes for the ADC
+    // shortlist, co-located raw postings for the exact refine), queries
+    // answered from probed-cell partitions of both flavors; the refine
+    // join is nq·rerank-bounded (query-side), so its cost is independent
+    // of corpus size. Same oracle as the inline ann_ivfpq_rerank eval.
+    "ann_ivfpq_rerank_persisted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqrerank", dir)
+      Index.saveIvfPq(e, path, withRaw = true)
+      Index.ivfPqRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // PQ codebook TRAINING: per-subspace integer-exact Lloyd — the step
     // a real product quantizer runs before indexing
     "ann_pq_train" -> ((s, dir) =>
@@ -1293,7 +1306,8 @@ object SparkEntry {
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
     "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered",
     "ann_ivfpq_filtered", "cur_pipeline8",
-    "ann_ivf_trained", "ann_ivfpq_trained", "ann_ivfpq_trained_recall")
+    "ann_ivf_trained", "ann_ivfpq_trained", "ann_ivfpq_trained_recall",
+    "ann_ivfpq_rerank_persisted")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1567,6 +1581,10 @@ object SparkEntry {
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(k = 10),
     "ann_ivfpq_rerank" -> Similarity.ivfPqRerankTopKOracleSql(k = 10),
     "ann_ivfpq_rerank_recall" -> Similarity.ivfPqRerankRecallOracleSql(k = 10),
+    // the persisted rerank serve answers the SAME oracle as the inline
+    // eval — stored shortlist + co-located-raw refine, bit-equal at
+    // every flat-assignment corpus
+    "ann_ivfpq_rerank_persisted" -> Similarity.ivfPqRerankTopKOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
     "ann_matryoshka_recall" ->
