@@ -754,6 +754,20 @@ object SparkEntry {
         corpus.where(pmod(col("doc_id"), lit(10)) === 9))
       LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery), k = 10)
     }),
+    // the lexical rebuild-decision hook (ann_index_stats' sparse twin):
+    // frozen vs live corpus size, the blind-spot mass of appended
+    // postings whose term the base never saw (silently unscoreable until
+    // a rebuild), and bucket-grid dilution — reported for a store built
+    // on 90% of the corpus and refreshed with the remaining tenth
+    "ret_bm25_index_stats" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.where(!Retrieval.boundedIsQuery)
+      val path = tmpPath(s, "lexstats", dir)
+      LexIndex.saveLexical(corpus.where(pmod(col("doc_id"), lit(10)) =!= 9), path)
+      LexIndex.appendLexical(s, path,
+        corpus.where(pmod(col("doc_id"), lit(10)) === 9))
+      LexIndex.stats(s, path)
+    }),
     // hybrid lexical+dense selection SERVED FROM THE PERSISTED STORES:
     // per bounded seed, the BM25 list from the LexIndex store (seed-
     // bucket-pruned postings) and the dense IVF list from the Index
@@ -1603,6 +1617,9 @@ object SparkEntry {
     "ret_bm25_appended" ->
       LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
         baseWhereSql = "((doc_id % 10) + 10) % 10 != 9", k = 10),
+    "ret_bm25_index_stats" ->
+      LexIndex.lexStatsOracleSql(Retrieval.boundedIsQuerySql,
+        baseWhereSql = "((doc_id % 10) + 10) % 10 != 9"),
     "ret_bm25_eval" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
     "ret_hybrid_rrf" -> Retrieval.hybridRrfOracleSql(k = 10),

@@ -229,6 +229,76 @@ object LexIndex {
       .select("query_id", "doc_id", "score_micro", "rank")
   }
 
+  /** The lexical rebuild-decision hook — [[Index.stats]]' sparse twin.
+    * Appends keep df / n_docs / avgdl FROZEN, so three drifts accumulate
+    * until a rebuild: the corpus outgrows the frozen n_docs (every idf is
+    * computed against a stale corpus size), appended postings whose term
+    * the base never saw have no df row and SILENTLY never score (the
+    * `appendLexical` blind spot), and the bucket grid falls behind what
+    * [[autoBuckets]] would give the live corpus (each seed term's bucket
+    * scan reads proportionally more postings). One row:
+    *   - `n_docs_frozen`: the stored corpus size every idf uses.
+    *   - `n_docs_live`: distinct doc ids across the LIVE postings — the
+    *     observable live corpus (bigram-bearing docs; a zero-bigram doc
+    *     leaves no posting and is invisible to the store either way).
+    *   - `unscoreable_postings`: live posting rows whose term has no
+    *     frozen df row — the blind-spot mass; these rows can NEVER
+    *     contribute to any score until a rebuild.
+    *   - `n_buckets` / `auto_buckets` / `dilution`: the frozen grid vs
+    *     what a fresh build over the live corpus would get — dilution
+    *     multiplies the per-term postings read exactly as the dense
+    *     store's cell dilution multiplies the probed fraction.
+    * Rebuild rule of thumb: rebuild when `unscoreable_postings` is
+    * non-trivial relative to the live postings or dilution crosses the
+    * serve's headroom — ServeBench's `lexrebuild` stage measures the
+    * loop closing.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val frozen = spark.read.parquet(statsPath(path)).head()
+    val live = spark.read.parquet(Index.liveDir(spark, path, PostingsKind))
+    val terms = spark.read.parquet(termsPath(path))
+    val nLive = live.select("doc_id").distinct().count()
+    // shuffle join on th, deliberately: both sides are corpus-sized and
+    // bucket-partitioned; stats is an occasional operational scan, not a
+    // serve-path operator
+    val unscoreable = live.join(terms.select("th"), Seq("th"), "left_anti")
+      .count()
+    Seq((frozen.getLong(0), nLive, unscoreable, frozen.getLong(2),
+        autoBuckets(nLive).toLong))
+      .toDF("n_docs_frozen", "n_docs_live", "unscoreable_postings",
+        "n_buckets", "auto_buckets")
+      .withColumn("dilution",
+        round(col("auto_buckets").cast("double") / col("n_buckets"), 4))
+  }
+
+  /** DuckDB count-formula oracle for [[stats]] over a 90/10 build+append
+    * store (`baseWhereSql` = the build slice among non-seed corpus rows).
+    */
+  def lexStatsOracleSql(isQuerySql: String, baseWhereSql: String): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
+       |base AS (SELECT * FROM corpus WHERE $baseWhereSql),
+       |appended AS (SELECT * FROM corpus WHERE NOT ($baseWhereSql)),
+       |baseterms AS (
+       |  SELECT DISTINCT ${h64Sql("t")} AS th
+       |  FROM (SELECT unnest(${shinglesSql(2)}) AS t FROM base)),
+       |apppost AS (
+       |  SELECT DISTINCT doc_id, ${h64Sql("t")} AS th
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM appended)),
+       |vals AS (SELECT
+       |  (SELECT count(*) FROM base)::BIGINT AS n_docs_frozen,
+       |  (SELECT count(*) FROM corpus WHERE len(w) >= 2)::BIGINT AS n_docs_live,
+       |  (SELECT count(*) FROM apppost
+       |   WHERE th NOT IN (SELECT th FROM baseterms))::BIGINT
+       |    AS unscoreable_postings)
+       |SELECT n_docs_frozen, n_docs_live, unscoreable_postings,
+       |  GREATEST(64, LEAST(4096, n_docs_frozen // 2000))::BIGINT AS n_buckets,
+       |  GREATEST(64, LEAST(4096, n_docs_live // 2000))::BIGINT AS auto_buckets,
+       |  round(GREATEST(64, LEAST(4096, n_docs_live // 2000))::DOUBLE /
+       |        GREATEST(64, LEAST(4096, n_docs_frozen // 2000)), 4) AS dilution
+       |FROM vals""".stripMargin
+
   /** DuckDB oracle for a REFRESHED store ([[saveLexical]] over the base
     * slice, [[appendLexical]] of the rest, then [[bm25TopKIndexed]]):
     * postings (tf, dl) over the FULL corpus, df / n_docs / avgdl frozen

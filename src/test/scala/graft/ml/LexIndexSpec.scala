@@ -147,6 +147,29 @@ class LexIndexSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("stats reports frozen vs live corpus, blind-spot mass, and dilution") {
+    val path = freshPath("stats")
+    val base = docs.where(!isQ && col("doc_id") < 30) // 26 docs
+    LexIndex.saveLexical(base, path, nBuckets = 8)
+    // appended docs: one reuses corpus vocabulary (all terms scoreable),
+    // two are written in a vocabulary the base NEVER saw (every bigram
+    // posting unscoreable — the silent blind spot stats must surface)
+    val extra = Seq(
+      (100L, docText(7)),                       // known terms
+      (101L, "nu xi omicron pi"),               // 3 unknown bigrams
+      (102L, "rho sigma tau")                   // 2 unknown bigrams
+    ).toDF("doc_id", "text")
+    LexIndex.appendLexical(spark, path, extra)
+    val row = LexIndex.stats(spark, path).head()
+    assert(row.getLong(0) === 26L, "n_docs_frozen")
+    assert(row.getLong(1) === 29L, "n_docs_live (26 base + 3 appended)")
+    assert(row.getLong(2) === 5L,
+      "unscoreable_postings: the 5 unknown-vocabulary bigram rows")
+    assert(row.getLong(3) === 8L, "n_buckets frozen at build")
+    assert(row.getLong(4) === 64L, "auto_buckets clamps to the floor")
+    assert(row.getDouble(5) === 8.0, "dilution = auto/frozen")
+  }
+
   test("an in-place rebuild retires stale compacted lexical generations") {
     val path = freshPath("rebuild")
     LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 20), path,
