@@ -114,7 +114,7 @@ object StreamBench {
     // the uninterrupted run (exactly-once sink contract).
     val known = Set("trend", "sessions", "select", "neardup", "drift",
       "trend_recover", "drift_recover", "scorer_recover", "drift_killexec",
-      "serve_recover")
+      "serve_recover", "lex_serve_recover")
     val stages = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGES",
       "trend,sessions,select,neardup,drift")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -581,6 +581,69 @@ object StreamBench {
         s""""refChecksum":"$refSum","recChecksum":"$recSum",""" +
         s""""bitEqual":${refSum == recSum}}"""
       println(s"""{"stage":"serve_recover","killedAfterBatches":$killedAfter,""" +
+        s""""dupAnsweredQueries":$dupQueries,"bitEqual":${refSum == recSum}}""")
+    }
+
+    // ---- lexical serve recovery: the sparse twin of serve_recover ----
+    // StreamingAnnServe.serveLexical is the same zero-state foreachBatch
+    // contract over the persisted BM25 store; same idempotent
+    // batchId-keyed sink, same kill-mid-stream/restart proof: every seed
+    // answered exactly once, union bit-equal to an uninterrupted run.
+    if (stages("lex_serve_recover")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val corpus = docs.where(!ml.Retrieval.boundedIsQuery)
+      val idxPath = s"$work/lex_serve_rec_idx"
+      ml.LexIndex.saveLexical(corpus, idxPath)
+      val queries = docs.where(ml.Retrieval.boundedIsQuery)
+        .select(col("doc_id"), col("text"))
+      val qDir = stageChunks(queries, "doc_id", "lex_serve_rec_in", nChunks)
+      def mkServe(out: String) = ml.StreamingAnnServe.serveLexical(
+        spark.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(qDir),
+        idxPath, k = 10) { (res, batchId) =>
+        res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      def runServe(out: String, ckpt: String, killAfter: Int): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val q = mkServe(out).option("checkpointLocation", ckpt).start()
+        if (killAfter > 0) {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q.isActive && System.nanoTime() < deadline &&
+              q.recentProgress.length < killAfter)
+            Thread.sleep(100)
+          q.stop() // interrupts the micro-batch thread mid-flight
+        } else { q.processAllAvailable(); q.stop() }
+        ((System.nanoTime() - t0) / 1e9,
+          q.recentProgress.count(_.numInputRows > 0))
+      }
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      val refOut = s"$work/lex_serve_rec_ref_out"
+      val (refWall, refBatches) = runServe(refOut, s"$work/lex_serve_rec_ref_ckpt", 0)
+      val recOut = s"$work/lex_serve_rec_out"
+      val recCkpt = s"$work/lex_serve_rec_ckpt"
+      val (killWall, killedAfter) = runServe(recOut, recCkpt, nChunks / 2)
+      val (resumeWall, resumeBatches) = runServe(recOut, recCkpt, 0)
+      val refDf = spark.read.parquet(refOut)
+      val recDf = spark.read.parquet(recOut)
+      val dupQueries = recDf.groupBy("query_id")
+        .agg(countDistinct("batch").as("nb")).where(col("nb") > 1).count()
+      val refSum = checksum(refDf.drop("batch"))
+      val recSum = checksum(recDf.drop("batch"))
+      recResults("lex_serve_recover") =
+        s"""{"refWallSec":$refWall,"refBatches":$refBatches,""" +
+        s""""killWallSec":$killWall,"killedAfterBatches":$killedAfter,""" +
+        s""""resumeWallSec":$resumeWall,"resumeBatches":$resumeBatches,""" +
+        s""""dupAnsweredQueries":$dupQueries,""" +
+        s""""refChecksum":"$refSum","recChecksum":"$recSum",""" +
+        s""""bitEqual":${refSum == recSum}}"""
+      println(s"""{"stage":"lex_serve_recover","killedAfterBatches":$killedAfter,""" +
         s""""dupAnsweredQueries":$dupQueries,"bitEqual":${refSum == recSum}}""")
     }
 

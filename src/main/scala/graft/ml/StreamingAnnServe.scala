@@ -98,4 +98,36 @@ object StreamingAnnServe {
       if (!batch.isEmpty)
         Index.appendIvfPq(batch.sparkSession, path, batch, metaCols = metaCols)
     }
+
+  /** The SPARSE serving twin: a stream of arriving (doc_id, text) seed
+    * batches answered from a persisted [[LexIndex]] BM25 store. Same
+    * zero-state foreachBatch contract as [[serveIvf]] — and for the same
+    * structural reason: the seed-bucket partition prune collects the
+    * batch's term hashes driver-side, which needs a materialized batch.
+    * `sink` receives ([[LexIndex.bm25TopKIndexed]] rows, batchId).
+    */
+  def serveLexical(queryStream: DataFrame, path: String, k: Int,
+                   nQueryTerms: Int = 8)
+                  (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    writer(queryStream) { (batch, id) =>
+      sink(LexIndex.bm25TopKIndexed(batch.sparkSession, path, batch, k,
+        nQueryTerms = nQueryTerms), id)
+    }
+
+  /** The sparse INGEST twin: each arriving (doc_id, text) micro-batch is
+    * [[LexIndex.appendLexical]]'d — postings into their term-hash bucket
+    * partitions, df / n_docs / avgdl frozen at build values (the
+    * frozen-stats trade; [[LexIndex.stats]] measures the accumulated
+    * blind spot, a rebuild clears it). With [[serveLexical]] this closes
+    * the streaming lexical lifecycle: documents stream IN, seed queries
+    * stream OUT, the store is the only state. Periodic
+    * [[LexIndex.compactLexical]] folds the per-append files back to one
+    * per bucket.
+    */
+  def appendStreamLex(docStream: DataFrame, path: String)
+                     : DataStreamWriter[Row] =
+    writer(docStream) { (batch, _) =>
+      if (!batch.isEmpty)
+        LexIndex.appendLexical(batch.sparkSession, path, batch)
+    }
 }

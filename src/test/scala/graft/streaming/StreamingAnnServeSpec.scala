@@ -169,6 +169,69 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed === oneShot)
   }
 
+  // ---- the lexical (BM25) streaming twins ----
+
+  private val lexVocab = Array("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+  private def lexText(i: Long): String =
+    (0 until (4 + (i % 4)).toInt)
+      .map(j => lexVocab(((i * 7 + j * 3 + i * j) % 12).toInt)).mkString(" ")
+  private def lexDocs = (0L until 40L).map(i => (i, lexText(i)))
+    .toDF("doc_id", "text")
+
+  test("streamed lexical serve ≡ batch serve, any micro-batch split") {
+    val path = freshPath("lex")
+    LexIndex.saveLexical(lexDocs.where(col("doc_id") >= 4), path, nBuckets = 16)
+    val input = MemoryStream[(Long, String)]
+    val seeds = (0L until 4L).map(i => (i, lexText(i)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingAnnServe.serveLexical(
+        input.toDF().toDF("doc_id", "text"), path, k = 5) { (df, _) =>
+      got.synchronized {
+        got ++= df.select(col("query_id"), col("doc_id"), col("score_micro"),
+          col("rank").cast("long")).as[(Long, Long, Long, Long)].collect()
+      }
+    }.start()
+    try {
+      input.addData(seeds.take(1)); q.processAllAvailable()
+      input.addData(seeds.slice(1, 3)); q.processAllAvailable()
+      input.addData(seeds.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = LexIndex.bm25TopKIndexed(spark, path,
+        lexDocs.where(col("doc_id") < 4), k = 5)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rank").cast("long")).as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet === batch)
+    assert(got.nonEmpty)
+  }
+
+  test("appendStreamLex ≡ batch append: streamed docs, frozen stats, then serve") {
+    val streamPath = freshPath("lexappstream")
+    val batchPath = freshPath("lexappbatch")
+    val base = lexDocs.where(col("doc_id") >= 4 && col("doc_id") < 30)
+    val rest = (30L until 40L).map(i => (i, lexText(i)))
+    LexIndex.saveLexical(base, streamPath, nBuckets = 16)
+    LexIndex.saveLexical(base, batchPath, nBuckets = 16)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingAnnServe.appendStreamLex(
+      input.toDF().toDF("doc_id", "text"), streamPath).start()
+    try {
+      input.addData(rest.take(3)); q.processAllAvailable()
+      input.addData(rest.slice(3, 4)); q.processAllAvailable()
+      input.addData(rest.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    LexIndex.appendLexical(spark, batchPath, rest.toDF("doc_id", "text"))
+    val isQ = col("doc_id") < 4
+    def serve(p: String) =
+      LexIndex.bm25TopKIndexed(spark, p, lexDocs.where(isQ), k = 10)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSeq
+    val streamed = serve(streamPath)
+    assert(streamed === serve(batchPath))
+    assert(streamed.exists(_._2 >= 30L),
+      "no streamed-in document ever surfaced")
+  }
+
   test("streamed IVF-PQ serve ≡ batch serve, any micro-batch split") {
     val path = freshPath("pq")
     Index.saveIvfPq(emb, path)
