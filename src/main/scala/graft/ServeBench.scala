@@ -210,6 +210,100 @@ object ServeBench {
       println(s"""{"stage":"race_compact","sec":${Bench.fmt3(compactSec)},"n":$n,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
     }
 
+    if (want("rerank")) {
+      // PERSISTED RERANK A/B: the deployment compressed-serve shape (ADC
+      // shortlist from stored pq_codes + exact refine from co-located
+      // raw postings) vs the inline eval that rebuilds the index per
+      // call. The inline leg is skipped past 1M vectors — its per-call
+      // rebuild is the documented eval-class cost (quadratic-ish in
+      // corpus), and the serve-vs-serve number is what deployment prices.
+      val path = s"$root/rerank"
+      val tb = System.nanoTime()
+      Index.saveIvfPq(emb, path, withRaw = true)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val bytes = dirBytes(s"$path/pq_codes") + dirBytes(s"$path/postings")
+      println(s"""{"stage":"rerank_build_write","sec":${Bench.fmt3(buildSec)},"n":$n,"store_bytes":$bytes}""")
+      for ((tag, q, isQ) <- Seq(
+          ("q50", q50, Similarity.sampledIsQuery),
+          ("q5", q5, col("vec_id") < 5))) {
+        if (n <= 1000000L)
+          timed(s"rerank_inline_$tag")(
+            Similarity.ivfPqRerankTopK(emb, isQ, k = 10))
+        timed(s"rerank_serve_$tag")(
+          Index.ivfPqRerankTopKIndexed(spark, path, q, k = 10))
+        // the ADC-only serve on the same store, for the refine surcharge
+        timed(s"rerank_adc_only_$tag")(
+          Index.ivfPqTopKIndexed(spark, path, q, k = 10))
+      }
+    }
+
+    if (want("lexrace")) {
+      // LEXICAL COMPACTION RACE: the dense race stage's sparse twin — a
+      // serve PLANNED before compactLexical's generation flip must
+      // execute bit-equal (the retained previous generation is the
+      // reader's contract; shared Index.compactKind machinery).
+      import graft.ml.{LexIndex, Retrieval}
+      val docs = Tables.load(spark, sfDir, "documents")
+      val corpus = docs.where(!Retrieval.boundedIsQuery)
+      val path = s"$root/lexrace"
+      LexIndex.saveLexical(corpus.where(pmod(col("doc_id"), lit(2)) === 0), path)
+      (0 until 8).foreach { s0 =>
+        LexIndex.appendLexical(spark, path,
+          corpus.where(pmod(col("doc_id"), lit(16)) === (2 * s0 + 1)))
+      }
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      val seeds = docs.where(Retrieval.boundedIsQuery)
+      val quiet = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val planned = LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10)
+      planned.queryExecution.executedPlan // pin file listing pre-flip
+      val tr = System.nanoTime()
+      LexIndex.compactLexical(spark, path)
+      val compactSec = (System.nanoTime() - tr) / 1e9
+      val racing = checksum(planned) // executes AFTER the flip
+      val post = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val nd = corpus.count()
+      println(s"""{"stage":"lex_race_compact","sec":${Bench.fmt3(compactSec)},"n":$nd,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
+    }
+
+    if (want("lexrebuild")) {
+      // LEXICAL REBUILD-DECISION closed loop (the dense rebuild stage's
+      // sparse twin): build on a tenth of the corpus, append the rest —
+      // LexIndex.stats shows the frozen n_docs falling behind, the
+      // unscoreable blind-spot mass, and the bucket-grid dilution — then
+      // rebuild and measure the serve recovered. Note the rebuild also
+      // CORRECTS scores (frozen idf → fresh idf; unscoreable terms become
+      // scoreable), so this is the quality loop, not just a speed one.
+      import graft.ml.{LexIndex, Retrieval}
+      val docs = Tables.load(spark, sfDir, "documents")
+      val corpus = docs.where(!Retrieval.boundedIsQuery)
+      val seeds = docs.where(Retrieval.boundedIsQuery)
+      val path = s"$root/lexrebuild"
+      LexIndex.saveLexical(corpus.where(pmod(col("doc_id"), lit(10)) === 0), path)
+      (1 until 10).foreach { r =>
+        LexIndex.appendLexical(spark, path,
+          corpus.where(pmod(col("doc_id"), lit(10)) === r))
+      }
+      val st = LexIndex.stats(spark, path).head()
+      println(s"""{"stage":"lexrebuild_stats","n_docs_frozen":${st.getLong(0)},"n_docs_live":${st.getLong(1)},"unscoreable_postings":${st.getLong(2)},"n_buckets":${st.getLong(3)},"auto_buckets":${st.getLong(4)},"dilution":${st.getDouble(5)}}""")
+      val dilutedSec = timed("lexrebuild_serve_diluted_q100")(
+        LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val tr = System.nanoTime()
+      LexIndex.saveLexical(corpus, path) // the decision: drift → rebuild
+      val rebuildSec = (System.nanoTime() - tr) / 1e9
+      println(s"""{"stage":"lexrebuild_build","sec":${Bench.fmt3(rebuildSec)}}""")
+      val freshSec = timed("lexrebuild_serve_fresh_q100")(
+        LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val stAfter = LexIndex.stats(spark, path).head()
+      println(s"""{"stage":"lexrebuild_verdict","dilution_before":${st.getDouble(5)},"unscoreable_before":${st.getLong(2)},"unscoreable_after":${stAfter.getLong(2)},"diluted_sec":${Bench.fmt3(dilutedSec)},"fresh_sec":${Bench.fmt3(freshSec)},"blind_spot_cleared":${stAfter.getLong(2) == 0L}}""")
+    }
+
     if (want("trained")) {
       // TRAINED-BUILD cost + quality: what the Lloyd scans add to the
       // one-time build, and what they buy in sampled recall@10 (50
