@@ -31,12 +31,49 @@ import org.apache.spark.sql.functions._
   *  - every other table is copied through unchanged, so the output dir is
   *    a complete sf layout and ANY registered query runs against it.
   *
-  * Usage: sbt "runMain graft.ScaleGen [srcDir] [outDir] [factor]"
-  * (defaults /root/testdata/sf0.1 → /tmp/sfL at 100×).
+  * Usage: sbt "runMain graft.ScaleGen [srcDir] [outDir] [factor] [embMode]"
+  * (defaults /root/testdata/sf0.1 → /tmp/sfL at 100×, embMode `jitter`).
+  *
+  * `embMode = clustered` replaces the jittered-copy embeddings with a
+  * PLANTED-CLUSTER corpus: [[clusterCount]] hash-seeded centers in
+  * [-1,1]^dim, each vector a center plus ±0.1 per-component jitter,
+  * cluster membership hashed from vec_id. Rationale: the jittered-copy
+  * corpus inherits the testdata generator's uniform embeddings, which
+  * have NO cluster structure for k-means to find — measured at 1000×,
+  * trained IVF-PQ recall (0.006) sat at the probe-fraction bound below
+  * the seed build's (0.01), making the trained-quantizer feature's
+  * payoff undemonstrable (BENCH_trained_sfXL_r11.json, round-11
+  * verdict). Real embedding corpora are clustered — that is the entire
+  * premise of IVF — so the clustered mode is the realistic recall
+  * fixture; the uniform mode stays as the adversarial contrast. Same
+  * vec_id scheme (rep-0 ids preserved ⇒ the bounded query sets and
+  * every registered workload run unchanged); labels pass through.
   */
 object ScaleGen {
   private def reps(factor: Int): Column =
     explode(sequence(lit(0), lit(factor - 1)))
+
+  /** Planted centers for `embMode = clustered`: enough that a 100×
+    * corpus has ~one cell per cluster at autoCells' budget, and a 1000×
+    * corpus forces trained k-means to SUBDIVIDE clusters (the regime
+    * where seed member-centroids visibly underperform fitted ones).
+    */
+  val clusterCount = 100
+
+  /** Deterministic clustered embedding: center(cluster, dim) + jitter
+    * (vec_id, dim), both integer-hash-seeded — centers span ±1.0,
+    * jitter ±0.1, so inter-cluster distance dominates intra-cluster
+    * spread in every subspace (what PQ training needs to beat the
+    * 16-arbitrary-vector seed codebook).
+    */
+  private[graft] def clusteredEmbedding(vecId: Column, dim: Int): Column = {
+    val cl = pmod(xxhash64(lit("cl"), vecId), lit(clusterCount.toLong))
+    transform(sequence(lit(1), lit(dim)), j =>
+      (((pmod(xxhash64(lit("cc"), cl, j), lit(2001)).cast("double") - 1000.0)
+          / 1000.0) +
+        ((pmod(xxhash64(lit("cj"), vecId, j), lit(201)).cast("double") - 100.0)
+          / 1000.0)).cast("float"))
+  }
 
   /** Deterministic word mutation: word i of copy (id, rep) is replaced by
     * a synthetic token when xxhash64(seed, id, rep, i) lands under
@@ -60,6 +97,9 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sfL")
     val factor = args.lift(2).map(_.toInt).getOrElse(100)
+    val embMode = args.lift(3).getOrElse("jitter")
+    require(Set("jitter", "clustered")(embMode),
+      s"embMode must be jitter|clustered, got $embMode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,18 +154,29 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
     write(scaledEv.repartition(64), "events")
 
-    // embeddings: ±5e-3 jitter per component, floats preserved
+    // embeddings: ±5e-3 jitter per component, floats preserved (jitter
+    // mode) or the planted-cluster corpus (clustered mode — see object
+    // doc; recall fixtures need structure k-means can find)
     val emb = Tables.load(spark, src, "embeddings")
-    val scaledEmb = emb
-      .withColumn("rep", reps(factor))
-      .select(
-        (col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
-        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
-          (x, i) => (x +
-            (pmod(xxhash64(lit("emb"), col("vec_id"), col("rep"), i), lit(1000))
-              .cast("double") - 500.0) / 100000.0).cast("float"))
-          .as("embedding"),
-        col("label"))
+    val scaledEmb =
+      if (embMode == "clustered") {
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        emb.withColumn("rep", reps(factor))
+          .select(
+            (col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+            col("label"))
+          .withColumn("embedding", clusteredEmbedding(col("vec_id"), dim))
+          .select("vec_id", "embedding", "label")
+      } else emb
+        .withColumn("rep", reps(factor))
+        .select(
+          (col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+          zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+            (x, i) => (x +
+              (pmod(xxhash64(lit("emb"), col("vec_id"), col("rep"), i), lit(1000))
+                .cast("double") - 500.0) / 100000.0).cast("float"))
+            .as("embedding"),
+          col("label"))
     write(scaledEmb.repartition(32), "embeddings")
 
     // pass-through for the rest: the dir is a complete sf layout

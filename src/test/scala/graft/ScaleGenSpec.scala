@@ -28,6 +28,34 @@ class ScaleGenSpec extends SparkSpec {
     }
   }
 
+  test("clustered embeddings: deterministic, tight within, spread across") {
+    val dim = 16
+    val ids = (0L until 400L).toDF("vec_id")
+    def gen() = ids
+      .select(col("vec_id"),
+        pmod(xxhash64(lit("cl"), col("vec_id")),
+          lit(ScaleGen.clusterCount.toLong)).as("cl"),
+        ScaleGen.clusteredEmbedding(col("vec_id"), dim).as("v"))
+      .as[(Long, Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val a = gen()
+    assert(a === gen(), "clustered embedding must be deterministic")
+    def d2(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val byCl = a.groupBy(_._2).filter(_._2.length >= 2)
+    assert(byCl.nonEmpty, "no cluster drew two members — fixture too small")
+    val within = for {
+      (_, ms) <- byCl.toSeq; Seq(x, y) <- ms.map(_._3).combinations(2)
+    } yield d2(x, y)
+    // within-cluster: only jitter (±0.1/component) separates members
+    assert(within.forall(_ <= dim * 0.04 + 1e-9),
+      s"within-cluster distance exceeds the jitter bound: ${within.max}")
+    // across-cluster: center spread dominates — median far above jitter
+    val across = (for (i <- a.indices by 7; j <- (i + 1) until a.length by 13
+      if a(i)._2 != a(j)._2) yield d2(a(i)._3, a(j)._3)).sorted
+    assert(across(across.length / 2) > dim * 0.04 * 4,
+      s"cross-cluster median ${across(across.length / 2)} not dominated by centers")
+  }
+
   test("copies split into a small light-mutation tail and a heavy majority") {
     // pct is drawn per (doc, rep): ~5% of copies mutate ~10% of words,
     // the rest ~55% — measure the changed-word fraction per copy
