@@ -53,25 +53,44 @@ object ScaleGen {
   private def reps(factor: Int): Column =
     explode(sequence(lit(0), lit(factor - 1)))
 
-  /** Planted centers for `embMode = clustered`: enough that a 100×
-    * corpus has ~one cell per cluster at autoCells' budget, and a 1000×
-    * corpus forces trained k-means to SUBDIVIDE clusters (the regime
-    * where seed member-centroids visibly underperform fitted ones).
+  /** Macro centers for `embMode = clustered` — the COARSE structure IVF
+    * cells should tile (≈ one cell per macro-cluster at the 100× corpus'
+    * autoCells budget; trained k-means must subdivide them at 1000×).
     */
   val clusterCount = 100
 
-  /** Deterministic clustered embedding: center(cluster, dim) + jitter
-    * (vec_id, dim), both integer-hash-seeded — centers span ±1.0,
-    * jitter ±0.1, so inter-cluster distance dominates intra-cluster
-    * spread in every subspace (what PQ training needs to beat the
-    * 16-arbitrary-vector seed codebook).
+  /** Target near-dup family size — the FINE structure that makes exact
+    * top-k recoverable by an approximate index at all: a query's true
+    * top-10 are its ~11 family co-members, separated from everything
+    * else by the family-offset scale. (A single-level cluster+jitter
+    * corpus leaves thousands of near-EQUIDISTANT candidates per cell;
+    * no absolute-coding quantizer can rank the true top-10 out of that
+    * continuum, so recall@10 measures tie-break luck, not index quality
+    * — measured: seed 0.014 / trained 0.002 at the 100× single-level
+    * fixture. Real retrieval corpora are near-dup-heavy at the top; the
+    * family level models exactly that.)
     */
-  private[graft] def clusteredEmbedding(vecId: Column, dim: Int): Column = {
-    val cl = pmod(xxhash64(lit("cl"), vecId), lit(clusterCount.toLong))
+  val familySize = 12L
+
+  /** Deterministic hierarchical embedding:
+    * macro center (±1.0, per cluster·dim) + family offset (±0.25, per
+    * family·dim) + jitter (±0.01, per vector·dim), all integer-hash
+    * seeded. Families hash into macro-clusters; vectors hash into
+    * families (`nFam` ≈ corpus/[[familySize]]). Scale separation 1.0 ≫
+    * 0.25 ≫ 0.01 gives each level its job: macro centers are what the
+    * coarse quantizer should learn, family offsets are what the PQ
+    * codebook must resolve, jitter orders the within-family ties.
+    */
+  private[graft] def clusteredEmbedding(vecId: Column, dim: Int,
+                                        nFam: Long): Column = {
+    val fam = pmod(xxhash64(lit("fam"), vecId), lit(nFam))
+    val cl = pmod(xxhash64(lit("cl"), fam), lit(clusterCount.toLong))
     transform(sequence(lit(1), lit(dim)), j =>
       (((pmod(xxhash64(lit("cc"), cl, j), lit(2001)).cast("double") - 1000.0)
           / 1000.0) +
-        ((pmod(xxhash64(lit("cj"), vecId, j), lit(201)).cast("double") - 100.0)
+        ((pmod(xxhash64(lit("fo"), fam, j), lit(501)).cast("double") - 250.0)
+          / 1000.0) +
+        ((pmod(xxhash64(lit("cj"), vecId, j), lit(21)).cast("double") - 10.0)
           / 1000.0)).cast("float"))
   }
 
@@ -100,6 +119,11 @@ object ScaleGen {
     val embMode = args.lift(3).getOrElse("jitter")
     require(Set("jitter", "clustered")(embMode),
       s"embMode must be jitter|clustered, got $embMode")
+    // optional comma-list of tables to (re)generate — a clustered-recall
+    // fixture only needs `embeddings` next to an existing jitter-mode dir
+    val only: Option[Set[String]] =
+      args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -116,56 +140,63 @@ object ScaleGen {
 
     // documents: base text rotates across source docs by a hash stride, so
     // copy families spread over the corpus instead of stacking on one id
-    val docs = Tables.load(spark, src, "documents")
-    val nDocs = docs.count()
-    val base = docs.select(col("doc_id").as("base_id"), col("text").as("base_text"),
-      col("lang"), col("source"))
-    val scaledDocs = docs.select(col("doc_id"), reps(factor).as("rep"))
-      .withColumn("base_id",
-        pmod(col("doc_id") + col("rep") * lit(7919L), lit(nDocs)))
-      .join(base, "base_id")
-      .select(
-        (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
-        when(col("rep") === 0, col("base_text"))
-          .otherwise(mutateText(col("base_text"), col("doc_id"), col("rep")))
-          .as("text"),
+    if (wanted("documents")) {
+      val docs = Tables.load(spark, src, "documents")
+      val nDocs = docs.count()
+      val base = docs.select(col("doc_id").as("base_id"), col("text").as("base_text"),
         col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-    write(scaledDocs.repartition(32), "documents")
+      val scaledDocs = docs.select(col("doc_id"), reps(factor).as("rep"))
+        .withColumn("base_id",
+          pmod(col("doc_id") + col("rep") * lit(7919L), lit(nDocs)))
+        .join(base, "base_id")
+        .select(
+          (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+          when(col("rep") === 0, col("base_text"))
+            .otherwise(mutateText(col("base_text"), col("doc_id"), col("rep")))
+            .as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      write(scaledDocs.repartition(32), "documents")
+    }
 
     // events
-    val ev = Tables.load(spark, src, "events")
-    val tsCol = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_seconds(expr("ts DIV 1000000000"))
-      case _ => date_trunc("second", col("ts"))
+    if (wanted("events")) {
+      val ev = Tables.load(spark, src, "events")
+      val tsCol = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_seconds(expr("ts DIV 1000000000"))
+        case _ => date_trunc("second", col("ts"))
+      }
+      val scaledEv = ev.select(col("event_id"), tsCol.as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .withColumn("rep", reps(factor))
+        .select(
+          (col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
+          (col("ts") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+            col("rep") * 7 + pmod(xxhash64(lit("ts"), col("event_id"), col("rep")),
+              lit(300)))).as("ts"),
+          when(col("rep") === 0, col("user_id"))
+            .when(pmod(col("rep"), lit(10)) === 0, pmod(col("user_id"), lit(5)))
+            .otherwise(col("user_id") + col("rep") * lit(10000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      write(scaledEv.repartition(64), "events")
     }
-    val scaledEv = ev.select(col("event_id"), tsCol.as("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .withColumn("rep", reps(factor))
-      .select(
-        (col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
-        (col("ts") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
-          col("rep") * 7 + pmod(xxhash64(lit("ts"), col("event_id"), col("rep")),
-            lit(300)))).as("ts"),
-        when(col("rep") === 0, col("user_id"))
-          .when(pmod(col("rep"), lit(10)) === 0, pmod(col("user_id"), lit(5)))
-          .otherwise(col("user_id") + col("rep") * lit(10000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    write(scaledEv.repartition(64), "events")
 
     // embeddings: ±5e-3 jitter per component, floats preserved (jitter
     // mode) or the planted-cluster corpus (clustered mode — see object
     // doc; recall fixtures need structure k-means can find)
+    if (wanted("embeddings")) {
     val emb = Tables.load(spark, src, "embeddings")
     val scaledEmb =
       if (embMode == "clustered") {
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val nFam = math.max(1L, emb.count() * factor / familySize)
         emb.withColumn("rep", reps(factor))
           .select(
             (col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
             col("label"))
-          .withColumn("embedding", clusteredEmbedding(col("vec_id"), dim))
+          .withColumn("embedding",
+            clusteredEmbedding(col("vec_id"), dim, nFam))
           .select("vec_id", "embedding", "label")
       } else emb
         .withColumn("rep", reps(factor))
@@ -178,9 +209,11 @@ object ScaleGen {
             .as("embedding"),
           col("label"))
     write(scaledEmb.repartition(32), "embeddings")
+    }
 
     // pass-through for the rest: the dir is a complete sf layout
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .filter(wanted)
       .foreach(t => write(Tables.load(spark, src, t), t))
     spark.stop()
   }

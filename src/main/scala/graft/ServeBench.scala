@@ -311,10 +311,10 @@ object ServeBench {
       val seedPath = s"$root/tr_seed"
       val trainPath = s"$root/tr_train"
       val ts0 = System.nanoTime()
-      Index.saveIvfPq(emb, seedPath)
+      Index.saveIvfPq(emb, seedPath, withRaw = true)
       val seedSec = (System.nanoTime() - ts0) / 1e9
       val tt0 = System.nanoTime()
-      Index.saveIvfPq(emb, trainPath, trained = true)
+      Index.saveIvfPq(emb, trainPath, trained = true, withRaw = true)
       val trainSec = (System.nanoTime() - tt0) / 1e9
       println(s"""{"stage":"ivfpq_build_seed","sec":${Bench.fmt3(seedSec)},"n":$n}""")
       println(s"""{"stage":"ivfpq_build_trained","sec":${Bench.fmt3(trainSec)},"n":$n}""")
@@ -326,6 +326,16 @@ object ServeBench {
       val rSeed = recall(seedPath)
       val rTrained = recall(trainPath)
       println(s"""{"stage":"ivfpq_recall_sampled","n":$n,"seed":$rSeed,"trained":$rTrained}""")
+      // the DEPLOYMENT number: ADC shortlist + exact refine from the
+      // co-located raw flavor — what a production serve actually returns
+      def rerankRecall(p: String): Double =
+        Similarity.recallOf(exact,
+            Index.ivfPqRerankTopKIndexed(spark, p, q50, k = 10, rerank = 40),
+            10)
+          .head().getDouble(0)
+      val rrSeed = rerankRecall(seedPath)
+      val rrTrained = rerankRecall(trainPath)
+      println(s"""{"stage":"ivfpq_rerank_recall_sampled","n":$n,"seed":$rrSeed,"trained":$rrTrained}""")
     }
 
     if (want("rebuild")) {

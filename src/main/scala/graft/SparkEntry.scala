@@ -1124,6 +1124,37 @@ object SparkEntry {
       perDoc.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "best_rank", "n_queries")
     }),
+    // capstone 9 — hybrid-SERVED curation, the two-store twin of
+    // cur_pipeline8: selection over BOTH persisted stores in one plan.
+    // Lexical leg from the BM25 store (seed-bucket-pruned postings),
+    // dense leg from the labeled IVF store FILTERED in the store scan
+    // (label predicate next to the partition prune), fused by integer
+    // RRF (k-bounded join), rolled up per doc, quality-gated. Neither
+    // retrieval leg touches the raw corpus at serve time — the
+    // deployment shape for "select benchmark-relevant, label-targeted,
+    // quality-passing documents" at 100 TB. Bench time prices the two
+    // one-time index builds (hermetic round trip, the ret_hybrid_rrf
+    // convention); the serve-only cost is ServeBench's.
+    "cur_pipeline9" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val lexPath = tmpPath(s, "pipeline9lex", dir)
+      val annPath = tmpPath(s, "pipeline9ann", dir)
+      LexIndex.saveLexical(docs.where(!Retrieval.boundedIsQuery), lexPath)
+      Index.saveIvf(e, annPath, metaCols = Seq("label"))
+      val hits = Retrieval.hybridRrfIndexed(s, lexPath, annPath,
+        docs.where(Retrieval.boundedIsQuery),
+        e.where(col("vec_id") < 100), k = 10,
+        candWhere = col("label") === 3)
+      val perDoc = hits.groupBy(col("cand_id").as("doc_id"))
+        .agg(min("rank").cast("long").as("best_rank"),
+          count(lit(1)).as("n_queries"),
+          sum("rrf_micro").as("rrf_sum"))
+      val keep = TextStats.quality(docs)
+        .where(col("quality_score") > 0.5).select("doc_id")
+      perDoc.join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "best_rank", "n_queries", "rrf_sum")
+    }),
     // incremental refresh: odd-doc batch deduped against the even-doc
     // standing snapshot by content key (anti join, no snapshot rescan)
     "dedup_incremental" -> ((s, dir) => {
@@ -1319,7 +1350,7 @@ object SparkEntry {
     "ann_ivf_recall_sampled",
     "ann_ivf_persisted", "ann_ivfpq_persisted", "ret_hybrid_rrf",
     "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered",
-    "ann_ivfpq_filtered", "cur_pipeline8",
+    "ann_ivfpq_filtered", "cur_pipeline8", "cur_pipeline9",
     "ann_ivf_trained", "ann_ivfpq_trained", "ann_ivfpq_trained_recall",
     "ann_ivfpq_rerank_persisted")
 
@@ -1565,6 +1596,20 @@ object SparkEntry {
          |  FROM hits GROUP BY neighbor_id),
          |q AS (${TextStats.qualityOracleSql})
          |SELECT p.doc_id, p.best_rank, p.n_queries
+         |FROM per p SEMI JOIN q ON p.doc_id = q.doc_id
+         |                      AND q.quality_score > 0.5""".stripMargin,
+    // capstone 9: the hybrid two-store serve (lexical + label-filtered
+    // dense legs, integer RRF), rolled up per doc, quality-gated
+    "cur_pipeline9" ->
+      s"""WITH hits AS (
+         |  ${Retrieval.hybridRrfOracleSql(k = 10, candWhereSql = "label = 3")}),
+         |per AS (
+         |  SELECT cand_id AS doc_id, min(rank)::BIGINT AS best_rank,
+         |         count(*)::BIGINT AS n_queries,
+         |         sum(rrf_micro)::BIGINT AS rrf_sum
+         |  FROM hits GROUP BY cand_id),
+         |q AS (${TextStats.qualityOracleSql})
+         |SELECT p.doc_id, p.best_rank, p.n_queries, p.rrf_sum
          |FROM per p SEMI JOIN q ON p.doc_id = q.doc_id
          |                      AND q.quality_score > 0.5""".stripMargin,
     // the store is built on 90% (frozen cell budget), refreshed with the

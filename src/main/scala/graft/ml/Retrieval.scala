@@ -414,11 +414,13 @@ object Retrieval {
   def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
                        lexPath: String, annPath: String,
                        queryDocs: DataFrame, queryEmb: DataFrame,
-                       k: Int = 10, kRrf: Int = 60): DataFrame = {
+                       k: Int = 10, kRrf: Int = 60,
+                       candWhere: Column = lit(true)): DataFrame = {
     val lex = LexIndex.bm25TopKIndexed(spark, lexPath, queryDocs, k)
       .select(col("query_id"), col("doc_id").as("cand_id"),
         col("rank").as("lex_rank"))
-    val den = Index.ivfTopKIndexed(spark, annPath, queryEmb, k)
+    val den = Index.ivfTopKIndexed(spark, annPath, queryEmb, k,
+        candWhere = candWhere)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         col("rank").as("dense_rank"))
     fuseRrf(lex, den, k, kRrf)
@@ -428,7 +430,8 @@ object Retrieval {
     * subqueries, fused by the same integer RRF arithmetic.
     */
   def hybridRrfOracleSql(k: Int = 10, kRrf: Int = 60,
-                         nSeeds: Int = 100): String = {
+                         nSeeds: Int = 100,
+                         candWhereSql: String = "TRUE"): String = {
     def c(r: String): String =
       s"CASE WHEN $r IS NULL THEN 0 ELSE floor(1e6 / ($kRrf + $r) + 0.5)::BIGINT END"
     s"""WITH lex AS (
@@ -436,7 +439,8 @@ object Retrieval {
        |  FROM (${bm25TopKOracleSql(s"doc_id < $nSeeds", k)})),
        |den AS (
        |  SELECT query_id, neighbor_id AS cand_id, rank AS dense_rank
-       |  FROM (${Similarity.ivfTopKOracleSql(k, isQuerySql = s"vec_id < $nSeeds")})),
+       |  FROM (${Similarity.ivfTopKOracleSql(k, isQuerySql = s"vec_id < $nSeeds",
+                candWhereSql = candWhereSql)})),
        |fused AS (
        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
        |         coalesce(l.cand_id, d.cand_id) AS cand_id,

@@ -28,32 +28,33 @@ class ScaleGenSpec extends SparkSpec {
     }
   }
 
-  test("clustered embeddings: deterministic, tight within, spread across") {
+  test("clustered embeddings: deterministic, family-tight, level-separated") {
     val dim = 16
-    val ids = (0L until 400L).toDF("vec_id")
+    val nFam = 40L // 480 ids / 40 families ≈ the familySize target
+    val ids = (0L until 480L).toDF("vec_id")
     def gen() = ids
       .select(col("vec_id"),
-        pmod(xxhash64(lit("cl"), col("vec_id")),
-          lit(ScaleGen.clusterCount.toLong)).as("cl"),
-        ScaleGen.clusteredEmbedding(col("vec_id"), dim).as("v"))
+        pmod(xxhash64(lit("fam"), col("vec_id")), lit(nFam)).as("fam"),
+        ScaleGen.clusteredEmbedding(col("vec_id"), dim, nFam).as("v"))
       .as[(Long, Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     val a = gen()
     assert(a === gen(), "clustered embedding must be deterministic")
     def d2(x: Seq[Float], y: Seq[Float]): Double =
       x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
-    val byCl = a.groupBy(_._2).filter(_._2.length >= 2)
-    assert(byCl.nonEmpty, "no cluster drew two members — fixture too small")
+    val byFam = a.groupBy(_._2).filter(_._2.length >= 2)
+    assert(byFam.nonEmpty, "no family drew two members — fixture too small")
     val within = for {
-      (_, ms) <- byCl.toSeq; Seq(x, y) <- ms.map(_._3).combinations(2)
+      (_, ms) <- byFam.toSeq; Seq(x, y) <- ms.map(_._3).combinations(2)
     } yield d2(x, y)
-    // within-cluster: only jitter (±0.1/component) separates members
-    assert(within.forall(_ <= dim * 0.04 + 1e-9),
-      s"within-cluster distance exceeds the jitter bound: ${within.max}")
-    // across-cluster: center spread dominates — median far above jitter
+    // within-family: only jitter (±0.01/component) separates members
+    assert(within.forall(_ <= dim * 4e-4 + 1e-9),
+      s"within-family distance exceeds the jitter bound: ${within.max}")
+    // across families: offset/center scales dominate — the level
+    // separation a query's true top-k (its family) depends on
     val across = (for (i <- a.indices by 7; j <- (i + 1) until a.length by 13
       if a(i)._2 != a(j)._2) yield d2(a(i)._3, a(j)._3)).sorted
-    assert(across(across.length / 2) > dim * 0.04 * 4,
-      s"cross-cluster median ${across(across.length / 2)} not dominated by centers")
+    assert(across.head > dim * 4e-4 * 10,
+      s"cross-family min ${across.head} not separated from the jitter scale")
   }
 
   test("copies split into a small light-mutation tail and a heavy majority") {
