@@ -306,36 +306,50 @@ object ServeBench {
 
     if (want("trained")) {
       // TRAINED-BUILD cost + quality: what the Lloyd scans add to the
-      // one-time build, and what they buy in sampled recall@10 (50
-      // corpus-independent queries keep the exact side O(50·n)).
-      val seedPath = s"$root/tr_seed"
-      val trainPath = s"$root/tr_train"
-      val ts0 = System.nanoTime()
-      Index.saveIvfPq(emb, seedPath, withRaw = true)
-      val seedSec = (System.nanoTime() - ts0) / 1e9
-      val tt0 = System.nanoTime()
-      Index.saveIvfPq(emb, trainPath, trained = true, withRaw = true)
-      val trainSec = (System.nanoTime() - tt0) / 1e9
-      println(s"""{"stage":"ivfpq_build_seed","sec":${Bench.fmt3(seedSec)},"n":$n}""")
-      println(s"""{"stage":"ivfpq_build_trained","sec":${Bench.fmt3(trainSec)},"n":$n}""")
-      val exact = Similarity.bruteForceTopK(emb, Similarity.sampledIsQuery, 10)
-      def recall(p: String): Double =
-        Similarity.recallOf(exact,
-            Index.ivfPqTopKIndexed(spark, p, q50, k = 10), 10)
-          .head().getDouble(0)
-      val rSeed = recall(seedPath)
-      val rTrained = recall(trainPath)
-      println(s"""{"stage":"ivfpq_recall_sampled","n":$n,"seed":$rSeed,"trained":$rTrained}""")
-      // the DEPLOYMENT number: ADC shortlist + exact refine from the
-      // co-located raw flavor — what a production serve actually returns
-      def rerankRecall(p: String): Double =
-        Similarity.recallOf(exact,
-            Index.ivfPqRerankTopKIndexed(spark, p, q50, k = 10, rerank = 40),
-            10)
-          .head().getDouble(0)
-      val rrSeed = rerankRecall(seedPath)
-      val rrTrained = rerankRecall(trainPath)
-      println(s"""{"stage":"ivfpq_rerank_recall_sampled","n":$n,"seed":$rrSeed,"trained":$rrTrained}""")
+      // one-time build, and what they buy in recall@10. Two measurement
+      // hygiene rules, both learned the hard way:
+      //  - the query set is DISJOINT from every seed id (ids 1000–1049;
+      //    seed codewords/centroids are the smallest nCode/nCells ids) —
+      //    with the default vec_id<50 sample, the seed codebook CONTAINS
+      //    the query families' own positions and the A/B inverts
+      //    (measured: seed 0.24 vs trained 0.10 at the 100× family
+      //    corpus, a pure fixture artifact);
+      //  - recall is reported along the codebook-size axis (nCode 16 and
+      //    64): absolute-coding PQ error shrinks with codewords, and the
+      //    trained-vs-seed gap is exactly the Lloyd-vs-random-sample
+      //    quantization-error gap, so it widens with nCode.
+      // SPARK_GRAFT_TRAIN_ITERS: Lloyd rounds for the trained builds (3 =
+      // the oracle-pinned default; the recall-vs-iterations curve is the
+      // convergence evidence)
+      val trainIters = sys.env.getOrElse("SPARK_GRAFT_TRAIN_ITERS", "3").toInt
+      val qT = emb.where(col("vec_id") >= 1000 && col("vec_id") < 1050)
+      val exact = Similarity.bruteForceTopK(emb,
+        col("vec_id") >= 1000 && col("vec_id") < 1050, 10)
+      def recallOf(df: DataFrame): Double =
+        Similarity.recallOf(exact, df, 10).head().getDouble(0)
+      for (nCode <- Seq(16, 64)) {
+        val seedPath = s"$root/tr_seed_$nCode"
+        val trainPath = s"$root/tr_train_$nCode"
+        val ts0 = System.nanoTime()
+        Index.saveIvfPq(emb, seedPath, nCode = nCode, withRaw = true)
+        val seedSec = (System.nanoTime() - ts0) / 1e9
+        val tt0 = System.nanoTime()
+        Index.saveIvfPq(emb, trainPath, nCode = nCode, trained = true,
+          withRaw = true, trainIters = trainIters)
+        val trainSec = (System.nanoTime() - tt0) / 1e9
+        println(s"""{"stage":"ivfpq_build_seed","nCode":$nCode,"sec":${Bench.fmt3(seedSec)},"n":$n}""")
+        println(s"""{"stage":"ivfpq_build_trained","nCode":$nCode,"iters":$trainIters,"sec":${Bench.fmt3(trainSec)},"n":$n}""")
+        val rSeed = recallOf(Index.ivfPqTopKIndexed(spark, seedPath, qT, k = 10))
+        val rTrained = recallOf(Index.ivfPqTopKIndexed(spark, trainPath, qT, k = 10))
+        println(s"""{"stage":"ivfpq_recall_sampled","nCode":$nCode,"iters":$trainIters,"n":$n,"seed":$rSeed,"trained":$rTrained}""")
+        // the DEPLOYMENT number: ADC shortlist + exact refine from the
+        // co-located raw flavor — what a production serve returns
+        val rrSeed = recallOf(
+          Index.ivfPqRerankTopKIndexed(spark, seedPath, qT, k = 10, rerank = 40))
+        val rrTrained = recallOf(
+          Index.ivfPqRerankTopKIndexed(spark, trainPath, qT, k = 10, rerank = 40))
+        println(s"""{"stage":"ivfpq_rerank_recall_sampled","nCode":$nCode,"iters":$trainIters,"n":$n,"seed":$rrSeed,"trained":$rrTrained}""")
+      }
     }
 
     if (want("rebuild")) {

@@ -200,7 +200,8 @@ object Index {
               forceFlat: Boolean = false,
               superProbe: Int = Similarity.defaultSuperProbe,
               metaCols: Seq[String] = Nil,
-              trained: Boolean = false): Unit = {
+              trained: Boolean = false,
+              trainIters: Int = 3): Unit = {
     val cells = Similarity.autoCells(emb.count(), nCells)
     // trained = true swaps the deterministic smallest-id seed centroids
     // for [[Similarity.kmeansCentroids]] — the build pays iters extra
@@ -208,7 +209,7 @@ object Index {
     // distribution; every downstream shape (store layout, probe ranking,
     // appends against frozen centroids) is unchanged
     val cents =
-      if (trained) Similarity.kmeansCentroids(emb, cells)
+      if (trained) Similarity.kmeansCentroids(emb, cells, trainIters)
       else Similarity.normed(emb)
         .orderBy("vec_id").limit(cells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
@@ -250,7 +251,8 @@ object Index {
                 superProbe: Int = Similarity.defaultSuperProbe,
                 metaCols: Seq[String] = Nil,
                 trained: Boolean = false,
-                withRaw: Boolean = false): Unit = {
+                withRaw: Boolean = false,
+                trainIters: Int = 3): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
@@ -261,7 +263,7 @@ object Index {
     // byte-for-byte the same store contract. ann_ivfpq_trained_recall
     // prices what the training buys.
     val cents =
-      if (trained) Similarity.kmeansCentroids(emb, cells)
+      if (trained) Similarity.kmeansCentroids(emb, cells, trainIters)
       else e.orderBy("vec_id").limit(cells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     cents.write.mode("overwrite").parquet(centroidsPath(path))
@@ -270,7 +272,7 @@ object Index {
     // vectors sliced per subspace — the same seed codewords pqCodes
     // assigns against
     val codebook =
-      if (trained) Similarity.pqTrainCodebook(emb, nSub, nCode)
+      if (trained) Similarity.pqTrainCodebook(emb, nSub, nCode, trainIters)
       else {
         val seedCents: Array[(Long, Array[Double])] = e
           .orderBy("vec_id").limit(nCode)

@@ -54,6 +54,16 @@ object LexIndex {
   private[graft] val PostingsKind = "postings"
   private def termsPath(path: String) = s"$path/terms"
   private def statsPath(path: String) = s"$path/stats"
+  // per-append accounting sidecars ([[foldStats]]' inputs): df_deltas =
+  // (th, df) of each appended batch, doc_deltas = (n_docs, sum_dl)
+  private def dfDeltasPath(path: String) = s"$path/df_deltas"
+  private def docDeltasPath(path: String) = s"$path/doc_deltas"
+
+  private def deletePath(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+  }
 
   /** (doc_id, th, tf, dl) — every bigram posting of `docs`, via the
     * sort-based tf shape ([[Retrieval.termFrequencies]]: corpus-
@@ -120,8 +130,12 @@ object LexIndex {
         .cast("long").as("dl"))
       .agg(lit(nDocs).as("n_docs"),
         round(sum("dl") / nDocs.toDouble, 6).as("avgdl"),
-        lit(nb.toLong).as("n_buckets"))
+        lit(nb.toLong).as("n_buckets"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").parquet(statsPath(path))
+    // a fresh build owes nothing to the previous store's append history
+    deletePath(spark, dfDeltasPath(path))
+    deletePath(spark, docDeltasPath(path))
   }
 
   /** Refresh the store WITHOUT a rebuild: the arriving documents'
@@ -134,14 +148,86 @@ object LexIndex {
                     newDocs: DataFrame): Unit = {
     val nBuckets = spark.read.parquet(statsPath(path))
       .select("n_buckets").head().getLong(0)
+    // materialized once: the postings write, the df sidecar, and the doc
+    // sidecar all derive from this batch-sized relation
+    val post = postingsOf(newDocs).lineageCut
     Index.fencedAppend(spark, path, PostingsKind) { dir =>
-      postingsOf(newDocs)
+      post
         .withColumn("bucket", pmod(col("th"), lit(nBuckets)))
         .repartition(col("bucket"))
         .sortWithinPartitions("th")
         .write.mode("append").partitionBy("bucket")
         .parquet(dir)
     }
+    // ACCOUNTING SIDECARS: the batch's df contribution and doc stats,
+    // appended as batch-sized rows so [[foldStats]] can later refresh
+    // df / n_docs / avgdl WITHOUT re-tokenizing the corpus. Best-effort
+    // bookkeeping under the store's single-writer contract — a crash
+    // between the postings write and here leaves the sidecar one batch
+    // short, which a full rebuild (not a fold) repairs.
+    post.groupBy("th").agg(count(lit(1)).as("df"))
+      .coalesce(1)
+      .write.mode("append").parquet(dfDeltasPath(path))
+    newDocs
+      .select(greatest(size(words(col("text"))) - 1, lit(0))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("append").parquet(docDeltasPath(path))
+  }
+
+  /** Refresh the FROZEN scoring stats from the append sidecars — the
+    * cheap middle option between "serve with drifting stats" and a full
+    * rebuild. The postings are already complete (base + appends), so
+    * what a rebuild mostly re-derives is df/n_docs/avgdl — and those
+    * fold incrementally: new `terms/` = frozen df ⊎ sidecar df summed
+    * per term (appended-only terms gain their FIRST df row — the
+    * [[stats]] blind spot empties), new `stats/` = frozen counts plus
+    * the sidecar totals. O(|terms| + |sidecar|), no corpus re-tokenize,
+    * no postings rewrite. After a fold the store scores EXACTLY like a
+    * fresh [[saveLexical]] over the full corpus (same df, same n_docs,
+    * same 6-dp avgdl; the bucket GRID stays frozen, which changes
+    * nothing — results are grid-independent). What a fold does NOT do:
+    * re-grid the buckets (dilution keeps growing; a full rebuild resets
+    * it) or repair a sidecar torn by a crashed append. Single-writer,
+    * like every store mutation here.
+    */
+  def foldStats(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dfDeltasPath(path)))) return // nothing appended
+    val st = spark.read.parquet(statsPath(path))
+    require(st.columns.contains("sum_dl"),
+      "foldStats needs a store built with the sum_dl stats column " +
+        "(older store: run a full saveLexical rebuild instead)")
+    val row = st.select("n_docs", "n_buckets", "sum_dl").head()
+    val nb = row.getLong(1)
+    // terms: frozen ⊎ deltas, summed per term, re-gridded like the build
+    val folded = spark.read.parquet(termsPath(path)).select("th", "df")
+      .unionByName(spark.read.parquet(dfDeltasPath(path)))
+      .groupBy("th").agg(sum("df").as("df"))
+      .withColumn("bucket", pmod(col("th"), lit(nb)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("th")
+      .lineageCut // materialize BEFORE overwriting the dir it reads
+    folded.write.mode("overwrite").partitionBy("bucket")
+      .parquet(termsPath(path))
+    val dd = spark.read.parquet(docDeltasPath(path))
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("dn"),
+        coalesce(sum("sum_dl"), lit(0L)).as("ds")).head()
+    val n2 = row.getLong(0) + dd.getLong(0)
+    val s2 = row.getLong(2) + dd.getLong(1)
+    import spark.implicits._
+    Seq((n2, s2)).toDF("n_docs", "sum_dl")
+      .select(col("n_docs"),
+        round(col("sum_dl") / col("n_docs").cast("double"), 6).as("avgdl"),
+        lit(nb).as("n_buckets"), col("sum_dl"))
+      .write.mode("overwrite").parquet(statsPath(path))
+    // folded = consumed: the sidecars restart empty for the next cycle
+    deletePath(spark, dfDeltasPath(path))
+    deletePath(spark, docDeltasPath(path))
   }
 
   /** Fold per-append files back to one th-sorted file per bucket — the

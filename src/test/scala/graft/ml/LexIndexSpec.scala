@@ -170,6 +170,44 @@ class LexIndexSpec extends SparkSpec {
     assert(row.getDouble(5) === 8.0, "dilution = auto/frozen")
   }
 
+  test("foldStats: sidecar fold scores exactly like a fresh full-corpus build") {
+    val foldPath = freshPath("fold")
+    val freshBuild = freshPath("foldfresh")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 20), foldPath,
+      nBuckets = 8)
+    // two appended docs carry vocabulary the base never saw — the blind
+    // spot the fold must convert into scoreable df rows
+    val novel = Seq((100L, "nu xi omicron pi"), (101L, "rho sigma tau"))
+      .toDF("doc_id", "text")
+    val full = docs.where(!isQ).unionByName(novel)
+    LexIndex.appendLexical(spark, foldPath,
+      docs.where(col("doc_id") >= 20 && col("doc_id") < 30))
+    LexIndex.appendLexical(spark, foldPath,
+      docs.where(col("doc_id") >= 30).unionByName(novel))
+    // pre-fold: frozen stats → appended-only terms are the blind spot
+    val pre = LexIndex.stats(spark, foldPath).head()
+    assert(pre.getLong(2) > 0L, "fixture never grew a blind spot")
+    LexIndex.foldStats(spark, foldPath)
+    // post-fold: df/n_docs/avgdl equal a fresh build over the FULL
+    // corpus, so the serve is bit-equal to it (grid stays frozen —
+    // results are grid-independent)
+    LexIndex.saveLexical(full, freshBuild, nBuckets = 8)
+    def serve(p: String) =
+      LexIndex.bm25TopKIndexed(spark, p, docs.where(isQ), k = 10)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(serve(foldPath) === serve(freshBuild))
+    val post = LexIndex.stats(spark, foldPath).head()
+    assert(post.getLong(2) === 0L, "fold left unscoreable postings")
+    assert(post.getLong(0) === 38L, "fold missed appended docs in n_docs")
+    // sidecars are consumed by the fold
+    assert(!new java.io.File(s"$foldPath/df_deltas").exists())
+    assert(!new java.io.File(s"$foldPath/doc_deltas").exists())
+    // idempotent no-op when nothing is pending
+    LexIndex.foldStats(spark, foldPath)
+    assert(serve(foldPath) === serve(freshBuild))
+  }
+
   test("an in-place rebuild retires stale compacted lexical generations") {
     val path = freshPath("rebuild")
     LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 20), path,
