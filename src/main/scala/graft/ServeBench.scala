@@ -294,14 +294,36 @@ object ServeBench {
       println(s"""{"stage":"lexrebuild_stats","n_docs_frozen":${st.getLong(0)},"n_docs_live":${st.getLong(1)},"unscoreable_postings":${st.getLong(2)},"n_buckets":${st.getLong(3)},"auto_buckets":${st.getLong(4)},"dilution":${st.getDouble(5)}}""")
       val dilutedSec = timed("lexrebuild_serve_diluted_q100")(
         LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      // THE FOLD OPTION: refresh df/n_docs/avgdl from the append
+      // sidecars — no corpus re-tokenize, no postings rewrite. Prices
+      // the cheap refresh against the full rebuild below; the checksum
+      // equality is the fold's whole claim (scores exactly like a fresh
+      // full-corpus build).
+      val tf = System.nanoTime()
+      LexIndex.foldStats(spark, path)
+      val foldSec = (System.nanoTime() - tf) / 1e9
+      val stFold = LexIndex.stats(spark, path).head()
+      println(s"""{"stage":"lexrebuild_fold","sec":${Bench.fmt3(foldSec)},"unscoreable_after_fold":${stFold.getLong(2)}}""")
+      val foldServeSec = timed("lexrebuild_serve_folded_q100")(
+        LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val foldSum = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
       val tr = System.nanoTime()
       LexIndex.saveLexical(corpus, path) // the decision: drift → rebuild
       val rebuildSec = (System.nanoTime() - tr) / 1e9
       println(s"""{"stage":"lexrebuild_build","sec":${Bench.fmt3(rebuildSec)}}""")
       val freshSec = timed("lexrebuild_serve_fresh_q100")(
         LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val freshSum = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
       val stAfter = LexIndex.stats(spark, path).head()
-      println(s"""{"stage":"lexrebuild_verdict","dilution_before":${st.getDouble(5)},"unscoreable_before":${st.getLong(2)},"unscoreable_after":${stAfter.getLong(2)},"diluted_sec":${Bench.fmt3(dilutedSec)},"fresh_sec":${Bench.fmt3(freshSec)},"blind_spot_cleared":${stAfter.getLong(2) == 0L}}""")
+      println(s"""{"stage":"lexrebuild_verdict","dilution_before":${st.getDouble(5)},"unscoreable_before":${st.getLong(2)},"unscoreable_after":${stAfter.getLong(2)},"diluted_sec":${Bench.fmt3(dilutedSec)},"fold_sec":${Bench.fmt3(foldSec)},"rebuild_sec":${Bench.fmt3(rebuildSec)},"folded_serve_sec":${Bench.fmt3(foldServeSec)},"fresh_sec":${Bench.fmt3(freshSec)},"fold_equals_rebuild":${foldSum == freshSum},"blind_spot_cleared":${stAfter.getLong(2) == 0L}}""")
     }
 
     if (want("trained")) {
