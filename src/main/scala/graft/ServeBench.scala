@@ -353,11 +353,16 @@ object ServeBench {
         val seedPath = s"$root/tr_seed_$nCode"
         val trainPath = s"$root/tr_train_$nCode"
         val ts0 = System.nanoTime()
-        Index.saveIvfPq(emb, seedPath, nCode = nCode, withRaw = true)
+        // forceFlat: the family fixture is adversarial for two-level
+        // routing (20 supers cannot cover 100 macro-clusters; measured
+        // recall 0.0 at 1000x from routing alone) — the flat assignment
+        // isolates the CODEBOOK axis this stage exists to measure
+        Index.saveIvfPq(emb, seedPath, nCode = nCode, withRaw = true,
+          forceFlat = true)
         val seedSec = (System.nanoTime() - ts0) / 1e9
         val tt0 = System.nanoTime()
         Index.saveIvfPq(emb, trainPath, nCode = nCode, trained = true,
-          withRaw = true, trainIters = trainIters)
+          withRaw = true, trainIters = trainIters, forceFlat = true)
         val trainSec = (System.nanoTime() - tt0) / 1e9
         println(s"""{"stage":"ivfpq_build_seed","nCode":$nCode,"sec":${Bench.fmt3(seedSec)},"n":$n}""")
         println(s"""{"stage":"ivfpq_build_trained","nCode":$nCode,"iters":$trainIters,"sec":${Bench.fmt3(trainSec)},"n":$n}""")
@@ -371,6 +376,19 @@ object ServeBench {
         val rrTrained = recallOf(
           Index.ivfPqRerankTopKIndexed(spark, trainPath, qT, k = 10, rerank = 40))
         println(s"""{"stage":"ivfpq_rerank_recall_sampled","nCode":$nCode,"iters":$trainIters,"n":$n,"seed":$rrSeed,"trained":$rrTrained}""")
+        // RESIDUAL coding at the same code budget — the FAISS-IVFPQ
+        // shape: ADC error scales with cell spread, not corpus spread
+        val residPath = s"$root/tr_resid_$nCode"
+        val tr0 = System.nanoTime()
+        Index.saveIvfPq(emb, residPath, nCode = nCode, trained = true,
+          residual = true, withRaw = true, trainIters = trainIters,
+          forceFlat = true)
+        val residSec = (System.nanoTime() - tr0) / 1e9
+        println(s"""{"stage":"ivfpq_build_residual","nCode":$nCode,"iters":$trainIters,"sec":${Bench.fmt3(residSec)},"n":$n}""")
+        val rResid = recallOf(Index.ivfPqTopKIndexed(spark, residPath, qT, k = 10))
+        val rrResid = recallOf(
+          Index.ivfPqRerankTopKIndexed(spark, residPath, qT, k = 10, rerank = 40))
+        println(s"""{"stage":"ivfpq_residual_recall_sampled","nCode":$nCode,"iters":$trainIters,"n":$n,"adc":$rResid,"rerank":$rrResid}""")
       }
     }
 

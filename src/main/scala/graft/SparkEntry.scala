@@ -659,6 +659,30 @@ object SparkEntry {
     "ann_ivfpq_rerank_recall" -> ((s, dir) =>
       Similarity.ivfPqRerankRecall(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10)),
+    // RESIDUAL-coded compressed store (FAISS IVFPQ's actual coding):
+    // vectors PQ-encoded as residuals against their assigned trained
+    // centroid; the serve builds its ADC table per (query, probed cell)
+    // over the query's own residual. The coding that makes ADC error
+    // scale with CELL spread instead of corpus spread — the recall
+    // mechanism the absolute-coding evals (ann_ivfpq_*) cannot reach.
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqresid", dir)
+      Index.saveIvfPq(e, path, trained = true, residual = true)
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // what residual coding buys: recall@10 of the residual serve vs the
+    // exact ranking, next to ann_ivfpq_trained_recall's absolute number
+    "ann_ivfpq_residual_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqresidrec", dir)
+      Index.saveIvfPq(e, path, trained = true, residual = true)
+      Similarity.recallOf(
+        Similarity.bruteForceTopK(e, Similarity.defaultIsQuery, 10),
+        Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
+          k = 10),
+        k = 10)
+    }),
     // the DEPLOYMENT rerank shape (FAISS IVFPQ + RefineFlat, persisted):
     // one COMBINED store (saveIvfPq withRaw — pq_codes for the ADC
     // shortlist, co-located raw postings for the exact refine), queries
@@ -1352,7 +1376,8 @@ object SparkEntry {
     "ann_ivf_append", "ann_ivfpq_append", "ann_ivf_filtered",
     "ann_ivfpq_filtered", "cur_pipeline8", "cur_pipeline9",
     "ann_ivf_trained", "ann_ivfpq_trained", "ann_ivfpq_trained_recall",
-    "ann_ivfpq_rerank_persisted")
+    "ann_ivfpq_rerank_persisted", "ann_ivfpq_residual",
+    "ann_ivfpq_residual_recall")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1644,6 +1669,8 @@ object SparkEntry {
     // eval — stored shortlist + co-located-raw refine, bit-equal at
     // every flat-assignment corpus
     "ann_ivfpq_rerank_persisted" -> Similarity.ivfPqRerankTopKOracleSql(k = 10),
+    "ann_ivfpq_residual" -> Similarity.ivfPqResidualTopKOracleSql(k = 10),
+    "ann_ivfpq_residual_recall" -> Similarity.ivfPqResidualRecallOracleSql(k = 10),
     "ann_kmeans" -> Similarity.kmeansOracleSql(),
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
     "ann_matryoshka_recall" ->

@@ -106,6 +106,16 @@ object Index {
 
   private def postingsPath(path: String) = s"$path/$PostingsKind"
   private def pqCodesPath(path: String) = s"$path/$PqCodesKind"
+  private def metaPath(path: String) = s"$path/meta"
+
+  /** Whether the store's PQ codes are residual-coded ([[saveIvfPq]]
+    * `residual`); stores written before the marker existed are absolute.
+    */
+  private[graft] def isResidual(spark: SparkSession, path: String): Boolean = {
+    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
+    fsOf(spark, mp).exists(mp) &&
+      spark.read.parquet(metaPath(path)).select("residual").head().getBoolean(0)
+  }
 
   /** The non-metadata columns of each store flavor — everything else in a
     * stored schema is caller metadata persisted via `metaCols`.
@@ -245,6 +255,20 @@ object Index {
     * ([[ivfPqRerankTopKIndexed]]) reads: PQ codes for the ADC shortlist,
     * co-located raw vectors for the exact refine.
     */
+  /** `residual = true` is the FAISS-IVFPQ production coding: vectors are
+    * PQ-encoded as RESIDUALS against their assigned coarse centroid
+    * (x − c[cell]) instead of absolute positions, and the serve builds
+    * its ADC lookup table per (query, probed cell) over the query's own
+    * residual. Why it matters: absolute-coding ADC error scales with the
+    * CORPUS spread (nCode codewords must tile the whole space), while
+    * residual error scales with the CELL spread — on any clustered
+    * corpus that is an order of magnitude finer for the same code
+    * budget. Requires `trained = true`: the codebook is Lloyd-trained on
+    * the residual distribution (a seeded residual codebook would slice
+    * residuals of the smallest-id vectors, which under seed centroids
+    * ARE the centroids — identically zero). LUT cost grows from
+    * nq·nSub·nCode to nq·nProbe·nSub·nCode — still query-bounded.
+    */
   def saveIvfPq(emb: DataFrame, path: String, nCells: Int = 16,
                 nSub: Int = 8, nCode: Int = 16,
                 forceFlat: Boolean = false,
@@ -252,7 +276,12 @@ object Index {
                 metaCols: Seq[String] = Nil,
                 trained: Boolean = false,
                 withRaw: Boolean = false,
-                trainIters: Int = 3): Unit = {
+                trainIters: Int = 3,
+                residual: Boolean = false): Unit = {
+    require(!residual || trained,
+      "residual coding needs trained quantizers (the seeded residual " +
+        "codebook is degenerate: smallest-id residuals under smallest-id " +
+        "centroids are identically zero) — pass trained = true")
     val spark = emb.sparkSession
     import spark.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
@@ -267,12 +296,26 @@ object Index {
       else e.orderBy("vec_id").limit(cells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     cents.write.mode("overwrite").parquet(centroidsPath(path))
-    // codebook FIRST (codes are encoded against it): trained = pqTrain's
-    // dequantized Lloyd output; seeded = the nCode smallest-id corpus
-    // vectors sliced per subspace — the same seed codewords pqCodes
-    // assigns against
+    // assignment BEFORE the codebook: residual training consumes it
+    val assignment =
+      if (trained) assignedTo(emb, path, forceFlat, superProbe)
+      else assigned(emb, nCells, forceFlat, superProbe)
+    val cellOf = assignment.select("vec_id", "cell")
+    // the residual table (vec_id, embedding = v − c[cell]) — codebook
+    // training input AND encode input under residual coding
+    def residDf: DataFrame = assignment
+      .join(broadcast(spark.read.parquet(centroidsPath(path))
+        .select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
+    // codebook (codes are encoded against it): trained = pqTrain's
+    // dequantized Lloyd output — over residuals when residual coding is
+    // on, absolute vectors otherwise; seeded = the nCode smallest-id
+    // corpus vectors sliced per subspace — the same seed codewords
+    // pqCodes assigns against
     val codebook =
-      if (trained) Similarity.pqTrainCodebook(emb, nSub, nCode, trainIters)
+      if (residual) Similarity.pqTrainCodebook(residDf, nSub, nCode, trainIters)
+      else if (trained) Similarity.pqTrainCodebook(emb, nSub, nCode, trainIters)
       else {
         val seedCents: Array[(Long, Array[Double])] = e
           .orderBy("vec_id").limit(nCode)
@@ -287,14 +330,17 @@ object Index {
         spark.createDataset(cwRows).toDF("sub", "code", "cw")
       }
     codebook.write.mode("overwrite").parquet(codewordsPath(path))
-    val assignment =
-      if (trained) assignedTo(emb, path, forceFlat, superProbe)
-      else assigned(emb, nCells, forceFlat, superProbe)
-    val cellOf = assignment.select("vec_id", "cell")
+    // the store self-describes its coding so every serve/append resolves
+    // it from disk (a residual store served with absolute LUTs would be
+    // silently garbage)
+    Seq(residual).toDF("residual")
+      .write.mode("overwrite").parquet(metaPath(path))
     // seeded builds keep the pqCodes plan (oracle-pinned); trained builds
     // encode against the stored codebook with the same kernel appends use
     val codesDf =
-      (if (trained) encodeAgainst(spark, emb,
+      (if (residual) encodeAgainst(spark, residDf,
+        spark.read.parquet(codewordsPath(path)))
+       else if (trained) encodeAgainst(spark, emb,
         spark.read.parquet(codewordsPath(path)))
        else Similarity.pqCodes(emb, nSub, nCode))
         .join(cellOf, "vec_id")
@@ -484,7 +530,15 @@ object Index {
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
     val cellOf = assignment.select("vec_id", "cell")
-    val codesDf = encodeAgainst(spark, newEmb,
+    // residual store: the batch is encoded as residuals against its
+    // assigned FROZEN centroid, exactly like the build
+    val encodeInput =
+      if (isResidual(spark, path)) assignment
+        .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
+      else newEmb
+    val codesDf = encodeAgainst(spark, encodeInput,
       spark.read.parquet(codewordsPath(path)))
       .join(cellOf, "vec_id")
     // the store's schema decides the metadata set — a caller-side
@@ -741,16 +795,38 @@ object Index {
     val dim = q.select(size(col("v")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     val sub = dim / nSub
-    val qsub = slice(col("v"), col("sub").cast("int") * sub + 1, lit(sub))
-    val lut = q.select(col("vec_id").as("query_id"), col("v"))
-      .crossJoin(broadcast(cw))
-      .select(col("query_id"), col("sub"), col("code"),
-        floor(VecFold.l2sq(qsub, col("cw")) * 1e9 + 0.5).cast("long").as("d2i"))
-    val adc = codes.join(broadcast(probes), Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("d2i").as("adc_e9"))
+    val adc =
+      if (isResidual(spark, path)) {
+        // residual LUT: keyed by (query, PROBED CELL) — the query's own
+        // residual against that cell's centroid, measured to each
+        // codeword. nq·nProbe·nSub·nCode entries, query-bounded.
+        val rsub = slice(col("rv"), col("sub").cast("int") * sub + 1, lit(sub))
+        val lut = probes
+          .join(broadcast(spark.read.parquet(centroidsPath(path))
+            .select(col("cid").as("cell"), col("cv"))), "cell")
+          .join(q.select(col("vec_id").as("query_id"), col("v")), "query_id")
+          .select(col("query_id"), col("cell"),
+            zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+          .crossJoin(broadcast(cw))
+          .select(col("query_id"), col("cell"), col("sub"), col("code"),
+            floor(VecFold.l2sq(rsub, col("cw")) * 1e9 + 0.5).cast("long").as("d2i"))
+        codes.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .join(broadcast(lut), Seq("query_id", "cell", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum("d2i").as("adc_e9"))
+      } else {
+        val qsub = slice(col("v"), col("sub").cast("int") * sub + 1, lit(sub))
+        val lut = q.select(col("vec_id").as("query_id"), col("v"))
+          .crossJoin(broadcast(cw))
+          .select(col("query_id"), col("sub"), col("code"),
+            floor(VecFold.l2sq(qsub, col("cw")) * 1e9 + 0.5).cast("long").as("d2i"))
+        codes.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum("d2i").as("adc_e9"))
+      }
     val byDist = Seq(asc("adc_e9"), asc("neighbor_id"))
     val pre = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
       .orderBy(byDist: _*)

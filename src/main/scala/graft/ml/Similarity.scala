@@ -1899,18 +1899,19 @@ object Similarity {
     * `tcw(sub, code, cw)` — the final integer codebooks dequantized.
     */
   private[ml] def pqCodebookCtesSql(nSub: Int = 8, nCode: Int = 16,
-                                    iters: Int = 3, dim: Int = 64): String = {
+                                    iters: Int = 3, dim: Int = 64,
+                                    src: String = "e"): String = {
     val subDim = dim / nSub
     val header =
       s"""pqs AS (
-         |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+         |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM $src),
          |pqq AS (
          |  SELECT vec_id, (i - 1) // $subDim AS sub, (i - 1) % $subDim + 1 AS si,
          |         floor(v[i] * 127.0 / (SELECT scale FROM pqs) + 0.5)::BIGINT AS qi
-         |  FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+         |  FROM $src, unnest(range(1, len(v) + 1)) AS r(i)),
          |pqseeds AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
-         |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $nCode)),
+         |  FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $nCode)),
          |pqcent0 AS (
          |  SELECT q.sub, s.code, q.si, q.qi AS ci
          |  FROM pqseeds s JOIN pqq q USING (vec_id))""".stripMargin
@@ -2035,6 +2036,77 @@ object Similarity {
     */
   def ivfPqTrainedRecallOracleSql(k: Int): String =
     recallOracleSql(bruteForceTopKOracleSql(k), ivfPqTopKTrainedOracleSql(k), k)
+
+  /** Oracle for the RESIDUAL-coded IVF-PQ serve ([[Index.saveIvfPq]]
+    * with `residual = true` + [[Index.ivfPqTopKIndexed]]): kmeans-replay
+    * coarse centroids, residual table (v − assigned centroid),
+    * pqTrain-replay codebooks TRAINED ON THE RESIDUALS, codes re-derived
+    * by the encode semantics over residuals, and the per-(query, probed
+    * cell) residual ADC lookup — the FAISS-IVFPQ coding, CTE-replayed.
+    */
+  def ivfPqResidualTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                                 nSub: Int = 8, nCode: Int = 16,
+                                 dim: Int = 64, iters: Int = 3,
+                                 isQuerySql: String = defaultIsQuerySql): String = {
+    val subDim = dim / nSub
+    val codeD2 = subD2Sql("r.v", "c.cw", "c.sub", subDim)
+    val lutD2 = subD2Sql("qr.rv", "c.cw", "c.sub", subDim)
+    s"""WITH ${cellCtesSql(nCells,
+          centsSql = Some(trainedCentsSql),
+          preCtesSql = Some(kmeansCentroidCtesSql(nCells, iters)))},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |resid AS (
+       |  SELECT e.vec_id, [e.v[i] - t.cv[i] FOR i IN range(1, len(e.v) + 1)] AS v
+       |  FROM e JOIN assigned a USING (vec_id) JOIN tcents t ON t.cid = a.cell),
+       |${pqCodebookCtesSql(nSub, nCode, iters, dim, src = "resid")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |q AS (SELECT vec_id, v FROM e WHERE $isQuerySql),
+       |cd0 AS (
+       |  SELECT r.vec_id, c.sub, c.code, ($codeD2) AS d2
+       |  FROM resid r, tcw c),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |       ORDER BY floor(d2 * 1e9 + 0.5) / 1e9, code) AS rn FROM cd0)
+       |  WHERE rn = 1),
+       |qr AS (
+       |  SELECT p.query_id, p.cell,
+       |         [q.v[i] - t.cv[i] FOR i IN range(1, len(q.v) + 1)] AS rv
+       |  FROM probes p JOIN q ON q.vec_id = p.query_id
+       |  JOIN tcents t ON t.cid = p.cell),
+       |lut AS (
+       |  SELECT qr.query_id, qr.cell, c.sub, c.code,
+       |         floor(($lutD2) * 1e9 + 0.5)::BIGINT AS d2i
+       |  FROM qr, tcw c),
+       |cand AS (
+       |  SELECT p.query_id, p.cell, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |         sum(l.d2i)::BIGINT AS adc_e9
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+       |            AND l.sub = co.sub AND l.code = co.code
+       |  GROUP BY cd.query_id, cd.vec_id),
+       |rankedq AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc_e9, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc_e9, rank
+       |FROM rankedq WHERE rank <= $k""".stripMargin
+  }
+
+  /** Recall@k of the residual-coded serve against the exact ranking —
+    * what residual coding buys over [[ivfPqTrainedRecallOracleSql]]'s
+    * absolute coding at the same code budget.
+    */
+  def ivfPqResidualRecallOracleSql(k: Int): String =
+    recallOracleSql(bruteForceTopKOracleSql(k), ivfPqResidualTopKOracleSql(k), k)
 
   /** Public wrapper over [[recallVs]] for recall evals whose approx side
     * is a persisted-store serve assembled by the caller (e.g. the

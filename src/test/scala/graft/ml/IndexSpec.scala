@@ -106,6 +106,65 @@ class IndexSpec extends SparkSpec {
     assert(got.forall(r => r._1 != r._2), "self-exclusion broken")
   }
 
+  test("residual store: serves, self-excludes, appends ride the frozen coding") {
+    val path = freshPath("residual")
+    Index.saveIvfPq(emb.where(col("vec_id") < 100), path,
+      trained = true, residual = true)
+    assert(Index.isResidual(spark, path))
+    Index.appendIvfPq(spark, path, emb.where(col("vec_id") >= 100))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 != r._2), "self-exclusion broken")
+    assert(got.exists(_._2 >= 100L),
+      "appended vectors not discoverable in the residual store")
+    // the appended rows' codes were residual-encoded: every appended
+    // vec_id carries nSub code rows in the live codes dir
+    val codes = spark.read.parquet(
+      Index.liveDir(spark, path, Index.PqCodesKind))
+    assert(codes.where(col("vec_id") === 110L).count() === 8L)
+  }
+
+  test("residual coding beats absolute coding on a clustered corpus") {
+    // 10 families of 12 near-identical vectors (jitter ±0.01) spread by
+    // family offsets — the structure residual ADC can resolve and
+    // absolute ADC (16 codewords tiling the whole spread) cannot
+    val fam = (0L until 120L).map { i =>
+      val f = (i % 10).toInt
+      val v = (0 until 8).map(d =>
+        (math.sin(f * 2.13 + d * 1.41) +
+          math.sin(i * 0.913 + d * 0.57) * 0.01).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val isQ = col("vec_id") < 10
+    val exact = Similarity.bruteForceTopK(fam, isQ, 10)
+    def recallOf(path: String): Double =
+      Similarity.recallOf(exact,
+          Index.ivfPqTopKIndexed(spark, path, fam.where(isQ), k = 10), 10)
+        .head().getDouble(0)
+    val absPath = freshPath("residabs")
+    Index.saveIvfPq(fam, absPath, trained = true)
+    val resPath = freshPath("residres")
+    Index.saveIvfPq(fam, resPath, trained = true, residual = true)
+    val (rAbs, rRes) = (recallOf(absPath), recallOf(resPath))
+    assert(rRes > rAbs,
+      s"residual coding ($rRes) did not beat absolute coding ($rAbs)")
+    assert(rRes >= 0.5, s"residual recall $rRes below the useful range")
+  }
+
+  test("rerank serve composes with a residual store") {
+    val path = freshPath("residrerank")
+    Index.saveIvfPq(emb, path, trained = true, residual = true, withRaw = true)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val got = Index.ivfPqRerankTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 != r._2))
+    // refine output is the exact cosine contract (matches ivfTopKIndexed)
+    assert(got.forall(r => r._3 >= -1.000001 && r._3 <= 1.000001))
+  }
+
   test("serving answers EXTERNAL queries (ids not in the stored corpus)") {
     val path = freshPath("ext")
     Index.saveIvf(emb, path)
