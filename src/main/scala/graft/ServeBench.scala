@@ -344,6 +344,14 @@ object ServeBench {
       // the oracle-pinned default; the recall-vs-iterations curve is the
       // convergence evidence)
       val trainIters = sys.env.getOrElse("SPARK_GRAFT_TRAIN_ITERS", "3").toInt
+      // SPARK_GRAFT_TRAIN_CELLS: coarse-cell floor for the stage's builds
+      // (0 = autoCells). Residual coding's win condition is cells fine
+      // enough that a cell ≈ one cluster — autoCells' occupancy target
+      // (n/5000) can sit BELOW the corpus' cluster count (100× family
+      // corpus: 40 cells / 100 macro-clusters), which caps what residual
+      // recentring can shrink.
+      val trainCells = sys.env.getOrElse("SPARK_GRAFT_TRAIN_CELLS", "0").toInt
+      val cellsArg = if (trainCells > 0) trainCells else 16
       val qT = emb.where(col("vec_id") >= 1000 && col("vec_id") < 1050)
       val exact = Similarity.bruteForceTopK(emb,
         col("vec_id") >= 1000 && col("vec_id") < 1050, 10)
@@ -357,18 +365,19 @@ object ServeBench {
         // routing (20 supers cannot cover 100 macro-clusters; measured
         // recall 0.0 at 1000x from routing alone) — the flat assignment
         // isolates the CODEBOOK axis this stage exists to measure
-        Index.saveIvfPq(emb, seedPath, nCode = nCode, withRaw = true,
-          forceFlat = true)
+        Index.saveIvfPq(emb, seedPath, nCells = cellsArg, nCode = nCode,
+          withRaw = true, forceFlat = true)
         val seedSec = (System.nanoTime() - ts0) / 1e9
         val tt0 = System.nanoTime()
-        Index.saveIvfPq(emb, trainPath, nCode = nCode, trained = true,
-          withRaw = true, trainIters = trainIters, forceFlat = true)
+        Index.saveIvfPq(emb, trainPath, nCells = cellsArg, nCode = nCode,
+          trained = true, withRaw = true, trainIters = trainIters,
+          forceFlat = true)
         val trainSec = (System.nanoTime() - tt0) / 1e9
         println(s"""{"stage":"ivfpq_build_seed","nCode":$nCode,"sec":${Bench.fmt3(seedSec)},"n":$n}""")
         println(s"""{"stage":"ivfpq_build_trained","nCode":$nCode,"iters":$trainIters,"sec":${Bench.fmt3(trainSec)},"n":$n}""")
         val rSeed = recallOf(Index.ivfPqTopKIndexed(spark, seedPath, qT, k = 10))
         val rTrained = recallOf(Index.ivfPqTopKIndexed(spark, trainPath, qT, k = 10))
-        println(s"""{"stage":"ivfpq_recall_sampled","nCode":$nCode,"iters":$trainIters,"n":$n,"seed":$rSeed,"trained":$rTrained}""")
+        println(s"""{"stage":"ivfpq_recall_sampled","nCode":$nCode,"iters":$trainIters,"cells":$cellsArg,"n":$n,"seed":$rSeed,"trained":$rTrained}""")
         // the DEPLOYMENT number: ADC shortlist + exact refine from the
         // co-located raw flavor — what a production serve returns
         val rrSeed = recallOf(
@@ -380,15 +389,15 @@ object ServeBench {
         // shape: ADC error scales with cell spread, not corpus spread
         val residPath = s"$root/tr_resid_$nCode"
         val tr0 = System.nanoTime()
-        Index.saveIvfPq(emb, residPath, nCode = nCode, trained = true,
-          residual = true, withRaw = true, trainIters = trainIters,
-          forceFlat = true)
+        Index.saveIvfPq(emb, residPath, nCells = cellsArg, nCode = nCode,
+          trained = true, residual = true, withRaw = true,
+          trainIters = trainIters, forceFlat = true)
         val residSec = (System.nanoTime() - tr0) / 1e9
         println(s"""{"stage":"ivfpq_build_residual","nCode":$nCode,"iters":$trainIters,"sec":${Bench.fmt3(residSec)},"n":$n}""")
         val rResid = recallOf(Index.ivfPqTopKIndexed(spark, residPath, qT, k = 10))
         val rrResid = recallOf(
           Index.ivfPqRerankTopKIndexed(spark, residPath, qT, k = 10, rerank = 40))
-        println(s"""{"stage":"ivfpq_residual_recall_sampled","nCode":$nCode,"iters":$trainIters,"n":$n,"adc":$rResid,"rerank":$rrResid}""")
+        println(s"""{"stage":"ivfpq_residual_recall_sampled","nCode":$nCode,"iters":$trainIters,"cells":$cellsArg,"n":$n,"adc":$rResid,"rerank":$rrResid}""")
       }
     }
 
