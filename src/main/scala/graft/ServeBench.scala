@@ -272,6 +272,75 @@ object ServeBench {
       println(s"""{"stage":"lex_race_compact","sec":${Bench.fmt3(compactSec)},"n":$nd,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
     }
 
+    if (want("deletes")) {
+      // DELETION lifecycle A/B, both store flavors: the delete itself is
+      // an O(batch) sidecar write (priced vs corpus size), the masked
+      // serve pays the tombstone anti-join (priced vs the clean serve),
+      // and compaction reclaims the dead mass (serve recovers, checksum
+      // equal throughout — masking and purging must not change answers
+      // beyond removing the deleted rows).
+      import graft.ml.{LexIndex, Retrieval}
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      // dense combined store: ADC + rerank serving under deletion
+      val path = s"$root/del"
+      Index.saveIvfPq(emb, path, withRaw = true)
+      timed("del_serve_clean_q50")(
+        Index.ivfPqRerankTopKIndexed(spark, path, q50, k = 10))
+      val delBatch = emb.where(pmod(col("vec_id"), lit(10)) === 1)
+        .select("vec_id")
+      val td = System.nanoTime()
+      Index.delete(spark, path, delBatch)
+      val delSec = (System.nanoTime() - td) / 1e9
+      val ds = Index.deleteStats(spark, path).head()
+      println(s"""{"stage":"del_tombstone_write","sec":${Bench.fmt3(delSec)},"n":$n,"n_tombstones":${ds.getLong(1)},"n_masked":${ds.getLong(2)},"masked_frac":${ds.getDouble(3)}}""")
+      val maskedSum = checksum(
+        Index.ivfPqRerankTopKIndexed(spark, path, q50, k = 10))
+      timed("del_serve_masked_q50")(
+        Index.ivfPqRerankTopKIndexed(spark, path, q50, k = 10))
+      val tc = System.nanoTime()
+      Index.compact(spark, path)
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      val compactedSum = checksum(
+        Index.ivfPqRerankTopKIndexed(spark, path, q50, k = 10))
+      timed("del_serve_compacted_q50")(
+        Index.ivfPqRerankTopKIndexed(spark, path, q50, k = 10))
+      println(s"""{"stage":"del_compact","sec":${Bench.fmt3(compactSec)},"n":$n,"purge_equal":${compactedSum == maskedSum}}""")
+      // lexical twin: BM25 serving under document deletion
+      val docs = Tables.load(spark, sfDir, "documents")
+      val corpus = docs.where(!Retrieval.boundedIsQuery)
+      val seeds = docs.where(Retrieval.boundedIsQuery)
+      val lp = s"$root/lexdel"
+      LexIndex.saveLexical(corpus, lp)
+      val nd = corpus.count()
+      timed("lexdel_serve_clean_q100", s""","nd":$nd""")(
+        LexIndex.bm25TopKIndexed(spark, lp, seeds, k = 10))
+      val tld = System.nanoTime()
+      LexIndex.deleteDocs(spark, lp,
+        corpus.where(pmod(col("doc_id"), lit(10)) === 1).select("doc_id"))
+      val lexDelSec = (System.nanoTime() - tld) / 1e9
+      val lds = LexIndex.deleteStats(spark, lp).head()
+      println(s"""{"stage":"lexdel_tombstone_write","sec":${Bench.fmt3(lexDelSec)},"nd":$nd,"n_tombstones":${lds.getLong(1)},"n_masked":${lds.getLong(2)},"masked_frac":${lds.getDouble(3)}}""")
+      val lexMaskedSum = checksum(
+        LexIndex.bm25TopKIndexed(spark, lp, seeds, k = 10))
+      timed("lexdel_serve_masked_q100", s""","nd":$nd""")(
+        LexIndex.bm25TopKIndexed(spark, lp, seeds, k = 10))
+      val tlc = System.nanoTime()
+      LexIndex.compactLexical(spark, lp)
+      val lexCompactSec = (System.nanoTime() - tlc) / 1e9
+      val lexCompactedSum = checksum(
+        LexIndex.bm25TopKIndexed(spark, lp, seeds, k = 10))
+      timed("lexdel_serve_compacted_q100", s""","nd":$nd""")(
+        LexIndex.bm25TopKIndexed(spark, lp, seeds, k = 10))
+      println(s"""{"stage":"lexdel_compact","sec":${Bench.fmt3(lexCompactSec)},"nd":$nd,"purge_equal":${lexCompactedSum == lexMaskedSum}}""")
+    }
+
     if (want("lexrebuild")) {
       // LEXICAL REBUILD-DECISION closed loop (the dense rebuild stage's
       // sparse twin): build on a tenth of the corpus, append the rest —

@@ -572,6 +572,76 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
       Index.stats(s, path)
     }),
+    // DELETION from the persisted store: tombstone a seventh of the
+    // corpus (O(batch) sidecar write — no cell partition is rewritten),
+    // then serve. Masked rows are cut BEFORE ranking, so the result is
+    // the true top-k among survivors — never a rank-then-filter that
+    // returns short; centroids stay frozen at build (the oracle's seed
+    // set is the full corpus, its candidates exclude the deleted ids)
+    "ann_ivf_deleted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfdel", dir)
+      Index.saveIvf(e, path)
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // compaction PURGES the masked rows into the next generation and
+    // CONSUMES the tombstones — the serve is bit-equal before and after
+    // (same oracle as ann_ivf_deleted)
+    "ann_ivf_deleted_compacted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfdelcmp", dir)
+      Index.saveIvf(e, path)
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.compact(s, path)
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // the compressed twin: the same tombstones mask the ADC scan
+    "ann_ivfpq_deleted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqdel", dir)
+      Index.saveIvfPq(e, path)
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // UPSERT: replace vectors in place — tombstone (mutation seq s) +
+    // re-append (seq s+1), the delete-then-add ordering; the serve sees
+    // exactly the new version (old rows masked, new rows outrank the
+    // tombstone, both resident in the same cell partitions until the
+    // next compaction). The oracle's corpus CTE IS the post-upsert
+    // corpus: the upserted rows' vectors rewritten in place, re-assigned
+    // against the frozen build centroids (seed ids are all < 100, the
+    // upsert set all >= 100, so the seeds are untouched)
+    "ann_ivf_upsert" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfup", dir)
+      Index.saveIvf(e, path)
+      val mod = e
+        .where(pmod(col("vec_id"), lit(20)) === 7 && col("vec_id") >= 100)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.25)))
+      Index.upsertIvf(s, path, mod)
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // the deletion-mass hook (stats' tombstone twin): dead stored
+    // versions vs total, after a delete batch AND an upsert batch — the
+    // compaction trigger; every count is a pure formula, scale-safe
+    "ann_index_delete_stats" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfdelstats", dir)
+      Index.saveIvf(e, path)
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      val mod = e
+        .where(pmod(col("vec_id"), lit(20)) === 7 && col("vec_id") >= 100)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.25)))
+      Index.upsertIvf(s, path, mod)
+      Index.deleteStats(s, path)
+    }),
     // TRAINED-quantizer builds: kmeans coarse centroids (ann_ivf_trained)
     // plus pqTrain codebooks (ann_ivfpq_trained) replace the smallest-id
     // seeds — the build pays the Lloyd scans once, the store contract and
@@ -791,6 +861,32 @@ object SparkEntry {
       LexIndex.appendLexical(s, path,
         corpus.where(pmod(col("doc_id"), lit(10)) === 9))
       LexIndex.stats(s, path)
+    }),
+    // document DELETION from the BM25 store: tombstone a seventh of the
+    // corpus, serve — deleted docs can never be returned and never
+    // consume a top-k slot; df / n_docs / avgdl stay FROZEN at build
+    // (the oracle's stats CTEs cover the full build corpus, its
+    // candidate tf/dl only the survivors)
+    "ret_bm25_deleted" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.where(!Retrieval.boundedIsQuery)
+      val path = tmpPath(s, "lexdel", dir)
+      LexIndex.saveLexical(corpus, path)
+      LexIndex.deleteDocs(s, path,
+        corpus.where(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery), k = 10)
+    }),
+    // compaction purges the masked postings and consumes the tombstones
+    // — bit-equal serve (same oracle as ret_bm25_deleted)
+    "ret_bm25_deleted_compacted" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.where(!Retrieval.boundedIsQuery)
+      val path = tmpPath(s, "lexdelcmp", dir)
+      LexIndex.saveLexical(corpus, path)
+      LexIndex.deleteDocs(s, path,
+        corpus.where(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+      LexIndex.compactLexical(s, path)
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery), k = 10)
     }),
     // hybrid lexical+dense selection SERVED FROM THE PERSISTED STORES:
     // per bounded seed, the BM25 list from the LexIndex store (seed-
@@ -1377,7 +1473,9 @@ object SparkEntry {
     "ann_ivfpq_filtered", "cur_pipeline8", "cur_pipeline9",
     "ann_ivf_trained", "ann_ivfpq_trained", "ann_ivfpq_trained_recall",
     "ann_ivfpq_rerank_persisted", "ann_ivfpq_residual",
-    "ann_ivfpq_residual_recall")
+    "ann_ivfpq_residual_recall",
+    "ann_ivf_deleted", "ann_ivf_deleted_compacted", "ann_ivfpq_deleted",
+    "ann_ivf_upsert")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1648,6 +1746,41 @@ object SparkEntry {
         |  GREATEST(16, (SELECT count(*) FROM embeddings
         |                WHERE ((vec_id % 10) + 10) % 10 != 9) // 5000) AS n_cells,
         |  GREATEST(16, (SELECT count(*) FROM embeddings) // 5000) AS auto_cells)""".stripMargin,
+    // deletion: same IVF serve CTEs, candidates exclude the tombstoned
+    // ids, centroid seeds stay the full build corpus — frozen-quantizer
+    // deletion semantics exactly; the compacted twin answers the SAME
+    // oracle (physical purge must not change any answer)
+    "ann_ivf_deleted" -> Similarity.ivfTopKOracleSql(k = 10,
+      candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_ivf_deleted_compacted" -> Similarity.ivfTopKOracleSql(k = 10,
+      candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_ivfpq_deleted" -> Similarity.ivfPqTopKOracleSql(k = 10,
+      candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    // upsert: the oracle corpus IS the post-upsert corpus — the upserted
+    // rows' vectors rewritten in place, everything (assignment, scoring)
+    // recomputed over it with the centroid seeds untouched (< 100)
+    "ann_ivf_upsert" -> Similarity.ivfTopKOracleSql(k = 10,
+      embExprSql = "CASE WHEN ((vec_id % 20) + 20) % 20 = 7 AND vec_id >= 100" +
+        " THEN list_transform(embedding, x -> x + 0.25) ELSE embedding END"),
+    // version-level dead-mass formulas: every id in (deleted ∪ upserted)
+    // has its build version masked; each upserted id adds one live
+    // version on top of the build corpus
+    "ann_index_delete_stats" ->
+      """SELECT n_versions_stored, n_tombstones, n_masked,
+        |       round(n_masked::DOUBLE / n_versions_stored, 4) AS masked_frac
+        |FROM (SELECT
+        |  (SELECT count(*) FROM embeddings)
+        |    + (SELECT count(*) FROM embeddings
+        |       WHERE ((vec_id % 20) + 20) % 20 = 7 AND vec_id >= 100)
+        |    AS n_versions_stored,
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE ((vec_id % 7) + 7) % 7 = 3
+        |      OR (((vec_id % 20) + 20) % 20 = 7 AND vec_id >= 100))
+        |    AS n_tombstones,
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE ((vec_id % 7) + 7) % 7 = 3
+        |      OR (((vec_id % 20) + 20) % 20 = 7 AND vec_id >= 100))
+        |    AS n_masked)""".stripMargin,
     "ann_ivf_trained" -> Similarity.ivfTopKTrainedOracleSql(k = 10),
     "ann_ivfpq_trained" -> Similarity.ivfPqTopKTrainedOracleSql(k = 10),
     "ann_ivfpq_trained_recall" ->
@@ -1692,6 +1825,17 @@ object SparkEntry {
     "ret_bm25_index_stats" ->
       LexIndex.lexStatsOracleSql(Retrieval.boundedIsQuerySql,
         baseWhereSql = "((doc_id % 10) + 10) % 10 != 9"),
+    // deletion: candidate tf/dl restricted to the survivors, df / stats
+    // frozen over the full build corpus; the compacted twin answers the
+    // SAME oracle (purge must not change any answer)
+    "ret_bm25_deleted" ->
+      LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
+        baseWhereSql = "TRUE", k = 10,
+        liveWhereSql = "((doc_id % 7) + 7) % 7 != 3"),
+    "ret_bm25_deleted_compacted" ->
+      LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
+        baseWhereSql = "TRUE", k = 10,
+        liveWhereSql = "((doc_id % 7) + 7) % 7 != 3"),
     "ret_bm25_eval" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
     "ret_hybrid_rrf" -> Retrieval.hybridRrfOracleSql(k = 10),

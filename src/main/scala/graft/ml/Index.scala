@@ -120,8 +120,8 @@ object Index {
   /** The non-metadata columns of each store flavor — everything else in a
     * stored schema is caller metadata persisted via `metaCols`.
     */
-  private val postingsCore = Set("vec_id", "v", "norm", "cell")
-  private val pqCodesCore = Set("vec_id", "sub", "code", "cell")
+  private val postingsCore = Set("vec_id", "v", "norm", "cell", "ins_seq")
+  private val pqCodesCore = Set("vec_id", "sub", "code", "cell", "ins_seq")
 
   /** The metadata columns a store was BUILT with, read from its parquet
     * schema (footer-only, no data scan). Appends derive their effective
@@ -238,7 +238,9 @@ object Index {
       if (metaCols.isEmpty) post
       else post.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
     retireGenerations(emb.sparkSession, path, PostingsKind) // in-place rebuild
+    Tombstones.clear(emb.sparkSession, path) // fresh build: no mutation history
     withMeta
+      .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(postingsPath(path))
@@ -348,7 +350,9 @@ object Index {
       if (metaCols.isEmpty) codesDf
       else codesDf.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
     retireGenerations(spark, path, PqCodesKind) // in-place rebuild
+    Tombstones.clear(spark, path) // fresh build: no mutation history
     withMeta
+      .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(pqCodesPath(path))
@@ -363,6 +367,7 @@ object Index {
           emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
       retireGenerations(spark, path, PostingsKind)
       rawMeta
+        .withColumn("ins_seq", lit(0L))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(postingsPath(path))
@@ -498,8 +503,12 @@ object Index {
     val withMeta =
       if (meta.isEmpty) post
       else post.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
+    // stamped AFTER any tombstone the caller just wrote ([[upsertIvf]]):
+    // the appended rows outrank it and serve; older rows stay masked
+    val seqNo = Tombstones.nextSeq(spark, path)
     fencedAppend(spark, path, PostingsKind) { dir =>
       withMeta
+        .withColumn("ins_seq", lit(seqNo))
         .repartition(col("cell")) // one appended file per touched cell
         .write.mode("append").partitionBy("cell")
         .parquet(dir)
@@ -548,8 +557,11 @@ object Index {
     val withMeta =
       if (meta.isEmpty) codesDf
       else codesDf.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
+    // one seq for the batch, shared by both flavors (same mutation)
+    val seqNo = Tombstones.nextSeq(spark, path)
     fencedAppend(spark, path, PqCodesKind) { dir =>
       withMeta
+        .withColumn("ins_seq", lit(seqNo))
         .repartition(col("cell")) // one appended file per touched cell
         .write.mode("append").partitionBy("cell")
         .parquet(dir)
@@ -568,11 +580,82 @@ object Index {
           newEmb.select((Seq("vec_id") ++ rawMeta).map(col): _*), "vec_id")
       fencedAppend(spark, path, PostingsKind) { dir =>
         rawWithMeta
+          .withColumn("ins_seq", lit(seqNo))
           .repartition(col("cell"))
           .write.mode("append").partitionBy("cell")
           .parquet(dir)
       }
     }
+  }
+
+  /** Tombstone a batch of vector ids — O(batch), no partition rewrite.
+    * Masked everywhere from the next serve's plan on: the ADC scan, the
+    * flat scan, and the rerank refine all anti-join the tombstones
+    * against their already-pruned candidates ([[Tombstones]] for the
+    * masking rule and why upserted rows are exempt). Physical removal
+    * and tombstone consumption happen at the next [[compact]]; the mass
+    * outstanding is [[deleteStats]]' job.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.write(spark, path, ids, "vec_id")
+
+  /** Replace vectors in place: tombstone the batch's ids (mutation seq
+    * s), then append the new versions (seq s+1) — the delete-then-add
+    * ordering. Serves see exactly the new version: old rows are masked
+    * by the tombstone, new rows outrank it.
+    */
+  def upsertIvf(spark: SparkSession, path: String, batch: DataFrame,
+                superProbe: Int = Similarity.defaultSuperProbe,
+                metaCols: Seq[String] = Nil): Unit = {
+    delete(spark, path, batch.select("vec_id"))
+    appendIvf(spark, path, batch, superProbe, metaCols)
+  }
+
+  /** The compressed twin of [[upsertIvf]] (combined stores keep the raw
+    * flavor in step through [[appendIvfPq]]).
+    */
+  def upsertIvfPq(spark: SparkSession, path: String, batch: DataFrame,
+                  superProbe: Int = Similarity.defaultSuperProbe,
+                  metaCols: Seq[String] = Nil): Unit = {
+    delete(spark, path, batch.select("vec_id"))
+    appendIvfPq(spark, path, batch, superProbe, metaCols)
+  }
+
+  /** The deletion-mass hook — [[stats]]' tombstone twin, the compaction
+    * trigger deletes add: every masked row is anti-join work each serve
+    * repeats and dead bytes each probed scan still reads, both
+    * reclaimed by [[compact]]. Counted at VERSION level — a stored
+    * version is one (vec_id, ins_seq): a plain delete masks a vector's
+    * only version; an upsert leaves one masked (dead) version plus one
+    * live one, so `n_masked` is exactly the dead mass a compaction
+    * reclaims, not "vectors ever touched". One row:
+    * (n_versions_stored, n_tombstones, n_masked, masked_frac).
+    */
+  def deleteStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val hasPostings = generations(spark, path, PostingsKind)
+      .exists { case (_, p) => isCommitted(spark, p) }
+    val kind = if (hasPostings) PostingsKind else PqCodesKind
+    // version-level view: one (vec_id, ins_seq) per stored version (the
+    // PQ flavor repeats it nSub times)
+    val vecs = spark.read.parquet(liveDir(spark, path, kind))
+      .select(col("vec_id"),
+        coalesce(col("ins_seq"), lit(0L)).as("ins_seq"))
+      .distinct()
+    val tomb = Tombstones.readAll(spark, path)
+    val nStored = vecs.count()
+    val nTomb = tomb.fold(0L)(_.select("vec_id").distinct().count())
+    val masked = tomb.fold(0L) { t =>
+      val tt = t.select(col("vec_id").as("__tomb_id"),
+        col("del_seq").as("__tomb_seq"))
+      vecs.join(tt, vecs("vec_id") === tt("__tomb_id") &&
+          tt("__tomb_seq") >= vecs("ins_seq"), "left_semi")
+        .count()
+    }
+    Seq((nStored, nTomb, masked))
+      .toDF("n_versions_stored", "n_tombstones", "n_masked")
+      .withColumn("masked_frac",
+        round(col("n_masked").cast("double") / col("n_versions_stored"), 4))
   }
 
   /** Drop every generation of `kind` (used by an in-place REBUILD: the
@@ -645,9 +728,17 @@ object Index {
     * stores written before appends validated metaCols) compacts to the
     * union schema instead of silently dropping metadata.
     */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String): Unit = {
+    // tombstone consumption: list ONCE, purge masked rows from every
+    // flavor's rewrite, then delete exactly the listed files — a delete
+    // landing after the listing keeps masking at serve time and is
+    // consumed by the NEXT compaction instead of being silently dropped
+    val consumed = Tombstones.listFiles(spark, path)
+    val tomb = Tombstones.readFiles(spark, consumed)
     Seq(PostingsKind, PqCodesKind)
-      .foreach(compactKind(spark, path, _, "cell"))
+      .foreach(compactKind(spark, path, _, "cell", Nil, tomb, "vec_id"))
+    Tombstones.deleteFiles(spark, path, consumed)
+  }
 
   /** One kind's compaction cycle (shared with [[LexIndex]], whose posting
     * store is bucket- rather than cell-partitioned).
@@ -657,9 +748,15 @@ object Index {
     * term-predicate pushdown selective; the ANN stores have no in-file
     * order contract).
     */
+  /** `purge`: tombstones to fold into the rewrite — masked rows are
+    * physically dropped from the new generation (the caller consumes
+    * the corresponding tombstone files after every kind is rewritten).
+    */
   private[graft] def compactKind(spark: SparkSession, path: String,
                                  kind: String, partitionCol: String,
-                                 sortCols: Seq[String] = Nil): Unit = {
+                                 sortCols: Seq[String] = Nil,
+                                 purge: Option[DataFrame] = None,
+                                 purgeIdCol: String = "vec_id"): Unit = {
     import org.apache.hadoop.fs.Path
     val gens = generations(spark, path, kind)
     if (gens.exists { case (_, p) => isCommitted(spark, p) }) {
@@ -669,7 +766,9 @@ object Index {
       // never reused as-is
       val next = gens.map(_._1).max + 1
       val dst = s"$path/${kind}_v$next"
-      val rewritten = spark.read.option("mergeSchema", "true").parquet(src)
+      val rewritten = Tombstones.mask(
+        spark.read.option("mergeSchema", "true").parquet(src),
+        purge, purgeIdCol)
         .repartition(col(partitionCol))
       (if (sortCols.isEmpty) rewritten
        else rewritten.sortWithinPartitions(sortCols.map(col): _*))
@@ -709,10 +808,17 @@ object Index {
     // postings/) counts distinct vec_id over its codes instead
     val hasPostings = generations(spark, path, PostingsKind)
       .exists { case (_, p) => isCommitted(spark, p) }
+    // the SERVED corpus: tombstoned rows are invisible to every serve
+    // (their dead mass is [[deleteStats]]' column, not this one's)
+    val tomb = Tombstones.readAll(spark, path)
     val n =
       if (hasPostings)
-        spark.read.parquet(liveDir(spark, path, PostingsKind)).count()
-      else spark.read.parquet(liveDir(spark, path, PqCodesKind))
+        Tombstones.mask(
+          spark.read.parquet(liveDir(spark, path, PostingsKind)),
+          tomb, "vec_id").count()
+      else Tombstones.mask(
+        spark.read.parquet(liveDir(spark, path, PqCodesKind)),
+        tomb, "vec_id")
         .select("vec_id").distinct().count()
     val nc = spark.read.parquet(centroidsPath(path)).count()
     val auto = Similarity.autoCells(n, floorCells).toLong
@@ -752,8 +858,12 @@ object Index {
                      k: Int, nProbe: Int = 4,
                      candWhere: Column = lit(true)): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val post = prunedToProbes(spark, liveDir(spark, path, PostingsKind),
-      probedCellVals(probes)).where(candWhere)
+    // tombstone mask BEFORE ranking: a deleted row must not consume a
+    // top-k slot (rank-then-filter would return short results)
+    val post = Tombstones.mask(
+      prunedToProbes(spark, liveDir(spark, path, PostingsKind),
+        probedCellVals(probes)).where(candWhere),
+      Tombstones.readAll(spark, path), "vec_id")
     val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))
     val scored = post.join(broadcast(probes), Seq("cell"))
@@ -785,8 +895,11 @@ object Index {
     */
   private def adcRanked(spark: SparkSession, path: String, probes: DataFrame,
                         q: DataFrame, k: Int, candWhere: Column): DataFrame = {
-    val codes = prunedToProbes(spark, liveDir(spark, path, PqCodesKind),
-      probedCellVals(probes)).where(candWhere)
+    // tombstone mask before ranking (see ivfTopKIndexed)
+    val codes = Tombstones.mask(
+      prunedToProbes(spark, liveDir(spark, path, PqCodesKind),
+        probedCellVals(probes)).where(candWhere),
+      Tombstones.readAll(spark, path), "vec_id")
       .select("vec_id", "sub", "code", "cell")
     val cw = spark.read.parquet(codewordsPath(path))
     val nSub = cw.select("sub").distinct().count().toInt
@@ -867,9 +980,14 @@ object Index {
         "build the store with saveIvfPq(..., withRaw = true) (or saveIvf " +
         "on the same path)")
     // every shortlisted candidate came from a probed cell, so the refine
-    // scan prunes to the same cell directories the shortlist read
-    val post = prunedToProbes(spark, liveDir(spark, path, PostingsKind),
-      probedCellVals(probes))
+    // scan prunes to the same cell directories the shortlist read. The
+    // mask applies HERE too, not just to the shortlist: an upserted id
+    // has a masked stale raw row co-resident with its live one, and the
+    // id-equijoin below would otherwise refine against both
+    val post = Tombstones.mask(
+      prunedToProbes(spark, liveDir(spark, path, PostingsKind),
+        probedCellVals(probes)),
+      Tombstones.readAll(spark, path), "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
     val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))

@@ -107,10 +107,12 @@ object LexIndex {
     // it in liveDir and silently serve pre-rebuild postings scored with
     // the fresh df/avgdl — retire them first (the dense saveIvf contract)
     Index.retireGenerations(spark, path, PostingsKind)
+    Tombstones.clear(spark, path) // fresh build: no mutation history
     // one file per bucket, th-sorted within it (row-group stats carry the
     // term pushdown); the full-index write is the build's whole point —
     // the one place this shuffle+sort is the right trade
     postingsOf(corpus)
+      .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
       .withColumn("bucket", pmod(col("th"), lit(nb.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("th")
@@ -151,8 +153,12 @@ object LexIndex {
     // materialized once: the postings write, the df sidecar, and the doc
     // sidecar all derive from this batch-sized relation
     val post = postingsOf(newDocs).lineageCut
+    // stamped AFTER any tombstone the caller just wrote ([[upsertDocs]]):
+    // the appended postings outrank it and serve; older rows stay masked
+    val seqNo = Tombstones.nextSeq(spark, path)
     Index.fencedAppend(spark, path, PostingsKind) { dir =>
       post
+        .withColumn("ins_seq", lit(seqNo))
         .withColumn("bucket", pmod(col("th"), lit(nBuckets)))
         .repartition(col("bucket"))
         .sortWithinPartitions("th")
@@ -235,8 +241,58 @@ object LexIndex {
     * crash-safe (`_SUCCESS` is the publish point) and reader-safe (the
     * previous generation survives until the next compaction).
     */
-  def compactLexical(spark: SparkSession, path: String): Unit =
-    Index.compactKind(spark, path, PostingsKind, "bucket", Seq("th"))
+  def compactLexical(spark: SparkSession, path: String): Unit = {
+    // tombstone consumption mirrors [[Index.compact]]: purge exactly the
+    // listed files' masked rows, delete exactly those files — deletes
+    // landing mid-compaction survive to the next cycle
+    val consumed = Tombstones.listFiles(spark, path)
+    val tomb = Tombstones.readFiles(spark, consumed)
+    Index.compactKind(spark, path, PostingsKind, "bucket", Seq("th"),
+      tomb, "doc_id")
+    Tombstones.deleteFiles(spark, path, consumed)
+  }
+
+  /** Tombstone documents by id — O(batch), no bucket rewrite; masked
+    * from the next serve's plan on (see [[Tombstones]]). Scoring stats
+    * stay FROZEN — df / n_docs / avgdl keep pricing the deleted docs in
+    * until a [[saveLexical]] rebuild, the same trade appends make in the
+    * other direction (and the same remedy: [[deleteStats]] makes the
+    * mass visible, the rebuild clears it). What deletion does NOT leave
+    * behind: a masked document can never be returned, and its postings
+    * are physically reclaimed by [[compactLexical]].
+    */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.write(spark, path, ids, "doc_id")
+
+  /** Replace documents in place: tombstone the batch's ids, then append
+    * the new versions — [[Index.upsertIvf]]'s delete-then-add ordering.
+    * Serves see exactly the new text's postings. Stats caveat beyond
+    * [[deleteDocs]]': the append sidecars record the NEW version's df,
+    * so a later [[foldStats]] counts both versions' df until a rebuild
+    * (frozen-stats drift, made visible by [[stats]]/[[deleteStats]]).
+    */
+  def upsertDocs(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    deleteDocs(spark, path, docs.select("doc_id"))
+    appendLexical(spark, path, docs)
+  }
+
+  /** Deletion-mass hook — [[Index.deleteStats]]' sparse twin, at
+    * POSTING-ROW level (the unit the serve anti-join pays for and the
+    * compaction reclaims): one row (n_postings_stored, n_tombstones,
+    * n_masked, masked_frac).
+    */
+  def deleteStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val live = spark.read.parquet(Index.liveDir(spark, path, PostingsKind))
+    val tomb = Tombstones.readAll(spark, path)
+    val nStored = live.count()
+    val nTomb = tomb.fold(0L)(_.select("doc_id").distinct().count())
+    val masked = nStored - Tombstones.mask(live, tomb, "doc_id").count()
+    Seq((nStored, nTomb, masked))
+      .toDF("n_postings_stored", "n_tombstones", "n_masked")
+      .withColumn("masked_frac",
+        round(col("n_masked").cast("double") / col("n_postings_stored"), 4))
+  }
 
   /** Answer a seed batch from the stored index: seed bigrams hashed and
     * collected driver-side (bounded by |seeds|·nQueryTerms — query-side
@@ -296,8 +352,12 @@ object LexIndex {
         col("avgdl"))
     // posting join: pruned stored postings × broadcast weights — map-side,
     // the only store-touching operation (df-capped terms never leave the
-    // scan: their weights don't exist, the join drops their postings)
-    val contrib = pruned(Index.liveDir(spark, path, PostingsKind))
+    // scan: their weights don't exist, the join drops their postings).
+    // Tombstone mask before scoring: a deleted doc must not consume a
+    // top-k slot (the dense serve's rank-then-filter hazard)
+    val contrib = Tombstones.mask(
+      pruned(Index.liveDir(spark, path, PostingsKind)),
+      Tombstones.readAll(spark, path), "doc_id")
       .join(broadcast(weighted), "th")
       .select(col("query_id"), col("doc_id"),
         floor(col("idf") * (col("tf") * (k1 + 1) /
@@ -342,7 +402,12 @@ object LexIndex {
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val frozen = spark.read.parquet(statsPath(path)).head()
-    val live = spark.read.parquet(Index.liveDir(spark, path, PostingsKind))
+    // the SERVED corpus: tombstoned docs are invisible to every serve,
+    // so they don't count as live (their frozen-stats mass is
+    // [[deleteStats]]' column, not this one's)
+    val live = Tombstones.mask(
+      spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
+      Tombstones.readAll(spark, path), "doc_id")
     val terms = spark.read.parquet(termsPath(path))
     val nLive = live.select("doc_id").distinct().count()
     // shuffle join on th, deliberately: both sides are corpus-sized and
@@ -392,21 +457,27 @@ object LexIndex {
     * pinned centroid seed sets. `baseWhereSql` selects the base slice
     * among corpus rows.
     */
+  /** `liveWhereSql` restricts the SERVED documents (tombstone-masked
+    * candidates under [[deleteDocs]]) while df / n_docs / avgdl stay
+    * frozen to `base` — deletion's scoring semantics exactly.
+    */
   def bm25FrozenOracleSql(isQuerySql: String, baseWhereSql: String,
                           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                           nQueryTerms: Int = 8,
-                          dfCapFrac: Double = 0.5): String =
+                          dfCapFrac: Double = 0.5,
+                          liveWhereSql: String = "TRUE"): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
        |base AS (SELECT * FROM corpus WHERE $baseWhereSql),
+       |live AS (SELECT * FROM corpus WHERE $liveWhereSql),
        |tf AS (
        |  SELECT doc_id, ${h64Sql("t")} AS th, count(*)::BIGINT AS tf
-       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM corpus)
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM live)
        |  GROUP BY doc_id, 2),
        |dl AS (
        |  SELECT doc_id,
        |         (CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::BIGINT AS dl
-       |  FROM corpus),
+       |  FROM live),
        |basedl AS (
        |  SELECT (CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::BIGINT AS dl
        |  FROM base),

@@ -673,13 +673,20 @@ object Similarity {
     * e.g. a kmeans-centroid replay chain — that `centsSql` (an override
     * for the seeded centroid SELECT) may then reference.
     */
+  /** `embExprSql`: the SQL expression yielding each row's embedding —
+    * default the stored column; an UPSERT oracle substitutes a CASE that
+    * rewrites the upserted rows' vectors in place (the oracle's `e` IS
+    * the post-upsert corpus, exactly what the store serves after
+    * delete-then-add).
+    */
   private[ml] def cellCtesSql(nCells: Int,
                               centroidWhereSql: String = "TRUE",
                               centsSql: Option[String] = None,
-                              preCtesSql: Option[String] = None): String =
+                              preCtesSql: Option[String] = None,
+                              embExprSql: String = "embedding"): String =
     s"""e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  SELECT vec_id, ($embExprSql)::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(($embExprSql)::DOUBLE[], ($embExprSql)::DOUBLE[])) AS norm
        |  FROM embeddings),
        |${preCtesSql.map(p => s"$p,\n").getOrElse("")}cents AS (
        |  ${centsSql.getOrElse(
@@ -1236,8 +1243,10 @@ object Similarity {
                                    centroidWhereSql: String = "TRUE",
                                    candWhereSql: String = "TRUE",
                                    centsSql: Option[String] = None,
-                                   preCtesSql: Option[String] = None): String =
-    s"""${cellCtesSql(nCells, centroidWhereSql, centsSql, preCtesSql)},
+                                   preCtesSql: Option[String] = None,
+                                   embExprSql: String = "embedding"): String =
+    s"""${cellCtesSql(nCells, centroidWhereSql, centsSql, preCtesSql,
+                      embExprSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
@@ -1258,9 +1267,10 @@ object Similarity {
   def ivfTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                        isQuerySql: String = defaultIsQuerySql,
                        centroidWhereSql: String = "TRUE",
-                       candWhereSql: String = "TRUE"): String =
+                       candWhereSql: String = "TRUE",
+                       embExprSql: String = "embedding"): String =
     s"""WITH ${ivfScoredCtesSql(nCells, nProbe, isQuerySql, centroidWhereSql,
-                                candWhereSql)},
+                                candWhereSql, embExprSql = embExprSql)},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY cosine DESC, neighbor_id) AS rank

@@ -559,4 +559,128 @@ class IndexSpec extends SparkSpec {
       emb.where(col("vec_id") < 0), k = 5)
     assert(out.count() === 0L)
   }
+
+  // ---- deletion / upsert (sequence-stamped tombstones) ----
+
+  private val isQ5 = pmod(col("vec_id"), lit(10)) === 0
+  private val delPred = pmod(col("vec_id"), lit(10)) === 1
+
+  test("delete ≡ filtered serve: masked rows never consume a top-k slot") {
+    // the exact-semantics pin, no oracle needed: serving a store with
+    // ids DELETED must equal serving the UNDELETED store with the same
+    // ids cut by candWhere (filter-before-rank, identical tie-breaks)
+    val path = freshPath("del")
+    Index.saveIvfPq(emb, path, withRaw = true)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val expFlat = dump(Index.ivfTopKIndexed(spark, path, emb.where(isQ5),
+      k = 5, candWhere = !delPred))
+    val expAdc = dump(Index.ivfPqTopKIndexed(spark, path, emb.where(isQ5),
+      k = 5, candWhere = !delPred))
+    Index.delete(spark, path, emb.where(delPred).select("vec_id"))
+    assert(dump(Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5))
+      === expFlat)
+    assert(dump(Index.ivfPqTopKIndexed(spark, path, emb.where(isQ5), k = 5))
+      === expAdc)
+    assert(expFlat.nonEmpty && expAdc.nonEmpty)
+    // the rerank refine is masked too (shortlist AND raw join)
+    val rr = Index.ivfPqRerankTopKIndexed(spark, path, emb.where(isQ5),
+      k = 5, rerank = 10).select("neighbor_id").as[Long].collect()
+    assert(rr.forall(_ % 10 !== 1L))
+  }
+
+  test("compact purges masked rows physically and consumes the tombstones") {
+    val path = freshPath("delcompact")
+    Index.saveIvfPq(emb, path, withRaw = true)
+    Index.delete(spark, path, emb.where(delPred).select("vec_id"))
+    def dump() = Index.ivfPqRerankTopKIndexed(spark, path, emb.where(isQ5),
+      k = 5, rerank = 10).orderBy("query_id", "rank").collect().toSeq
+    val before = dump()
+    Index.compact(spark, path)
+    assert(dump() === before) // physical purge changes no answer
+    assert(Tombstones.listFiles(spark, path).isEmpty) // consumed
+    // masked rows are physically gone from BOTH flavors' new generations
+    Seq(Index.PostingsKind, Index.PqCodesKind).foreach { kind =>
+      val live = spark.read.parquet(Index.liveDir(spark, path, kind))
+      assert(live.where(delPred).count() === 0L)
+    }
+  }
+
+  test("a delete landing after compaction's tombstone listing survives it") {
+    val path = freshPath("delrace")
+    Index.saveIvf(emb, path)
+    Index.delete(spark, path, Seq(21L).toDF("vec_id"))
+    // compaction's consumption unit is the FILE LIST it read — replay
+    // compact's body with a listing taken BEFORE a second delete lands
+    val consumed = Tombstones.listFiles(spark, path)
+    Index.delete(spark, path, Seq(31L).toDF("vec_id")) // mid-compaction
+    Index.compactKind(spark, path, Index.PostingsKind, "cell", Nil,
+      Tombstones.readFiles(spark, consumed), "vec_id")
+    Tombstones.deleteFiles(spark, path, consumed)
+    val live = spark.read.parquet(Index.liveDir(spark, path, Index.PostingsKind))
+    assert(live.where(col("vec_id") === 21L).count() === 0L) // purged
+    assert(live.where(col("vec_id") === 31L).count() === 1L) // still stored…
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 40)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!served.contains(31L)) // …but still MASKED (tombstone survived)
+    Index.compact(spark, path) // the next cycle purges it
+    assert(Tombstones.listFiles(spark, path).isEmpty)
+    assert(spark.read.parquet(Index.liveDir(spark, path, Index.PostingsKind))
+      .where(col("vec_id") === 31L).count() === 0L)
+  }
+
+  test("upsert serves exactly the new version; delete-then-upsert revives") {
+    val path = freshPath("upsert")
+    Index.saveIvf(emb, path)
+    // make vec 17 the unambiguous nearest neighbor of query 30 by
+    // upserting it ONTO query 30's vector (cosine 1.0 after re-assign)
+    val q30 = emb.where(col("vec_id") === 30L).select("embedding").head()
+      .getSeq[Float](0)
+    val newRow = Seq((17L, q30)).toDF("vec_id", "embedding")
+    Index.upsertIvf(spark, path, newRow)
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 3)
+      .where(col("query_id") === 30L).orderBy("rank").collect()
+    assert(served.head.getLong(1) === 17L) // the NEW vector ranks first…
+    assert(served.head.getDouble(2) === 1.0) // …with the new cosine
+    // exactly one surviving version: no duplicate (query, neighbor) rows
+    val all = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 40)
+    assert(all.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).count() === 0L)
+    // delete then upsert revives the id (append outranks the tombstone)
+    Index.delete(spark, path, Seq(17L).toDF("vec_id"))
+    assert(Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 40)
+      .where(col("neighbor_id") === 17L).count() === 0L)
+    Index.upsertIvf(spark, path, newRow)
+    assert(Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 3)
+      .where(col("query_id") === 30L && col("neighbor_id") === 17L)
+      .count() === 1L)
+  }
+
+  test("deleteStats counts dead VERSIONS (upsert = one dead + one live)") {
+    val path = freshPath("delstats")
+    Index.saveIvf(emb, path) // 120 build versions
+    Index.delete(spark, path, emb.where(delPred).select("vec_id")) // 12 ids
+    val mod = emb.where(pmod(col("vec_id"), lit(10)) === 2) // 12 more ids
+    Index.upsertIvf(spark, path, mod)
+    val r = Index.deleteStats(spark, path).head()
+    assert(r.getLong(0) === 132L) // 120 build + 12 upserted versions
+    assert(r.getLong(1) === 24L)  // deleted ∪ upserted ids
+    assert(r.getLong(2) === 24L)  // their 24 build versions are dead
+    assert(r.getDouble(3) === math.floor(24.0 / 132.0 * 1e4 + 0.5) / 1e4)
+    // compaction reclaims the dead mass and the counters read clean
+    Index.compact(spark, path)
+    val r2 = Index.deleteStats(spark, path).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((108L, 0L, 0L)))
+  }
+
+  test("delete works on a PQ-only store (no raw flavor)") {
+    val path = freshPath("delpqonly")
+    Index.saveIvfPq(emb, path)
+    Index.delete(spark, path, emb.where(delPred).select("vec_id"))
+    val served = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ5), k = 40)
+      .select("neighbor_id").as[Long].collect()
+    assert(served.nonEmpty && served.forall(_ % 10 !== 1L))
+    val r = Index.deleteStats(spark, path).head()
+    assert(r.getLong(0) === 120L && r.getLong(2) === 12L)
+  }
 }

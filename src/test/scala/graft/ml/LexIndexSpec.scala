@@ -305,4 +305,76 @@ class LexIndexSpec extends SparkSpec {
       docs.where(col("doc_id") < 0), k = 5)
     assert(out.count() === 0L)
   }
+
+  // ---- document deletion / upsert (sequence-stamped tombstones) ----
+
+  test("deleteDocs masks docs; compactLexical purges and consumes") {
+    val path = freshPath("del")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    val delPred = pmod(col("doc_id"), lit(10)) === 5 // docs 5,15,25,35
+    LexIndex.deleteDocs(spark, path,
+      docs.where(delPred).select("doc_id"))
+    def dump() = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val masked = dump()
+    assert(masked.nonEmpty)
+    assert(masked.forall(_.getLong(1) % 10 !== 5L)) // never returned…
+    masked.groupBy(_.getLong(0)).values.foreach { rows => // …and ranks stay
+      assert(rows.map(_.getInt(3)).sorted === (1 to rows.length)) // contiguous
+    }
+    val before = masked
+    LexIndex.compactLexical(spark, path)
+    assert(dump() === before) // physical purge changes no answer
+    assert(Tombstones.listFiles(spark, path).isEmpty) // consumed
+    assert(spark.read.parquet(Index.liveDir(spark, path, LexIndex.PostingsKind))
+      .where(delPred).count() === 0L)
+  }
+
+  test("stats counts the SERVED corpus; deleteStats counts the dead mass") {
+    val path = freshPath("delstats")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    val livePostings = spark.read
+      .parquet(Index.liveDir(spark, path, LexIndex.PostingsKind)).count()
+    val deadPostings = spark.read
+      .parquet(Index.liveDir(spark, path, LexIndex.PostingsKind))
+      .where(col("doc_id") === 7L).count()
+    LexIndex.deleteDocs(spark, path, Seq(7L).toDF("doc_id"))
+    val st = LexIndex.stats(spark, path).head()
+    assert(st.getLong(1) === 35L) // 36 stored docs − 1 tombstoned
+    val ds = LexIndex.deleteStats(spark, path).head()
+    assert(ds.getLong(0) === livePostings)
+    assert(ds.getLong(1) === 1L)
+    assert(ds.getLong(2) === deadPostings)
+  }
+
+  test("upsertDocs serves exactly the new text; revives a deleted doc") {
+    val path = freshPath("upsert")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    // rewrite doc 23 AS query doc 1's text: it must become a (the) top
+    // hit for query 1, scored from the NEW text's postings only
+    val newDoc = Seq((23L, docText(1))).toDF("doc_id", "text")
+    LexIndex.upsertDocs(spark, path, newDoc)
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+    // exactly one surviving version: no duplicate (query, doc) rows
+    assert(served.groupBy("query_id", "doc_id").count()
+      .where(col("count") > 1).count() === 0L)
+    val q1 = served.where(col("query_id") === 1L)
+      .orderBy("rank").collect()
+    // doc 13's text already equals docText(1) (the fixture's 12-periodic
+    // word hash), so the rewritten 23 TIES it exactly — the precise pin:
+    // 23 scores bit-identically to the natural copy and outranks every
+    // non-copy (its OLD text would not even tie)
+    val score = Map(q1.map(r => r.getLong(1) -> r.getLong(2)): _*)
+    assert(score.contains(23L))
+    assert(score(23L) === score(13L))
+    assert(q1.take(2).map(_.getLong(1)).toSet === Set(13L, 23L))
+    // delete then upsert revives (the append outranks the tombstone)
+    LexIndex.deleteDocs(spark, path, Seq(23L).toDF("doc_id"))
+    assert(LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .where(col("doc_id") === 23L).count() === 0L)
+    LexIndex.upsertDocs(spark, path, newDoc)
+    assert(LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .where(col("query_id") === 1L && col("doc_id") === 23L)
+      .count() === 1L)
+  }
 }
