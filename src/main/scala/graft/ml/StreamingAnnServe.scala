@@ -130,4 +130,70 @@ object StreamingAnnServe {
       if (!batch.isEmpty)
         LexIndex.appendLexical(batch.sparkSession, path, batch)
     }
+
+  /** Streamed DELETION: each arriving micro-batch of ids is tombstoned
+    * ([[Index.delete]]) — an O(batch) sidecar write per batch, no store
+    * partition touched. REPLAY-IDEMPOTENT by construction: foreachBatch
+    * is at-least-once under crash recovery, and a replayed delete writes
+    * a second tombstone with a later `del_seq` that masks exactly the
+    * same rows — the served result is identical, so at-least-once replay
+    * has exactly-once EFFECT (no offset bookkeeping needed).
+    */
+  def deleteStream(idStream: DataFrame, path: String): DataStreamWriter[Row] =
+    writer(idStream) { (batch, _) =>
+      if (!batch.isEmpty) Index.delete(batch.sparkSession, path, batch)
+    }
+
+  /** Streamed UPSERT (the CDC ingest shape): each arriving
+    * (vec_id, embedding) micro-batch replaces its ids in place via
+    * [[Index.upsertIvf]] — tombstone (seq s) + append (seq s+1). Also
+    * replay-idempotent, and for a sharper reason than the delete
+    * stream: a REPLAYED upsert's own tombstone (seq s') masks the
+    * previous replay's appended rows (s' > s+1), so however many times
+    * the batch replays, exactly one version — the newest — serves.
+    * Delete-then-add turns at-least-once ingest into exactly-once
+    * serving without a dedup log, which is the entire reason the
+    * tombstones are sequence-stamped rather than id-only.
+    */
+  def upsertStream(vecStream: DataFrame, path: String,
+                   metaCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    writer(vecStream) { (batch, _) =>
+      if (!batch.isEmpty)
+        Index.upsertIvf(batch.sparkSession, path, batch, metaCols = metaCols)
+    }
+
+  /** The compressed upsert-ingest twin ([[Index.upsertIvfPq]] per
+    * micro-batch; combined stores keep the raw refine flavor in step).
+    */
+  def upsertStreamPq(vecStream: DataFrame, path: String,
+                     metaCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    writer(vecStream) { (batch, _) =>
+      if (!batch.isEmpty)
+        Index.upsertIvfPq(batch.sparkSession, path, batch, metaCols = metaCols)
+    }
+
+  /** The sparse deletion twin: arriving doc-id batches tombstoned via
+    * [[LexIndex.deleteDocs]] — same replay-idempotence as
+    * [[deleteStream]].
+    */
+  def deleteStreamLex(idStream: DataFrame, path: String)
+                     : DataStreamWriter[Row] =
+    writer(idStream) { (batch, _) =>
+      if (!batch.isEmpty) LexIndex.deleteDocs(batch.sparkSession, path, batch)
+    }
+
+  /** The sparse upsert twin: arriving (doc_id, text) batches replace
+    * their documents via [[LexIndex.upsertDocs]] — replay-idempotent for
+    * SERVING like [[upsertStream]] (each replay's tombstone masks the
+    * previous replay's postings). One sparse-specific caveat: every
+    * replay appends its df sidecar again, so a later
+    * [[LexIndex.foldStats]] over a replayed history double-counts those
+    * terms' df until a rebuild — the sidecars are best-effort accounting
+    * under at-least-once delivery, the serve path is not.
+    */
+  def upsertStreamLex(docStream: DataFrame, path: String)
+                     : DataStreamWriter[Row] =
+    writer(docStream) { (batch, _) =>
+      if (!batch.isEmpty) LexIndex.upsertDocs(batch.sparkSession, path, batch)
+    }
 }

@@ -243,4 +243,91 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  // ---- CDC ingest: streamed deletes / upserts ----
+
+  private val isQ = pmod(col("vec_id"), lit(10)) === 0
+
+  test("deleteStream ≡ batch delete, any micro-batch split") {
+    val path = freshPath("delstream")
+    Index.saveIvf(emb, path)
+    val input = MemoryStream[Long]
+    val ids = Seq(11L, 21L, 31L, 41L, 51L, 61L)
+    val q = StreamingAnnServe.deleteStream(
+      input.toDF().toDF("vec_id"), path).start()
+    try {
+      input.addData(ids.take(2)); q.processAllAvailable()
+      input.addData(ids.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 40)
+      .orderBy("query_id", "rank").collect().toSeq
+    // reference: the same store with the same ids deleted in ONE batch
+    val ref = freshPath("delstreamref")
+    Index.saveIvf(emb, ref)
+    Index.delete(spark, ref, ids.toDF("vec_id"))
+    val batch = Index.ivfTopKIndexed(spark, ref, emb.where(isQ), k = 40)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("upsertStream replay has exactly-once EFFECT (newest version serves)") {
+    val path = freshPath("upstream")
+    Index.saveIvf(emb, path)
+    // vec 17 rewritten onto query 30's vector — the post-upsert nearest
+    val q30 = (0 until 8).map(d => math.sin(30L * 1.37 + d * 0.73).toFloat)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnnServe.upsertStream(
+      input.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      input.addData(Seq((17L, q30))); q.processAllAvailable()
+    } finally q.stop()
+    // simulate at-least-once REPLAY of the same micro-batch: foreachBatch
+    // re-invokes the same body on recovery — call it again, twice
+    Index.upsertIvf(spark, path, Seq((17L, q30)).toDF("vec_id", "embedding"))
+    Index.upsertIvf(spark, path, Seq((17L, q30)).toDF("vec_id", "embedding"))
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 40)
+    // exactly ONE version of 17 serves, with the NEW vector's cosine
+    assert(served.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).count() === 0L)
+    val hit = served
+      .where(col("query_id") === 30L && col("neighbor_id") === 17L)
+      .select("cosine").as[Double].collect()
+    assert(hit.toSeq === Seq(1.0))
+    // and the store really does hold the replayed dead versions (the
+    // idempotence is in the MASKING, not in suppressed writes)
+    val r = Index.deleteStats(spark, path).head()
+    assert(r.getLong(0) === 123L) // 120 build + 3 upsert versions
+    assert(r.getLong(2) === 3L)   // build v0 + two replays' appends dead
+  }
+
+  test("deleteStreamLex + upsertStreamLex: streamed doc CDC serves the new state") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val docsDf = (0L until 40L).map { i =>
+      (i, (0 until (4 + (i % 4)).toInt)
+        .map(j => vocab(((i * 7 + j * 3 + i * j) % 12).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val isQd = col("doc_id") < 4
+    val path = freshPath("lexcdc")
+    LexIndex.saveLexical(docsDf.where(!isQd), path, nBuckets = 16)
+    val delInput = MemoryStream[Long]
+    val dq = StreamingAnnServe.deleteStreamLex(
+      delInput.toDF().toDF("doc_id"), path).start()
+    try { delInput.addData(Seq(13L)); dq.processAllAvailable() }
+    finally dq.stop()
+    assert(LexIndex.bm25TopKIndexed(spark, path, docsDf.where(isQd), k = 20)
+      .where(col("doc_id") === 13L).count() === 0L)
+    val upInput = MemoryStream[(Long, String)]
+    val newText = docsDf.where(col("doc_id") === 1L)
+      .select("text").as[String].head()
+    val uq = StreamingAnnServe.upsertStreamLex(
+      upInput.toDF().toDF("doc_id", "text"), path).start()
+    try { upInput.addData(Seq((13L, newText))); uq.processAllAvailable() }
+    finally uq.stop()
+    // revived with the NEW text: doc 13 serves again for query 1
+    assert(LexIndex.bm25TopKIndexed(spark, path, docsDf.where(isQd), k = 20)
+      .where(col("query_id") === 1L && col("doc_id") === 13L)
+      .count() === 1L)
+  }
 }
