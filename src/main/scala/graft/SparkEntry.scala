@@ -626,6 +626,29 @@ object SparkEntry {
       Index.upsertIvf(s, path, mod)
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // predicate deletion (DELETE WHERE — the retention/tenant-purge
+    // shape): drop every stored row matching a metadata predicate, no
+    // external id list; one pruned column scan resolves the ids, then
+    // the usual O(match) tombstone write
+    "ann_ivf_delete_where" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfdelwhere", dir)
+      Index.saveIvf(e, path, metaCols = Seq("label"))
+      Index.deleteWhere(s, path, col("label") === 3)
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // deletion COMPOSES with filtered serving: the tombstone mask and
+    // the candWhere predicate cut the same pruned scan — top-k among
+    // rows that match the filter AND survive deletion
+    "ann_ivf_filtered_deleted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivffildel", dir)
+      Index.saveIvf(e, path, metaCols = Seq("label"))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10,
+        candWhere = col("label") === 3)
+    }),
     // the deletion-mass hook (stats' tombstone twin): dead stored
     // versions vs total, after a delete batch AND an upsert batch — the
     // compaction trigger; every count is a pure formula, scale-safe
@@ -1475,7 +1498,7 @@ object SparkEntry {
     "ann_ivfpq_rerank_persisted", "ann_ivfpq_residual",
     "ann_ivfpq_residual_recall",
     "ann_ivf_deleted", "ann_ivf_deleted_compacted", "ann_ivfpq_deleted",
-    "ann_ivf_upsert")
+    "ann_ivf_upsert", "ann_ivf_delete_where", "ann_ivf_filtered_deleted")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1756,6 +1779,10 @@ object SparkEntry {
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
     "ann_ivfpq_deleted" -> Similarity.ivfPqTopKOracleSql(k = 10,
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_ivf_delete_where" -> Similarity.ivfTopKOracleSql(k = 10,
+      candWhereSql = "label != 3"),
+    "ann_ivf_filtered_deleted" -> Similarity.ivfTopKOracleSql(k = 10,
+      candWhereSql = "label = 3 AND ((vec_id % 7) + 7) % 7 != 3"),
     // upsert: the oracle corpus IS the post-upsert corpus — the upserted
     // rows' vectors rewritten in place, everything (assignment, scoring)
     // recomputed over it with the centroid seeds untouched (< 100)

@@ -599,6 +599,27 @@ object Index {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
     Tombstones.write(spark, path, ids, "vec_id")
 
+  /** Predicate deletion (the DELETE WHERE / retention shape): tombstone
+    * every CURRENTLY-SERVED id matching `pred` — a predicate over the
+    * store's own columns, metadata (`metaCols`) included, so "drop
+    * tenant X" / "drop label 3" needs no external id list. One pruned
+    * column scan of the live store (the predicate and the two-column
+    * projection push into parquet), then the usual O(match) tombstone
+    * write. Resolved against the MASKED store: an id whose only live
+    * version matches is tombstoned; ids already masked are not
+    * re-tombstoned (idempotent under re-runs).
+    */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
+    val hasPostings = generations(spark, path, PostingsKind)
+      .exists { case (_, p) => isCommitted(spark, p) }
+    val kind = if (hasPostings) PostingsKind else PqCodesKind
+    val ids = Tombstones.mask(
+      spark.read.parquet(liveDir(spark, path, kind)),
+      Tombstones.readAll(spark, path), "vec_id")
+      .where(pred).select("vec_id").distinct()
+    delete(spark, path, ids)
+  }
+
   /** Replace vectors in place: tombstone the batch's ids (mutation seq
     * s), then append the new versions (seq s+1) — the delete-then-add
     * ordering. Serves see exactly the new version: old rows are masked

@@ -673,6 +673,28 @@ class IndexSpec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((108L, 0L, 0L)))
   }
 
+  test("deleteWhere resolves against the MASKED store and is idempotent") {
+    val path = freshPath("delwhere")
+    val withLabel = emb.withColumn("label",
+      pmod(col("vec_id"), lit(3)).cast("int"))
+    Index.saveIvf(withLabel, path, metaCols = Seq("label"))
+    // upsert vec 18 (label 0) with label 2: its LIVE version matches the
+    // predicate below; vec 5's live version (label 2) matches directly
+    val newRow = withLabel.where(col("vec_id") === 18L)
+      .withColumn("label", lit(2))
+    Index.upsertIvf(spark, path, newRow, metaCols = Seq("label"))
+    Index.deleteWhere(spark, path, col("label") === 2)
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 40)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!served.contains(5L))   // direct match gone
+    assert(!served.contains(18L))  // upserted live version matched → gone
+    assert(served.exists(_ % 3 == 0L)) // other label-0 ids still serve
+    // idempotent: a re-run tombstones nothing new (matches already masked)
+    val before = Index.deleteStats(spark, path).head().getLong(1)
+    Index.deleteWhere(spark, path, col("label") === 2)
+    assert(Index.deleteStats(spark, path).head().getLong(1) === before)
+  }
+
   test("delete works on a PQ-only store (no raw flavor)") {
     val path = freshPath("delpqonly")
     Index.saveIvfPq(emb, path)
