@@ -272,6 +272,51 @@ object ServeBench {
       println(s"""{"stage":"lex_race_compact","sec":${Bench.fmt3(compactSec)},"n":$nd,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
     }
 
+    if (want("tiers")) {
+      // THREE-TIER storage/latency/recall A/B on one corpus and one
+      // query batch: raw postings (8 B/dim + norm), SQ8 codes (1 B/dim
+      // + rescale), PQ codes (nSub int64 codes/vec) — the axis a
+      // deployment actually chooses along. Run on the clustered family
+      // corpus for a recall signal (the jitter corpus pins recall to
+      // the probe fraction for every tier — SCALING.md round 11/12).
+      val qPred = col("vec_id") >= 1000 && col("vec_id") < 1050
+      val exact = Similarity.bruteForceTopK(emb, qPred, 10)
+      def recallOf(df: DataFrame): Double =
+        Similarity.recallOf(exact, df, 10).head().getDouble(0)
+      val qT = emb.where(qPred)
+      for ((tier, save, serve, kind) <- Seq(
+          ("raw",
+            (p: String) => Index.saveIvf(emb, p, forceFlat = true),
+            (p: String) => Index.ivfTopKIndexed(spark, p, qT, k = 10),
+            Index.PostingsKind),
+          ("sq8",
+            (p: String) => Index.saveIvfSq(emb, p, forceFlat = true,
+              withRaw = true),
+            (p: String) => Index.ivfSqTopKIndexed(spark, p, qT, k = 10),
+            Index.SqCodesKind),
+          ("pq",
+            (p: String) => Index.saveIvfPq(emb, p, forceFlat = true),
+            (p: String) => Index.ivfPqTopKIndexed(spark, p, qT, k = 10),
+            Index.PqCodesKind))) {
+        val path = s"$root/tier_$tier"
+        val tb = System.nanoTime()
+        save(path)
+        val buildSec = (System.nanoTime() - tb) / 1e9
+        val bytes = dirBytes(Index.liveDir(spark, path, kind).stripPrefix("file:"))
+        val serveSec = timed(s"tier_${tier}_serve_q50")(serve(path))
+        val rec = recallOf(serve(path))
+        println(s"""{"stage":"tier_$tier","n":$n,"build_sec":${Bench.fmt3(buildSec)},"store_bytes":$bytes,"serve_sec":${Bench.fmt3(serveSec)},"recall10":$rec}""")
+      }
+      // the SQ deployment composition: int8 shortlist + exact refine
+      // from the co-located raw flavor (built above with withRaw)
+      val sqPath = s"$root/tier_sq8"
+      val rrSec = timed("tier_sq8_rerank_serve_q50")(
+        Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10, rerank = 40))
+      val rrRec = recallOf(
+        Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10, rerank = 40))
+      println(s"""{"stage":"tier_sq8_rerank","n":$n,"serve_sec":${Bench.fmt3(rrSec)},"recall10":$rrRec}""")
+    }
+
     if (want("deletes")) {
       // DELETION lifecycle A/B, both store flavors: the delete itself is
       // an O(batch) sidecar write (priced vs corpus size), the masked

@@ -626,6 +626,47 @@ object SparkEntry {
       Index.upsertIvf(s, path, mod)
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // the SCALAR-QUANTIZED serving tier (FAISS IndexIVFScalarQuantizer
+    // shape): cell-partitioned int8 code vectors packed to 1 byte/dim —
+    // ~8× smaller than raw postings at near-flat recall, vs the PQ
+    // store's deeper compression and ADC error. Per-vector scales mean
+    // only the coarse centroids freeze.
+    "ann_ivf_sq_persisted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfsq", dir)
+      Index.saveIvfSq(e, path)
+      Index.ivfSqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // SQ refresh: batch assigned against frozen centroids, quantized
+    // per-vector — there is no corpus-level quantizer to freeze, so the
+    // oracle pins only the centroid seed set to the base slice
+    "ann_ivf_sq_append" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfsqapp", dir)
+      Index.saveIvfSq(e.where(pmod(col("vec_id"), lit(10)) =!= 9), path)
+      Index.appendIvfSq(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
+      Index.ivfSqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // the SQ deployment composition: int8 shortlist + exact-cosine
+    // refine from the co-located raw flavor — where the int8 resolution
+    // limit blurs fine ordering, the refine restores it at nq·rerank
+    // raw reads
+    "ann_ivf_sq_rerank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfsqrr", dir)
+      Index.saveIvfSq(e, path, withRaw = true)
+      Index.ivfSqRerankTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
+        k = 10, rerank = 40)
+    }),
+    // deletion composes with the SQ tier like every other flavor
+    "ann_ivf_sq_deleted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfsqdel", dir)
+      Index.saveIvfSq(e, path)
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.ivfSqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // predicate deletion (DELETE WHERE — the retention/tenant-purge
     // shape): drop every stored row matching a metadata predicate, no
     // external id list; one pruned column scan resolves the ids, then
@@ -1498,7 +1539,9 @@ object SparkEntry {
     "ann_ivfpq_rerank_persisted", "ann_ivfpq_residual",
     "ann_ivfpq_residual_recall",
     "ann_ivf_deleted", "ann_ivf_deleted_compacted", "ann_ivfpq_deleted",
-    "ann_ivf_upsert", "ann_ivf_delete_where", "ann_ivf_filtered_deleted")
+    "ann_ivf_upsert", "ann_ivf_delete_where", "ann_ivf_filtered_deleted",
+    "ann_ivf_sq_persisted", "ann_ivf_sq_append", "ann_ivf_sq_deleted",
+    "ann_ivf_sq_rerank")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1779,6 +1822,12 @@ object SparkEntry {
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
     "ann_ivfpq_deleted" -> Similarity.ivfPqTopKOracleSql(k = 10,
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_ivf_sq_persisted" -> Similarity.ivfSqTopKOracleSql(k = 10),
+    "ann_ivf_sq_append" -> Similarity.ivfSqTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 10) + 10) % 10 != 9"),
+    "ann_ivf_sq_deleted" -> Similarity.ivfSqTopKOracleSql(k = 10,
+      candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_ivf_sq_rerank" -> Similarity.ivfSqRerankTopKOracleSql(k = 10),
     "ann_ivf_delete_where" -> Similarity.ivfTopKOracleSql(k = 10,
       candWhereSql = "label != 3"),
     "ann_ivf_filtered_deleted" -> Similarity.ivfTopKOracleSql(k = 10,

@@ -53,6 +53,7 @@ object Index {
     */
   private[graft] val PostingsKind = "postings"
   private[graft] val PqCodesKind = "pq_codes"
+  private[graft] val SqCodesKind = "sq_codes"
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -122,6 +123,7 @@ object Index {
     */
   private val postingsCore = Set("vec_id", "v", "norm", "cell", "ins_seq")
   private val pqCodesCore = Set("vec_id", "sub", "code", "cell", "ins_seq")
+  private val sqCodesCore = Set("vec_id", "qb", "r", "cell", "ins_seq")
 
   /** The metadata columns a store was BUILT with, read from its parquet
     * schema (footer-only, no data scan). Appends derive their effective
@@ -610,9 +612,10 @@ object Index {
     * re-tombstoned (idempotent under re-runs).
     */
   def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
-    val hasPostings = generations(spark, path, PostingsKind)
+    def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
-    val kind = if (hasPostings) PostingsKind else PqCodesKind
+    val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind)
+      .find(has).getOrElse(PostingsKind)
     val ids = Tombstones.mask(
       spark.read.parquet(liveDir(spark, path, kind)),
       Tombstones.readAll(spark, path), "vec_id")
@@ -642,6 +645,14 @@ object Index {
     appendIvfPq(spark, path, batch, superProbe, metaCols)
   }
 
+  /** The scalar-quantized twin of [[upsertIvf]]. */
+  def upsertIvfSq(spark: SparkSession, path: String, batch: DataFrame,
+                  superProbe: Int = Similarity.defaultSuperProbe,
+                  metaCols: Seq[String] = Nil): Unit = {
+    delete(spark, path, batch.select("vec_id"))
+    appendIvfSq(spark, path, batch, superProbe, metaCols)
+  }
+
   /** The deletion-mass hook — [[stats]]' tombstone twin, the compaction
     * trigger deletes add: every masked row is anti-join work each serve
     * repeats and dead bytes each probed scan still reads, both
@@ -654,9 +665,10 @@ object Index {
     */
   def deleteStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val hasPostings = generations(spark, path, PostingsKind)
+    def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
-    val kind = if (hasPostings) PostingsKind else PqCodesKind
+    val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind)
+      .find(has).getOrElse(PostingsKind)
     // version-level view: one (vec_id, ins_seq) per stored version (the
     // PQ flavor repeats it nSub times)
     val vecs = spark.read.parquet(liveDir(spark, path, kind))
@@ -677,6 +689,180 @@ object Index {
       .toDF("n_versions_stored", "n_tombstones", "n_masked")
       .withColumn("masked_frac",
         round(col("n_masked").cast("double") / col("n_versions_stored"), 4))
+  }
+
+  private def sqCodesPath(path: String) = s"$path/$SqCodesKind"
+
+  /** One byte per dimension: the int8 code vector packed to BINARY —
+    * the storage representation is the whole point of the SQ tier (a
+    * parquet array<int> would bit-pack back toward 4 B/dim).
+    */
+  private val packBytes = udf { (q: Seq[Double]) =>
+    q.map(_.toInt.toByte).toArray
+  }
+
+  /** Exact integer dot of two packed code vectors, widened to double at
+    * the end — |q| ≤ 127 keeps every product and the sum exact in Long,
+    * so the score is order-free and bit-reproducible (the DuckDB twin
+    * computes list_dot_product over the same integer-valued doubles).
+    */
+  private val sqDot = udf { (a: Array[Byte], b: Array[Byte]) =>
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s.toDouble
+  }
+
+  /** Per-vector symmetric int8 quantization — [[Similarity.int8TopK]]'s
+    * exact convention (scale = max|x|, q = floor(x·127/scale + 0.5),
+    * r = round(scale/norm, 9), zero-vector conventions pinned), packed
+    * to one byte per dimension. Per-VECTOR scales mean the SQ store has
+    * no frozen corpus-level quantizer at all: appends quantize
+    * themselves, and only the coarse centroids freeze.
+    */
+  private def sqRows(emb: DataFrame): DataFrame =
+    Similarity.normed(emb)
+      .withColumn("scale", aggregate(col("v"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("safe_scale",
+        when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+      .select(col("vec_id"),
+        packBytes(transform(col("v"),
+          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")))
+          .as("qb"),
+        round(when(col("norm") === 0d, lit(0.0))
+          .otherwise(col("scale") / col("norm")), 9).as("r"))
+
+  /** Build + persist the SCALAR-QUANTIZED IVF store (cf. FAISS
+    * IndexIVFScalarQuantizer, QT_8bit-style): cell-partitioned int8
+    * code vectors — 1 byte/dim + an 8-byte rescale factor ≈ 8× smaller
+    * than the raw `postings/` flavor, at near-flat recall (the
+    * `ann_int8_recall` eval prices the quantization loss; contrast the
+    * PQ store's 8-codes-per-vector compression and its ADC error).
+    * The serving middle tier: PQ when bytes dominate, SQ when recall
+    * does, raw when the refine needs exact cosines.
+    */
+  def saveIvfSq(emb: DataFrame, path: String, nCells: Int = 16,
+                forceFlat: Boolean = false,
+                superProbe: Int = Similarity.defaultSuperProbe,
+                metaCols: Seq[String] = Nil,
+                trained: Boolean = false,
+                trainIters: Int = 3,
+                withRaw: Boolean = false): Unit = {
+    val spark = emb.sparkSession
+    val cells = Similarity.autoCells(emb.count(), nCells)
+    val cents =
+      if (trained) Similarity.kmeansCentroids(emb, cells, trainIters)
+      else Similarity.normed(emb)
+        .orderBy("vec_id").limit(cells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    cents.write.mode("overwrite").parquet(centroidsPath(path))
+    val assignment =
+      if (trained) assignedTo(emb, path, forceFlat, superProbe)
+      else assigned(emb, nCells, forceFlat, superProbe)
+    val rows = assignment.select("vec_id", "cell").join(sqRows(emb), "vec_id")
+    val withMeta =
+      if (metaCols.isEmpty) rows
+      else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    retireGenerations(spark, path, SqCodesKind) // in-place rebuild
+    Tombstones.clear(spark, path)
+    withMeta
+      .withColumn("ins_seq", lit(0L))
+      .repartition(col("cell")) // one file per cell (see saveIvf)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(sqCodesPath(path))
+    if (withRaw) {
+      // the refine flavor for [[ivfSqRerankTopKIndexed]] — same
+      // assignment, raw vectors, same cell grid (the saveIvfPq withRaw
+      // contract: written after the codes, crash leaves codes-only)
+      val rawMeta =
+        if (metaCols.isEmpty) assignment
+        else assignment.join(
+          emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+      retireGenerations(spark, path, PostingsKind)
+      rawMeta
+        .withColumn("ins_seq", lit(0L))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(postingsPath(path))
+    }
+  }
+
+  /** Refresh the SQ store without a rebuild: coarse-assign the batch
+    * against the FROZEN stored centroids and quantize per-vector (the
+    * SQ tier's refresh is the simplest of the three — there is no
+    * corpus-level quantizer to freeze).
+    */
+  def appendIvfSq(spark: SparkSession, path: String, newEmb: DataFrame,
+                  superProbe: Int = Similarity.defaultSuperProbe,
+                  metaCols: Seq[String] = Nil): Unit = {
+    val cents = spark.read.parquet(centroidsPath(path))
+    val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
+      cents.count().toInt, 1,
+      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
+        col("cn").as("norm")),
+      superProbe = superProbe)
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+    val rows = assignment.select("vec_id", "cell").join(sqRows(newEmb), "vec_id")
+    val live = liveDir(spark, path, SqCodesKind)
+    val meta = appendMetaCols(spark, live, sqCodesCore, newEmb, metaCols)
+    val withMeta =
+      if (meta.isEmpty) rows
+      else rows.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
+    val seqNo = Tombstones.nextSeq(spark, path)
+    fencedAppend(spark, path, SqCodesKind) { dir =>
+      withMeta
+        .withColumn("ins_seq", lit(seqNo))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(dir)
+    }
+    // a combined SQ+raw store keeps its refine flavor in step (the
+    // appendIvfPq contract)
+    if (generations(spark, path, PostingsKind).nonEmpty) {
+      val liveRaw = liveDir(spark, path, PostingsKind)
+      val rawMeta = appendMetaCols(spark, liveRaw, postingsCore, newEmb, metaCols)
+      val rawWithMeta =
+        if (rawMeta.isEmpty) assignment
+        else assignment.join(
+          newEmb.select((Seq("vec_id") ++ rawMeta).map(col): _*), "vec_id")
+      fencedAppend(spark, path, PostingsKind) { dir =>
+        rawWithMeta
+          .withColumn("ins_seq", lit(seqNo))
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(dir)
+      }
+    }
+  }
+
+  /** Answer a query batch from the stored SQ codes: probed-cell
+    * partitions only, queries quantized with the same per-vector
+    * convention, candidates ranked by the EXACT integer code dot times
+    * the stored rescale factor — rank-equal to the inline
+    * [[Similarity.int8TopK]] ranking restricted to the probed cells
+    * (the query-side factor is constant per query and cannot reorder).
+    * Output (query_id, neighbor_id, rank) — no score column, because
+    * the rescaled integer dot is a RANKING key, not a true cosine.
+    */
+  def ivfSqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, nProbe: Int = 4,
+                       candWhere: Column = lit(true)): DataFrame = {
+    val (probes, _) = probeSet(spark, path, queries, nProbe)
+    val codes = Tombstones.mask(
+      prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
+        probedCellVals(probes)).where(candWhere),
+      Tombstones.readAll(spark, path), "vec_id")
+    val qq = sqRows(queries)
+      .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qq), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
+    Similarity.topK(scored, k).select("query_id", "neighbor_id", "rank")
   }
 
   /** Drop every generation of `kind` (used by an in-place REBUILD: the
@@ -756,7 +942,7 @@ object Index {
     // consumed by the NEXT compaction instead of being silently dropped
     val consumed = Tombstones.listFiles(spark, path)
     val tomb = Tombstones.readFiles(spark, consumed)
-    Seq(PostingsKind, PqCodesKind)
+    Seq(PostingsKind, PqCodesKind, SqCodesKind)
       .foreach(compactKind(spark, path, _, "cell", Nil, tomb, "vec_id"))
     Tombstones.deleteFiles(spark, path, consumed)
   }
@@ -827,20 +1013,23 @@ object Index {
     import spark.implicits._
     // flavor-aware like compact: a PQ-only store (saveIvfPq writes no
     // postings/) counts distinct vec_id over its codes instead
-    val hasPostings = generations(spark, path, PostingsKind)
+    def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     // the SERVED corpus: tombstoned rows are invisible to every serve
     // (their dead mass is [[deleteStats]]' column, not this one's)
     val tomb = Tombstones.readAll(spark, path)
     val n =
-      if (hasPostings)
+      if (has(PostingsKind))
         Tombstones.mask(
           spark.read.parquet(liveDir(spark, path, PostingsKind)),
           tomb, "vec_id").count()
-      else Tombstones.mask(
-        spark.read.parquet(liveDir(spark, path, PqCodesKind)),
-        tomb, "vec_id")
-        .select("vec_id").distinct().count()
+      else {
+        val kind = if (has(PqCodesKind)) PqCodesKind else SqCodesKind
+        Tombstones.mask(
+          spark.read.parquet(liveDir(spark, path, kind)),
+          tomb, "vec_id")
+          .select("vec_id").distinct().count()
+      }
     val nc = spark.read.parquet(centroidsPath(path)).count()
     val auto = Similarity.autoCells(n, floorCells).toLong
     Seq((n, nc, auto)).toDF("n_vectors", "n_cells", "auto_cells")
@@ -995,11 +1184,22 @@ object Index {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
     val short = adcRanked(spark, path, probes, q, rerank, candWhere)
       .select("query_id", "neighbor_id")
+    refineExact(spark, path, probes, q, short, k)
+  }
+
+  /** The exact-cosine refine stage shared by the PQ and SQ rerank
+    * serves: fetch ONLY the broadcast shortlist's raw vectors from the
+    * co-located `postings/` flavor (probed-cell partition prune + the
+    * nq·rerank semi-join — refine cost independent of corpus size),
+    * score with the exact cosine, re-rank.
+    */
+  private def refineExact(spark: SparkSession, path: String,
+                          probes: DataFrame, q: DataFrame,
+                          short: DataFrame, k: Int): DataFrame = {
     val raw = generations(spark, path, PostingsKind)
     require(raw.nonEmpty,
       s"rerank serve needs the raw-vector flavor co-located at $path — " +
-        "build the store with saveIvfPq(..., withRaw = true) (or saveIvf " +
-        "on the same path)")
+        "build the store with withRaw = true (or saveIvf on the same path)")
     // every shortlisted candidate came from a probed cell, so the refine
     // scan prunes to the same cell directories the shortlist read. The
     // mask applies HERE too, not just to the shortlist: an upserted id
@@ -1018,5 +1218,33 @@ object Index {
         round(Similarity.safeCosine(VecFold.dot(col("v"), col("qv")),
           col("norm"), col("qnorm")), 6).as("cosine"))
     Similarity.topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** SQ8 shortlist + exact refine — the SQ tier's deployment
+    * composition ([[ivfPqRerankTopKIndexed]]'s shape with the int8
+    * ranking as the shortlist stage). Where the int8 resolution limit
+    * blurs within-family order (SCALING.md round 12's tier matrix), the
+    * refine restores it at nq·rerank raw-vector reads.
+    */
+  def ivfSqRerankTopKIndexed(spark: SparkSession, path: String,
+                             queries: DataFrame, k: Int, rerank: Int = 40,
+                             nProbe: Int = 4,
+                             candWhere: Column = lit(true)): DataFrame = {
+    require(rerank >= k, "shortlist depth must be at least k")
+    val (probes, q) = probeSet(spark, path, queries, nProbe)
+    val codes = Tombstones.mask(
+      prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
+        probedCellVals(probes)).where(candWhere),
+      Tombstones.readAll(spark, path), "vec_id")
+    val qq = sqRows(queries)
+      .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
+    val sqScored = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qq), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
+    val short = Similarity.topK(sqScored, rerank)
+      .select("query_id", "neighbor_id")
+    refineExact(spark, path, probes, q, short, k)
   }
 }

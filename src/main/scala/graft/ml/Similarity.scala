@@ -1277,6 +1277,98 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** DuckDB oracle for the persisted IVF-SQ8 serve
+    * ([[Index.ivfSqTopKIndexed]]): the [[int8TopK]] quantization and
+    * ranking CTEs composed with the IVF probe cut — candidates from the
+    * probed cells, scored by the exact integer code dot times the
+    * neighbor's rescale factor. `centroidWhereSql` pins the seed set
+    * for append stores (per-vector scales mean nothing else freezes).
+    */
+  def ivfSqTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                         isQuerySql: String = defaultIsQuerySql,
+                         centroidWhereSql: String = "TRUE",
+                         candWhereSql: String = "TRUE"): String =
+    s"""WITH ${cellCtesSql(nCells, centroidWhereSql)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |sq AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> floor(x * 127.0 /
+       |           (CASE WHEN s = 0 THEN 1.0 ELSE s END) + 0.5)) AS q,
+       |         round(CASE WHEN norm = 0 THEN 0.0 ELSE s / norm END, 9) AS r
+       |  FROM (SELECT vec_id, v, norm,
+       |          list_max(list_transform(v, x -> abs(x))) AS s FROM e)),
+       |qs AS (SELECT vec_id AS query_id, q AS qq FROM sq WHERE $isQuerySql),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         list_dot_product(s2.q, qs.qq) * s2.r AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN sq s2 ON s2.vec_id = a.vec_id
+       |  JOIN qs ON qs.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id
+       |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for the SQ rerank serve
+    * ([[Index.ivfSqRerankTopKIndexed]]): the SQ shortlist CTEs, then the
+    * exact-cosine refine over the shortlisted pairs.
+    */
+  def ivfSqRerankTopKOracleSql(k: Int, rerank: Int = 40, nCells: Int = 16,
+                               nProbe: Int = 4,
+                               isQuerySql: String = defaultIsQuerySql,
+                               candWhereSql: String = "TRUE"): String =
+    s"""WITH ${cellCtesSql(nCells)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |sq AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> floor(x * 127.0 /
+       |           (CASE WHEN s = 0 THEN 1.0 ELSE s END) + 0.5)) AS q,
+       |         round(CASE WHEN norm = 0 THEN 0.0 ELSE s / norm END, 9) AS r
+       |  FROM (SELECT vec_id, v, norm,
+       |          list_max(list_transform(v, x -> abs(x))) AS s FROM e)),
+       |qs AS (SELECT vec_id AS query_id, q AS qq FROM sq WHERE $isQuerySql),
+       |sqscored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         list_dot_product(s2.q, qs.qq) * s2.r AS sqcos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN sq s2 ON s2.vec_id = a.vec_id
+       |  JOIN qs ON qs.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id
+       |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY sqcos DESC, neighbor_id) AS srank
+       |    FROM sqscored) WHERE srank <= $rerank),
+       |q2 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+       |       WHERE $isQuerySql),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(${safeCosineSql(
+                  "list_dot_product(e.v, q2.qv)", "e.norm", "q2.qnorm")}, 6) AS cosine
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN q2 ON q2.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+
   /** The per-plane dot product as an explicit left-assoc SQL sum chain so
     * DuckDB's float order matches Spark's fold exactly.
     */

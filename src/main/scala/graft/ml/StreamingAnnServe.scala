@@ -65,6 +65,32 @@ object StreamingAnnServe {
         candWhere), id)
     }
 
+  /** The scalar-quantized serving twin: micro-batches answered by the
+    * exact integer code dot over the stored SQ8 codes
+    * ([[Index.ivfSqTopKIndexed]]) — the fastest of the three tiers'
+    * serves (SCALING.md round 12's tier matrix).
+    */
+  def serveIvfSq(queryStream: DataFrame, path: String, k: Int,
+                 nProbe: Int = 4,
+                 candWhere: org.apache.spark.sql.Column =
+                   org.apache.spark.sql.functions.lit(true))
+                (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    writer(queryStream) { (batch, id) =>
+      sink(Index.ivfSqTopKIndexed(batch.sparkSession, path, batch, k, nProbe,
+        candWhere), id)
+    }
+
+  /** The SQ ingest twin ([[Index.appendIvfSq]] per micro-batch —
+    * per-vector scales, so only the coarse centroids freeze; a combined
+    * SQ+raw store keeps its refine flavor in step).
+    */
+  def appendStreamSq(vecStream: DataFrame, path: String,
+                     metaCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    writer(vecStream) { (batch, _) =>
+      if (!batch.isEmpty)
+        Index.appendIvfSq(batch.sparkSession, path, batch, metaCols = metaCols)
+    }
+
   /** The INGEST side of the same loop: each arriving (vec_id, embedding)
     * micro-batch is [[Index.appendIvf]]'d into the store — assignment
     * against the frozen stored centroids, postings appended to their

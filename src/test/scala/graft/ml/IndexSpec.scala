@@ -673,6 +673,60 @@ class IndexSpec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((108L, 0L, 0L)))
   }
 
+  test("ivfSqTopKIndexed ≡ inline int8 ranking when probes cover every cell") {
+    val path = freshPath("sq")
+    Index.saveIvfSq(emb, path)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val served = Index.ivfSqTopKIndexed(spark, path, emb.where(isQ), k = 5,
+        nProbe = 16) // 16 probes = all cells → the probe cut is vacuous
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    val inline = Similarity.int8TopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("SQ rerank with exhaustive shortlist ≡ exact-cosine serve") {
+    val path = freshPath("sqrerank")
+    Index.saveIvfSq(emb, path, withRaw = true)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    // full probe coverage + a shortlist holding every candidate → the
+    // refine IS the exact serve, bit-for-bit
+    val reranked = Index.ivfSqRerankTopKIndexed(spark, path, emb.where(isQ),
+        k = 5, rerank = 119, nProbe = 16)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exact = Index.ivfTopKIndexed(spark, path, emb.where(isQ),
+        k = 5, nProbe = 16)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(reranked === exact)
+    assert(reranked.nonEmpty)
+  }
+
+  test("SQ store: append serves, delete masks, compact purges and consumes") {
+    val path = freshPath("sqlife")
+    Index.saveIvfSq(emb.where(col("vec_id") < 60), path)
+    Index.appendIvfSq(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    def serve() = Index.ivfSqTopKIndexed(spark, path, emb.where(isQ), k = 40)
+    assert(serve().where(col("neighbor_id") >= 60).count() > 0) // appended visible
+    Index.delete(spark, path, emb.where(delPred).select("vec_id"))
+    val masked = serve().orderBy("query_id", "rank").collect().toSeq
+    assert(masked.nonEmpty)
+    assert(masked.forall(_.getLong(1) % 10 !== 1L))
+    Index.compact(spark, path)
+    assert(serve().orderBy("query_id", "rank").collect().toSeq === masked)
+    assert(Tombstones.listFiles(spark, path).isEmpty)
+    assert(spark.read.parquet(Index.liveDir(spark, path, Index.SqCodesKind))
+      .where(delPred).count() === 0L)
+    // version-level stats on the SQ-only flavor
+    val r = Index.deleteStats(spark, path).head()
+    assert(r.getLong(0) === 108L && r.getLong(1) === 0L)
+  }
+
   test("deleteWhere resolves against the MASKED store and is idempotent") {
     val path = freshPath("delwhere")
     val withLabel = emb.withColumn("label",

@@ -244,6 +244,38 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed SQ serve + ingest ≡ batch, any micro-batch split") {
+    val path = freshPath("sqstream")
+    Index.saveIvfSq(emb.where(col("vec_id") < 60), path)
+    val ingestInput = MemoryStream[(Long, Seq[Float])]
+    val arrivals = (60L until 120L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+    }
+    val iq = StreamingAnnServe.appendStreamSq(
+      ingestInput.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      ingestInput.addData(arrivals.take(20)); iq.processAllAvailable()
+      ingestInput.addData(arrivals.drop(20)); iq.processAllAvailable()
+    } finally iq.stop()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val sq = StreamingAnnServe.serveIvfSq(
+      input.toDF().toDF("vec_id", "embedding"), path, k = 5) { (df, _) =>
+      got.synchronized {
+        got ++= df.as[(Long, Long, Int)].collect()
+      }
+    }.start()
+    try {
+      input.addData(queryRows.take(3)); sq.processAllAvailable()
+      input.addData(queryRows.drop(3)); sq.processAllAvailable()
+    } finally sq.stop()
+    val batch = Index.ivfSqTopKIndexed(spark, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.toSet === batch)
+    assert(got.nonEmpty)
+  }
+
   // ---- CDC ingest: streamed deletes / upserts ----
 
   private val isQ = pmod(col("vec_id"), lit(10)) === 0
