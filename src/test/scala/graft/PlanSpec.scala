@@ -428,11 +428,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("persisted-index serves scan only probed cell partitions") {
-    // both serve flavors must carry a partition filter on cell: reading
-    // every cell directory would be a full-store scan per query batch
+    // every serve flavor must carry a partition filter on cell: reading
+    // every cell directory would be a full-store scan per query batch.
+    // The deleted/upsert forms pin that the tombstone ANTI-JOIN sits
+    // ABOVE the pruned scan without displacing the partition filter —
+    // masking must not cost the prune
     for (q <- Seq("ann_ivf_persisted", "ann_ivfpq_persisted", "ann_ivf_append",
                   "ann_ivfpq_append", "ann_ivf_filtered",
-                  "ann_ivfpq_filtered")) {
+                  "ann_ivfpq_filtered",
+                  "ann_ivf_sq_persisted", "ann_ivf_sq_append",
+                  "ann_ivf_deleted", "ann_ivfpq_deleted", "ann_ivf_sq_deleted",
+                  "ann_ivf_upsert", "ann_ivf_sq_rerank",
+                  "ann_ivf_filtered_deleted")) {
       val p = plan(q)
       assert(p.contains("PartitionFilters") && p.contains("cell#"),
         s"$q: no partition filter on the store scan:\n$p")
@@ -443,7 +450,8 @@ class PlanSpec extends SparkSpec {
     // both cuts must land in the SCAN: partition prune on cell (probe
     // list) and the label predicate as a pushed parquet filter — a
     // post-join label filter would materialize every candidate first
-    for (q <- Seq("ann_ivf_filtered", "ann_ivfpq_filtered")) {
+    for (q <- Seq("ann_ivf_filtered", "ann_ivfpq_filtered",
+                  "ann_ivf_filtered_deleted")) {
       val p = plan(q)
       assert(p.contains("PushedFilters") &&
         p.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
