@@ -1037,6 +1037,101 @@ object Index {
         round(col("auto_cells").cast("double") / col("n_cells"), 4))
   }
 
+  /** Self-REBUILD from the store's own raw flavor: the live, masked
+    * postings are the corpus (vec_id, vector, metadata — upserts
+    * resolved to their newest version, deletions dropped), so a store
+    * that has drifted past its cell budget re-trains WITHOUT the
+    * original source table: fresh autoCells centroids, fresh
+    * assignment, every co-located flavor (raw / PQ / SQ) rewritten from
+    * the one corpus read, tombstones retired by construction. Only
+    * possible when `postings/` exists — the codes flavors are lossy
+    * (a PQ/SQ-only store's rebuild needs the source corpus; that is the
+    * price of not storing raw vectors, stated at [[saveIvfPq]]).
+    * The corpus is materialized (lineage cut) before the overwrite —
+    * the rebuild reads the directories it is about to replace.
+    */
+  def rebuild(spark: SparkSession, path: String): Unit = {
+    import Ckpt.CutOps
+    def has(kind: String) = generations(spark, path, kind)
+      .exists { case (_, p) => isCommitted(spark, p) }
+    require(has(PostingsKind),
+      s"self-rebuild needs the raw-vector flavor at $path — a codes-only " +
+        "store must be rebuilt from the source corpus (save* again)")
+    val live = Tombstones.mask(
+      spark.read.option("mergeSchema", "true")
+        .parquet(liveDir(spark, path, PostingsKind)),
+      Tombstones.readAll(spark, path), "vec_id")
+    val meta = storedMetaCols(spark, liveDir(spark, path, PostingsKind),
+      postingsCore)
+    val corpus = live
+      .select((Seq(col("vec_id"), col("v").as("embedding")) ++
+        meta.map(col)): _*)
+      .lineageCut // materialize BEFORE overwriting the dirs it reads
+    val hadPq = has(PqCodesKind)
+    val hadSq = has(SqCodesKind)
+    if (hadPq) saveIvfPq(corpus, path, metaCols = meta, withRaw = true)
+    else saveIvf(corpus, path, metaCols = meta)
+    if (hadSq) {
+      // the SQ flavor must share the NEW assignment: re-encode from the
+      // same corpus against the just-written centroid table (rebuild
+      // re-seeds every quantizer — a trained/residual store owner who
+      // wants training preserved calls save*(trained = true) on the
+      // extracted corpus instead; the raw flavor IS that corpus)
+      retireGenerations(spark, path, SqCodesKind)
+      val assignment = assignedTo(corpus, path, forceFlat = false,
+        superProbe = Similarity.defaultSuperProbe)
+      val rows = assignment.select("vec_id", "cell")
+        .join(sqRows(corpus), "vec_id")
+      val withMeta =
+        if (meta.isEmpty) rows
+        else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),
+          "vec_id")
+      withMeta
+        .withColumn("ins_seq", lit(0L))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(sqCodesPath(path))
+    }
+  }
+
+  /** The MAINTENANCE decision, closed over the three measured signals:
+    *   - cell-budget dilution ([[stats]]) past `maxDilution` → a raw
+    *     flavor permits [[rebuild]] (fresh cells, purge included);
+    *   - dead-version mass ([[deleteStats]]) past `maxMaskedFrac`, or
+    *     per-cell fragmentation past `maxFilesPerCell` → [[compact]];
+    *   - otherwise no action.
+    * Returns what it did ("rebuild" | "compact" | "none") so an
+    * operator's cron can log it. This is the loop the stats hooks exist
+    * for — SCALING.md's rebuild/fragmentation/deletion sections price
+    * each branch's cost and payoff at 100×/1000×.
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxDilution: Double = 2.0,
+               maxMaskedFrac: Double = 0.2,
+               maxFilesPerCell: Double = 8.0): String = {
+    def has(kind: String) = generations(spark, path, kind)
+      .exists { case (_, p) => isCommitted(spark, p) }
+    val st = stats(spark, path).head()
+    val dilution = st.getDouble(3)
+    if (dilution > maxDilution && has(PostingsKind)) {
+      rebuild(spark, path); "rebuild"
+    } else {
+      val ds = deleteStats(spark, path).head()
+      val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind).find(has).get
+      val dir = liveDir(spark, path, kind)
+      val files = {
+        def walk(f: java.io.File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        walk(new java.io.File(dir.stripPrefix("file:")))
+      }
+      val filesPerCell = files.toDouble / math.max(1L, st.getLong(1))
+      if (ds.getDouble(3) > maxMaskedFrac || filesPerCell > maxFilesPerCell) {
+        compact(spark, path); "compact"
+      } else "none"
+    }
+  }
+
   /** The distinct cells a query batch would probe — the measurement hook
     * for the pruning story (|probed| vs |cells| is the fraction of the
     * store a serve actually reads).

@@ -375,6 +375,54 @@ object LexIndex {
       .select("query_id", "doc_id", "score_micro", "rank")
   }
 
+  /** The lexical MAINTENANCE decision ([[Index.maintain]]'s sparse
+    * twin), closed over the measured signals, cheapest-sufficient
+    * action first:
+    *   - append sidecars outstanding AND unscoreable blind-spot mass
+    *     past `maxUnscoreableFrac` of live postings → [[foldStats]]
+    *     (clears the blind spot at sidecar cost — no corpus read);
+    *   - dead-posting mass ([[deleteStats]]) past `maxMaskedFrac`, or
+    *     per-bucket fragmentation past `maxFilesPerBucket` →
+    *     [[compactLexical]];
+    *   - grid dilution past `maxDilution` → returns "rebuild-needed"
+    *     WITHOUT acting: postings are not invertible to text, so a
+    *     lexical re-grid needs the source corpus ([[saveLexical]]) —
+    *     the structural asymmetry with the dense store, whose raw
+    *     flavor self-rebuilds;
+    *   - otherwise "none".
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxUnscoreableFrac: Double = 0.05,
+               maxMaskedFrac: Double = 0.2,
+               maxFilesPerBucket: Double = 8.0,
+               maxDilution: Double = 4.0): String = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = stats(spark, path).head()
+    val liveRows = math.max(1L,
+      spark.read.parquet(Index.liveDir(spark, path, PostingsKind)).count())
+    val hasSidecars = fs.exists(new Path(dfDeltasPath(path)))
+    if (hasSidecars &&
+        st.getLong(2).toDouble / liveRows > maxUnscoreableFrac) {
+      foldStats(spark, path); "fold"
+    } else {
+      val ds = deleteStats(spark, path).head()
+      val dir = Index.liveDir(spark, path, PostingsKind)
+      val files = {
+        def walk(f: java.io.File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        walk(new java.io.File(dir.stripPrefix("file:")))
+      }
+      val filesPerBucket = files.toDouble / math.max(1L, st.getLong(3))
+      if (ds.getDouble(3) > maxMaskedFrac || filesPerBucket > maxFilesPerBucket) {
+        compactLexical(spark, path); "compact"
+      } else if (st.getDouble(5) > maxDilution) "rebuild-needed"
+      else "none"
+    }
+  }
+
   /** The lexical rebuild-decision hook — [[Index.stats]]' sparse twin.
     * Appends keep df / n_docs / avgdl FROZEN, so three drifts accumulate
     * until a rebuild: the corpus outgrows the frozen n_docs (every idf is

@@ -749,6 +749,51 @@ class IndexSpec extends SparkSpec {
     assert(Index.deleteStats(spark, path).head().getLong(1) === before)
   }
 
+  test("maintain rebuilds a diluted store from its own raw flavor") {
+    val path = freshPath("maintain")
+    // 4-cell build over half the corpus, then the other half appended
+    // and mutations applied: dilution = autoCells floor (16) / 4 = 4
+    Index.saveIvf(emb.where(col("vec_id") < 60), path, nCells = 4)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    Index.delete(spark, path,
+      emb.where(pmod(col("vec_id"), lit(10)) === 3 && col("vec_id") >= 20)
+        .select("vec_id"))
+    val q30 = emb.where(col("vec_id") === 30L).select("embedding").head()
+      .getSeq[Float](0)
+    Index.upsertIvf(spark, path, Seq((17L, q30)).toDF("vec_id", "embedding"))
+    assert(Index.maintain(spark, path) === "rebuild")
+    val st = Index.stats(spark, path).head()
+    assert(st.getLong(1) === 16L) // fresh autoCells budget
+    assert(st.getDouble(3) === 1.0) // dilution reset
+    val ds = Index.deleteStats(spark, path).head()
+    assert((ds.getLong(1), ds.getLong(2)) === ((0L, 0L))) // purged by build
+    // the rebuilt store serves the MUTATED corpus: deletions stay gone,
+    // the upserted id survives with its new vector
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 40)
+    assert(served.where(col("neighbor_id") >= 20 &&
+      pmod(col("neighbor_id"), lit(10)) === 3).count() === 0L)
+    val hit = served
+      .where(col("query_id") === 30L && col("neighbor_id") === 17L)
+      .select("cosine").as[Double].collect().toSeq
+    assert(hit === Seq(1.0))
+    assert(Index.maintain(spark, path) === "none") // healthy now
+  }
+
+  test("maintain compacts on dead-version mass; rebuild refuses codes-only") {
+    val path = freshPath("maintain2")
+    Index.saveIvf(emb, path)
+    Index.delete(spark, path,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id")) // ~33%
+    assert(Index.maintain(spark, path) === "compact")
+    assert(Tombstones.listFiles(spark, path).isEmpty)
+    assert(Index.maintain(spark, path) === "none")
+    val pqOnly = freshPath("maintain3")
+    Index.saveIvfPq(emb, pqOnly)
+    intercept[IllegalArgumentException] {
+      Index.rebuild(spark, pqOnly)
+    }
+  }
+
   test("delete works on a PQ-only store (no raw flavor)") {
     val path = freshPath("delpqonly")
     Index.saveIvfPq(emb, path)

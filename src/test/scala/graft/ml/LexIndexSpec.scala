@@ -347,6 +347,30 @@ class LexIndexSpec extends SparkSpec {
     assert(ds.getLong(2) === deadPostings)
   }
 
+  test("maintain: fold clears the blind spot, compact reclaims deletes, dilution flags rebuild") {
+    val path = freshPath("maintain")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    // novel-term append → unscoreable mass → cheapest action is the fold
+    val novel = (100L until 110L)
+      .map(i => (i, s"zzq$i wwx$i zzq$i yyk$i")).toDF("doc_id", "text")
+    LexIndex.appendLexical(spark, path, novel)
+    assert(LexIndex.stats(spark, path).head().getLong(2) > 0L)
+    assert(LexIndex.maintain(spark, path) === "fold")
+    assert(LexIndex.stats(spark, path).head().getLong(2) === 0L)
+    assert(LexIndex.maintain(spark, path) === "none")
+    // heavy deletion → compact (tombstones consumed)
+    LexIndex.deleteDocs(spark, path,
+      docs.where(pmod(col("doc_id"), lit(3)) === 1).select("doc_id"))
+    assert(LexIndex.maintain(spark, path) === "compact")
+    assert(Tombstones.listFiles(spark, path).isEmpty)
+    assert(LexIndex.maintain(spark, path) === "none")
+    // an under-gridded store is flagged, not silently rewritten —
+    // postings cannot be inverted to text, the rebuild needs the corpus
+    val small = freshPath("maintaingrid")
+    LexIndex.saveLexical(docs.where(!isQ), small, nBuckets = 8)
+    assert(LexIndex.maintain(spark, small) === "rebuild-needed")
+  }
+
   test("upsertDocs serves exactly the new text; revives a deleted doc") {
     val path = freshPath("upsert")
     LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
