@@ -315,6 +315,18 @@ object ServeBench {
       val rrRec = recallOf(
         Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10, rerank = 40))
       println(s"""{"stage":"tier_sq8_rerank","n":$n,"serve_sec":${Bench.fmt3(rrSec)},"recall10":$rrRec}""")
+      // residual-coded SQ: same byte budget, int8 step at CELL scale —
+      // the no-refine path to high recall on clustered corpora
+      val sqrPath = s"$root/tier_sq8r"
+      val trb = System.nanoTime()
+      Index.saveIvfSq(emb, sqrPath, forceFlat = true, residual = true)
+      val sqrBuild = (System.nanoTime() - trb) / 1e9
+      val sqrBytes = dirBytes(
+        Index.liveDir(spark, sqrPath, Index.SqCodesKind).stripPrefix("file:"))
+      val sqrSec = timed("tier_sq8_residual_serve_q50")(
+        Index.ivfSqTopKIndexed(spark, sqrPath, qT, k = 10))
+      val sqrRec = recallOf(Index.ivfSqTopKIndexed(spark, sqrPath, qT, k = 10))
+      println(s"""{"stage":"tier_sq8_residual","n":$n,"build_sec":${Bench.fmt3(sqrBuild)},"store_bytes":$sqrBytes,"serve_sec":${Bench.fmt3(sqrSec)},"recall10":$sqrRec}""")
     }
 
     if (want("deletes")) {

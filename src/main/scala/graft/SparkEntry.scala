@@ -658,6 +658,17 @@ object SparkEntry {
       Index.ivfSqRerankTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
         k = 10, rerank = 40)
     }),
+    // RESIDUAL-coded SQ (FAISS by_residual for the scalar quantizer):
+    // per-vector int8 over x − c[cell] — the int8 step shrinks from
+    // corpus scale to CELL scale for the same byte, and unlike residual
+    // PQ it needs no trained codebook; serve reconstructs x̂ and ranks
+    // by the true cosine of the dequantized vector (asymmetric)
+    "ann_ivf_sq_residual" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfsqres", dir)
+      Index.saveIvfSq(e, path, residual = true)
+      Index.ivfSqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // deletion composes with the SQ tier like every other flavor
     "ann_ivf_sq_deleted" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -1541,7 +1552,7 @@ object SparkEntry {
     "ann_ivf_deleted", "ann_ivf_deleted_compacted", "ann_ivfpq_deleted",
     "ann_ivf_upsert", "ann_ivf_delete_where", "ann_ivf_filtered_deleted",
     "ann_ivf_sq_persisted", "ann_ivf_sq_append", "ann_ivf_sq_deleted",
-    "ann_ivf_sq_rerank")
+    "ann_ivf_sq_rerank", "ann_ivf_sq_residual")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1828,6 +1839,7 @@ object SparkEntry {
     "ann_ivf_sq_deleted" -> Similarity.ivfSqTopKOracleSql(k = 10,
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
     "ann_ivf_sq_rerank" -> Similarity.ivfSqRerankTopKOracleSql(k = 10),
+    "ann_ivf_sq_residual" -> Similarity.ivfSqResidualTopKOracleSql(k = 10),
     "ann_ivf_delete_where" -> Similarity.ivfTopKOracleSql(k = 10,
       candWhereSql = "label != 3"),
     "ann_ivf_filtered_deleted" -> Similarity.ivfTopKOracleSql(k = 10,

@@ -692,6 +692,24 @@ object Index {
   }
 
   private def sqCodesPath(path: String) = s"$path/$SqCodesKind"
+  private def sqMetaPath(path: String) = s"$path/sq_meta"
+
+  /** Whether the store's SQ codes are residual-coded ([[saveIvfSq]]
+    * `residual`); stores written before the marker are absolute.
+    */
+  private def isSqResidual(spark: SparkSession, path: String): Boolean = {
+    val mp = new org.apache.hadoop.fs.Path(sqMetaPath(path))
+    fsOf(spark, mp).exists(mp) &&
+      spark.read.parquet(sqMetaPath(path))
+        .select("residual").head().getBoolean(0)
+  }
+
+  /** Unpack a BINARY code vector back to integer-valued doubles (the
+    * residual serve reconstructs x̂ = c + qb·scale/127 per element).
+    */
+  private val unpackBytes = udf { (b: Array[Byte]) =>
+    b.map(_.toDouble)
+  }
 
   /** One byte per dimension: the int8 code vector packed to BINARY —
     * the storage representation is the whole point of the SQ tier (a
@@ -734,6 +752,31 @@ object Index {
         round(when(col("norm") === 0d, lit(0.0))
           .otherwise(col("scale") / col("norm")), 9).as("r"))
 
+  /** RESIDUAL SQ rows: quantize x − c[cell] per vector (FAISS's
+    * by_residual for the scalar quantizer). The int8 step shrinks from
+    * max|x|/127 (corpus scale) to max|resid|/127 (CELL scale) — on any
+    * clustered corpus an order of magnitude finer for the same byte —
+    * and unlike residual PQ it needs NO trained codebook: per-vector
+    * scales quantize whatever the residual distribution is. Stored
+    * `r` is the residual scale (reconstruction x̂ = c + qb·r/127);
+    * contrast the absolute rows, whose `r` is the rescale factor of a
+    * rank-only integer-dot score.
+    */
+  private def sqResidualRows(assignment: DataFrame,
+                             cents: DataFrame): DataFrame =
+    assignment
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .withColumn("resid", zip_with(col("v"), col("cv"), (x, c) => x - c))
+      .withColumn("scale", aggregate(col("resid"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("safe_scale",
+        when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+      .select(col("vec_id"), col("cell"),
+        packBytes(transform(col("resid"),
+          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")))
+          .as("qb"),
+        col("scale").as("r"))
+
   /** Build + persist the SCALAR-QUANTIZED IVF store (cf. FAISS
     * IndexIVFScalarQuantizer, QT_8bit-style): cell-partitioned int8
     * code vectors — 1 byte/dim + an 8-byte rescale factor ≈ 8× smaller
@@ -749,8 +792,10 @@ object Index {
                 metaCols: Seq[String] = Nil,
                 trained: Boolean = false,
                 trainIters: Int = 3,
-                withRaw: Boolean = false): Unit = {
+                withRaw: Boolean = false,
+                residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
     val cents =
       if (trained) Similarity.kmeansCentroids(emb, cells, trainIters)
@@ -758,10 +803,17 @@ object Index {
         .orderBy("vec_id").limit(cells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     cents.write.mode("overwrite").parquet(centroidsPath(path))
+    // the store self-describes its coding (a residual store served with
+    // the absolute integer-dot ranking would be silently garbage)
+    Seq(residual).toDF("residual")
+      .write.mode("overwrite").parquet(sqMetaPath(path))
     val assignment =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
       else assigned(emb, nCells, forceFlat, superProbe)
-    val rows = assignment.select("vec_id", "cell").join(sqRows(emb), "vec_id")
+    val rows =
+      if (residual)
+        sqResidualRows(assignment, spark.read.parquet(centroidsPath(path)))
+      else assignment.select("vec_id", "cell").join(sqRows(emb), "vec_id")
     val withMeta =
       if (metaCols.isEmpty) rows
       else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
@@ -805,7 +857,11 @@ object Index {
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
-    val rows = assignment.select("vec_id", "cell").join(sqRows(newEmb), "vec_id")
+    // a residual store encodes the batch's residuals against its
+    // assigned FROZEN centroid, exactly like the build
+    val rows =
+      if (isSqResidual(spark, path)) sqResidualRows(assignment, cents)
+      else assignment.select("vec_id", "cell").join(sqRows(newEmb), "vec_id")
     val live = liveDir(spark, path, SqCodesKind)
     val meta = appendMetaCols(spark, live, sqCodesCore, newEmb, metaCols)
     val withMeta =
@@ -850,19 +906,44 @@ object Index {
   def ivfSqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                        k: Int, nProbe: Int = 4,
                        candWhere: Column = lit(true)): DataFrame = {
-    val (probes, _) = probeSet(spark, path, queries, nProbe)
+    val (probes, q) = probeSet(spark, path, queries, nProbe)
     val codes = Tombstones.mask(
       prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
         probedCellVals(probes)).where(candWhere),
       Tombstones.readAll(spark, path), "vec_id")
-    val qq = sqRows(queries)
-      .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
-    val scored = codes.join(broadcast(probes), Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
-      .join(broadcast(qq), "query_id")
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
-    Similarity.topK(scored, k).select("query_id", "neighbor_id", "rank")
+    if (isSqResidual(spark, path)) {
+      // residual serve: reconstruct x̂ = c + qb·r/127 per candidate and
+      // rank by the true cosine of the dequantized vector against the
+      // FLOAT query (asymmetric distance — the query is never
+      // quantized). Strict left folds keep it bit-reproducible; output
+      // carries the dequantized cosine (a real approximate cosine,
+      // unlike the absolute branch's rank-only rescaled integer dot).
+      val cents = spark.read.parquet(centroidsPath(path))
+        .select(col("cid").as("cell"), col("cv"))
+      val xhat = codes.join(broadcast(cents), "cell")
+        .withColumn("xh", zip_with(col("cv"), unpackBytes(col("qb")),
+          (c, b) => c + b * col("r") / lit(127.0)))
+      val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      val scored = xhat.join(broadcast(probes), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(Similarity.safeCosine(VecFold.dot(col("xh"), col("qv")),
+            sqrt(VecFold.dot(col("xh"), col("xh"))), col("qnorm")), 6)
+            .as("cosine"))
+      Similarity.topK(scored, k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    } else {
+      val qq = sqRows(queries)
+        .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
+      val scored = codes.join(broadcast(probes), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qq), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
+      Similarity.topK(scored, k).select("query_id", "neighbor_id", "rank")
+    }
   }
 
   /** Drop every generation of `kind` (used by an in-place REBUILD: the
@@ -1078,6 +1159,12 @@ object Index {
       // wants training preserved calls save*(trained = true) on the
       // extracted corpus instead; the raw flavor IS that corpus)
       retireGenerations(spark, path, SqCodesKind)
+      // re-seeded = absolute coding; the marker must say so
+      locally {
+        import spark.implicits._
+        Seq(false).toDF("residual")
+          .write.mode("overwrite").parquet(sqMetaPath(path))
+      }
       val assignment = assignedTo(corpus, path, forceFlat = false,
         superProbe = Similarity.defaultSuperProbe)
       val rows = assignment.select("vec_id", "cell")

@@ -1317,6 +1317,62 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** DuckDB oracle for the RESIDUAL-coded SQ serve
+    * ([[Index.ivfSqTopKIndexed]] on a `saveIvfSq(residual = true)`
+    * store): per-vector int8 over x − c[cell], reconstruction
+    * x̂ = c + qb·scale/127, ranked by the true cosine of x̂ against the
+    * float query. Residuals need per-index arithmetic over two lists —
+    * expressed via an index-literal transform (the residual-PQ oracle's
+    * expansion device, list-shaped).
+    */
+  def ivfSqResidualTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+                                 dim: Int = 64,
+                                 isQuerySql: String = defaultIsQuerySql,
+                                 candWhereSql: String = "TRUE"): String = {
+    val idx = (1 to dim).mkString("[", ", ", "]")
+    s"""WITH ${cellCtesSql(nCells)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |resid AS (
+       |  SELECT e.vec_id, a.cell,
+       |         list_transform($idx, i -> e.v[i] - c.cv[i]) AS rv
+       |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cents c ON c.cid = a.cell),
+       |coded AS (
+       |  SELECT vec_id, cell,
+       |         list_transform(rv, x -> floor(x * 127.0 /
+       |           (CASE WHEN s = 0 THEN 1.0 ELSE s END) + 0.5)) AS qb,
+       |         s AS r
+       |  FROM (SELECT vec_id, cell, rv,
+       |          list_max(list_transform(rv, x -> abs(x))) AS s FROM resid)),
+       |xhat AS (
+       |  SELECT d.vec_id, d.cell,
+       |         list_transform($idx, i -> c.cv[i] + d.qb[i] * d.r / 127.0) AS xh
+       |  FROM coded d JOIN cents c ON c.cid = d.cell),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+       |       WHERE $isQuerySql),
+       |scored AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |         round(${safeCosineSql(
+                  "list_dot_product(x.xh, qs.qv)",
+                  "sqrt(list_dot_product(x.xh, x.xh))", "qs.qnorm")}, 6)
+       |           AS cosine
+       |  FROM probes p
+       |  JOIN xhat x ON x.cell = p.cell
+       |  JOIN qs ON qs.query_id = p.query_id
+       |  WHERE x.vec_id != p.query_id
+       |    AND x.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB oracle for the SQ rerank serve
     * ([[Index.ivfSqRerankTopKIndexed]]): the SQ shortlist CTEs, then the
     * exact-cosine refine over the shortlisted pairs.

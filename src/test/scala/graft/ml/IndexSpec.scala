@@ -153,6 +153,41 @@ class IndexSpec extends SparkSpec {
     assert(rRes >= 0.5, s"residual recall $rRes below the useful range")
   }
 
+  test("residual SQ beats absolute SQ on a clustered corpus — no training needed") {
+    // same family fixture as the PQ residual pin: the int8 step shrinks
+    // from corpus scale (max|x|/127) to cell scale (max|resid|/127), so
+    // within-family order becomes resolvable — and unlike residual PQ
+    // there is no codebook to train (per-vector scales adapt alone)
+    val fam = (0L until 120L).map { i =>
+      val f = (i % 10).toInt
+      val v = (0 until 8).map(d =>
+        (math.sin(f * 2.13 + d * 1.41) +
+          math.sin(i * 0.913 + d * 0.57) * 0.01).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val isQ = col("vec_id") < 10
+    val exact = Similarity.bruteForceTopK(fam, isQ, 10)
+    def recallOf(path: String): Double =
+      Similarity.recallOf(exact,
+          Index.ivfSqTopKIndexed(spark, path, fam.where(isQ), k = 10), 10)
+        .head().getDouble(0)
+    val absPath = freshPath("sqresabs")
+    Index.saveIvfSq(fam, absPath)
+    val resPath = freshPath("sqresres")
+    Index.saveIvfSq(fam, resPath, residual = true)
+    val (rAbs, rRes) = (recallOf(absPath), recallOf(resPath))
+    assert(rRes > rAbs,
+      s"residual SQ ($rRes) did not beat absolute SQ ($rAbs)")
+    assert(rRes >= 0.8, s"residual SQ recall $rRes below the useful range")
+    // the residual store's mutation lifecycle holds: append then delete
+    Index.appendIvfSq(spark, resPath, fam.withColumn("vec_id",
+      col("vec_id") + 1000).where(col("vec_id") === 1017L))
+    Index.delete(spark, resPath, Seq(17L).toDF("vec_id"))
+    val served = Index.ivfSqTopKIndexed(spark, resPath, fam.where(isQ), k = 40)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(served.contains(1017L) && !served.contains(17L))
+  }
+
   test("rerank serve composes with a residual store") {
     val path = freshPath("residrerank")
     Index.saveIvfPq(emb, path, trained = true, residual = true, withRaw = true)
