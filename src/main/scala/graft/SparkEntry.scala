@@ -669,6 +669,17 @@ object SparkEntry {
       Index.saveIvfSq(e, path, residual = true)
       Index.ivfSqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // residual shortlist + exact refine: the rerank composition on a
+    // RESIDUAL store must shortlist with the store's own coding (the
+    // dequantized cosine) — an absolute integer dot over residual-coded
+    // bytes would rank garbage and the refine would only re-score it
+    "ann_ivf_sq_residual_rerank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfsqresrr", dir)
+      Index.saveIvfSq(e, path, residual = true, withRaw = true)
+      Index.ivfSqRerankTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
+        k = 10, rerank = 40)
+    }),
     // deletion composes with the SQ tier like every other flavor
     "ann_ivf_sq_deleted" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -1552,7 +1563,8 @@ object SparkEntry {
     "ann_ivf_deleted", "ann_ivf_deleted_compacted", "ann_ivfpq_deleted",
     "ann_ivf_upsert", "ann_ivf_delete_where", "ann_ivf_filtered_deleted",
     "ann_ivf_sq_persisted", "ann_ivf_sq_append", "ann_ivf_sq_deleted",
-    "ann_ivf_sq_rerank", "ann_ivf_sq_residual")
+    "ann_ivf_sq_rerank", "ann_ivf_sq_residual",
+    "ann_ivf_sq_residual_rerank")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1840,6 +1852,8 @@ object SparkEntry {
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
     "ann_ivf_sq_rerank" -> Similarity.ivfSqRerankTopKOracleSql(k = 10),
     "ann_ivf_sq_residual" -> Similarity.ivfSqResidualTopKOracleSql(k = 10),
+    "ann_ivf_sq_residual_rerank" ->
+      Similarity.ivfSqResidualRerankTopKOracleSql(k = 10),
     "ann_ivf_delete_where" -> Similarity.ivfTopKOracleSql(k = 10,
       candWhereSql = "label != 3"),
     "ann_ivf_filtered_deleted" -> Similarity.ivfTopKOracleSql(k = 10,

@@ -894,30 +894,31 @@ object Index {
     }
   }
 
-  /** Answer a query batch from the stored SQ codes: probed-cell
-    * partitions only, queries quantized with the same per-vector
-    * convention, candidates ranked by the EXACT integer code dot times
-    * the stored rescale factor — rank-equal to the inline
-    * [[Similarity.int8TopK]] ranking restricted to the probed cells
-    * (the query-side factor is constant per query and cannot reorder).
-    * Output (query_id, neighbor_id, rank) — no score column, because
-    * the rescaled integer dot is a RANKING key, not a true cosine.
+  /** Coding-aware SQ candidate scoring over the masked, probe-pruned
+    * codes — the ONE ranking kernel both SQ serves share, so the rerank
+    * shortlist can never diverge from the plain serve's coding branch
+    * (a residual store shortlisted with the absolute integer dot would
+    * rank residual-coded bytes as if they were absolute — silently
+    * garbage, exactly what the `sq_meta` marker exists to prevent).
+    *   - residual store: reconstruct x̂ = c + qb·r/127 per candidate and
+    *     rank by the true cosine of the dequantized vector against the
+    *     FLOAT query (asymmetric distance — the query is never
+    *     quantized); a real approximate cosine.
+    *   - absolute store: the EXACT integer code dot times the stored
+    *     rescale factor — rank-equal to [[Similarity.int8TopK]]
+    *     restricted to the probed cells (the query-side factor is
+    *     constant per query and cannot reorder); a rank-only surrogate,
+    *     not a true cosine.
+    * Emits (query_id, neighbor_id, cosine) for the shared top-k.
     */
-  def ivfSqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                       k: Int, nProbe: Int = 4,
-                       candWhere: Column = lit(true)): DataFrame = {
-    val (probes, q) = probeSet(spark, path, queries, nProbe)
+  private def sqScored(spark: SparkSession, path: String, probes: DataFrame,
+                       q: DataFrame, queries: DataFrame,
+                       candWhere: Column): DataFrame = {
     val codes = Tombstones.mask(
       prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
         probedCellVals(probes)).where(candWhere),
       Tombstones.readAll(spark, path), "vec_id")
     if (isSqResidual(spark, path)) {
-      // residual serve: reconstruct x̂ = c + qb·r/127 per candidate and
-      // rank by the true cosine of the dequantized vector against the
-      // FLOAT query (asymmetric distance — the query is never
-      // quantized). Strict left folds keep it bit-reproducible; output
-      // carries the dequantized cosine (a real approximate cosine,
-      // unlike the absolute branch's rank-only rescaled integer dot).
       val cents = spark.read.parquet(centroidsPath(path))
         .select(col("cid").as("cell"), col("cv"))
       val xhat = codes.join(broadcast(cents), "cell")
@@ -925,25 +926,38 @@ object Index {
           (c, b) => c + b * col("r") / lit(127.0)))
       val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
-      val scored = xhat.join(broadcast(probes), Seq("cell"))
+      xhat.join(broadcast(probes), Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
         .join(broadcast(qv), "query_id")
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(Similarity.safeCosine(VecFold.dot(col("xh"), col("qv")),
             sqrt(VecFold.dot(col("xh"), col("xh"))), col("qnorm")), 6)
             .as("cosine"))
-      Similarity.topK(scored, k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
     } else {
       val qq = sqRows(queries)
         .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
-      val scored = codes.join(broadcast(probes), Seq("cell"))
+      codes.join(broadcast(probes), Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
         .join(broadcast(qq), "query_id")
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
-      Similarity.topK(scored, k).select("query_id", "neighbor_id", "rank")
     }
+  }
+
+  /** Answer a query batch from the stored SQ codes: probed-cell
+    * partitions only, candidates ranked by the store's own coding
+    * ([[sqScored]]). Output (query_id, neighbor_id, score, rank) — ONE
+    * contract for both codings; `score` is the dequantized cosine on a
+    * residual store and the rescaled integer dot (a rank-only surrogate,
+    * not a true cosine) on an absolute store.
+    */
+  def ivfSqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, nProbe: Int = 4,
+                       candWhere: Column = lit(true)): DataFrame = {
+    val (probes, q) = probeSet(spark, path, queries, nProbe)
+    Similarity.topK(sqScored(spark, path, probes, q, queries, candWhere), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("score"), col("rank"))
   }
 
   /** Drop every generation of `kind` (used by an in-place REBUILD: the
@@ -1026,6 +1040,9 @@ object Index {
     Seq(PostingsKind, PqCodesKind, SqCodesKind)
       .foreach(compactKind(spark, path, _, "cell", Nil, tomb, "vec_id"))
     Tombstones.deleteFiles(spark, path, consumed)
+    // fold the mutation-counter markers too: compaction is the store's
+    // periodic housekeeping window, and nothing else prunes seq/
+    Tombstones.collapseSeq(spark, path)
   }
 
   /** One kind's compaction cycle (shared with [[LexIndex]], whose posting
@@ -1403,10 +1420,13 @@ object Index {
   }
 
   /** SQ8 shortlist + exact refine — the SQ tier's deployment
-    * composition ([[ivfPqRerankTopKIndexed]]'s shape with the int8
-    * ranking as the shortlist stage). Where the int8 resolution limit
-    * blurs within-family order (SCALING.md round 12's tier matrix), the
-    * refine restores it at nq·rerank raw-vector reads.
+    * composition ([[ivfPqRerankTopKIndexed]]'s shape with the SQ
+    * ranking as the shortlist stage). The shortlist goes through the
+    * same coding-aware kernel as the plain serve ([[sqScored]]), so a
+    * residual store shortlists by its dequantized cosine — never by the
+    * absolute integer dot over residual-coded bytes. Where the int8
+    * resolution limit blurs within-family order (SCALING.md round 12's
+    * tier matrix), the refine restores it at nq·rerank raw-vector reads.
     */
   def ivfSqRerankTopKIndexed(spark: SparkSession, path: String,
                              queries: DataFrame, k: Int, rerank: Int = 40,
@@ -1414,18 +1434,8 @@ object Index {
                              candWhere: Column = lit(true)): DataFrame = {
     require(rerank >= k, "shortlist depth must be at least k")
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val codes = Tombstones.mask(
-      prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
-        probedCellVals(probes)).where(candWhere),
-      Tombstones.readAll(spark, path), "vec_id")
-    val qq = sqRows(queries)
-      .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
-    val sqScored = codes.join(broadcast(probes), Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
-      .join(broadcast(qq), "query_id")
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
-    val short = Similarity.topK(sqScored, rerank)
+    val short = Similarity.topK(
+      sqScored(spark, path, probes, q, queries, candWhere), rerank)
       .select("query_id", "neighbor_id")
     refineExact(spark, path, probes, q, short, k)
   }

@@ -250,6 +250,8 @@ object LexIndex {
     Index.compactKind(spark, path, PostingsKind, "bucket", Seq("th"),
       tomb, "doc_id")
     Tombstones.deleteFiles(spark, path, consumed)
+    // fold the mutation-counter markers too (the dense compact contract)
+    Tombstones.collapseSeq(spark, path)
   }
 
   /** Tombstone documents by id — O(batch), no bucket rewrite; masked

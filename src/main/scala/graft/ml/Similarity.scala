@@ -1283,6 +1283,9 @@ object Similarity {
     * probed cells, scored by the exact integer code dot times the
     * neighbor's rescale factor. `centroidWhereSql` pins the seed set
     * for append stores (per-vector scales mean nothing else freezes).
+    * Emits the rescaled dot as `score` — the unified SQ serve contract
+    * (a rank-only surrogate on absolute stores; exact in double, since
+    * every product and the sum are integers well under 2^53).
     */
   def ivfSqTopKOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
                          isQuerySql: String = defaultIsQuerySql,
@@ -1304,7 +1307,7 @@ object Similarity {
        |qs AS (SELECT vec_id AS query_id, q AS qq FROM sq WHERE $isQuerySql),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |         list_dot_product(s2.q, qs.qq) * s2.r AS cosine
+       |         list_dot_product(s2.q, qs.qq) * s2.r AS score
        |  FROM probes p
        |  JOIN assigned a ON a.cell = p.cell
        |  JOIN sq s2 ON s2.vec_id = a.vec_id
@@ -1313,9 +1316,9 @@ object Similarity {
        |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |            ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k""".stripMargin
+       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= $k""".stripMargin
 
   /** DuckDB oracle for the RESIDUAL-coded SQ serve
     * ([[Index.ivfSqTopKIndexed]] on a `saveIvfSq(residual = true)`
@@ -1359,7 +1362,7 @@ object Similarity {
        |         round(${safeCosineSql(
                   "list_dot_product(x.xh, qs.qv)",
                   "sqrt(list_dot_product(x.xh, x.xh))", "qs.qnorm")}, 6)
-       |           AS cosine
+       |           AS score
        |  FROM probes p
        |  JOIN xhat x ON x.cell = p.cell
        |  JOIN qs ON qs.query_id = p.query_id
@@ -1367,8 +1370,77 @@ object Similarity {
        |    AND x.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |            ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB oracle for the RESIDUAL-SQ rerank serve
+    * ([[Index.ivfSqRerankTopKIndexed]] on a `saveIvfSq(residual = true,
+    * withRaw = true)` store): the residual shortlist — dequantized-
+    * cosine ranking over x̂ = c + qb·scale/127, the SAME coding branch
+    * the plain residual serve uses — then the exact-cosine refine over
+    * the shortlisted pairs.
+    */
+  def ivfSqResidualRerankTopKOracleSql(k: Int, rerank: Int = 40,
+                                       nCells: Int = 16, nProbe: Int = 4,
+                                       dim: Int = 64,
+                                       isQuerySql: String = defaultIsQuerySql,
+                                       candWhereSql: String = "TRUE"): String = {
+    val idx = (1 to dim).mkString("[", ", ", "]")
+    s"""WITH ${cellCtesSql(nCells)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |resid AS (
+       |  SELECT e.vec_id, a.cell,
+       |         list_transform($idx, i -> e.v[i] - c.cv[i]) AS rv
+       |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cents c ON c.cid = a.cell),
+       |coded AS (
+       |  SELECT vec_id, cell,
+       |         list_transform(rv, x -> floor(x * 127.0 /
+       |           (CASE WHEN s = 0 THEN 1.0 ELSE s END) + 0.5)) AS qb,
+       |         s AS r
+       |  FROM (SELECT vec_id, cell, rv,
+       |          list_max(list_transform(rv, x -> abs(x))) AS s FROM resid)),
+       |xhat AS (
+       |  SELECT d.vec_id, d.cell,
+       |         list_transform($idx, i -> c.cv[i] + d.qb[i] * d.r / 127.0) AS xh
+       |  FROM coded d JOIN cents c ON c.cid = d.cell),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+       |       WHERE $isQuerySql),
+       |sqscored AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |         round(${safeCosineSql(
+                  "list_dot_product(x.xh, qs.qv)",
+                  "sqrt(list_dot_product(x.xh, x.xh))", "qs.qnorm")}, 6)
+       |           AS sqcos
+       |  FROM probes p
+       |  JOIN xhat x ON x.cell = p.cell
+       |  JOIN qs ON qs.query_id = p.query_id
+       |  WHERE x.vec_id != p.query_id
+       |    AND x.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY sqcos DESC, neighbor_id) AS srank
+       |    FROM sqscored) WHERE srank <= $rerank),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(${safeCosineSql(
+                  "list_dot_product(e.v, qs.qv)", "e.norm", "qs.qnorm")}, 6)
+       |           AS cosine
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN qs ON qs.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM refined)
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
        |WHERE rank <= $k""".stripMargin
   }

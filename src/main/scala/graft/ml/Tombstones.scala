@@ -74,6 +74,30 @@ private[graft] object Tombstones {
       if (fs.exists(d)) { fs.delete(d, true); () }
     }
 
+  /** Collapse `seq/` to its single max marker. [[nextSeq]] lists the
+    * whole directory per mutation, and nothing else prunes it — a
+    * long-running upsert stream (two bumps per micro-batch) would
+    * otherwise accumulate unbounded marker files with O(n) listing cost
+    * per append. Called by the compactors inside the store's
+    * single-writer window; safe regardless: the max marker already
+    * exists, and deleting lower markers can never lower the observed
+    * counter.
+    */
+  def collapseSeq(spark: SparkSession, path: String): Unit = {
+    val dir = seqDir(path)
+    val fs = fsOf(spark, dir)
+    if (fs.exists(dir)) {
+      val vals = fs.listStatus(dir).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      if (vals.length > 1) {
+        val keep = vals.max
+        vals.filter(_ != keep).foreach { v =>
+          fs.delete(new Path(dir, v.toString), false); ()
+        }
+      }
+    }
+  }
+
   /** Tombstone a batch of ids: one appended file, stamped with a fresh
     * `del_seq`. O(batch) — no store partition is touched.
     */

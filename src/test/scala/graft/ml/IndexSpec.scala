@@ -188,6 +188,45 @@ class IndexSpec extends SparkSpec {
     assert(served.contains(1017L) && !served.contains(17L))
   }
 
+  test("residual SQ rerank shortlists with the store's OWN coding") {
+    // the family corpus is exactly where coding matters: an absolute
+    // integer-dot shortlist over residual-coded bytes ranks garbage (the
+    // bytes encode x − c, not x), and the exact refine can only re-score
+    // what the shortlist kept — so recall collapses silently. With the
+    // coding-aware shortlist the rerank serve is near-exact here.
+    val fam = (0L until 120L).map { i =>
+      val f = (i % 10).toInt
+      val v = (0 until 8).map(d =>
+        (math.sin(f * 2.13 + d * 1.41) +
+          math.sin(i * 0.913 + d * 0.57) * 0.01).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val isQ = col("vec_id") < 10
+    val path = freshPath("sqresrerank")
+    Index.saveIvfSq(fam, path, residual = true, withRaw = true)
+    val exact = Similarity.bruteForceTopK(fam, isQ, 10)
+    val got = Index.ivfSqRerankTopKIndexed(spark, path, fam.where(isQ),
+      k = 10, rerank = 12)
+    val rec = Similarity.recallOf(exact, got, 10).head().getDouble(0)
+    assert(rec >= 0.9,
+      s"residual SQ rerank recall $rec — the shortlist is not using the " +
+        "store's residual coding")
+    // and the exhaustive-shortlist identity holds on the residual store
+    // too: full probes + a shortlist holding every candidate → the
+    // refine IS the exact serve, bit-for-bit
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    val reranked = Index.ivfSqRerankTopKIndexed(spark, path, fam.where(isQ),
+        k = 5, rerank = 119, nProbe = nCells)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exactServe = Index.ivfTopKIndexed(spark, path, fam.where(isQ),
+        k = 5, nProbe = nCells)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(reranked === exactServe)
+    assert(reranked.nonEmpty)
+  }
+
   test("rerank serve composes with a residual store") {
     val path = freshPath("residrerank")
     Index.saveIvfPq(emb, path, trained = true, residual = true, withRaw = true)
@@ -714,6 +753,7 @@ class IndexSpec extends SparkSpec {
     val isQ = pmod(col("vec_id"), lit(10)) === 0
     val served = Index.ivfSqTopKIndexed(spark, path, emb.where(isQ), k = 5,
         nProbe = 16) // 16 probes = all cells → the probe cut is vacuous
+      .select("query_id", "neighbor_id", "rank") // int8TopK carries no score
       .orderBy("query_id", "rank")
       .as[(Long, Long, Int)].collect().toSeq
     val inline = Similarity.int8TopK(emb, isQ, k = 5)

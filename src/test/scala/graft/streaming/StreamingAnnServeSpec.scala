@@ -262,7 +262,8 @@ class StreamingAnnServeSpec extends SparkSpec {
     val sq = StreamingAnnServe.serveIvfSq(
       input.toDF().toDF("vec_id", "embedding"), path, k = 5) { (df, _) =>
       got.synchronized {
-        got ++= df.as[(Long, Long, Int)].collect()
+        got ++= df.select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect()
       }
     }.start()
     try {
@@ -271,6 +272,7 @@ class StreamingAnnServeSpec extends SparkSpec {
     } finally sq.stop()
     val batch = Index.ivfSqTopKIndexed(spark, path,
         emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 5)
+      .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(got.toSet === batch)
     assert(got.nonEmpty)
