@@ -1223,16 +1223,33 @@ object Index {
       val ds = deleteStats(spark, path).head()
       val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind).find(has).get
       val dir = liveDir(spark, path, kind)
-      val files = {
-        def walk(f: java.io.File): Int =
-          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
-          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-        walk(new java.io.File(dir.stripPrefix("file:")))
-      }
+      val files = countDataFiles(spark, dir)
       val filesPerCell = files.toDouble / math.max(1L, st.getLong(1))
       if (ds.getDouble(3) > maxMaskedFrac || filesPerCell > maxFilesPerCell) {
         compact(spark, path); "compact"
       } else "none"
+    }
+  }
+
+  /** Parquet data files under `dir`, counted through the Hadoop
+    * FileSystem like every other store touch. A `java.io.File` walk here
+    * would silently return 0 on HDFS/S3/abfs stores — exactly the
+    * deployments whose fragmentation matters — so the [[maintain]]
+    * compaction trigger would never fire, with no error. Recursive: the
+    * data dirs nest one partition level (cell=…/bucket=…).
+    */
+  private[graft] def countDataFiles(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
     }
   }
 

@@ -411,12 +411,7 @@ object LexIndex {
     } else {
       val ds = deleteStats(spark, path).head()
       val dir = Index.liveDir(spark, path, PostingsKind)
-      val files = {
-        def walk(f: java.io.File): Int =
-          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
-          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-        walk(new java.io.File(dir.stripPrefix("file:")))
-      }
+      val files = Index.countDataFiles(spark, dir)
       val filesPerBucket = files.toDouble / math.max(1L, st.getLong(3))
       if (ds.getDouble(3) > maxMaskedFrac || filesPerBucket > maxFilesPerBucket) {
         compactLexical(spark, path); "compact"

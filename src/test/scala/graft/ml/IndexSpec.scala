@@ -869,6 +869,33 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("maintain's fragmentation probe works through the Hadoop FS (file: scheme)") {
+    // explicit file: scheme — a java.io.File walk over the scheme'd path
+    // string counts 0 files and the fragmentation trigger silently never
+    // fires; the probe must go through Path.getFileSystem like every
+    // other store touch, so this store maintains to "compact"
+    val path = "file:" + freshPath("maintfrag")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60 && col("vec_id") < 90))
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 90))
+    // three files per touched cell (build + 2 appends), no dead mass, no
+    // dilution — only the files-per-cell trigger can fire
+    assert(Index.maintain(spark, path, maxFilesPerCell = 1.5) === "compact")
+    assert(Index.maintain(spark, path, maxFilesPerCell = 1.5) === "none")
+    // the lexical twin shares the probe
+    val docs = (0L until 300L).map { i =>
+      // per-doc-unique words → bigram hashes spread over every bucket,
+      // so the build and the append each touch (and file) most buckets
+      (i, (0 until 12).map(w => s"u${i}w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val lexPath = "file:" + freshPath("maintfraglex")
+    LexIndex.saveLexical(docs.where(col("doc_id") < 200), lexPath)
+    LexIndex.appendLexical(spark, lexPath, docs.where(col("doc_id") >= 200))
+    LexIndex.foldStats(spark, lexPath) // clear the fold trigger first
+    assert(LexIndex.maintain(spark, lexPath,
+      maxFilesPerBucket = 1.001) === "compact")
+  }
+
   test("delete works on a PQ-only store (no raw flavor)") {
     val path = freshPath("delpqonly")
     Index.saveIvfPq(emb, path)
