@@ -108,6 +108,7 @@ object Index {
   private def postingsPath(path: String) = s"$path/$PostingsKind"
   private def pqCodesPath(path: String) = s"$path/$PqCodesKind"
   private def metaPath(path: String) = s"$path/meta"
+  private def ivfMetaPath(path: String) = s"$path/ivf_meta"
 
   /** Whether the store's PQ codes are residual-coded ([[saveIvfPq]]
     * `residual`); stores written before the marker existed are absolute.
@@ -116,6 +117,31 @@ object Index {
     val mp = new org.apache.hadoop.fs.Path(metaPath(path))
     fsOf(spark, mp).exists(mp) &&
       spark.read.parquet(metaPath(path)).select("residual").head().getBoolean(0)
+  }
+
+  /** A store's build configuration, read back from its marker table —
+    * what [[rebuild]] must re-invoke the save with. Markers written
+    * before a column existed fall back to that column's historical
+    * default (those stores WERE built with the default).
+    */
+  private case class BuildMeta(residual: Boolean, trained: Boolean,
+                               nSub: Int, nCode: Int, trainIters: Int)
+
+  private def readBuildMeta(spark: SparkSession, dir: String): BuildMeta = {
+    val mp = new org.apache.hadoop.fs.Path(dir)
+    if (!fsOf(spark, mp).exists(mp)) BuildMeta(false, false, 8, 16, 3)
+    else {
+      val df = spark.read.parquet(dir)
+      val cols = df.columns.toSet
+      def get[T](name: String, dflt: T)(f: org.apache.spark.sql.Row => T): T =
+        if (cols.contains(name)) f(df.select(name).head()) else dflt
+      BuildMeta(
+        get("residual", false)(_.getBoolean(0)),
+        get("trained", false)(_.getBoolean(0)),
+        get("n_sub", 8)(_.getInt(0)),
+        get("n_code", 16)(_.getInt(0)),
+        get("train_iters", 3)(_.getInt(0)))
+    }
   }
 
   /** The non-metadata columns of each store flavor — everything else in a
@@ -214,7 +240,13 @@ object Index {
               metaCols: Seq[String] = Nil,
               trained: Boolean = false,
               trainIters: Int = 3): Unit = {
+    import emb.sparkSession.implicits._
     val cells = Similarity.autoCells(emb.count(), nCells)
+    // the store self-describes its build configuration so [[rebuild]]
+    // re-saves with the SAME coding instead of silently downgrading a
+    // trained store to seeded centroids
+    Seq((trained, trainIters)).toDF("trained", "train_iters")
+      .write.mode("overwrite").parquet(ivfMetaPath(path))
     // trained = true swaps the deterministic smallest-id seed centroids
     // for [[Similarity.kmeansCentroids]] — the build pays iters extra
     // corpus scans (the Lloyd rounds) for cells that actually tile the
@@ -334,10 +366,13 @@ object Index {
         spark.createDataset(cwRows).toDF("sub", "code", "cw")
       }
     codebook.write.mode("overwrite").parquet(codewordsPath(path))
-    // the store self-describes its coding so every serve/append resolves
-    // it from disk (a residual store served with absolute LUTs would be
-    // silently garbage)
-    Seq(residual).toDF("residual")
+    // the store self-describes its coding AND build geometry so every
+    // serve/append resolves the coding from disk (a residual store served
+    // with absolute LUTs would be silently garbage) and [[rebuild]]
+    // re-saves with the store's own trained/residual/nSub/nCode instead
+    // of silently re-encoding at a different compression geometry
+    Seq((residual, trained, nSub, nCode, trainIters))
+      .toDF("residual", "trained", "n_sub", "n_code", "train_iters")
       .write.mode("overwrite").parquet(metaPath(path))
     // seeded builds keep the pqCodes plan (oracle-pinned); trained builds
     // encode against the stored codebook with the same kernel appends use
@@ -804,8 +839,10 @@ object Index {
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     cents.write.mode("overwrite").parquet(centroidsPath(path))
     // the store self-describes its coding (a residual store served with
-    // the absolute integer-dot ranking would be silently garbage)
-    Seq(residual).toDF("residual")
+    // the absolute integer-dot ranking would be silently garbage) and
+    // its centroid training, so [[rebuild]] preserves both
+    Seq((residual, trained, trainIters))
+      .toDF("residual", "trained", "train_iters")
       .write.mode("overwrite").parquet(sqMetaPath(path))
     val assignment =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
@@ -1145,6 +1182,17 @@ object Index {
     * possible when `postings/` exists — the codes flavors are lossy
     * (a PQ/SQ-only store's rebuild needs the source corpus; that is the
     * price of not storing raw vectors, stated at [[saveIvfPq]]).
+    *
+    * CODING-PRESERVING: the rebuild re-invokes the saves with the
+    * store's OWN recorded configuration (the `meta`/`sq_meta`/`ivf_meta`
+    * markers: trained, residual, nSub, nCode, trainIters) — the raw
+    * flavor is the training corpus, so nothing else is needed. The
+    * alternative (re-seeding with defaults) is a measured recall
+    * collapse on clustered corpora (residual-PQ ADC 0.79 → absolute-
+    * seeded ~0.07 at 1000×, BENCH_r12_tiers) that [[maintain]]'s cron
+    * loop would trigger silently. Only the CELL budget resets — fresh
+    * autoCells over the live corpus is the dilution fix that motivated
+    * the rebuild.
     * The corpus is materialized (lineage cut) before the overwrite —
     * the rebuild reads the directories it is about to replace.
     */
@@ -1167,25 +1215,41 @@ object Index {
       .lineageCut // materialize BEFORE overwriting the dirs it reads
     val hadPq = has(PqCodesKind)
     val hadSq = has(SqCodesKind)
-    if (hadPq) saveIvfPq(corpus, path, metaCols = meta, withRaw = true)
-    else saveIvf(corpus, path, metaCols = meta)
+    // read every flavor's build config BEFORE any save rewrites a marker
+    val pqMeta = readBuildMeta(spark, metaPath(path))
+    val sqMeta = readBuildMeta(spark, sqMetaPath(path))
+    val ivfMeta = readBuildMeta(spark, ivfMetaPath(path))
+    if (hadPq)
+      saveIvfPq(corpus, path, nSub = pqMeta.nSub, nCode = pqMeta.nCode,
+        metaCols = meta, trained = pqMeta.trained, withRaw = true,
+        trainIters = pqMeta.trainIters, residual = pqMeta.residual)
+    else {
+      // the centroids' recorded training lives with whichever save wrote
+      // them: sq_meta on an SQ+raw store, ivf_meta on a flat store
+      val cfg = if (hadSq) sqMeta else ivfMeta
+      saveIvf(corpus, path, metaCols = meta, trained = cfg.trained,
+        trainIters = cfg.trainIters)
+    }
     if (hadSq) {
       // the SQ flavor must share the NEW assignment: re-encode from the
-      // same corpus against the just-written centroid table (rebuild
-      // re-seeds every quantizer — a trained/residual store owner who
-      // wants training preserved calls save*(trained = true) on the
-      // extracted corpus instead; the raw flavor IS that corpus)
+      // same corpus against the just-written centroid table, in the
+      // store's own coding (residual markers preserved; `trained` here
+      // records the CENTROIDS' training, which the main save above now
+      // owns for a combined store)
       retireGenerations(spark, path, SqCodesKind)
-      // re-seeded = absolute coding; the marker must say so
       locally {
         import spark.implicits._
-        Seq(false).toDF("residual")
+        Seq((sqMeta.residual, if (hadPq) pqMeta.trained else sqMeta.trained,
+            sqMeta.trainIters))
+          .toDF("residual", "trained", "train_iters")
           .write.mode("overwrite").parquet(sqMetaPath(path))
       }
+      val cents = spark.read.parquet(centroidsPath(path))
       val assignment = assignedTo(corpus, path, forceFlat = false,
         superProbe = Similarity.defaultSuperProbe)
-      val rows = assignment.select("vec_id", "cell")
-        .join(sqRows(corpus), "vec_id")
+      val rows =
+        if (sqMeta.residual) sqResidualRows(assignment, cents)
+        else assignment.select("vec_id", "cell").join(sqRows(corpus), "vec_id")
       val withMeta =
         if (meta.isEmpty) rows
         else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),

@@ -869,6 +869,68 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  // the clustered family fixture: 10 families of 12 near-identical
+  // vectors — the corpus where residual coding is worth an order of
+  // magnitude of recall, so a rebuild that silently downgrades coding
+  // is MEASURABLE here
+  private def famEmb = (0L until 120L).map { i =>
+    val f = (i % 10).toInt
+    val v = (0 until 8).map(d =>
+      (math.sin(f * 2.13 + d * 1.41) +
+        math.sin(i * 0.913 + d * 0.57) * 0.01).toFloat)
+    (i, v)
+  }.toDF("vec_id", "embedding")
+
+  test("maintain-triggered rebuild preserves trained/residual PQ coding and geometry") {
+    val fam = famEmb
+    val isQ = col("vec_id") < 10
+    val path = freshPath("rebuildcoding")
+    // nCells = 4 vs the stats floor of 16 → dilution 4 > 2 → maintain
+    // must choose rebuild; custom nSub/nCode pin the geometry reset too
+    Index.saveIvfPq(fam, path, nCells = 4, nSub = 4, nCode = 8,
+      trained = true, residual = true, withRaw = true)
+    val exact = Similarity.bruteForceTopK(fam, isQ, 10)
+    def recall(): Double = Similarity.recallOf(exact,
+      Index.ivfPqTopKIndexed(spark, path, fam.where(isQ), k = 10), 10)
+      .head().getDouble(0)
+    val before = recall()
+    assert(Index.maintain(spark, path) === "rebuild")
+    // coding markers survive the automated rebuild
+    assert(Index.isResidual(spark, path),
+      "rebuild downgraded the residual marker to absolute")
+    val cw = spark.read.parquet(s"$path/codewords")
+    assert(cw.select("sub").distinct().count() === 4L,
+      "rebuild reset nSub to the default")
+    assert(cw.select("code").distinct().count() === 8L,
+      "rebuild reset nCode to the default")
+    // and recall is retained, not collapsed to seeded-absolute grade
+    val after = recall()
+    assert(after >= before - 0.1 && after >= 0.5,
+      s"rebuild degraded recall: $before -> $after")
+  }
+
+  test("rebuild preserves residual SQ coding (SQ+raw store)") {
+    val fam = famEmb
+    val isQ = col("vec_id") < 10
+    val path = freshPath("rebuildsqcoding")
+    Index.saveIvfSq(fam, path, nCells = 4, residual = true, withRaw = true)
+    val exact = Similarity.bruteForceTopK(fam, isQ, 10)
+    def recall(): Double = Similarity.recallOf(exact,
+      Index.ivfSqTopKIndexed(spark, path, fam.where(isQ), k = 10), 10)
+      .head().getDouble(0)
+    val before = recall()
+    assert(Index.maintain(spark, path) === "rebuild")
+    val after = recall()
+    assert(after >= before - 0.1 && after >= 0.8,
+      s"SQ rebuild degraded recall: $before -> $after (residual marker " +
+        "not preserved?)")
+    // the residual serve contract (a true approximate cosine) held too
+    val scores = Index.ivfSqTopKIndexed(spark, path, fam.where(isQ), k = 5)
+      .select("score").as[Double].collect()
+    assert(scores.forall(s => s >= -1.000001 && s <= 1.000001),
+      "post-rebuild SQ serve is not on the residual (dequantized-cosine) branch")
+  }
+
   test("maintain's fragmentation probe works through the Hadoop FS (file: scheme)") {
     // explicit file: scheme — a java.io.File walk over the scheme'd path
     // string counts 0 files and the fragmentation trigger silently never
