@@ -208,6 +208,22 @@ object ServeBench {
       val racing = checksum(planned) // executes AFTER the flip
       val post = checksum(Index.ivfTopKIndexed(spark, path, q50, k = 10))
       println(s"""{"stage":"race_compact","sec":${Bench.fmt3(compactSec)},"n":$n,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
+
+      // REBUILD RACE: the stronger version of the same contract — the
+      // rebuild replaces EVERY kind (quantizers included) yet publishes
+      // through one store-level commit marker, so the pre-planned serve
+      // still answers bit-equal from the grace generations. post_equal
+      // is intentionally absent: a rebuild re-trains the cell budget, so
+      // the post-flip serve is a DIFFERENT (fresh-build) plan whose
+      // result equals the fresh-store serve, checked by the spec suite.
+      val quietR = checksum(Index.ivfTopKIndexed(spark, path, q50, k = 10))
+      val plannedR = Index.ivfTopKIndexed(spark, path, q50, k = 10)
+      plannedR.queryExecution.executedPlan // pin file listing pre-flip
+      val trr = System.nanoTime()
+      Index.rebuild(spark, path)
+      val rebuildSec = (System.nanoTime() - trr) / 1e9
+      val racingR = checksum(plannedR) // executes AFTER the flip
+      println(s"""{"stage":"race_rebuild","sec":${Bench.fmt3(rebuildSec)},"n":$n,"quiet":"$quietR","racing":"$racingR","racing_equal":${racingR == quietR}}""")
     }
 
     if (want("rerank")) {

@@ -55,6 +55,16 @@ object Index {
   private[graft] val PqCodesKind = "pq_codes"
   private[graft] val SqCodesKind = "sq_codes"
 
+  /** The build-artifact families a REBUILD replaces alongside the data
+    * kinds. Versioned like the data kinds so a reader-safe rebuild can
+    * publish fresh quantizers without deleting the generation a
+    * pre-planned serve still holds file references into.
+    */
+  private[graft] val CentroidsKind = "centroids"
+  private[graft] val CodewordsKind = "codewords"
+  private val AllKinds =
+    Seq(CentroidsKind, CodewordsKind, PostingsKind, PqCodesKind, SqCodesKind)
+
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -86,9 +96,19 @@ object Index {
     // the flat build dir (v0) is committed by construction: save/append
     // write it directly and a reader only ever exists after a build.
     // Versioned dirs are committed by their _SUCCESS marker — compact's
-    // atomic publish point (single-file create).
-    !p.getName.contains("_v") ||
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    // atomic publish point (single-file create) — OR by a store-level
+    // `commit_v<n>` marker: [[rebuild]] replaces EVERY kind in one
+    // logical flip, so its generations carry no per-dir marker and
+    // become live together the instant the one store-level file exists
+    // (per-dir markers would expose a window where a plan mixes new
+    // centroids with old postings — garbage probes, not stale data).
+    if (!p.getName.contains("_v")) true
+    else if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) true
+    else {
+      val name = p.getName
+      val ver = name.substring(name.lastIndexOf("_v") + 2)
+      fs.exists(new org.apache.hadoop.fs.Path(p.getParent, s"commit_v$ver"))
+    }
   }
 
   /** Resolve the LIVE data directory for `kind`: the highest COMMITTED
@@ -109,6 +129,18 @@ object Index {
   private def pqCodesPath(path: String) = s"$path/$PqCodesKind"
   private def metaPath(path: String) = s"$path/meta"
   private def ivfMetaPath(path: String) = s"$path/ivf_meta"
+
+  /** LIVE quantizer directories — every read resolves through the
+    * generation machinery (a rebuilt store's quantizers live in
+    * `centroids_v<n>`; a never-rebuilt store falls through to the flat
+    * build dir). Writes keep targeting the flat paths: a fresh build IS
+    * generation 0, and [[rebuild]] renames its staged output into a
+    * versioned dir instead of writing one directly.
+    */
+  private def centroidsDir(spark: SparkSession, path: String): String =
+    liveDir(spark, path, CentroidsKind)
+  private def codewordsDir(spark: SparkSession, path: String): String =
+    liveDir(spark, path, CodewordsKind)
 
   /** Whether the store's PQ codes are residual-coded ([[saveIvfPq]]
     * `residual`); stores written before the marker existed are absolute.
@@ -215,7 +247,7 @@ object Index {
   private def assignedTo(emb: DataFrame, path: String, forceFlat: Boolean,
                          superProbe: Int): DataFrame = {
     val spark = emb.sparkSession
-    val cents = spark.read.parquet(centroidsPath(path))
+    val cents = spark.read.parquet(centroidsDir(spark, path))
     Similarity.withCellRanks(Similarity.normed(emb), cents.count().toInt, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
         col("cn").as("norm")),
@@ -234,13 +266,21 @@ object Index {
     * low-selectivity filter at corpus scale (a post-join filter would
     * materialize every candidate first).
     */
+  /** `insSeq` stamps the build rows' mutation sequence — 0 for a fresh
+    * build; [[rebuild]] passes the store's bumped counter so rows
+    * republished into a store whose tombstones survive the flip (the
+    * reader-safe rebuild leaves them for the next compaction) outrank
+    * every existing `del_seq` instead of being silently re-masked.
+    */
   def saveIvf(emb: DataFrame, path: String, nCells: Int = 16,
               forceFlat: Boolean = false,
               superProbe: Int = Similarity.defaultSuperProbe,
               metaCols: Seq[String] = Nil,
               trained: Boolean = false,
-              trainIters: Int = 3): Unit = {
+              trainIters: Int = 3,
+              insSeq: Long = 0L): Unit = {
     import emb.sparkSession.implicits._
+    retireQuantizerGenerations(emb.sparkSession, path)
     val cells = Similarity.autoCells(emb.count(), nCells)
     // the store self-describes its build configuration so [[rebuild]]
     // re-saves with the SAME coding instead of silently downgrading a
@@ -272,9 +312,10 @@ object Index {
       if (metaCols.isEmpty) post
       else post.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
     retireGenerations(emb.sparkSession, path, PostingsKind) // in-place rebuild
-    Tombstones.clear(emb.sparkSession, path) // fresh build: no mutation history
+    if (insSeq == 0L) // fresh build: no mutation history (a rebuild keeps it)
+      Tombstones.clear(emb.sparkSession, path)
     withMeta
-      .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
+      .withColumn("ins_seq", lit(insSeq)) // build rows: mutation seq 0
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(postingsPath(path))
@@ -313,13 +354,15 @@ object Index {
                 trained: Boolean = false,
                 withRaw: Boolean = false,
                 trainIters: Int = 3,
-                residual: Boolean = false): Unit = {
+                residual: Boolean = false,
+                insSeq: Long = 0L): Unit = {
     require(!residual || trained,
       "residual coding needs trained quantizers (the seeded residual " +
         "codebook is degenerate: smallest-id residuals under smallest-id " +
         "centroids are identically zero) — pass trained = true")
     val spark = emb.sparkSession
     import spark.implicits._
+    retireQuantizerGenerations(spark, path)
     val cells = Similarity.autoCells(emb.count(), nCells)
     val e = Similarity.normed(emb)
     // trained = true upgrades BOTH quantizers: kmeans coarse centroids
@@ -340,7 +383,7 @@ object Index {
     // the residual table (vec_id, embedding = v − c[cell]) — codebook
     // training input AND encode input under residual coding
     def residDf: DataFrame = assignment
-      .join(broadcast(spark.read.parquet(centroidsPath(path))
+      .join(broadcast(spark.read.parquet(centroidsDir(spark, path))
         .select(col("cid").as("cell"), col("cv"))), "cell")
       .select(col("vec_id"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
@@ -378,18 +421,19 @@ object Index {
     // encode against the stored codebook with the same kernel appends use
     val codesDf =
       (if (residual) encodeAgainst(spark, residDf,
-        spark.read.parquet(codewordsPath(path)))
+        spark.read.parquet(codewordsDir(spark, path)))
        else if (trained) encodeAgainst(spark, emb,
-        spark.read.parquet(codewordsPath(path)))
+        spark.read.parquet(codewordsDir(spark, path)))
        else Similarity.pqCodes(emb, nSub, nCode))
         .join(cellOf, "vec_id")
     val withMeta =
       if (metaCols.isEmpty) codesDf
       else codesDf.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
     retireGenerations(spark, path, PqCodesKind) // in-place rebuild
-    Tombstones.clear(spark, path) // fresh build: no mutation history
+    if (insSeq == 0L) // fresh build: no mutation history (a rebuild keeps it)
+      Tombstones.clear(spark, path)
     withMeta
-      .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
+      .withColumn("ins_seq", lit(insSeq)) // build rows: mutation seq 0
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(pqCodesPath(path))
@@ -404,7 +448,7 @@ object Index {
           emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
       retireGenerations(spark, path, PostingsKind)
       rawMeta
-        .withColumn("ins_seq", lit(0L))
+        .withColumn("ins_seq", lit(insSeq))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(postingsPath(path))
@@ -463,7 +507,7 @@ object Index {
     */
   private def probeSet(spark: SparkSession, path: String, queries: DataFrame,
                        nProbe: Int): (DataFrame, DataFrame) = {
-    val cents = spark.read.parquet(centroidsPath(path))
+    val cents = spark.read.parquet(centroidsDir(spark, path))
     val nCells = cents.count().toInt
     val q = Similarity.normed(queries)
     val ranked = Similarity.withCellRanks(q, nCells,
@@ -525,7 +569,7 @@ object Index {
   def appendIvf(spark: SparkSession, path: String, newEmb: DataFrame,
                 superProbe: Int = Similarity.defaultSuperProbe,
                 metaCols: Seq[String] = Nil): Unit = {
-    val cents = spark.read.parquet(centroidsPath(path))
+    val cents = spark.read.parquet(centroidsDir(spark, path))
     val nCells = cents.count().toInt
     val post = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
@@ -567,7 +611,7 @@ object Index {
   def appendIvfPq(spark: SparkSession, path: String, newEmb: DataFrame,
                   superProbe: Int = Similarity.defaultSuperProbe,
                   metaCols: Seq[String] = Nil): Unit = {
-    val cents = spark.read.parquet(centroidsPath(path))
+    val cents = spark.read.parquet(centroidsDir(spark, path))
     val nCells = cents.count().toInt
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
@@ -585,7 +629,7 @@ object Index {
           zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
       else newEmb
     val codesDf = encodeAgainst(spark, encodeInput,
-      spark.read.parquet(codewordsPath(path)))
+      spark.read.parquet(codewordsDir(spark, path)))
       .join(cellOf, "vec_id")
     // the store's schema decides the metadata set — a caller-side
     // mismatch fails loudly instead of writing silently-unfilterable rows
@@ -828,9 +872,11 @@ object Index {
                 trained: Boolean = false,
                 trainIters: Int = 3,
                 withRaw: Boolean = false,
-                residual: Boolean = false): Unit = {
+                residual: Boolean = false,
+                insSeq: Long = 0L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    retireQuantizerGenerations(spark, path)
     val cells = Similarity.autoCells(emb.count(), nCells)
     val cents =
       if (trained) Similarity.kmeansCentroids(emb, cells, trainIters)
@@ -849,15 +895,16 @@ object Index {
       else assigned(emb, nCells, forceFlat, superProbe)
     val rows =
       if (residual)
-        sqResidualRows(assignment, spark.read.parquet(centroidsPath(path)))
+        sqResidualRows(assignment, spark.read.parquet(centroidsDir(spark, path)))
       else assignment.select("vec_id", "cell").join(sqRows(emb), "vec_id")
     val withMeta =
       if (metaCols.isEmpty) rows
       else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
     retireGenerations(spark, path, SqCodesKind) // in-place rebuild
-    Tombstones.clear(spark, path)
+    if (insSeq == 0L) // fresh build: no mutation history (a rebuild keeps it)
+      Tombstones.clear(spark, path)
     withMeta
-      .withColumn("ins_seq", lit(0L))
+      .withColumn("ins_seq", lit(insSeq))
       .repartition(col("cell")) // one file per cell (see saveIvf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(sqCodesPath(path))
@@ -871,7 +918,7 @@ object Index {
           emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
       retireGenerations(spark, path, PostingsKind)
       rawMeta
-        .withColumn("ins_seq", lit(0L))
+        .withColumn("ins_seq", lit(insSeq))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(postingsPath(path))
@@ -886,7 +933,7 @@ object Index {
   def appendIvfSq(spark: SparkSession, path: String, newEmb: DataFrame,
                   superProbe: Int = Similarity.defaultSuperProbe,
                   metaCols: Seq[String] = Nil): Unit = {
-    val cents = spark.read.parquet(centroidsPath(path))
+    val cents = spark.read.parquet(centroidsDir(spark, path))
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
       cents.count().toInt, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
@@ -956,7 +1003,7 @@ object Index {
         probedCellVals(probes)).where(candWhere),
       Tombstones.readAll(spark, path), "vec_id")
     if (isSqResidual(spark, path)) {
-      val cents = spark.read.parquet(centroidsPath(path))
+      val cents = spark.read.parquet(centroidsDir(spark, path))
         .select(col("cid").as("cell"), col("cv"))
       val xhat = codes.join(broadcast(cents), "cell")
         .withColumn("xh", zip_with(col("cv"), unpackBytes(col("qb")),
@@ -1008,6 +1055,26 @@ object Index {
     generations(spark, path, kind).foreach { case (_, p) =>
       fsOf(spark, p).delete(p, true); ()
     }
+
+  /** A DIRECT re-save on an existing store path is an in-place rebuild:
+    * the flat quantizer dirs it writes must become live again, so every
+    * versioned quantizer generation and every store-level `commit_v<n>`
+    * marker from previous [[rebuild]]s is dropped first (a stale
+    * commit marker could otherwise falsely commit a later compaction's
+    * crashed, uncommitted generation that happens to reuse the number).
+    */
+  private def retireQuantizerGenerations(spark: SparkSession,
+                                         path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    retireGenerations(spark, path, CentroidsKind)
+    retireGenerations(spark, path, CodewordsKind)
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("commit_v"))
+        .foreach { st => fs.delete(st.getPath, false); () }
+  }
 
   /** Append-vs-compaction fence. The refresh paths resolve the live
     * generation, write into it, then MUST observe the same generation
@@ -1165,7 +1232,7 @@ object Index {
           tomb, "vec_id")
           .select("vec_id").distinct().count()
       }
-    val nc = spark.read.parquet(centroidsPath(path)).count()
+    val nc = spark.read.parquet(centroidsDir(spark, path)).count()
     val auto = Similarity.autoCells(n, floorCells).toLong
     Seq((n, nc, auto)).toDF("n_vectors", "n_cells", "auto_cells")
       .withColumn("dilution",
@@ -1193,8 +1260,21 @@ object Index {
     * loop would trigger silently. Only the CELL budget resets — fresh
     * autoCells over the live corpus is the dilution fix that motivated
     * the rebuild.
-    * The corpus is materialized (lineage cut) before the overwrite —
-    * the rebuild reads the directories it is about to replace.
+    * READER-SAFE: the fresh store is built in a staging directory under
+    * the store root (invisible to the generation listing), then every
+    * kind — quantizers included — is renamed into a `<kind>_v<n>`
+    * generation and published by ONE store-level `commit_v<n>` marker
+    * (single atomic file create). Until that instant every reader
+    * resolves the old generations; after it, all kinds flip together —
+    * no window where a plan can mix new centroids with old postings. A
+    * serve PLANNED before the flip executes to completion against the
+    * previous generation, which stays on disk as the grace generation
+    * (the [[compact]] contract; ServeBench's `race_rebuild` row pins
+    * checksum equality with the quiet serve at 100×).
+    * Tombstones are NOT cleared (deleting them would break plans that
+    * pinned their files): the rebuilt rows carry a freshly-bumped
+    * `ins_seq` that outranks every existing `del_seq`, so the surviving
+    * tombstones mask nothing and the next compaction consumes them.
     */
   def rebuild(spark: SparkSession, path: String): Unit = {
     import Ckpt.CutOps
@@ -1212,31 +1292,40 @@ object Index {
     val corpus = live
       .select((Seq(col("vec_id"), col("v").as("embedding")) ++
         meta.map(col)): _*)
-      .lineageCut // materialize BEFORE overwriting the dirs it reads
+      .lineageCut // one materialized read feeds the saves' many passes
     val hadPq = has(PqCodesKind)
     val hadSq = has(SqCodesKind)
     // read every flavor's build config BEFORE any save rewrites a marker
     val pqMeta = readBuildMeta(spark, metaPath(path))
     val sqMeta = readBuildMeta(spark, sqMetaPath(path))
     val ivfMeta = readBuildMeta(spark, ivfMetaPath(path))
+    // rows republished under surviving tombstones must outrank them
+    val stampSeq = Tombstones.nextSeq(spark, path)
+    val stage = s"$path/_rebuild_stage"
+    locally { // a crashed rebuild's leftover stage is dead weight
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      val fs = fsOf(spark, sp)
+      if (fs.exists(sp)) { fs.delete(sp, true); () }
+    }
     if (hadPq)
-      saveIvfPq(corpus, path, nSub = pqMeta.nSub, nCode = pqMeta.nCode,
+      saveIvfPq(corpus, stage, nSub = pqMeta.nSub, nCode = pqMeta.nCode,
         metaCols = meta, trained = pqMeta.trained, withRaw = true,
-        trainIters = pqMeta.trainIters, residual = pqMeta.residual)
+        trainIters = pqMeta.trainIters, residual = pqMeta.residual,
+        insSeq = stampSeq)
     else {
       // the centroids' recorded training lives with whichever save wrote
       // them: sq_meta on an SQ+raw store, ivf_meta on a flat store
       val cfg = if (hadSq) sqMeta else ivfMeta
-      saveIvf(corpus, path, metaCols = meta, trained = cfg.trained,
-        trainIters = cfg.trainIters)
+      saveIvf(corpus, stage, metaCols = meta, trained = cfg.trained,
+        trainIters = cfg.trainIters, insSeq = stampSeq)
     }
     if (hadSq) {
       // the SQ flavor must share the NEW assignment: re-encode from the
-      // same corpus against the just-written centroid table, in the
-      // store's own coding (residual markers preserved; `trained` here
-      // records the CENTROIDS' training, which the main save above now
-      // owns for a combined store)
-      retireGenerations(spark, path, SqCodesKind)
+      // same corpus against the staged centroid table, in the store's
+      // own coding. The sq_meta marker is updated IN PLACE at the real
+      // path (markers are coding-preserved — only the `trained`
+      // ownership field can move on a combined store — and serves read
+      // them eagerly at plan time, so pre-planned serves are unaffected)
       locally {
         import spark.implicits._
         Seq((sqMeta.residual, if (hadPq) pqMeta.trained else sqMeta.trained,
@@ -1244,8 +1333,8 @@ object Index {
           .toDF("residual", "trained", "train_iters")
           .write.mode("overwrite").parquet(sqMetaPath(path))
       }
-      val cents = spark.read.parquet(centroidsPath(path))
-      val assignment = assignedTo(corpus, path, forceFlat = false,
+      val cents = spark.read.parquet(centroidsDir(spark, stage))
+      val assignment = assignedTo(corpus, stage, forceFlat = false,
         superProbe = Similarity.defaultSuperProbe)
       val rows =
         if (sqMeta.residual) sqResidualRows(assignment, cents)
@@ -1255,11 +1344,59 @@ object Index {
         else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),
           "vec_id")
       withMeta
-        .withColumn("ins_seq", lit(0L))
+        .withColumn("ins_seq", lit(stampSeq))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(sqCodesPath(path))
+        .parquet(sqCodesPath(stage))
     }
+    publishStage(spark, path, stage)
+  }
+
+  /** Flip a staged rebuild live: rename every staged kind into the next
+    * generation number (shared across kinds), commit them all with ONE
+    * `commit_v<n>` marker file, then retire everything older than the
+    * grace generation a pre-planned serve may still read from. Per-dir
+    * `_SUCCESS` markers are stripped before the renames — a staged dir
+    * must not self-commit ahead of its siblings, or a plan built
+    * between renames would mix generations of different kinds.
+    */
+  private def publishStage(spark: SparkSession, path: String,
+                           stage: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val kinds = AllKinds.filter(k => fs.exists(new Path(s"$stage/$k")))
+    // the pre-flip live generation per kind — kept as the grace window
+    val prevLive: Map[String, Option[Path]] = kinds.map { k =>
+      k -> generations(spark, path, k)
+        .filter { case (_, p) => isCommitted(spark, p) }
+        .sortBy(_._1).lastOption.map(_._2)
+    }.toMap
+    val n = 1 + kinds.flatMap(k => generations(spark, path, k).map(_._1))
+      .foldLeft(0)(math.max)
+    kinds.foreach { k =>
+      fs.delete(new Path(s"$stage/$k/_SUCCESS"), false)
+      require(fs.rename(new Path(s"$stage/$k"), new Path(s"$path/${k}_v$n")),
+        s"rebuild publish: rename of $k into generation v$n failed at $path")
+    }
+    fs.create(new Path(root, s"commit_v$n")).close() // THE atomic flip
+    kinds.foreach { k =>
+      val keep = Set(s"${k}_v$n") ++ prevLive(k).map(_.getName)
+      generations(spark, path, k).foreach { case (_, p) =>
+        if (!keep.contains(p.getName)) { fs.delete(p, true); () }
+      }
+    }
+    // prune store-level commit markers no surviving generation needs
+    val keepVers: Set[String] = Set(n.toString) ++ prevLive.values.flatten
+      .map(_.getName).filter(_.contains("_v"))
+      .map(nm => nm.substring(nm.lastIndexOf("_v") + 2))
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("commit_v"))
+      .foreach { st =>
+        val v = st.getPath.getName.stripPrefix("commit_v")
+        if (!keepVers.contains(v)) { fs.delete(st.getPath, false); () }
+      }
+    fs.delete(new Path(stage), true); ()
   }
 
   /** The MAINTENANCE decision, closed over the three measured signals:
@@ -1391,7 +1528,7 @@ object Index {
         probedCellVals(probes)).where(candWhere),
       Tombstones.readAll(spark, path), "vec_id")
       .select("vec_id", "sub", "code", "cell")
-    val cw = spark.read.parquet(codewordsPath(path))
+    val cw = spark.read.parquet(codewordsDir(spark, path))
     val nSub = cw.select("sub").distinct().count().toInt
     // per-query ADC lookup table, exactly the inline construction:
     // d2(query subvector, codeword) scaled to an exact int64
@@ -1405,7 +1542,7 @@ object Index {
         // codeword. nq·nProbe·nSub·nCode entries, query-bounded.
         val rsub = slice(col("rv"), col("sub").cast("int") * sub + 1, lit(sub))
         val lut = probes
-          .join(broadcast(spark.read.parquet(centroidsPath(path))
+          .join(broadcast(spark.read.parquet(centroidsDir(spark, path))
             .select(col("cid").as("cell"), col("cv"))), "cell")
           .join(q.select(col("vec_id").as("query_id"), col("v")), "query_id")
           .select(col("query_id"), col("cell"),

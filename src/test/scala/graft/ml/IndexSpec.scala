@@ -558,6 +558,83 @@ class IndexSpec extends SparkSpec {
     assert(dirs.length === 2, s"more than live+grace retained: ${dirs.toSeq}")
   }
 
+  test("a serve PLANNED before a rebuild executes correctly after the flip") {
+    val path = freshPath("racerebuild")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val quiet = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // plan now — the parquet file listings (postings AND centroids) are
+    // pinned at plan time — rebuild underneath, execute after: the
+    // pre-rebuild generations survive as the grace window, so the plan
+    // completes bit-equal to the quiet serve
+    val planned = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+    planned.queryExecution.executedPlan // force planning before the flip
+    Index.rebuild(spark, path)
+    val racing = planned.as[(Long, Long, Double, Int)].collect().toSeq
+    assert(racing === quiet)
+    // every kind flipped together into the same committed generation
+    assert(Index.liveDir(spark, path, Index.PostingsKind).contains("postings_v"),
+      "rebuild did not publish a versioned postings generation")
+    assert(Index.liveDir(spark, path, Index.CentroidsKind).contains("centroids_v"),
+      "rebuild did not publish a versioned centroids generation")
+    // the rebuilt store serves the same corpus: fresh plan = inline twin
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val inline = Similarity.ivfTopK(emb, isQ, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === inline)
+    // a second rebuild retires the grace generations: disk stays bounded
+    Index.rebuild(spark, path)
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    for (kind <- Seq("postings", "centroids")) {
+      val gens = dirs.filter(n => n == kind || n.startsWith(s"${kind}_v"))
+      assert(gens.length <= 2,
+        s"more than live+grace retained for $kind: ${gens.toSeq}")
+    }
+  }
+
+  test("rebuild under surviving tombstones: upserted rows are not re-masked") {
+    val path = freshPath("rebuildtomb")
+    Index.saveIvf(emb, path)
+    // upsert vector 7 to a shifted embedding, delete vector 13 outright
+    val newV7 = emb.where(col("vec_id") === 7)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(0.25)).cast("float")))
+    Index.upsertIvf(spark, path, newV7)
+    Index.delete(spark, path, spark.range(13, 14).toDF("vec_id"))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val before = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    Index.rebuild(spark, path)
+    // the reader-safe rebuild leaves the tombstone files in place (plans
+    // may have pinned them); the republished rows outrank them via the
+    // bumped ins_seq, so nothing in the fresh generation is masked
+    val after = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === before,
+      "rebuild changed the served result under surviving tombstones")
+    assert(after.forall(_._2 != 13L), "deleted vector resurfaced")
+    // the fresh generation physically dropped the masked versions: the
+    // served corpus is 120 − 1 deleted, with no dead mass left behind
+    assert(Index.stats(spark, path).head().getLong(0) === 119L)
+    assert(Index.deleteStats(spark, path).head().getLong(2) === 0L,
+      "rebuild left masked versions in the fresh generation")
+    // the upserted vector still serves post-rebuild (not re-masked)
+    val n7 = Index.ivfTopKIndexed(spark, path,
+      newV7.withColumn("vec_id", lit(100007L)), k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(n7.exists(_._2 == 7L),
+      "upserted vector was re-masked by a surviving tombstone after rebuild")
+  }
+
   test("an in-place rebuild retires stale compacted generations") {
     val path = freshPath("rebuild")
     Index.saveIvf(emb.where(col("vec_id") < 60), path)
@@ -840,8 +917,11 @@ class IndexSpec extends SparkSpec {
     val st = Index.stats(spark, path).head()
     assert(st.getLong(1) === 16L) // fresh autoCells budget
     assert(st.getDouble(3) === 1.0) // dilution reset
+    // the reader-safe rebuild leaves tombstone files for the next
+    // compaction (pre-planned serves may have pinned them) but the
+    // fresh generation outranks them: zero masked versions remain
     val ds = Index.deleteStats(spark, path).head()
-    assert((ds.getLong(1), ds.getLong(2)) === ((0L, 0L))) // purged by build
+    assert(ds.getLong(2) === 0L, "rebuild left dead mass behind")
     // the rebuilt store serves the MUTATED corpus: deletions stay gone,
     // the upserted id survives with its new vector
     val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 40)
