@@ -152,7 +152,10 @@ object ServeBench {
       val corpus = docs.where(!Retrieval.boundedIsQuery)
       val lexPath = s"$root/lex"
       val tl = System.nanoTime()
-      LexIndex.saveLexical(corpus, lexPath)
+      // lang rides the postings (metaCols) so the filtered-serve row
+      // below prices the predicate-at-the-scan shape; unfiltered serves
+      // never read the column (pruned at the scan)
+      LexIndex.saveLexical(corpus, lexPath, metaCols = Seq("lang"))
       val buildLex = (System.nanoTime() - tl) / 1e9
       val lexBytes = dirBytes(s"$lexPath/postings")
       val nDocs = docs.count()
@@ -168,6 +171,12 @@ object ServeBench {
         timed(s"lex_serve_$tag")(
           LexIndex.bm25TopKIndexed(spark, lexPath, qDocs, k = 10))
       }
+      // FILTERED serve: true top-k among the predicate's matches, the
+      // language cut landing in the pruned postings scan itself
+      timed("lex_serve_filtered_q100")(
+        LexIndex.bm25TopKIndexed(spark, lexPath,
+          docs.where(Retrieval.boundedIsQuery), k = 10,
+          candWhere = col("lang").isin("zh", "fr")))
       // HYBRID A/B over the same stores: inline (both legs re-scan the
       // corpus) vs persisted (both legs pruned)
       val annPath = s"$root/hyb_ann"

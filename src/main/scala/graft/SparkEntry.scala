@@ -962,6 +962,32 @@ object SparkEntry {
         corpus.where(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
       LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery), k = 10)
     }),
+    // FILTERED retrieval from the persisted store: doc metadata (lang)
+    // denormalized onto the postings at build, the serve predicate cut
+    // at the scan BEFORE scoring — true top-k AMONG matches (the
+    // ann_ivf_filtered convention), df / n_docs / avgdl still over the
+    // full corpus (a filter restricts candidates, not the statistics)
+    "ret_bm25_filtered" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = tmpPath(s, "lexfilt", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), path,
+        metaCols = Seq("lang"))
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery),
+        k = 10, candWhere = col("lang").isin("zh", "fr"))
+    }),
+    // predicate deletion over stored metadata (drop every German doc —
+    // no external id list), idempotent under re-runs; scoring stats
+    // stay frozen at build exactly like id-list deletion
+    "ret_bm25_delete_where" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = tmpPath(s, "lexdelw", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), path,
+        metaCols = Seq("lang"))
+      LexIndex.deleteWhereDocs(s, path, col("lang") === "de")
+      LexIndex.deleteWhereDocs(s, path, col("lang") === "de") // idempotent
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery),
+        k = 10)
+    }),
     // compaction purges the masked postings and consumes the tombstones
     // — bit-equal serve (same oracle as ret_bm25_deleted)
     "ret_bm25_deleted_compacted" -> ((s, dir) => {
@@ -1938,6 +1964,16 @@ object SparkEntry {
       LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
         baseWhereSql = "TRUE", k = 10,
         liveWhereSql = "((doc_id % 7) + 7) % 7 != 3"),
+    // filtered serve: candidates cut to the predicate BEFORE ranking,
+    // stats frozen over the full corpus — true top-k among matches
+    "ret_bm25_filtered" ->
+      LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
+        baseWhereSql = "TRUE", k = 10,
+        liveWhereSql = "lang IN ('zh', 'fr')", metaColsSql = Seq("lang")),
+    "ret_bm25_delete_where" ->
+      LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
+        baseWhereSql = "TRUE", k = 10,
+        liveWhereSql = "lang != 'de'", metaColsSql = Seq("lang")),
     "ret_bm25_eval" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
     "ret_hybrid_rrf" -> Retrieval.hybridRrfOracleSql(k = 10),

@@ -190,7 +190,7 @@ object Index {
     * with null metadata, which a filtered serve silently never matches —
     * an operational trap, so the mismatch fails loudly at append time.
     */
-  private def storedMetaCols(spark: SparkSession, dir: String,
+  private[graft] def storedMetaCols(spark: SparkSession, dir: String,
                              core: Set[String]): Seq[String] =
     // mergeSchema: on a legacy mixed-schema store (pre-validation appends
     // that omitted metaCols) the UNION schema must decide the stored
@@ -206,7 +206,7 @@ object Index {
     * the stored set exactly (passing extras the store lacks would fork
     * the on-disk schema).
     */
-  private def appendMetaCols(spark: SparkSession, dir: String,
+  private[graft] def appendMetaCols(spark: SparkSession, dir: String,
                              core: Set[String], newEmb: DataFrame,
                              callerMeta: Seq[String]): Seq[String] = {
     val stored = storedMetaCols(spark, dir, core)

@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.ml.Ckpt.CutOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,13 +91,26 @@ object LexIndex {
   def autoBuckets(nDocs: Long): Int =
     math.max(64L, math.min(4096L, nDocs / 2000L)).toInt
 
+  /** The non-metadata posting columns — everything else in a stored
+    * postings schema is caller metadata persisted via `metaCols`.
+    */
+  private[graft] val postingsCore = Set("doc_id", "th", "tf", "dl",
+    "ins_seq", "bucket")
+
   /** Build + persist the inverted index of `corpus` under `path`. This is
     * the ONE full-corpus pass the inline operator pays per call: tokenize,
     * tf per (doc, term), df per term, corpus stats — written once,
     * amortized over every later serve. `nBuckets` sizes the partition
     * grid explicitly; 0 (default) = [[autoBuckets]].
+    * `metaCols` names extra `corpus` columns (a label / language /
+    * tenant id) to DENORMALIZE onto every posting — functionally
+    * dependent on doc_id, exactly like `dl` — so a filtered serve
+    * ([[bm25TopKIndexed]]'s `candWhere`) pushes its predicate into the
+    * pruned postings scan itself instead of joining a doc table after
+    * the candidates are already materialized.
     */
-  def saveLexical(corpus: DataFrame, path: String, nBuckets: Int = 0): Unit = {
+  def saveLexical(corpus: DataFrame, path: String, nBuckets: Int = 0,
+                  metaCols: Seq[String] = Nil): Unit = {
     require(nBuckets >= 0, "nBuckets must be non-negative")
     val spark = corpus.sparkSession
     val nDocs = corpus.count()
@@ -108,10 +121,15 @@ object LexIndex {
     // the fresh df/avgdl — retire them first (the dense saveIvf contract)
     Index.retireGenerations(spark, path, PostingsKind)
     Tombstones.clear(spark, path) // fresh build: no mutation history
+    val post = postingsOf(corpus)
+    val withMeta =
+      if (metaCols.isEmpty) post
+      else post.join(
+        corpus.select((Seq("doc_id") ++ metaCols).map(col): _*), "doc_id")
     // one file per bucket, th-sorted within it (row-group stats carry the
     // term pushdown); the full-index write is the build's whole point —
     // the one place this shuffle+sort is the right trade
-    postingsOf(corpus)
+    withMeta
       .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
       .withColumn("bucket", pmod(col("th"), lit(nb.toLong)))
       .repartition(col("bucket"))
@@ -147,12 +165,23 @@ object LexIndex {
     * rebuild). O(batch tokens) — no standing rescan.
     */
   def appendLexical(spark: SparkSession, path: String,
-                    newDocs: DataFrame): Unit = {
+                    newDocs: DataFrame,
+                    metaCols: Seq[String] = Nil): Unit = {
     val nBuckets = spark.read.parquet(statsPath(path))
       .select("n_buckets").head().getLong(0)
+    // the store's schema decides the metadata set — a caller-side
+    // mismatch fails loudly instead of writing silently-unfilterable
+    // rows (the dense-store append contract)
+    val meta = Index.appendMetaCols(spark,
+      Index.liveDir(spark, path, PostingsKind), postingsCore,
+      newDocs, metaCols)
     // materialized once: the postings write, the df sidecar, and the doc
     // sidecar all derive from this batch-sized relation
-    val post = postingsOf(newDocs).lineageCut
+    val bare = postingsOf(newDocs)
+    val post = (if (meta.isEmpty) bare
+                else bare.join(
+                  newDocs.select((Seq("doc_id") ++ meta).map(col): _*),
+                  "doc_id")).lineageCut
     // stamped AFTER any tombstone the caller just wrote ([[upsertDocs]]):
     // the appended postings outrank it and serve; older rows stay masked
     val seqNo = Tombstones.nextSeq(spark, path)
@@ -214,6 +243,10 @@ object LexIndex {
     val folded = spark.read.parquet(termsPath(path)).select("th", "df")
       .unionByName(spark.read.parquet(dfDeltasPath(path)))
       .groupBy("th").agg(sum("df").as("df"))
+      // upsert retractions can zero a term out entirely (its only doc
+      // was replaced by text without it) — a fresh build has no df row
+      // for it, so neither may the fold
+      .where(col("df") > 0)
       .withColumn("bucket", pmod(col("th"), lit(nb)))
       .repartition(col("bucket"))
       .sortWithinPartitions("th")
@@ -266,16 +299,60 @@ object LexIndex {
   def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit =
     Tombstones.write(spark, path, ids, "doc_id")
 
+  /** Predicate deletion over the store's own columns — metadata
+    * (`metaCols`) included, so "drop tenant X" needs no external id
+    * list ([[Index.deleteWhere]]'s sparse twin). One pruned column scan
+    * of the live postings (predicate + two-column projection push into
+    * parquet), then the usual O(match) tombstone write. Resolved
+    * against the MASKED store: already-masked docs are not
+    * re-tombstoned (idempotent under re-runs).
+    */
+  def deleteWhereDocs(spark: SparkSession, path: String,
+                      pred: Column): Unit = {
+    val ids = Tombstones.mask(
+      spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
+      Tombstones.readAll(spark, path), "doc_id")
+      .where(pred).select("doc_id").distinct()
+    deleteDocs(spark, path, ids)
+  }
+
   /** Replace documents in place: tombstone the batch's ids, then append
     * the new versions — [[Index.upsertIvf]]'s delete-then-add ordering.
-    * Serves see exactly the new text's postings. Stats caveat beyond
-    * [[deleteDocs]]': the append sidecars record the NEW version's df,
-    * so a later [[foldStats]] counts both versions' df until a rebuild
-    * (frozen-stats drift, made visible by [[stats]]/[[deleteStats]]).
+    * Serves see exactly the new text's postings.
+    *
+    * DF ACCOUNTING: before the tombstone lands, the CURRENTLY-SERVED
+    * versions' term and document mass is written to the sidecars as a
+    * RETRACTION delta (negative df rows / negative doc counts — the
+    * fold already sums), so a later [[foldStats]] prices exactly the
+    * replaced corpus instead of both versions: build → upsert → fold
+    * scores bit-equal to a fresh [[saveLexical]] over the final corpus
+    * (the fold_equals_rebuild contract, extended from append-only to
+    * the upsert surface). The retraction scan is batch-bounded — live
+    * postings semi-joined to the batch ids, read once. Plain
+    * [[deleteDocs]] intentionally writes NO retraction: deletion keeps
+    * scoring stats frozen by contract (the deleted docs stay priced in
+    * until a rebuild), whereas an upsert REPLACES — its old version
+    * must not linger in df.
     */
-  def upsertDocs(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+  def upsertDocs(spark: SparkSession, path: String, docs: DataFrame,
+                 metaCols: Seq[String] = Nil): Unit = {
+    val ids = docs.select("doc_id").distinct()
+    val served = Tombstones.mask(
+      spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
+      Tombstones.readAll(spark, path), "doc_id")
+      .join(ids, "doc_id")
+      .select("doc_id", "th", "dl")
+      .lineageCut // one batch-bounded read feeds both retraction writes
+    served.groupBy("th").agg((-count(lit(1))).as("df"))
+      .coalesce(1)
+      .write.mode("append").parquet(dfDeltasPath(path))
+    served.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("append").parquet(docDeltasPath(path))
     deleteDocs(spark, path, docs.select("doc_id"))
-    appendLexical(spark, path, docs)
+    appendLexical(spark, path, docs, metaCols)
   }
 
   /** Deletion-mass hook — [[Index.deleteStats]]' sparse twin, at
@@ -306,12 +383,24 @@ object LexIndex {
     * top-k, ties on doc_id. `queryDocs` carries (doc_id, text) — seeds
     * need not be stored documents (external-seed serving).
     * Output: (query_id, doc_id, score_micro, rank).
+    *
+    * `candWhere` is FILTERED retrieval (the label/language/tenant
+    * predicate): candidate postings failing the predicate are cut
+    * BEFORE scoring, so the result is the true top-k AMONG matches —
+    * not a rank-then-filter that can return fewer than k while matches
+    * exist. The predicate references postings columns (metadata
+    * persisted via [[saveLexical]]'s `metaCols`), so it lands in the
+    * parquet scan next to the bucket prune and the term row-group cut
+    * (`PushedFilters` — PlanSpec pins it): at 1% selectivity the serve
+    * scores 1% of the probed postings instead of filtering after the
+    * contribution join.
     */
   def bm25TopKIndexed(spark: SparkSession, path: String,
                       queryDocs: DataFrame, k: Int = 10,
                       k1: Double = 1.2, b: Double = 0.75,
                       nQueryTerms: Int = 8,
-                      dfCapFrac: Double = 0.5): DataFrame = {
+                      dfCapFrac: Double = 0.5,
+                      candWhere: Column = lit(true)): DataFrame = {
     require(k > 0 && nQueryTerms > 0 && dfCapFrac > 0)
     val stats = spark.read.parquet(statsPath(path))
     val nBuckets = stats.select("n_buckets").head().getLong(0)
@@ -358,7 +447,7 @@ object LexIndex {
     // Tombstone mask before scoring: a deleted doc must not consume a
     // top-k slot (the dense serve's rank-then-filter hazard)
     val contrib = Tombstones.mask(
-      pruned(Index.liveDir(spark, path, PostingsKind)),
+      pruned(Index.liveDir(spark, path, PostingsKind)).where(candWhere),
       Tombstones.readAll(spark, path), "doc_id")
       .join(broadcast(weighted), "th")
       .select(col("query_id"), col("doc_id"),
@@ -503,16 +592,20 @@ object LexIndex {
     * among corpus rows.
     */
   /** `liveWhereSql` restricts the SERVED documents (tombstone-masked
-    * candidates under [[deleteDocs]]) while df / n_docs / avgdl stay
-    * frozen to `base` — deletion's scoring semantics exactly.
+    * candidates under [[deleteDocs]], or a filtered serve's `candWhere`
+    * over `metaColsSql` columns carried into the corpus CTE) while
+    * df / n_docs / avgdl stay frozen to `base` — deletion's and
+    * filtered retrieval's scoring semantics exactly.
     */
   def bm25FrozenOracleSql(isQuerySql: String, baseWhereSql: String,
                           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                           nQueryTerms: Int = 8,
                           dfCapFrac: Double = 0.5,
-                          liveWhereSql: String = "TRUE"): String =
+                          liveWhereSql: String = "TRUE",
+                          metaColsSql: Seq[String] = Nil): String =
     s"""WITH corpus AS (
-       |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
+       |  SELECT doc_id, ${(metaColsSql :+ s"$wordsSql AS w").mkString(", ")}
+       |  FROM documents WHERE NOT ($isQuerySql)),
        |base AS (SELECT * FROM corpus WHERE $baseWhereSql),
        |live AS (SELECT * FROM corpus WHERE $liveWhereSql),
        |tf AS (

@@ -477,4 +477,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("ret_hybrid_rrf").contains("cell#"),
       "ret_hybrid_rrf: dense leg lost its cell partition prune")
   }
+
+  test("filtered lexical serve pushes the metadata predicate into the postings scan") {
+    // candWhere over the denormalized metadata column must land in the
+    // parquet scan NEXT TO the bucket prune and the term row-group cut —
+    // a post-join filter would materialize every matching-term posting
+    // before cutting by language
+    // the default 100-char metadata render truncates the PushedFilters
+    // list right after the (long) term-hash In — widen it so the lang
+    // entry is visible to the string pin
+    spark.conf.set("spark.sql.maxMetadataStringLength", 100000)
+    try {
+      val p = plan("ret_bm25_filtered")
+      assert(p.contains("PartitionFilters") && p.contains("bucket#"),
+        s"ret_bm25_filtered: no bucket partition filter:\n$p")
+      // `In(lang, ...)` is the SOURCE-filter rendering (the post-scan
+      // Filter spells it `lang# IN (...)`), so its presence pins pushdown
+      assert(p.contains("In(lang"),
+        s"ret_bm25_filtered: lang predicate not pushed into the scan:\n$p")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+  }
 }

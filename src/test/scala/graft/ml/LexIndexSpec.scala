@@ -401,4 +401,128 @@ class LexIndexSpec extends SparkSpec {
       .where(col("query_id") === 1L && col("doc_id") === 23L)
       .count() === 1L)
   }
+
+  test("fold after upserts scores bit-equal to a fresh build over the final corpus") {
+    val path = freshPath("foldup")
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 16)
+    // three mutations: replace 23 twice (only the LAST version may be
+    // priced), replace 31 with text that drops its old terms and brings
+    // a brand-new one — exercising retraction (old df leaves), the
+    // double-retraction chain, zero-out (a term whose only doc was
+    // replaced), and the appended-only blind spot in one store
+    LexIndex.upsertDocs(spark, path,
+      Seq((23L, docText(6))).toDF("doc_id", "text"))
+    LexIndex.upsertDocs(spark, path,
+      Seq((23L, docText(5)), (31L, "omega omega sigma alpha"))
+        .toDF("doc_id", "text"))
+    LexIndex.foldStats(spark, path)
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // the oracle: a fresh build over the corpus AS MUTATED
+    val fresh = freshPath("foldup2")
+    val finalCorpus = docs.where(!isQ && !col("doc_id").isin(23L, 31L))
+      .unionByName(Seq((23L, docText(5)), (31L, "omega omega sigma alpha"))
+        .toDF("doc_id", "text"))
+    LexIndex.saveLexical(finalCorpus, fresh, nBuckets = 16)
+    val expect = LexIndex.bm25TopKIndexed(spark, fresh, docs.where(isQ), k = 20)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === expect,
+      "fold after upserts diverged from a fresh build over the final corpus")
+    assert(served.nonEmpty)
+    // the folded stats ARE the fresh build's stats
+    val a = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "avgdl", "sum_dl").head()
+    val b = spark.read.parquet(s"$fresh/stats")
+      .select("n_docs", "avgdl", "sum_dl").head()
+    assert(a === b, s"folded stats $a != fresh-build stats $b")
+    // term-level df equality (fold must drop zeroed terms like a build)
+    val dfA = spark.read.parquet(s"$path/terms").select("th", "df")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val dfB = spark.read.parquet(s"$fresh/terms").select("th", "df")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(dfA === dfB, "folded df table diverged from the fresh build's")
+  }
+
+  // metadata fixture: docs with a deterministic two-value language tag
+  private def taggedDocs = docs
+    .withColumn("lang", when(pmod(col("doc_id"), lit(3)) === 0, "en")
+      .otherwise("fr"))
+
+  test("filtered serve: true top-k AMONG matches, stats over the full corpus") {
+    val path = freshPath("filtered")
+    LexIndex.saveLexical(taggedDocs.where(!isQ), path, nBuckets = 16,
+      metaCols = Seq("lang"))
+    val unfiltered = LexIndex.bm25TopKIndexed(spark, path,
+      docs.where(isQ), k = 20)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val filtered = LexIndex.bm25TopKIndexed(spark, path,
+      docs.where(isQ), k = 5, candWhere = col("lang") === "fr")
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(filtered.nonEmpty)
+    // every filtered hit is a non-multiple-of-3 doc (lang = fr)
+    assert(filtered.forall(_._2 % 3 != 0))
+    // true top-k among matches: per query, exactly the fr-docs of the
+    // unfiltered ranking in order, with identical scores (the frozen
+    // stats are corpus-wide — the filter never changes a score), ranks
+    // renumbered over the survivors
+    val byQ = unfiltered.groupBy(_._1)
+    for ((q, hits) <- filtered.groupBy(_._1)) {
+      val expect = byQ(q).sortBy(_._4).filter(_._2 % 3 != 0).take(5)
+      assert(hits.sortBy(_._4).map(h => (h._2, h._3)) ===
+        expect.map(h => (h._2, h._3)),
+        s"query $q: filtered serve is not the top-k among matches")
+    }
+    assert(filtered.groupBy(_._1).values.forall(
+      h => h.map(_._4).sorted == (1 to h.length)))
+  }
+
+  test("metadata append validates against the stored schema; rides the postings") {
+    val path = freshPath("metaappend")
+    LexIndex.saveLexical(
+      taggedDocs.where(!isQ && pmod(col("doc_id"), lit(10)) =!= 9), path,
+      nBuckets = 16, metaCols = Seq("lang"))
+    // an append missing the store's metadata column fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      LexIndex.appendLexical(spark, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 9))
+    }
+    assert(ex.getMessage.contains("lang"))
+    // a conforming append serves under the metadata filter: seed with an
+    // appended fr-doc's own text — it must surface among the fr matches
+    LexIndex.appendLexical(spark, path,
+      taggedDocs.where(!isQ && pmod(col("doc_id"), lit(10)) === 9))
+    val seed = Seq((1019L, docText(19))).toDF("doc_id", "text")
+    val hits = LexIndex.bm25TopKIndexed(spark, path, seed,
+      k = 20, candWhere = col("lang") === "fr")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(hits.forall(_._2 % 3 != 0))
+    assert(hits.exists(_._2 == 19L), "appended doc not filter-servable")
+  }
+
+  test("deleteWhereDocs masks by metadata predicate; idempotent; compact purges") {
+    val path = freshPath("delwhere")
+    LexIndex.saveLexical(taggedDocs.where(!isQ), path, nBuckets = 16,
+      metaCols = Seq("lang"))
+    LexIndex.deleteWhereDocs(spark, path, col("lang") === "en")
+    val nTomb = LexIndex.deleteStats(spark, path).head().getLong(1)
+    // idempotent: a re-run tombstones nothing new
+    LexIndex.deleteWhereDocs(spark, path, col("lang") === "en")
+    assert(LexIndex.deleteStats(spark, path).head().getLong(1) === nTomb)
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served.nonEmpty)
+    assert(served.forall(_._2 % 3 != 0), "a deleted-language doc served")
+    // compaction physically purges the masked postings, serve unchanged
+    LexIndex.compactLexical(spark, path)
+    val after = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(after.toSet === served.toSet)
+    assert(spark.read
+      .parquet(Index.liveDir(spark, path, LexIndex.PostingsKind))
+      .where(col("lang") === "en").count() === 0L,
+      "compaction left masked-language postings behind")
+  }
 }
