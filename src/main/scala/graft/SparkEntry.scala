@@ -572,6 +572,23 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
       Index.stats(s, path)
     }),
+    // the MAINTENANCE decision, oracle-pinned: a store built on a tiny
+    // slice (4 cells) then appended to the full corpus is diluted past
+    // the rebuild threshold AT ANY SCALE (auto_cells >= 16 > 2 x 4), so
+    // maintain must choose "rebuild"; the returned row is the decision
+    // plus the post-rebuild stats — fresh autoCells budget over the
+    // mutated (delete-purged) corpus, dilution reset to 1 — against a
+    // pure count-formula oracle (the ann_index_stats pattern)
+    "ann_index_maintain" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmaint", dir)
+      Index.saveIvf(e.where(col("vec_id") < 200), path, nCells = 4)
+      Index.appendIvf(s, path, e.where(col("vec_id") >= 200))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      val action = Index.maintain(s, path)
+      Index.stats(s, path).withColumn("action", lit(action))
+    }),
     // DELETION from the persisted store: tombstone a seventh of the
     // corpus (O(batch) sidecar write — no cell partition is rewritten),
     // then serve. Masked rows are cut BEFORE ranking, so the result is
@@ -987,6 +1004,23 @@ object SparkEntry {
       LexIndex.deleteWhereDocs(s, path, col("lang") === "de") // idempotent
       LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery),
         k = 10)
+    }),
+    // the lexical MAINTENANCE decision, oracle-pinned: tombstoning 3/7
+    // of the corpus puts the dead-posting mass past the compaction
+    // threshold at any scale, so maintain must choose "compact"; the
+    // returned row is the decision plus the post-compaction deleteStats
+    // — masked mass physically purged, tombstones consumed — against a
+    // count-formula oracle over the survivors' postings
+    "ret_bm25_maintain" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.where(!Retrieval.boundedIsQuery)
+      val path = tmpPath(s, "lexmaint", dir)
+      LexIndex.saveLexical(corpus, path)
+      LexIndex.deleteDocs(s, path,
+        corpus.where(pmod(col("doc_id"), lit(7)).isin(3, 5, 6))
+          .select("doc_id"))
+      val action = LexIndex.maintain(s, path)
+      LexIndex.deleteStats(s, path).withColumn("action", lit(action))
     }),
     // compaction purges the masked postings and consumes the tombstones
     // — bit-equal serve (same oracle as ret_bm25_deleted)
@@ -1964,6 +1998,24 @@ object SparkEntry {
       LexIndex.bm25FrozenOracleSql(Retrieval.boundedIsQuerySql,
         baseWhereSql = "TRUE", k = 10,
         liveWhereSql = "((doc_id % 7) + 7) % 7 != 3"),
+    // maintain decisions: pinned thresholds against count formulas —
+    // the diluted dense store must rebuild (post-state: fresh budget
+    // over the purged corpus, dilution 1), the delete-heavy lexical
+    // store must compact (post-state: zero masked mass, tombstones
+    // consumed)
+    "ann_index_maintain" ->
+      """SELECT 'rebuild' AS action, n_vectors, n_cells, auto_cells,
+        |       round(auto_cells::DOUBLE / n_cells, 4) AS dilution
+        |FROM (SELECT
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE ((vec_id % 7) + 7) % 7 != 3) AS n_vectors,
+        |  GREATEST(16, (SELECT count(*) FROM embeddings
+        |                WHERE ((vec_id % 7) + 7) % 7 != 3) // 5000) AS n_cells,
+        |  GREATEST(16, (SELECT count(*) FROM embeddings
+        |                WHERE ((vec_id % 7) + 7) % 7 != 3) // 5000) AS auto_cells)""".stripMargin,
+    "ret_bm25_maintain" ->
+      LexIndex.lexMaintainOracleSql(Retrieval.boundedIsQuerySql,
+        survivorWhereSql = "((doc_id % 7) + 7) % 7 NOT IN (3, 5, 6)"),
     // filtered serve: candidates cut to the predicate BEFORE ranking,
     // stats frozen over the full corpus — true top-k among matches
     "ret_bm25_filtered" ->

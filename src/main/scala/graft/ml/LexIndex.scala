@@ -584,6 +584,25 @@ object LexIndex {
        |        GREATEST(64, LEAST(4096, n_docs_frozen // 2000)), 4) AS dilution
        |FROM vals""".stripMargin
 
+  /** DuckDB count-formula oracle for the [[maintain]] compaction branch:
+    * decision plus post-compaction [[deleteStats]] — masked mass purged,
+    * tombstones consumed — over the survivors' distinct (doc, term)
+    * postings. `survivorWhereSql` selects the non-deleted corpus rows.
+    */
+  def lexMaintainOracleSql(isQuerySql: String,
+                           survivorWhereSql: String): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
+       |surv AS (SELECT * FROM corpus WHERE $survivorWhereSql),
+       |post AS (
+       |  SELECT count(*)::BIGINT AS n FROM (
+       |    SELECT DISTINCT doc_id, ${h64Sql("t")} AS th
+       |    FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM surv)))
+       |SELECT 'compact' AS action, n AS n_postings_stored,
+       |  0::BIGINT AS n_tombstones, 0::BIGINT AS n_masked,
+       |  0::DOUBLE AS masked_frac
+       |FROM post""".stripMargin
+
   /** DuckDB oracle for a REFRESHED store ([[saveLexical]] over the base
     * slice, [[appendLexical]] of the rest, then [[bm25TopKIndexed]]):
     * postings (tf, dl) over the FULL corpus, df / n_docs / avgdl frozen
