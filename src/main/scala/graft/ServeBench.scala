@@ -185,6 +185,14 @@ object ServeBench {
       timed("hybrid_serve_q100")(Retrieval.hybridRrfIndexed(spark, lexPath,
         annPath, docs.where(Retrieval.boundedIsQuery),
         emb.where(col("vec_id") < 100), k = 10))
+      // the compressed-tier hybrid: dense leg = PQ shortlist + exact
+      // refine over a withRaw store — the 100-TB shape's serve A/B
+      // against the raw-leg hybrid above
+      val annPqPath = s"$root/hyb_annpq"
+      Index.saveIvfPq(emb, annPqPath, withRaw = true)
+      timed("hybrid_serve_pq_q100")(Retrieval.hybridRrfIndexed(spark,
+        lexPath, annPqPath, docs.where(Retrieval.boundedIsQuery),
+        emb.where(col("vec_id") < 100), k = 10, denseTier = "pq_rerank"))
     }
 
     if (want("race")) {
@@ -341,10 +349,12 @@ object ServeBench {
         Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10, rerank = 40))
       println(s"""{"stage":"tier_sq8_rerank","n":$n,"serve_sec":${Bench.fmt3(rrSec)},"recall10":$rrRec}""")
       // residual-coded SQ: same byte budget, int8 step at CELL scale —
-      // the no-refine path to high recall on clustered corpora
+      // the no-refine path to high recall on clustered corpora. Built
+      // withRaw so the rerank row below composes on the SAME store
       val sqrPath = s"$root/tier_sq8r"
       val trb = System.nanoTime()
-      Index.saveIvfSq(emb, sqrPath, forceFlat = true, residual = true)
+      Index.saveIvfSq(emb, sqrPath, forceFlat = true, residual = true,
+        withRaw = true)
       val sqrBuild = (System.nanoTime() - trb) / 1e9
       val sqrBytes = dirBytes(
         Index.liveDir(spark, sqrPath, Index.SqCodesKind).stripPrefix("file:"))
@@ -352,6 +362,28 @@ object ServeBench {
         Index.ivfSqTopKIndexed(spark, sqrPath, qT, k = 10))
       val sqrRec = recallOf(Index.ivfSqTopKIndexed(spark, sqrPath, qT, k = 10))
       println(s"""{"stage":"tier_sq8_residual","n":$n,"build_sec":${Bench.fmt3(sqrBuild)},"store_bytes":$sqrBytes,"serve_sec":${Bench.fmt3(sqrSec)},"recall10":$sqrRec}""")
+      // residual shortlist + exact refine: the coding-aware rerank
+      // (dequantized-cosine shortlist — the absolute integer-dot over
+      // residual codes would be garbage) composed with the raw flavor
+      val sqrrSec = timed("tier_sq8_residual_rerank_serve_q50")(
+        Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10, rerank = 40))
+      val sqrrRec = recallOf(
+        Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10, rerank = 40))
+      println(s"""{"stage":"tier_sq8_residual_rerank","n":$n,"serve_sec":${Bench.fmt3(sqrrSec)},"recall10":$sqrrRec}""")
+      // trained-cells residual SQ: kmeans centroids tighten every cell's
+      // residual spread, so the int8 step shrinks with NO serve-time or
+      // byte cost — the ladder's last free rung before a raw refine
+      val sqtPath = s"$root/tier_sq8rt"
+      val ttb = System.nanoTime()
+      Index.saveIvfSq(emb, sqtPath, forceFlat = true, residual = true,
+        trained = true)
+      val sqtBuild = (System.nanoTime() - ttb) / 1e9
+      val sqtBytes = dirBytes(
+        Index.liveDir(spark, sqtPath, Index.SqCodesKind).stripPrefix("file:"))
+      val sqtSec = timed("tier_sq8_residual_trained_serve_q50")(
+        Index.ivfSqTopKIndexed(spark, sqtPath, qT, k = 10))
+      val sqtRec = recallOf(Index.ivfSqTopKIndexed(spark, sqtPath, qT, k = 10))
+      println(s"""{"stage":"tier_sq8_residual_trained","n":$n,"build_sec":${Bench.fmt3(sqtBuild)},"store_bytes":$sqtBytes,"serve_sec":${Bench.fmt3(sqtSec)},"recall10":$sqtRec}""")
     }
 
     if (want("deletes")) {

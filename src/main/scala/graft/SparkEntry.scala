@@ -1062,6 +1062,33 @@ object SparkEntry {
       Retrieval.hybridRrfIndexed(s, lexPath, annPath,
         d.where(Retrieval.boundedIsQuery), e.where(col("vec_id") < 100), k = 10)
     }),
+    // the 100-TB hybrid shape: the dense leg serves from COMPRESSED
+    // codes (PQ / SQ shortlist, exact refine from the co-located raw
+    // flavor) instead of the flat postings — the fusion and the lexical
+    // leg are unchanged, so the whole pipeline reads codes bytes plus
+    // an nq·rerank raw-vector semi-join
+    "ret_hybrid_rrf_pq" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val lexPath = tmpPath(s, "hybridlexpq", dir)
+      val annPath = tmpPath(s, "hybridannpq", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), lexPath)
+      Index.saveIvfPq(e, annPath, withRaw = true)
+      Retrieval.hybridRrfIndexed(s, lexPath, annPath,
+        d.where(Retrieval.boundedIsQuery), e.where(col("vec_id") < 100),
+        k = 10, denseTier = "pq_rerank")
+    }),
+    "ret_hybrid_rrf_sq" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val lexPath = tmpPath(s, "hybridlexsq", dir)
+      val annPath = tmpPath(s, "hybridannsq", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), lexPath)
+      Index.saveIvfSq(e, annPath, withRaw = true)
+      Retrieval.hybridRrfIndexed(s, lexPath, annPath,
+        d.where(Retrieval.boundedIsQuery), e.where(col("vec_id") < 100),
+        k = 10, denseTier = "sq_rerank")
+    }),
     // profile admission score: BM25 against the seed-term union — the
     // batch twin of the score-at-ingest stream (StreamingSelect)
     "ret_bm25_profile" -> ((s, dir) =>
@@ -1624,7 +1651,8 @@ object SparkEntry {
     "ann_ivf_upsert", "ann_ivf_delete_where", "ann_ivf_filtered_deleted",
     "ann_ivf_sq_persisted", "ann_ivf_sq_append", "ann_ivf_sq_deleted",
     "ann_ivf_sq_rerank", "ann_ivf_sq_residual",
-    "ann_ivf_sq_residual_rerank")
+    "ann_ivf_sq_residual_rerank",
+    "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2029,6 +2057,14 @@ object SparkEntry {
     "ret_bm25_eval" ->
       Retrieval.bm25TopKOracleSql(Retrieval.defaultIsQuerySql, k = 10),
     "ret_hybrid_rrf" -> Retrieval.hybridRrfOracleSql(k = 10),
+    // tiered hybrids: the dense leg's subquery is the rerank oracle
+    // (compressed shortlist + exact refine), fusion unchanged
+    "ret_hybrid_rrf_pq" -> Retrieval.hybridRrfOracleSql(k = 10,
+      denseSql = Similarity.ivfPqRerankTopKOracleSql(k = 10,
+        isQuerySql = "vec_id < 100")),
+    "ret_hybrid_rrf_sq" -> Retrieval.hybridRrfOracleSql(k = 10,
+      denseSql = Similarity.ivfSqRerankTopKOracleSql(k = 10,
+        isQuerySql = "vec_id < 100")),
     "ret_bm25_profile" ->
       Retrieval.profileScoreOracleSql(Retrieval.defaultIsQuerySql),
     "cur_pipeline7" ->

@@ -411,36 +411,60 @@ object Retrieval {
     * composed oracle. `queryDocs` and `queryEmb` carry the seed texts
     * and vectors.
     */
+  /** `denseTier` picks the dense leg's serving tier on the SAME store
+    * layout contract: "raw" reads the flat postings ([[Index
+    * .ivfTopKIndexed]]); "pq_rerank" / "sq_rerank" are the 100-TB
+    * shapes — compressed-codes shortlist, exact refine from the
+    * co-located raw flavor ([[Index.ivfPqRerankTopKIndexed]] /
+    * [[Index.ivfSqRerankTopKIndexed]], store built `withRaw = true`) —
+    * so the hybrid's dense scan reads codes bytes instead of raw
+    * vectors and only the nq·rerank shortlist touches the raw flavor.
+    */
   def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
                        lexPath: String, annPath: String,
                        queryDocs: DataFrame, queryEmb: DataFrame,
                        k: Int = 10, kRrf: Int = 60,
-                       candWhere: Column = lit(true)): DataFrame = {
+                       candWhere: Column = lit(true),
+                       denseTier: String = "raw",
+                       rerank: Int = 40): DataFrame = {
     val lex = LexIndex.bm25TopKIndexed(spark, lexPath, queryDocs, k)
       .select(col("query_id"), col("doc_id").as("cand_id"),
         col("rank").as("lex_rank"))
-    val den = Index.ivfTopKIndexed(spark, annPath, queryEmb, k,
+    val den = (denseTier match {
+      case "raw" => Index.ivfTopKIndexed(spark, annPath, queryEmb, k,
         candWhere = candWhere)
-      .select(col("query_id"), col("neighbor_id").as("cand_id"),
-        col("rank").as("dense_rank"))
+      case "pq_rerank" => Index.ivfPqRerankTopKIndexed(spark, annPath,
+        queryEmb, k, rerank, candWhere = candWhere)
+      case "sq_rerank" => Index.ivfSqRerankTopKIndexed(spark, annPath,
+        queryEmb, k, rerank, candWhere = candWhere)
+      case other => throw new IllegalArgumentException(
+        s"unknown denseTier `$other` — one of raw | pq_rerank | sq_rerank")
+    }).select(col("query_id"), col("neighbor_id").as("cand_id"),
+      col("rank").as("dense_rank"))
     fuseRrf(lex, den, k, kRrf)
   }
 
   /** DuckDB oracle for [[hybridRrf]]: the two component oracles as
-    * subqueries, fused by the same integer RRF arithmetic.
+    * subqueries, fused by the same integer RRF arithmetic. `denseSql`
+    * overrides the dense-leg subquery (a (query_id, neighbor_id, rank)
+    * relation) — the tiered hybrids substitute their rerank oracles.
     */
   def hybridRrfOracleSql(k: Int = 10, kRrf: Int = 60,
                          nSeeds: Int = 100,
-                         candWhereSql: String = "TRUE"): String = {
+                         candWhereSql: String = "TRUE",
+                         denseSql: String = ""): String = {
     def c(r: String): String =
       s"CASE WHEN $r IS NULL THEN 0 ELSE floor(1e6 / ($kRrf + $r) + 0.5)::BIGINT END"
+    val den =
+      if (denseSql.nonEmpty) denseSql
+      else Similarity.ivfTopKOracleSql(k, isQuerySql = s"vec_id < $nSeeds",
+        candWhereSql = candWhereSql)
     s"""WITH lex AS (
        |  SELECT query_id, doc_id AS cand_id, rank AS lex_rank
        |  FROM (${bm25TopKOracleSql(s"doc_id < $nSeeds", k)})),
        |den AS (
        |  SELECT query_id, neighbor_id AS cand_id, rank AS dense_rank
-       |  FROM (${Similarity.ivfTopKOracleSql(k, isQuerySql = s"vec_id < $nSeeds",
-                candWhereSql = candWhereSql)})),
+       |  FROM ($den)),
        |fused AS (
        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
        |         coalesce(l.cand_id, d.cand_id) AS cand_id,
