@@ -303,6 +303,32 @@ object ServeBench {
       val post = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
       val nd = corpus.count()
       println(s"""{"stage":"lex_race_compact","sec":${Bench.fmt3(compactSec)},"n":$nd,"quiet":"$quiet","racing":"$racing","post_compact":"$post","racing_equal":${racing == quiet},"post_equal":${post == quiet}}""")
+
+      // FOLD RACE: foldStats republishes terms+stats as one committed
+      // generation — a serve planned before the flip answers from the
+      // pre-fold snapshot (scores CHANGE under a fold, so reader safety
+      // here means old-consistent, never mixed)
+      val quietF = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val plannedF = LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10)
+      plannedF.queryExecution.executedPlan // pin file listing pre-flip
+      val tf0 = System.nanoTime()
+      LexIndex.foldStats(spark, path)
+      val foldSec = (System.nanoTime() - tf0) / 1e9
+      val racingF = checksum(plannedF)
+      println(s"""{"stage":"lex_race_fold","sec":${Bench.fmt3(foldSec)},"n":$nd,"quiet":"$quietF","racing":"$racingF","racing_equal":${racingF == quietF}}""")
+
+      // REBUILD RACE: the full re-grid replaces postings AND terms under
+      // one store-level commit marker — the dense race_rebuild contract,
+      // sparse flavor (the caller supplies the corpus; postings are not
+      // invertible to text)
+      val quietR = checksum(LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10))
+      val plannedR = LexIndex.bm25TopKIndexed(spark, path, seeds, k = 10)
+      plannedR.queryExecution.executedPlan // pin file listing pre-flip
+      val tr0 = System.nanoTime()
+      LexIndex.rebuildLexical(corpus, path)
+      val rebuildSec = (System.nanoTime() - tr0) / 1e9
+      val racingR = checksum(plannedR)
+      println(s"""{"stage":"lex_race_rebuild","sec":${Bench.fmt3(rebuildSec)},"n":$nd,"quiet":"$quietR","racing":"$racingR","racing_equal":${racingR == quietR}}""")
     }
 
     if (want("tiers")) {

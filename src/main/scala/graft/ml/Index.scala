@@ -62,8 +62,12 @@ object Index {
     */
   private[graft] val CentroidsKind = "centroids"
   private[graft] val CodewordsKind = "codewords"
+  // "terms" is the LEXICAL store's second data family ([[LexIndex]]);
+  // it shares this generation machinery, so the staged-rebuild publish
+  // lists it too (a dense store simply never stages one)
   private val AllKinds =
-    Seq(CentroidsKind, CodewordsKind, PostingsKind, PqCodesKind, SqCodesKind)
+    Seq(CentroidsKind, CodewordsKind, PostingsKind, PqCodesKind, SqCodesKind,
+      LexIndex.TermsKind)
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,7 +84,7 @@ object Index {
   /** All on-disk generations of `kind` under the store, committed or not,
     * as (version, path) — version 0 is the flat build directory.
     */
-  private def generations(spark: SparkSession, path: String, kind: String)
+  private[graft] def generations(spark: SparkSession, path: String, kind: String)
       : Seq[(Int, org.apache.hadoop.fs.Path)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
@@ -1065,9 +1069,18 @@ object Index {
     */
   private def retireQuantizerGenerations(spark: SparkSession,
                                          path: String): Unit = {
-    import org.apache.hadoop.fs.Path
     retireGenerations(spark, path, CentroidsKind)
     retireGenerations(spark, path, CodewordsKind)
+    dropStoreCommits(spark, path)
+  }
+
+  /** Drop every store-level `commit_v<n>` marker — part of the in-place
+    * rebuild contract (a stale marker could falsely commit a later
+    * publish's crashed, uncommitted generation reusing the number).
+    */
+  private[graft] def dropStoreCommits(spark: SparkSession,
+                                      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = fsOf(spark, root)
     if (fs.exists(root))
@@ -1360,7 +1373,7 @@ object Index {
     * must not self-commit ahead of its siblings, or a plan built
     * between renames would mix generations of different kinds.
     */
-  private def publishStage(spark: SparkSession, path: String,
+  private[graft] def publishStage(spark: SparkSession, path: String,
                            stage: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)

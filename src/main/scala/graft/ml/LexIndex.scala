@@ -52,8 +52,29 @@ object LexIndex {
   import Portable._
 
   private[graft] val PostingsKind = "postings"
+  private[graft] val TermsKind = "terms"
   private def termsPath(path: String) = s"$path/terms"
   private def statsPath(path: String) = s"$path/stats"
+
+  /** LIVE terms directory — generation-resolved like the postings
+    * ([[foldStats]] publishes `terms_v<n>`; a never-folded store falls
+    * through to the flat build dir).
+    */
+  private[graft] def termsDir(spark: SparkSession, path: String): String =
+    Index.liveDir(spark, path, TermsKind)
+
+  /** LIVE stats: once a fold or staged rebuild has republished them,
+    * the stats row rides INSIDE the live terms generation (`_stats/` —
+    * underscore-prefixed, invisible to the terms scan) so ONE commit
+    * marker flips df and n_docs/avgdl together: a serve planned
+    * mid-fold can never score new df against old avgdl or vice versa.
+    * A never-folded store falls back to the flat build dir.
+    */
+  private[graft] def statsDir(spark: SparkSession, path: String): String = {
+    val t = new org.apache.hadoop.fs.Path(termsDir(spark, path), "_stats")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) t.toString else statsPath(path)
+  }
   // per-append accounting sidecars ([[foldStats]]' inputs): df_deltas =
   // (th, df) of each appended batch, doc_deltas = (n_docs, sum_dl)
   private def dfDeltasPath(path: String) = s"$path/df_deltas"
@@ -109,18 +130,28 @@ object LexIndex {
     * pruned postings scan itself instead of joining a doc table after
     * the candidates are already materialized.
     */
+  /** `insSeq` stamps the build rows' mutation sequence — 0 for a fresh
+    * build; [[rebuildLexical]] passes the store's bumped counter so
+    * rows republished under surviving tombstones outrank every
+    * existing `del_seq` (the dense [[Index.saveIvf]] contract).
+    */
   def saveLexical(corpus: DataFrame, path: String, nBuckets: Int = 0,
-                  metaCols: Seq[String] = Nil): Unit = {
+                  metaCols: Seq[String] = Nil,
+                  insSeq: Long = 0L): Unit = {
     require(nBuckets >= 0, "nBuckets must be non-negative")
     val spark = corpus.sparkSession
     val nDocs = corpus.count()
     val nb = if (nBuckets > 0) nBuckets else autoBuckets(nDocs)
-    // an in-place REBUILD overwrites only the flat postings/ (v0): stale
-    // compacted generations from the previous store's life would outrank
-    // it in liveDir and silently serve pre-rebuild postings scored with
-    // the fresh df/avgdl — retire them first (the dense saveIvf contract)
+    // an in-place REBUILD overwrites only the flat dirs (v0): stale
+    // compacted/folded generations from the previous store's life would
+    // outrank them in liveDir and silently serve pre-rebuild relations —
+    // retire them first (the dense saveIvf contract), along with any
+    // store-level commit markers from staged rebuilds
     Index.retireGenerations(spark, path, PostingsKind)
-    Tombstones.clear(spark, path) // fresh build: no mutation history
+    Index.retireGenerations(spark, path, TermsKind)
+    Index.dropStoreCommits(spark, path)
+    if (insSeq == 0L) // fresh build: no mutation history (a rebuild keeps it)
+      Tombstones.clear(spark, path)
     val post = postingsOf(corpus)
     val withMeta =
       if (metaCols.isEmpty) post
@@ -130,7 +161,7 @@ object LexIndex {
     // term pushdown); the full-index write is the build's whole point —
     // the one place this shuffle+sort is the right trade
     withMeta
-      .withColumn("ins_seq", lit(0L)) // build rows: mutation seq 0
+      .withColumn("ins_seq", lit(insSeq)) // build rows: mutation seq 0
       .withColumn("bucket", pmod(col("th"), lit(nb.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("th")
@@ -167,7 +198,7 @@ object LexIndex {
   def appendLexical(spark: SparkSession, path: String,
                     newDocs: DataFrame,
                     metaCols: Seq[String] = Nil): Unit = {
-    val nBuckets = spark.read.parquet(statsPath(path))
+    val nBuckets = spark.read.parquet(statsDir(spark, path))
       .select("n_buckets").head().getLong(0)
     // the store's schema decides the metadata set — a caller-side
     // mismatch fails loudly instead of writing silently-unfilterable
@@ -233,26 +264,23 @@ object LexIndex {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dfDeltasPath(path)))) return // nothing appended
-    val st = spark.read.parquet(statsPath(path))
+    val st = spark.read.parquet(statsDir(spark, path))
     require(st.columns.contains("sum_dl"),
       "foldStats needs a store built with the sum_dl stats column " +
         "(older store: run a full saveLexical rebuild instead)")
     val row = st.select("n_docs", "n_buckets", "sum_dl").head()
     val nb = row.getLong(1)
-    // terms: frozen ⊎ deltas, summed per term, re-gridded like the build
-    val folded = spark.read.parquet(termsPath(path)).select("th", "df")
-      .unionByName(spark.read.parquet(dfDeltasPath(path)))
-      .groupBy("th").agg(sum("df").as("df"))
-      // upsert retractions can zero a term out entirely (its only doc
-      // was replaced by text without it) — a fresh build has no df row
-      // for it, so neither may the fold
-      .where(col("df") > 0)
-      .withColumn("bucket", pmod(col("th"), lit(nb)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("th")
-      .lineageCut // materialize BEFORE overwriting the dir it reads
-    folded.write.mode("overwrite").partitionBy("bucket")
-      .parquet(termsPath(path))
+    // READER-SAFE publish (the compactKind contract): the folded terms
+    // land in a fresh `terms_v<n>` generation with the refreshed stats
+    // row riding inside it (`_stats/`, written BEFORE the terms data so
+    // the directory is complete when Spark's job commit creates the
+    // top-level `_SUCCESS` — the single atomic flip for BOTH
+    // relations); the previous generation stays on disk for any serve
+    // that planned against it
+    val next = 1 + Index.generations(spark, path, TermsKind)
+      .map(_._1).foldLeft(0)(math.max)
+    val dst = s"$path/${TermsKind}_v$next"
+    val src = termsDir(spark, path)
     val dd = spark.read.parquet(docDeltasPath(path))
       .agg(coalesce(sum("n_docs"), lit(0L)).as("dn"),
         coalesce(sum("sum_dl"), lit(0L)).as("ds")).head()
@@ -263,8 +291,63 @@ object LexIndex {
       .select(col("n_docs"),
         round(col("sum_dl") / col("n_docs").cast("double"), 6).as("avgdl"),
         lit(nb).as("n_buckets"), col("sum_dl"))
-      .write.mode("overwrite").parquet(statsPath(path))
+      .write.mode("overwrite").parquet(s"$dst/_stats")
+    // terms: frozen ⊎ deltas, summed per term, re-gridded like the build
+    spark.read.parquet(src).select("th", "df")
+      .unionByName(spark.read.parquet(dfDeltasPath(path)))
+      .groupBy("th").agg(sum("df").as("df"))
+      // upsert retractions can zero a term out entirely (its only doc
+      // was replaced by text without it) — a fresh build has no df row
+      // for it, so neither may the fold
+      .where(col("df") > 0)
+      .withColumn("bucket", pmod(col("th"), lit(nb)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("th")
+      .write.mode("append").partitionBy("bucket") // append: _stats is in dst
+      .parquet(dst)
+    // the publish point, if the committer skipped the marker
+    val marker = new Path(dst, "_SUCCESS")
+    if (!fs.exists(marker)) { fs.create(marker).close() }
+    // retire everything but the new generation and the grace window
+    val keep = Set(new Path(dst).getName, new Path(src).getName)
+    Index.generations(spark, path, TermsKind).foreach { case (_, p) =>
+      if (!keep.contains(p.getName)) { fs.delete(p, true); () }
+    }
     // folded = consumed: the sidecars restart empty for the next cycle
+    deletePath(spark, dfDeltasPath(path))
+    deletePath(spark, docDeltasPath(path))
+  }
+
+  /** READER-SAFE full rebuild over `corpus` — the lexical twin of
+    * [[Index.rebuild]], for the re-grid / blind-spot / frozen-stats
+    * drifts a fold cannot fix. Postings are not invertible to text, so
+    * the caller supplies the source corpus (the structural asymmetry
+    * with the dense store's raw flavor); everything else is the dense
+    * contract: the fresh store is BUILT IN A STAGING DIRECTORY, the
+    * stats row is tucked inside the staged terms dir (`_stats/`), and
+    * postings + terms flip together under ONE store-level `commit_v<n>`
+    * marker — a serve planned before the flip completes from the grace
+    * generations, bit-equal to the quiet serve. Tombstones survive
+    * (pinned plans may hold their files) but mask nothing: the
+    * republished rows carry a freshly-bumped `ins_seq`.
+    */
+  def rebuildLexical(corpus: DataFrame, path: String, nBuckets: Int = 0,
+                     metaCols: Seq[String] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    val stage = s"$path/_rebuild_stage"
+    deletePath(spark, stage) // a crashed rebuild's leftover is dead weight
+    val stampSeq = Tombstones.nextSeq(spark, path)
+    saveLexical(corpus, stage, nBuckets, metaCols, insSeq = stampSeq)
+    // one marker must commit all three relations: move the staged stats
+    // into the staged terms dir before the publish renames it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$stage/stats"),
+      new org.apache.hadoop.fs.Path(s"$stage/$TermsKind/_stats")),
+      s"lexical rebuild: staging the stats row inside $stage/$TermsKind failed")
+    Index.publishStage(spark, path, stage)
+    // the append history is folded into the fresh build by construction
     deletePath(spark, dfDeltasPath(path))
     deletePath(spark, docDeltasPath(path))
   }
@@ -402,7 +485,7 @@ object LexIndex {
                       dfCapFrac: Double = 0.5,
                       candWhere: Column = lit(true)): DataFrame = {
     require(k > 0 && nQueryTerms > 0 && dfCapFrac > 0)
-    val stats = spark.read.parquet(statsPath(path))
+    val stats = spark.read.parquet(statsDir(spark, path))
     val nBuckets = stats.select("n_buckets").head().getLong(0)
     // the seed vocabulary: bounded, materialized once, read three times
     // (bucket/term collect below, df weighting, posting join)
@@ -433,7 +516,7 @@ object LexIndex {
       Index.prunedToProbes(spark, dir, buckets, "bucket").where(termFilter)
     // idf per (query, surviving term) from the FROZEN stored df + stats;
     // bounded by the seed vocabulary — broadcast everywhere below
-    val weighted = pruned(termsPath(path))
+    val weighted = pruned(termsDir(spark, path))
       .join(broadcast(qterms), "th")
       .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
       .where(col("df") <= floor(lit(dfCapFrac) * col("n_docs")))
@@ -482,11 +565,17 @@ object LexIndex {
     *     flavor self-rebuilds;
     *   - otherwise "none".
     */
+  /** `rebuildWith`: the source corpus, when the operator can supply it —
+    * the dilution branch then ACTS ([[rebuildLexical]], reader-safe,
+    * stored metadata schema preserved) instead of returning
+    * "rebuild-needed" and waiting for a manual build.
+    */
   def maintain(spark: SparkSession, path: String,
                maxUnscoreableFrac: Double = 0.05,
                maxMaskedFrac: Double = 0.2,
                maxFilesPerBucket: Double = 8.0,
-               maxDilution: Double = 4.0): String = {
+               maxDilution: Double = 4.0,
+               rebuildWith: Option[DataFrame] = None): String = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -504,7 +593,13 @@ object LexIndex {
       val filesPerBucket = files.toDouble / math.max(1L, st.getLong(3))
       if (ds.getDouble(3) > maxMaskedFrac || filesPerBucket > maxFilesPerBucket) {
         compactLexical(spark, path); "compact"
-      } else if (st.getDouble(5) > maxDilution) "rebuild-needed"
+      } else if (st.getDouble(5) > maxDilution) rebuildWith match {
+        case Some(corpus) =>
+          rebuildLexical(corpus, path,
+            metaCols = Index.storedMetaCols(spark, dir, postingsCore))
+          "rebuild"
+        case None => "rebuild-needed"
+      }
       else "none"
     }
   }
@@ -535,14 +630,14 @@ object LexIndex {
     */
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val frozen = spark.read.parquet(statsPath(path)).head()
+    val frozen = spark.read.parquet(statsDir(spark, path)).head()
     // the SERVED corpus: tombstoned docs are invisible to every serve,
     // so they don't count as live (their frozen-stats mass is
     // [[deleteStats]]' column, not this one's)
     val live = Tombstones.mask(
       spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
       Tombstones.readAll(spark, path), "doc_id")
-    val terms = spark.read.parquet(termsPath(path))
+    val terms = spark.read.parquet(termsDir(spark, path))
     val nLive = live.select("doc_id").distinct().count()
     // shuffle join on th, deliberately: both sides are corpus-sized and
     // bucket-partitioned; stats is an occasional operational scan, not a

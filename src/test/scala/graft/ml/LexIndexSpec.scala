@@ -431,18 +431,121 @@ class LexIndexSpec extends SparkSpec {
     assert(served === expect,
       "fold after upserts diverged from a fresh build over the final corpus")
     assert(served.nonEmpty)
-    // the folded stats ARE the fresh build's stats
-    val a = spark.read.parquet(s"$path/stats")
+    // the folded stats ARE the fresh build's stats (read via the LIVE
+    // generation — the fold publishes terms_v1 with _stats inside)
+    val a = spark.read.parquet(LexIndex.statsDir(spark, path))
       .select("n_docs", "avgdl", "sum_dl").head()
-    val b = spark.read.parquet(s"$fresh/stats")
+    val b = spark.read.parquet(LexIndex.statsDir(spark, fresh))
       .select("n_docs", "avgdl", "sum_dl").head()
     assert(a === b, s"folded stats $a != fresh-build stats $b")
     // term-level df equality (fold must drop zeroed terms like a build)
-    val dfA = spark.read.parquet(s"$path/terms").select("th", "df")
-      .as[(Long, Long)].collect().toSeq.sorted
-    val dfB = spark.read.parquet(s"$fresh/terms").select("th", "df")
-      .as[(Long, Long)].collect().toSeq.sorted
+    val dfA = spark.read.parquet(LexIndex.termsDir(spark, path))
+      .select("th", "df").as[(Long, Long)].collect().toSeq.sorted
+    val dfB = spark.read.parquet(LexIndex.termsDir(spark, fresh))
+      .select("th", "df").as[(Long, Long)].collect().toSeq.sorted
     assert(dfA === dfB, "folded df table diverged from the fresh build's")
+  }
+
+  test("a serve PLANNED before a fold executes from the pre-fold generations") {
+    val path = freshPath("racefold")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 30), path,
+      nBuckets = 16)
+    LexIndex.appendLexical(spark, path, docs.where(col("doc_id") >= 30))
+    val quiet = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val planned = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+    planned.queryExecution.executedPlan // pin file listings pre-flip
+    LexIndex.foldStats(spark, path)
+    // a fold CHANGES scores (df/avgdl refresh) — the pre-planned serve
+    // must still answer from the pre-fold snapshot, not crash or mix
+    val racing = planned.as[(Long, Long, Long, Int)].collect().toSeq
+    assert(racing === quiet)
+    // the folded store serves the refreshed stats (terms_v1 + _stats)
+    assert(Index.liveDir(spark, path, LexIndex.TermsKind).contains("terms_v"),
+      "fold did not publish a versioned terms generation")
+    val folded = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val fresh = freshPath("racefold2")
+    LexIndex.saveLexical(docs.where(!isQ), fresh, nBuckets = 16)
+    val expect = LexIndex.bm25TopKIndexed(spark, fresh, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(folded === expect)
+  }
+
+  test("a serve PLANNED before a lexical rebuild executes after the flip") {
+    val path = freshPath("racerebuildlex")
+    LexIndex.saveLexical(taggedDocs.where(!isQ && col("doc_id") < 30), path,
+      nBuckets = 16, metaCols = Seq("lang"))
+    LexIndex.appendLexical(spark, path,
+      taggedDocs.where(col("doc_id") >= 30))
+    // mutate: upsert doc 25 so tombstones survive into the rebuild
+    LexIndex.upsertDocs(spark, path,
+      Seq((25L, docText(7))).toDF("doc_id", "text")
+        .withColumn("lang", lit("fr")))
+    val quiet = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val planned = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+    planned.queryExecution.executedPlan // pin file listings pre-flip
+    val finalCorpus = taggedDocs.where(!isQ && col("doc_id") =!= 25L)
+      .unionByName(Seq((25L, docText(7))).toDF("doc_id", "text")
+        .withColumn("lang", lit("fr")))
+    LexIndex.rebuildLexical(finalCorpus, path, nBuckets = 16,
+      metaCols = Seq("lang"))
+    val racing = planned.as[(Long, Long, Long, Int)].collect().toSeq
+    assert(racing === quiet,
+      "pre-planned serve diverged across the lexical rebuild flip")
+    // postings and terms flipped together under one commit marker
+    assert(Index.liveDir(spark, path, LexIndex.PostingsKind)
+      .contains("postings_v"))
+    assert(Index.liveDir(spark, path, LexIndex.TermsKind).contains("terms_v"))
+    // the rebuilt store = a fresh build over the final corpus, and the
+    // surviving tombstone does not re-mask the republished doc 25
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val fresh = freshPath("racerebuildlex2")
+    LexIndex.saveLexical(finalCorpus, fresh, nBuckets = 16,
+      metaCols = Seq("lang"))
+    val expect = LexIndex.bm25TopKIndexed(spark, fresh, docs.where(isQ), k = 20)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === expect)
+    // metadata survived the rebuild: the filtered serve still cuts by lang
+    assert(LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20,
+      candWhere = col("lang") === "en").collect()
+      .forall(_.getLong(1) % 3 == 0))
+    // disk stays bounded: a second rebuild retires the grace generations
+    LexIndex.rebuildLexical(finalCorpus, path, nBuckets = 16,
+      metaCols = Seq("lang"))
+    for (kind <- Seq("postings", "terms")) {
+      val gens = new java.io.File(path).listFiles().map(_.getName)
+        .filter(n => n == kind || n.startsWith(s"${kind}_v"))
+      assert(gens.length <= 2,
+        s"more than live+grace retained for $kind: ${gens.toSeq}")
+    }
+  }
+
+  test("maintain acts on dilution when given the corpus (reader-safe rebuild)") {
+    val path = freshPath("maintrebuild")
+    // an 8-bucket grid vs the 64-bucket floor a fresh build would get:
+    // dilution 8 > 4 with no sidecars, no deletes, no fragmentation
+    LexIndex.saveLexical(docs.where(!isQ), path, nBuckets = 8)
+    assert(LexIndex.maintain(spark, path) === "rebuild-needed")
+    assert(LexIndex.maintain(spark, path,
+      rebuildWith = Some(docs.where(!isQ))) === "rebuild")
+    val st = LexIndex.stats(spark, path).head()
+    assert(st.getLong(3) === 64L, "rebuild did not re-grid to autoBuckets")
+    assert(st.getDouble(5) === 1.0)
+    assert(LexIndex.maintain(spark, path) === "none") // healthy now
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served.nonEmpty)
   }
 
   // metadata fixture: docs with a deterministic two-value language tag
