@@ -589,6 +589,21 @@ object SparkEntry {
       val action = Index.maintain(s, path)
       Index.stats(s, path).withColumn("action", lit(action))
     }),
+    // the SERVE after a self-rebuild, hash-pinned: the same degraded
+    // store as ann_index_maintain, explicitly rebuilt, then served —
+    // the oracle's centroid seeds AND candidates are the survivor
+    // corpus (fresh build semantics over the mutated store: deletions
+    // purged, fresh seeded centroids, dilution gone)
+    "ann_ivf_rebuilt" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfrebuilt", dir)
+      Index.saveIvf(e.where(col("vec_id") < 200), path, nCells = 4)
+      Index.appendIvf(s, path, e.where(col("vec_id") >= 200))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.rebuild(s, path)
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // DELETION from the persisted store: tombstone a seventh of the
     // corpus (O(batch) sidecar write — no cell partition is rewritten),
     // then serve. Masked rows are cut BEFORE ranking, so the result is
@@ -1002,6 +1017,20 @@ object SparkEntry {
         metaCols = Seq("lang"))
       LexIndex.deleteWhereDocs(s, path, col("lang") === "de")
       LexIndex.deleteWhereDocs(s, path, col("lang") === "de") // idempotent
+      LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery),
+        k = 10)
+    }),
+    // the lexical rebuild, hash-pinned: a drifted store (90% build, 10%
+    // append — frozen stats, blind spot) rebuilt over the full corpus
+    // serves exactly like a fresh build (the ret_bm25_persisted oracle)
+    "ret_bm25_rebuilt" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.where(!Retrieval.boundedIsQuery)
+      val path = tmpPath(s, "lexrebuilt", dir)
+      LexIndex.saveLexical(corpus.where(pmod(col("doc_id"), lit(10)) =!= 9), path)
+      LexIndex.appendLexical(s, path,
+        corpus.where(pmod(col("doc_id"), lit(10)) === 9))
+      LexIndex.rebuildLexical(corpus, path)
       LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery),
         k = 10)
     }),
@@ -1652,7 +1681,7 @@ object SparkEntry {
     "ann_ivf_sq_persisted", "ann_ivf_sq_append", "ann_ivf_sq_deleted",
     "ann_ivf_sq_rerank", "ann_ivf_sq_residual",
     "ann_ivf_sq_residual_rerank",
-    "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq")
+    "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2044,6 +2073,13 @@ object SparkEntry {
     "ret_bm25_maintain" ->
       LexIndex.lexMaintainOracleSql(Retrieval.boundedIsQuerySql,
         survivorWhereSql = "((doc_id % 7) + 7) % 7 NOT IN (3, 5, 6)"),
+    // rebuilt stores serve FRESH-BUILD semantics: survivor-corpus seeds
+    // and candidates (dense), the plain full-corpus oracle (lexical)
+    "ann_ivf_rebuilt" -> Similarity.ivfTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 7) + 7) % 7 != 3",
+      candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ret_bm25_rebuilt" ->
+      Retrieval.bm25TopKOracleSql(Retrieval.boundedIsQuerySql, k = 10),
     // filtered serve: candidates cut to the predicate BEFORE ranking,
     // stats frozen over the full corpus — true top-k among matches
     "ret_bm25_filtered" ->
