@@ -169,6 +169,57 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(streamed === oneShot)
   }
 
+  test("a live query stream survives a store rebuild mid-stream") {
+    // the 100-TB operational shape: maintenance runs UNDER a serving
+    // stream. Micro-batches re-resolve the live generations per batch,
+    // so pre-flip batches answer from the old snapshot, post-flip
+    // batches from the rebuilt store — and nothing crashes in between
+    // (the old generations survive as the grace window)
+    val path = freshPath("rebuildstream")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path, nCells = 4)
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    // an identical twin store, NEVER rebuilt — the pre-flip answer key
+    val twin = freshPath("rebuildstreamtwin")
+    Index.saveIvf(emb.where(col("vec_id") < 60), twin, nCells = 4)
+    Index.appendIvf(spark, twin, emb.where(col("vec_id") >= 60))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long)])]
+    val q = StreamingAnnServe.serveIvf(
+        input.toDF().toDF("vec_id", "embedding"), path, k = 5) { (df, id) =>
+      batches.synchronized {
+        batches += ((id,
+          df.select(col("query_id"), col("neighbor_id"),
+              col("rank").cast("long"))
+            .as[(Long, Long, Long)].collect().toSet))
+      }
+    }.start()
+    try {
+      input.addData(queryRows.take(6)); q.processAllAvailable()
+      Index.rebuild(spark, path) // the flip, mid-stream
+      input.addData(queryRows.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+    val pre = batches.synchronized(batches.filter(_._1 == 0))
+      .flatMap(_._2).toSet
+    val post = batches.synchronized(batches.filter(_._1 > 0))
+      .flatMap(_._2).toSet
+    assert(pre.nonEmpty && post.nonEmpty)
+    // pre-flip batches answered from the pre-rebuild (diluted) snapshot
+    val isPre = pmod(col("vec_id"), lit(10)) === 0 && col("vec_id") < 60
+    val oldKey = Index.ivfTopKIndexed(spark, twin, emb.where(isPre), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pre === oldKey,
+      "pre-rebuild micro-batches diverged from the old snapshot's serve")
+    // post-flip batches answer exactly what the rebuilt store serves
+    val isPost = pmod(col("vec_id"), lit(10)) === 0 && col("vec_id") >= 60
+    val fresh = Index.ivfTopKIndexed(spark, path, emb.where(isPost), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(post === fresh,
+      "post-rebuild micro-batches diverged from the rebuilt store's serve")
+  }
+
   // ---- the lexical (BM25) streaming twins ----
 
   private val lexVocab = Array("alpha", "beta", "gamma", "delta", "eps",
