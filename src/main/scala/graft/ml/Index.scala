@@ -1288,6 +1288,14 @@ object Index {
     * pinned their files): the rebuilt rows carry a freshly-bumped
     * `ins_seq` that outranks every existing `del_seq`, so the surviving
     * tombstones mask nothing and the next compaction consumes them.
+    *
+    * WRITE contract: READS are safe throughout, but the rebuild is a
+    * MUTATION and shares the store's single-writer contract — an
+    * append/upsert/delete landing between the corpus read and the flip
+    * would be silently absent from the new generations (it mutated a
+    * snapshot the rebuild had already read; [[fencedAppend]] can only
+    * catch a flip that lands INSIDE the append). Quiesce mutators for
+    * the rebuild window, exactly as for [[compact]].
     */
   def rebuild(spark: SparkSession, path: String): Unit = {
     import Ckpt.CutOps

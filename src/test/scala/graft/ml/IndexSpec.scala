@@ -635,6 +635,72 @@ class IndexSpec extends SparkSpec {
       "upserted vector was re-masked by a surviving tombstone after rebuild")
   }
 
+  test("the full mutation surface composes AFTER a rebuild (versioned live dirs)") {
+    // appends, upserts, deletes, and compaction must all work against a
+    // store whose live generations are versioned (postings_v1 etc.) —
+    // the post-rebuild store is a first-class store, not a snapshot
+    val path = freshPath("postrebuild")
+    Index.saveIvf(emb.where(col("vec_id") < 60), path, nCells = 4)
+    Index.rebuild(spark, path)
+    assert(Index.liveDir(spark, path, Index.PostingsKind).contains("postings_v"))
+    Index.appendIvf(spark, path, emb.where(col("vec_id") >= 60))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served.exists(_._2 >= 60L),
+      "rows appended into a versioned generation never served")
+    // delete + upsert against the versioned store
+    Index.delete(spark, path, spark.range(13, 14).toDF("vec_id"))
+    val newV7 = emb.where(col("vec_id") === 7)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(0.25)).cast("float")))
+    Index.upsertIvf(spark, path, newV7)
+    val mutated = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(mutated.forall(_._2 != 13L), "deleted id served post-rebuild")
+    // compaction rolls the generation forward and changes no answer
+    Index.compact(spark, path)
+    val compacted = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(compacted === mutated)
+  }
+
+  test("a crashed rebuild (no commit marker) never becomes live; the next one recovers") {
+    val path = freshPath("crashrebuild")
+    Index.saveIvf(emb, path)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val quiet = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // simulate a rebuild that died after renaming some kinds but before
+    // the store-level commit: uncommitted versioned dirs with garbage
+    for (kind <- Seq("postings", "centroids")) {
+      val dead = new java.io.File(s"$path/${kind}_v3")
+      assert(dead.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/${kind}_v3/part-junk.parquet"),
+        Array[Byte](9, 9, 9))
+    }
+    assert(Index.liveDir(spark, path, Index.PostingsKind).endsWith("/postings"),
+      "uncommitted rebuild generation was selected as live")
+    assert(Index.liveDir(spark, path, Index.CentroidsKind).endsWith("/centroids"))
+    val after = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === quiet)
+    // a real rebuild publishes PAST the dead generation and cleans it up
+    Index.rebuild(spark, path)
+    assert(Index.liveDir(spark, path, Index.PostingsKind).endsWith("postings_v4"))
+    assert(!new java.io.File(s"$path/postings_v3").exists(),
+      "crashed rebuild leftover survived the next publish")
+    val rebuilt = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rebuilt === quiet) // same corpus, same seeded quantizer → same serve
+  }
+
   test("an in-place rebuild retires stale compacted generations") {
     val path = freshPath("rebuild")
     Index.saveIvf(emb.where(col("vec_id") < 60), path)

@@ -531,6 +531,36 @@ class LexIndexSpec extends SparkSpec {
     }
   }
 
+  test("the lexical mutation surface composes AFTER a rebuild (versioned live dirs)") {
+    val path = freshPath("postrebuildlex")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 30), path,
+      nBuckets = 16)
+    LexIndex.rebuildLexical(docs.where(!isQ && col("doc_id") < 30), path,
+      nBuckets = 16)
+    assert(Index.liveDir(spark, path, LexIndex.PostingsKind)
+      .contains("postings_v"))
+    // append into the versioned store, then fold the sidecars: the
+    // fold must publish terms_v2 on top of the rebuild's terms_v1 and
+    // score like a fresh build over the full corpus
+    LexIndex.appendLexical(spark, path, docs.where(col("doc_id") >= 30))
+    LexIndex.foldStats(spark, path)
+    val served = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val fresh = freshPath("postrebuildlex2")
+    LexIndex.saveLexical(docs.where(!isQ), fresh, nBuckets = 16)
+    val expect = LexIndex.bm25TopKIndexed(spark, fresh, docs.where(isQ), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(served === expect)
+    // delete + compact against the versioned store, serve stays clean
+    LexIndex.deleteDocs(spark, path, Seq(23L).toDF("doc_id"))
+    LexIndex.compactLexical(spark, path)
+    val after = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 20)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(after.nonEmpty && after.forall(_._2 != 23L))
+  }
+
   test("maintain acts on dilution when given the corpus (reader-safe rebuild)") {
     val path = freshPath("maintrebuild")
     // an 8-bucket grid vs the 64-bucket floor a fresh build would get:
