@@ -637,6 +637,76 @@ object ServeBench {
       println(s"""{"stage":"rebuild_verdict","n":$n,"dilution":$dilution,"diluted_sec":${Bench.fmt3(dilutedSec)},"fresh_sec":${Bench.fmt3(freshSec)},"recovered":${freshSec < dilutedSec}}""")
     }
 
+    if (want("rerankdepth")) {
+      // the tier ladder's honest limit, priced: on the jitter corpus no
+      // candidate separation clears the absolute int8 step, so the
+      // SHORTLIST is the recall bound (tier_sq8_rerank 0.49 at depth
+      // 40, BENCH_r13_tiers) and the remedy the tiers section names is
+      // a deeper shortlist, not a better refine. Sweep the depth on the
+      // same store: recall must climb toward raw grade, and the rows
+      // price what each rung costs at serve time.
+      val qPred = col("vec_id") >= 1000 && col("vec_id") < 1050
+      val exact = Similarity.bruteForceTopK(emb, qPred, 10)
+      val qT = emb.where(qPred)
+      val path = s"$root/rerankdepth"
+      Index.saveIvfSq(emb, path, forceFlat = true, withRaw = true)
+      for (depth <- Seq(40, 100, 200, 400)) {
+        val sec = timed(s"sq8_rerank_d$depth")(
+          Index.ivfSqRerankTopKIndexed(spark, path, qT, k = 10,
+            rerank = depth))
+        val rec = Similarity.recallOf(exact,
+          Index.ivfSqRerankTopKIndexed(spark, path, qT, k = 10,
+            rerank = depth), 10).head().getDouble(0)
+        println(s"""{"stage":"sq8_rerank_depth","depth":$depth,"n":$n,"serve_sec":${Bench.fmt3(sec)},"recall10":$rec}""")
+        System.out.flush()
+      }
+    }
+
+    if (want("rebuildcoding")) {
+      // THE ROUND-12 RECALL CLIFF, CLOSED AT SCALE: rebuild used to
+      // re-save with absolute-seeded defaults — measured ~0.07 ADC on
+      // this corpus (the tier_pq row) — and with default two-level
+      // assignment, which routes whole families off-macro past 64
+      // cells (measured 0.0, SCALING.md round 12). Now the markers
+      // carry coding AND assignment mode, and rebuild re-saves with
+      // both. Build the deployment-grade store (trained residual PQ,
+      // flat assignment, raw flavor for refine), serve, mutate
+      // (delete a slice — the rebuild consumes the tombstones), run
+      // the exact rebuild maintain's cron issues, serve again: ADC and
+      // rerank recall must hold at residual grade.
+      val qPred = col("vec_id") >= 1000 && col("vec_id") < 1050
+      val qT = emb.where(qPred)
+      val path = s"$root/rebuildcoding"
+      val tb = System.nanoTime()
+      Index.saveIvfPq(emb, path, trained = true, residual = true,
+        withRaw = true, forceFlat = true)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      // recall ground truth excludes the slice the mutation deletes,
+      // so before/after are measured against the same served corpus
+      val dropped = pmod(col("vec_id"), lit(97)) === 13 && !qPred
+      val survivors = emb.where(!dropped)
+      val exact = Similarity.bruteForceTopK(survivors, qPred, 10)
+      def recallOf(df: DataFrame): Double =
+        Similarity.recallOf(exact, df, 10).head().getDouble(0)
+      Index.delete(spark, path, emb.where(dropped).select("vec_id"))
+      val adcBefore = recallOf(
+        Index.ivfPqTopKIndexed(spark, path, qT, k = 10))
+      val rrBefore = recallOf(
+        Index.ivfPqRerankTopKIndexed(spark, path, qT, k = 10, rerank = 40))
+      println(s"""{"stage":"rebuildcoding_before","n":$n,"build_sec":${Bench.fmt3(buildSec)},"adc_recall10":$adcBefore,"rerank_recall10":$rrBefore}""")
+      System.out.flush()
+      val tr = System.nanoTime()
+      Index.rebuild(spark, path)
+      val rebuildSec = (System.nanoTime() - tr) / 1e9
+      val adcAfter = recallOf(
+        Index.ivfPqTopKIndexed(spark, path, qT, k = 10))
+      val rrAfter = recallOf(
+        Index.ivfPqRerankTopKIndexed(spark, path, qT, k = 10, rerank = 40))
+      val residualKept = Index.isResidual(spark, path)
+      println(s"""{"stage":"rebuildcoding_verdict","n":$n,"rebuild_sec":${Bench.fmt3(rebuildSec)},"adc_before":$adcBefore,"adc_after":$adcAfter,"rerank_before":$rrBefore,"rerank_after":$rrAfter,"residual_preserved":$residualKept,"recall_retained":${adcAfter >= adcBefore - 0.05 && rrAfter >= rrBefore - 0.05}}""")
+      System.out.flush()
+    }
+
     if (!want("serve")) { spark.stop(); return }
 
     // one-time build+write (timed once — a build is not a steady state)

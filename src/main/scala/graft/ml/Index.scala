@@ -161,11 +161,12 @@ object Index {
     * default (those stores WERE built with the default).
     */
   private case class BuildMeta(residual: Boolean, trained: Boolean,
-                               nSub: Int, nCode: Int, trainIters: Int)
+                               nSub: Int, nCode: Int, trainIters: Int,
+                               flat: Boolean)
 
   private def readBuildMeta(spark: SparkSession, dir: String): BuildMeta = {
     val mp = new org.apache.hadoop.fs.Path(dir)
-    if (!fsOf(spark, mp).exists(mp)) BuildMeta(false, false, 8, 16, 3)
+    if (!fsOf(spark, mp).exists(mp)) BuildMeta(false, false, 8, 16, 3, false)
     else {
       val df = spark.read.parquet(dir)
       val cols = df.columns.toSet
@@ -176,9 +177,37 @@ object Index {
         get("trained", false)(_.getBoolean(0)),
         get("n_sub", 8)(_.getInt(0)),
         get("n_code", 16)(_.getInt(0)),
-        get("train_iters", 3)(_.getInt(0)))
+        get("train_iters", 3)(_.getInt(0)),
+        get("flat", false)(_.getBoolean(0)))
     }
   }
+
+  /** The store's recorded assignment mode — flat (`forceFlat` build) or
+    * two-level past [[Similarity.twoLevelMinCells]]. Appends and the
+    * rebuild must route arriving vectors the way the build routed the
+    * corpus: a flat-built 400-cell store whose appends route two-level
+    * parks vectors in cells the flat query probe never reads (whole
+    * families off-macro — measured recall 0.0 on the 1000× family
+    * fixture, SCALING.md). Marker ownership mirrors [[rebuild]]'s:
+    * the PQ marker if present, else SQ, else IVF.
+    */
+  private def storedFlat(spark: SparkSession, path: String): Boolean = {
+    def exists(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fsOf(spark, p).exists(p)
+    }
+    if (exists(metaPath(path))) readBuildMeta(spark, metaPath(path)).flat
+    else if (exists(sqMetaPath(path)))
+      readBuildMeta(spark, sqMetaPath(path)).flat
+    else readBuildMeta(spark, ivfMetaPath(path)).flat
+  }
+
+  /** The `twoLevelMin` an append's frozen-centroid assignment must use
+    * so it routes exactly like the build did.
+    */
+  private def appendTwoLevelMin(spark: SparkSession, path: String): Int =
+    if (storedFlat(spark, path)) Int.MaxValue
+    else Similarity.twoLevelMinCells
 
   /** The non-metadata columns of each store flavor — everything else in a
     * stored schema is caller metadata persisted via `metaCols`.
@@ -289,7 +318,8 @@ object Index {
     // the store self-describes its build configuration so [[rebuild]]
     // re-saves with the SAME coding instead of silently downgrading a
     // trained store to seeded centroids
-    Seq((trained, trainIters)).toDF("trained", "train_iters")
+    Seq((trained, trainIters, forceFlat))
+      .toDF("trained", "train_iters", "flat")
       .write.mode("overwrite").parquet(ivfMetaPath(path))
     // trained = true swaps the deterministic smallest-id seed centroids
     // for [[Similarity.kmeansCentroids]] — the build pays iters extra
@@ -418,8 +448,8 @@ object Index {
     // with absolute LUTs would be silently garbage) and [[rebuild]]
     // re-saves with the store's own trained/residual/nSub/nCode instead
     // of silently re-encoding at a different compression geometry
-    Seq((residual, trained, nSub, nCode, trainIters))
-      .toDF("residual", "trained", "n_sub", "n_code", "train_iters")
+    Seq((residual, trained, nSub, nCode, trainIters, forceFlat))
+      .toDF("residual", "trained", "n_sub", "n_code", "train_iters", "flat")
       .write.mode("overwrite").parquet(metaPath(path))
     // seeded builds keep the pqCodes plan (oracle-pinned); trained builds
     // encode against the stored codebook with the same kernel appends use
@@ -578,6 +608,7 @@ object Index {
     val post = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
         col("cn").as("norm")),
+      twoLevelMin = appendTwoLevelMin(spark, path),
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
@@ -620,6 +651,7 @@ object Index {
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
         col("cn").as("norm")),
+      twoLevelMin = appendTwoLevelMin(spark, path),
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
@@ -891,8 +923,8 @@ object Index {
     // the store self-describes its coding (a residual store served with
     // the absolute integer-dot ranking would be silently garbage) and
     // its centroid training, so [[rebuild]] preserves both
-    Seq((residual, trained, trainIters))
-      .toDF("residual", "trained", "train_iters")
+    Seq((residual, trained, trainIters, forceFlat))
+      .toDF("residual", "trained", "train_iters", "flat")
       .write.mode("overwrite").parquet(sqMetaPath(path))
     val assignment =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
@@ -942,6 +974,7 @@ object Index {
       cents.count().toInt, 1,
       seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
         col("cn").as("norm")),
+      twoLevelMin = appendTwoLevelMin(spark, path),
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
@@ -1265,8 +1298,12 @@ object Index {
     *
     * CODING-PRESERVING: the rebuild re-invokes the saves with the
     * store's OWN recorded configuration (the `meta`/`sq_meta`/`ivf_meta`
-    * markers: trained, residual, nSub, nCode, trainIters) — the raw
-    * flavor is the training corpus, so nothing else is needed. The
+    * markers: trained, residual, nSub, nCode, trainIters, AND the
+    * flat-vs-two-level assignment mode — a flat-built store rebuilt
+    * two-level past [[Similarity.twoLevelMinCells]] routes whole
+    * families off-macro, measured recall 0.0 on the 1000× family
+    * fixture) — the raw flavor is the training corpus, so nothing else
+    * is needed. The
     * alternative (re-seeding with defaults) is a measured recall
     * collapse on clustered corpora (residual-PQ ADC 0.79 → absolute-
     * seeded ~0.07 at 1000×, BENCH_r12_tiers) that [[maintain]]'s cron
@@ -1332,13 +1369,14 @@ object Index {
       saveIvfPq(corpus, stage, nSub = pqMeta.nSub, nCode = pqMeta.nCode,
         metaCols = meta, trained = pqMeta.trained, withRaw = true,
         trainIters = pqMeta.trainIters, residual = pqMeta.residual,
-        insSeq = stampSeq)
+        forceFlat = pqMeta.flat, insSeq = stampSeq)
     else {
       // the centroids' recorded training lives with whichever save wrote
       // them: sq_meta on an SQ+raw store, ivf_meta on a flat store
       val cfg = if (hadSq) sqMeta else ivfMeta
       saveIvf(corpus, stage, metaCols = meta, trained = cfg.trained,
-        trainIters = cfg.trainIters, insSeq = stampSeq)
+        trainIters = cfg.trainIters, forceFlat = cfg.flat,
+        insSeq = stampSeq)
     }
     if (hadSq) {
       // the SQ flavor must share the NEW assignment: re-encode from the
@@ -1350,12 +1388,19 @@ object Index {
       locally {
         import spark.implicits._
         Seq((sqMeta.residual, if (hadPq) pqMeta.trained else sqMeta.trained,
-            sqMeta.trainIters))
-          .toDF("residual", "trained", "train_iters")
+            sqMeta.trainIters, if (hadPq) pqMeta.flat else sqMeta.flat))
+          .toDF("residual", "trained", "train_iters", "flat")
           .write.mode("overwrite").parquet(sqMetaPath(path))
       }
       val cents = spark.read.parquet(centroidsDir(spark, stage))
-      val assignment = assignedTo(corpus, stage, forceFlat = false,
+      // the assignment mode is build GEOMETRY the SQ codes must share
+      // with the staged postings: a flat-built store re-assigned
+      // two-level would route whole families off-macro (measured recall
+      // 0.0 on the 1000x family fixture, SCALING.md) — like `trained`,
+      // the combined store's geometry belongs to whichever save built
+      // the staged centroids
+      val assignment = assignedTo(corpus, stage,
+        forceFlat = if (hadPq) pqMeta.flat else sqMeta.flat,
         superProbe = Similarity.defaultSuperProbe)
       val rows =
         if (sqMeta.residual) sqResidualRows(assignment, cents)

@@ -1059,7 +1059,8 @@ class IndexSpec extends SparkSpec {
     val fam = famEmb
     val isQ = col("vec_id") < 10
     val path = freshPath("rebuildsqcoding")
-    Index.saveIvfSq(fam, path, nCells = 4, residual = true, withRaw = true)
+    Index.saveIvfSq(fam, path, nCells = 4, residual = true, withRaw = true,
+      forceFlat = true)
     val exact = Similarity.bruteForceTopK(fam, isQ, 10)
     def recall(): Double = Similarity.recallOf(exact,
       Index.ivfSqTopKIndexed(spark, path, fam.where(isQ), k = 10), 10)
@@ -1075,6 +1076,61 @@ class IndexSpec extends SparkSpec {
       .select("score").as[Double].collect()
     assert(scores.forall(s => s >= -1.000001 && s <= 1.000001),
       "post-rebuild SQ serve is not on the residual (dequantized-cosine) branch")
+    // the rebuild's in-place sq_meta rewrite (trained-ownership fixup)
+    // must not drop the assignment-mode field: a flat-built store whose
+    // marker reverts to two-level would mis-route every later append
+    assert(spark.read.parquet(s"$path/sq_meta")
+      .select("flat").head().getBoolean(0),
+      "rebuild's sq_meta rewrite dropped the flat assignment-mode marker")
+  }
+
+  test("a flat-built store keeps flat routing for appends past the two-level threshold") {
+    // 80 cells ≥ twoLevelMinCells (64): without the stored `flat`
+    // marker the append's frozen-centroid assignment would switch to
+    // two-level super-routing — a silent geometry change that parks
+    // vectors in cells the flat query probe never reads. The fixture
+    // asserts flat and two-level genuinely disagree on the batch, so
+    // the test cannot pass vacuously. Construction (dim-16 orthonormal
+    // scaffold): ids 0..8 sit exactly on e0..e8 — the super-quantizer's
+    // nine Lloyd seeds — ids 9..78 replicate those directions (the
+    // supers stay put through Lloyd), and id 79 = 0.8·e8 + 0.6·e9, a
+    // centroid whose super (≈e8) barely sees the e9 axis. The batch
+    // vector q = e9 + 0.3·(e0+…+e5) ranks the six decoy supers (dot
+    // 0.3) above e8's (dot ≈ 0.07), so two-level routing with
+    // superProbe = 6 of 9 can never reach q's true nearest centroid
+    // (79, cosine 0.48 vs the decoys' 0.24).
+    def basis(i: Int, scale: Float): Seq[Float] =
+      (0 until 16).map(d => if (d == i) scale else 0f)
+    val base = ((0 until 9).map(i => (i.toLong, basis(i, 1f))) ++
+      (9 until 79).map(i => (i.toLong, basis(i % 9, 1f))) ++
+      Seq((79L, (0 until 16).map(d =>
+        if (d == 8) 0.8f else if (d == 9) 0.6f else 0f).toSeq))
+      ).toDF("vec_id", "embedding")
+    val batch = Seq((1000L, (0 until 16).map(d =>
+      if (d == 9) 1f else if (d < 6) 0.3f else 0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val path = freshPath("flatroute")
+    Index.saveIvf(base, path, nCells = 80, forceFlat = true)
+    val seed = spark.read
+      .parquet(Index.liveDir(spark, path, Index.CentroidsKind))
+      .select(col("cid").as("vec_id"), col("cv").as("v"),
+        col("cn").as("norm"))
+    def assignedCells(twoLevelMin: Int): Map[Long, Long] =
+      Similarity.withCellRanks(Similarity.normed(batch), 80, 1,
+        seedFrom = seed, twoLevelMin = twoLevelMin)
+        .select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+        .as[(Long, Long)].collect().toMap
+    val flat = assignedCells(Int.MaxValue)
+    val two = assignedCells(Similarity.twoLevelMinCells)
+    assert(flat.exists { case (id, c) => two(id) != c },
+      "fixture too easy: two-level and flat agree on every batch vector")
+    Index.appendIvf(spark, path, batch)
+    val stored = spark.read
+      .parquet(Index.liveDir(spark, path, Index.PostingsKind))
+      .where(col("vec_id") >= 1000L)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(stored === flat,
+      "append on a flat-built store did not route flat")
   }
 
   test("maintain's fragmentation probe works through the Hadoop FS (file: scheme)") {
