@@ -1340,7 +1340,9 @@ object Index {
       .exists { case (_, p) => isCommitted(spark, p) }
     require(has(PostingsKind),
       s"self-rebuild needs the raw-vector flavor at $path — a codes-only " +
-        "store must be rebuilt from the source corpus (save* again)")
+        "store must be rebuilt from the source corpus via rebuildFrom " +
+        "(the reader-safe, coding-preserving re-grid; a bare save* " +
+        "overwrites generations in place under live readers)")
     val live = Tombstones.mask(
       spark.read.option("mergeSchema", "true")
         .parquet(liveDir(spark, path, PostingsKind)),
@@ -1351,6 +1353,57 @@ object Index {
       .select((Seq(col("vec_id"), col("v").as("embedding")) ++
         meta.map(col)): _*)
       .lineageCut // one materialized read feeds the saves' many passes
+    stagedRebuild(spark, path, corpus, meta, withRaw = true)
+  }
+
+  /** REBUILD from an EXTERNAL source corpus — the codes-only twin of
+    * [[rebuild]]. A PQ/SQ-only store has no raw flavor to read its
+    * corpus back from (the price of not storing raw vectors, stated at
+    * [[saveIvfPq]]); this is the API that pays it: the same reader-safe
+    * staged publish as [[rebuild]] (a bare save* over the old path
+    * retires generations and overwrites IN PLACE — a serve planned
+    * mid-save can hit deleted files, the exact failure the staged flip
+    * exists to prevent), the build config read from the store's own
+    * markers instead of the caller's memory of it, and a mutation
+    * counter that stays monotonic (the republished rows outrank every
+    * surviving tombstone; save* instead resets history). Also valid on
+    * a raw-flavored store whose owner wants to re-grid onto a
+    * refreshed corpus snapshot without losing reader safety. `corpus`
+    * must carry (vec_id, embedding) plus every metadata column the
+    * store was built with; the store keeps its flavor shape (no raw
+    * flavor is created where none existed).
+    */
+  def rebuildFrom(spark: SparkSession, path: String,
+                  corpus: DataFrame): Unit = {
+    import Ckpt.CutOps
+    def has(kind: String) = generations(spark, path, kind)
+      .exists { case (_, p) => isCommitted(spark, p) }
+    val kinds = Seq(PostingsKind -> postingsCore, PqCodesKind -> pqCodesCore,
+      SqCodesKind -> sqCodesCore)
+    val (kind, core) = kinds.find { case (k, _) => has(k) }.getOrElse(
+      throw new IllegalArgumentException(s"no committed store at $path"))
+    val meta = storedMetaCols(spark, liveDir(spark, path, kind), core)
+    val missing = meta.filterNot(corpus.columns.contains)
+    require(missing.isEmpty,
+      s"rebuildFrom corpus lacks the store's metadata column(s) " +
+        s"${missing.mkString(", ")} — a store rebuilt without them " +
+        "would silently never match a filtered serve")
+    val cut = corpus
+      .select((Seq(col("vec_id"), col("embedding")) ++ meta.map(col)): _*)
+      .lineageCut
+    stagedRebuild(spark, path, cut, meta, withRaw = has(PostingsKind))
+  }
+
+  /** The shared staged-rebuild machinery behind [[rebuild]] and
+    * [[rebuildFrom]]: stage every flavor in the store's own recorded
+    * configuration, stamp past the tombstones, publish atomically.
+    * `corpus` columns: (vec_id, embedding, meta…), already lineage-cut.
+    */
+  private def stagedRebuild(spark: SparkSession, path: String,
+                            corpus: DataFrame, meta: Seq[String],
+                            withRaw: Boolean): Unit = {
+    def has(kind: String) = generations(spark, path, kind)
+      .exists { case (_, p) => isCommitted(spark, p) }
     val hadPq = has(PqCodesKind)
     val hadSq = has(SqCodesKind)
     // read every flavor's build config BEFORE any save rewrites a marker
@@ -1367,9 +1420,16 @@ object Index {
     }
     if (hadPq)
       saveIvfPq(corpus, stage, nSub = pqMeta.nSub, nCode = pqMeta.nCode,
-        metaCols = meta, trained = pqMeta.trained, withRaw = true,
+        metaCols = meta, trained = pqMeta.trained, withRaw = withRaw,
         trainIters = pqMeta.trainIters, residual = pqMeta.residual,
         forceFlat = pqMeta.flat, insSeq = stampSeq)
+    else if (hadSq && !withRaw)
+      // SQ-only codes store: one save writes centroids + codes in the
+      // store's own coding, and no raw flavor is created where none
+      // existed — the store keeps its storage shape
+      saveIvfSq(corpus, stage, metaCols = meta, trained = sqMeta.trained,
+        trainIters = sqMeta.trainIters, residual = sqMeta.residual,
+        forceFlat = sqMeta.flat, withRaw = false, insSeq = stampSeq)
     else {
       // the centroids' recorded training lives with whichever save wrote
       // them: sq_meta on an SQ+raw store, ivf_meta on a flat store
@@ -1378,7 +1438,7 @@ object Index {
         trainIters = cfg.trainIters, forceFlat = cfg.flat,
         insSeq = stampSeq)
     }
-    if (hadSq) {
+    if (hadSq && (hadPq || withRaw)) {
       // the SQ flavor must share the NEW assignment: re-encode from the
       // same corpus against the staged centroid table, in the store's
       // own coding. The sq_meta marker is updated IN PLACE at the real
@@ -1467,7 +1527,10 @@ object Index {
 
   /** The MAINTENANCE decision, closed over the three measured signals:
     *   - cell-budget dilution ([[stats]]) past `maxDilution` → a raw
-    *     flavor permits [[rebuild]] (fresh cells, purge included);
+    *     flavor permits [[rebuild]] (fresh cells, purge included); a
+    *     codes-only store re-grids via [[rebuildFrom]] when the caller
+    *     supplies `rebuildWith`, else reports `"rebuild-needed"` (the
+    *     [[LexIndex.maintain]] contract) instead of silently skipping;
     *   - dead-version mass ([[deleteStats]]) past `maxMaskedFrac`, or
     *     per-cell fragmentation past `maxFilesPerCell` → [[compact]];
     *   - otherwise no action.
@@ -1479,13 +1542,22 @@ object Index {
   def maintain(spark: SparkSession, path: String,
                maxDilution: Double = 2.0,
                maxMaskedFrac: Double = 0.2,
-               maxFilesPerCell: Double = 8.0): String = {
+               maxFilesPerCell: Double = 8.0,
+               rebuildWith: Option[DataFrame] = None): String = {
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     val st = stats(spark, path).head()
     val dilution = st.getDouble(3)
     if (dilution > maxDilution && has(PostingsKind)) {
       rebuild(spark, path); "rebuild"
+    } else if (dilution > maxDilution) rebuildWith match {
+      // codes-only store past the dilution threshold: no raw flavor to
+      // self-rebuild from. With a source corpus, [[rebuildFrom]] does
+      // the reader-safe coding-preserved re-grid; without one, report
+      // the need instead of silently falling through to compact/none —
+      // the [[LexIndex.maintain]] "rebuild-needed" contract
+      case Some(corpus) => rebuildFrom(spark, path, corpus); "rebuild"
+      case None => "rebuild-needed"
     } else {
       val ds = deleteStats(spark, path).head()
       val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind).find(has).get

@@ -1084,6 +1084,58 @@ class IndexSpec extends SparkSpec {
       "rebuild's sq_meta rewrite dropped the flat assignment-mode marker")
   }
 
+  test("rebuildFrom re-grids a codes-only PQ store reader-safely, coding preserved") {
+    val fam = famEmb
+    val path = freshPath("rebuildfrom")
+    // codes-only: no raw flavor, custom geometry, trained residual coding
+    Index.saveIvfPq(fam, path, nCells = 4, nSub = 4, nCode = 8,
+      trained = true, residual = true)
+    Index.delete(spark, path, Seq(115L).toDF("vec_id"))
+    // dilution 16/4 = 4 > 2, no raw flavor: maintain must REPORT, not
+    // silently fall through to compact/none
+    assert(Index.maintain(spark, path) === "rebuild-needed")
+    // with the source corpus it re-grids reader-safely, coding preserved
+    assert(Index.maintain(spark, path, rebuildWith = Some(fam)) === "rebuild")
+    assert(Index.isResidual(spark, path),
+      "rebuildFrom downgraded the residual marker")
+    val cw = spark.read.parquet(
+      Index.liveDir(spark, path, Index.CodewordsKind))
+    assert(cw.select("sub").distinct().count() === 4L &&
+      cw.select("code").distinct().count() === 8L,
+      "rebuildFrom reset the PQ geometry")
+    // the store keeps its codes-only shape and serves the FULL corpus
+    // (republished rows outrank the old tombstone by construction)
+    assert(Index.generations(spark, path, Index.PostingsKind).isEmpty,
+      "rebuildFrom created a raw flavor on a codes-only store")
+    assert(Index.stats(spark, path).head().getLong(0) === 120L)
+    assert(Index.ivfPqTopKIndexed(spark, path,
+      fam.where(col("vec_id") < 5), k = 5).count() > 0)
+  }
+
+  test("rebuildFrom keeps an SQ-only store codes-only, residual coding preserved") {
+    val fam = famEmb
+    val path = freshPath("rebuildfromsq")
+    Index.saveIvfSq(fam, path, nCells = 4, residual = true)
+    assert(Index.maintain(spark, path) === "rebuild-needed")
+    assert(Index.maintain(spark, path, rebuildWith = Some(fam)) === "rebuild")
+    assert(Index.generations(spark, path, Index.PostingsKind).isEmpty,
+      "rebuildFrom created a raw flavor on an SQ-only store")
+    val scores = Index.ivfSqTopKIndexed(spark, path,
+      fam.where(col("vec_id") < 5), k = 5)
+      .select("score").as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(s => s >= -1.000001 && s <= 1.000001),
+      "post-rebuildFrom SQ serve is not on the residual branch")
+  }
+
+  test("rebuildFrom fails loudly when the corpus lacks a stored metadata column") {
+    val path = freshPath("rebuildfrommeta")
+    val withLabel = emb.withColumn("label", pmod(col("vec_id"), lit(4)))
+    Index.saveIvfPq(withLabel, path, metaCols = Seq("label"))
+    intercept[IllegalArgumentException] {
+      Index.rebuildFrom(spark, path, emb) // no label column
+    }
+  }
+
   test("a flat-built store keeps flat routing for appends past the two-level threshold") {
     // 80 cells ≥ twoLevelMinCells (64): without the stored `flat`
     // marker the append's frozen-centroid assignment would switch to
