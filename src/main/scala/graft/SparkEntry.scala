@@ -604,6 +604,22 @@ object SparkEntry {
       Index.rebuild(s, path)
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // CODES-ONLY re-grid: a PQ store with no raw flavor cannot
+    // self-rebuild; rebuildFrom(corpus) re-grids it from the source
+    // corpus reader-safely (staged one-marker publish, config from the
+    // store's own markers, storage shape kept codes-only). Same
+    // fresh-build oracle semantics as ann_ivf_rebuilt: survivor-corpus
+    // centroid seeds, PQ codebook seeds, and candidates
+    "ann_ivfpq_rebuilt_from" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfpqrebfrom", dir)
+      Index.saveIvfPq(e.where(pmod(col("vec_id"), lit(2)) === 0), path)
+      Index.appendIvfPq(s, path, e.where(pmod(col("vec_id"), lit(2)) === 1))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.rebuildFrom(s, path, e.where(pmod(col("vec_id"), lit(7)) =!= 3))
+      Index.ivfPqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // DELETION from the persisted store: tombstone a seventh of the
     // corpus (O(batch) sidecar write — no cell partition is rewritten),
     // then serve. Masked rows are cut BEFORE ranking, so the result is
@@ -1681,7 +1697,8 @@ object SparkEntry {
     "ann_ivf_sq_persisted", "ann_ivf_sq_append", "ann_ivf_sq_deleted",
     "ann_ivf_sq_rerank", "ann_ivf_sq_residual",
     "ann_ivf_sq_residual_rerank",
-    "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt")
+    "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt",
+    "ann_ivfpq_rebuilt_from")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2077,6 +2094,10 @@ object SparkEntry {
     // and candidates (dense), the plain full-corpus oracle (lexical)
     "ann_ivf_rebuilt" -> Similarity.ivfTopKOracleSql(k = 10,
       centroidWhereSql = "((vec_id % 7) + 7) % 7 != 3",
+      candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_ivfpq_rebuilt_from" -> Similarity.ivfPqTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 7) + 7) % 7 != 3",
+      codebookWhereSql = "((vec_id % 7) + 7) % 7 != 3",
       candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
     "ret_bm25_rebuilt" ->
       Retrieval.bm25TopKOracleSql(Retrieval.boundedIsQuerySql, k = 10),
