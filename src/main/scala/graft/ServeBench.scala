@@ -662,6 +662,31 @@ object ServeBench {
       }
     }
 
+    if (want("appendrouting")) {
+      // the flat-append fix at scale: past 64 cells (this corpus builds
+      // 360+) a pre-fix append routed two-level onto a flat-built
+      // store, parking appended family members in cells the flat query
+      // probe never reads. Build on 90% of the corpus, append the
+      // last 10% against the frozen centroids, and measure recall on
+      // the standard query set: parity with the all-at-once build
+      // (tier_sq8_residual, same coding) means appends routed flat.
+      val qPred = col("vec_id") >= 1000 && col("vec_id") < 1050
+      val exact = Similarity.bruteForceTopK(emb, qPred, 10)
+      val qT = emb.where(qPred)
+      val path = s"$root/appendrouting"
+      Index.saveIvfSq(emb.where(pmod(col("vec_id"), lit(10)) =!= 9), path,
+        forceFlat = true, residual = true)
+      val ta = System.nanoTime()
+      Index.appendIvfSq(spark, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 9))
+      val appendSec = (System.nanoTime() - ta) / 1e9
+      val rec = Similarity.recallOf(exact,
+        Index.ivfSqTopKIndexed(spark, path, qT, k = 10), 10)
+        .head().getDouble(0)
+      println(s"""{"stage":"appendrouting","n":$n,"append_sec":${Bench.fmt3(appendSec)},"recall10":$rec}""")
+      System.out.flush()
+    }
+
     if (want("rebuildcoding")) {
       // THE ROUND-12 RECALL CLIFF, CLOSED AT SCALE: rebuild used to
       // re-save with absolute-seeded defaults — measured ~0.07 ADC on
