@@ -18,6 +18,20 @@ object Bench {
   private[graft] def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** 1-minute system load average, stamped into the bench JSON so a
+    * contention-contaminated run is distinguishable from a regression
+    * AFTER the fact: round 13's recorded artifact overstated the total
+    * ~2× because something else shared the box, and nothing in the JSON
+    * recorded it — the per-query drift read exactly like a code
+    * regression until a solo re-run arbitrated. -1.0 when the platform
+    * cannot report one (the JSON stays parseable).
+    */
+  private def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (v.isNaN) -1.0 else v
+  }
+
   private def materialize(df: DataFrame): Unit = {
     df.write.mode("overwrite").format("noop").save()
     // drop this query's localCheckpoint blocks: across ~100 queries in
@@ -74,6 +88,17 @@ object Bench {
       }
     }
     val spark = builder.getOrCreate()
+    // load BEFORE the run, checked up front: a box already above half its
+    // cores is running SOMETHING ELSE, and every timing this run records
+    // will overstate — warn loudly so the operator re-runs solo instead
+    // of anchoring a round comparison on a contaminated artifact
+    val loadBefore = loadAvg()
+    val nCores = Runtime.getRuntime.availableProcessors()
+    if (loadBefore > nCores / 2.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadBefore%.1f exceeds " +
+        f"half the core count ($nCores cores) — the box is contended and " +
+        "every recorded timing will overstate; re-run solo before " +
+        "comparing against a previous round")
     // SPARK_GRAFT_CHECKPOINT_DIR flips every lineage cut in the library
     // (graft.ml.Ckpt.cut) from localCheckpoint to RELIABLE checkpoints —
     // the executor-loss-safe deployment shape; BatchKill measures the A/B
@@ -125,8 +150,10 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val loadAfter = loadAvg()
+    val loadJson = s""""load_before":${fmt3(loadBefore)},"load_after":${fmt3(loadAfter)},"cores":$nCores"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,$loadJson,"sf":"$sfDir"}""" + "\n")
     // The driver's tail capture keeps ~2 KB of stdout and parses the LAST
     // line; the full ~175-entry map can never fit, but a "queries" field
     // is what its parser looks for — so the summary line carries a FIXED
@@ -139,7 +166,7 @@ object Bench {
     val hqs = results.collect {
       case (k, v, _) if headline.contains(k) => s""""$k":${fmt3(v)}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"nqueries":${results.size},"nfailed":${results.count(!_._3)},"failed":$failed,$loadJson,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1150,6 +1150,62 @@ object Index {
           "batch's rows reached the live generation, and re-append the rest.")
   }
 
+  /** What a rebuild must observe UNCHANGED between reading its corpus
+    * and publishing its generations: the mutation counter (every
+    * append/delete/upsert bumps it — [[Tombstones.nextSeq]]) and the
+    * committed-generation set (a compaction flip changes it without
+    * bumping the counter). Together they cover every mutation the
+    * store's single-writer contract forbids during the rebuild window.
+    */
+  private[graft] case class StoreSnapshot(seq: Long, gens: Set[String])
+
+  private[graft] def snapshotStore(spark: SparkSession,
+                                   path: String): StoreSnapshot =
+    StoreSnapshot(
+      Tombstones.currentSeq(spark, path),
+      AllKinds.flatMap(k => generations(spark, path, k)
+        .filter { case (_, p) => isCommitted(spark, p) }
+        .map { case (_, p) => p.getName }).toSet)
+
+  /** The rebuild-vs-mutator fence — [[fencedAppend]]'s twin for the
+    * other side of the single-writer contract. A rebuild reads the
+    * corpus at time T and publishes at time T+hours (at 100 TB the
+    * staged build IS hours); a mutation landing in between mutated a
+    * snapshot the rebuild had already read, so the new generations
+    * would silently lack it — the honor-system window round 13
+    * documented ("quiesce mutators") is here turned into a loud abort:
+    * the staged output is discarded, the store is untouched (it still
+    * serves every mutation), and the caller re-runs the rebuild after
+    * actually quiescing its mutators. Checked BEFORE the commit-marker
+    * create, so a failed rebuild can never half-publish.
+    */
+  private[graft] def verifyUnmoved(spark: SparkSession, path: String,
+                                   snap: StoreSnapshot, stampSeq: Long,
+                                   stage: String, what: String): Unit = {
+    val seqNow = Tombstones.currentSeq(spark, path)
+    val gensNow = snapshotStore(spark, path).gens
+    if (seqNow != stampSeq || gensNow != snap.gens)
+      abortRaced(spark, path, stage, what,
+        s"the store's mutation counter moved $stampSeq -> $seqNow (or a " +
+          "compaction flipped a generation)")
+  }
+
+  private[graft] def abortRaced(spark: SparkSession, path: String,
+                                stage: String, what: String,
+                                detail: String): Nothing = {
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    val fs = fsOf(spark, sp)
+    if (fs.exists(sp)) { fs.delete(sp, true); () }
+    throw new IllegalStateException(
+      s"$what raced a concurrent mutation on $path: $detail after the " +
+        s"$what read its inputs, so the staged output would silently " +
+        "lack that mutation. Rebuilds/folds and mutators are " +
+        "single-writer — the staged output was discarded and the store " +
+        "is UNCHANGED (it still serves every mutation, including the " +
+        "racing one); quiesce appends/deletes/upserts/compactions and " +
+        s"re-run the $what.")
+  }
+
   /** Compact a store's cell partitions back to one file per cell — both
     * flavors, whichever of `postings/` / `pq_codes/` the store carries.
     * Every append adds one file per touched cell; after many refresh
@@ -1326,16 +1382,27 @@ object Index {
     * `ins_seq` that outranks every existing `del_seq`, so the surviving
     * tombstones mask nothing and the next compaction consumes them.
     *
-    * WRITE contract: READS are safe throughout, but the rebuild is a
-    * MUTATION and shares the store's single-writer contract — an
-    * append/upsert/delete landing between the corpus read and the flip
-    * would be silently absent from the new generations (it mutated a
-    * snapshot the rebuild had already read; [[fencedAppend]] can only
-    * catch a flip that lands INSIDE the append). Quiesce mutators for
-    * the rebuild window, exactly as for [[compact]].
+    * WRITE contract: READS are safe throughout, and the rebuild is a
+    * MUTATION sharing the store's single-writer contract — but the
+    * window is ENFORCED, not honor-system: the mutation counter and
+    * committed-generation set are snapshotted when the corpus is read
+    * and re-verified immediately before the commit-marker create
+    * ([[verifyUnmoved]]); an append/upsert/delete/compaction landing
+    * in between aborts the rebuild LOUDLY with the staged output
+    * discarded and the store unchanged — the racing mutation is never
+    * silently absent from a published generation.
     */
-  def rebuild(spark: SparkSession, path: String): Unit = {
+  def rebuild(spark: SparkSession, path: String): Unit =
+    rebuild(spark, path, () => ())
+
+  /** Test seam: `midHook` runs after the staged build, immediately
+    * before the publish-time conflict re-check — the specs inject a
+    * racing mutation there to pin the loud-abort contract.
+    */
+  private[graft] def rebuild(spark: SparkSession, path: String,
+                             midHook: () => Unit): Unit = {
     import Ckpt.CutOps
+    val snap = snapshotStore(spark, path)
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     require(has(PostingsKind),
@@ -1353,7 +1420,7 @@ object Index {
       .select((Seq(col("vec_id"), col("v").as("embedding")) ++
         meta.map(col)): _*)
       .lineageCut // one materialized read feeds the saves' many passes
-    stagedRebuild(spark, path, corpus, meta, withRaw = true)
+    stagedRebuild(spark, path, corpus, meta, withRaw = true, snap, midHook)
   }
 
   /** REBUILD from an EXTERNAL source corpus — the codes-only twin of
@@ -1372,10 +1439,27 @@ object Index {
     * must carry (vec_id, embedding) plus every metadata column the
     * store was built with; the store keeps its flavor shape (no raw
     * flavor is created where none existed).
+    *
+    * DELETIONS ARE NOT REPLAYED: the supplied corpus is authoritative —
+    * republished rows outrank every surviving tombstone by
+    * construction, so a row previously deleted from the store is
+    * RESURRECTED if the corpus still contains it. The corpus must
+    * already exclude deleted rows (anti-join it against your deletion
+    * ledger first, as `ann_ivfpq_rebuilt_from` does) — this matters
+    * doubly on the [[maintain]]`(rebuildWith)` cron path, where a stale
+    * corpus snapshot would quietly undo every delete since it was
+    * taken.
     */
   def rebuildFrom(spark: SparkSession, path: String,
-                  corpus: DataFrame): Unit = {
+                  corpus: DataFrame): Unit =
+    rebuildFrom(spark, path, corpus, () => ())
+
+  /** Test seam — see [[rebuild]]'s `midHook`. */
+  private[graft] def rebuildFrom(spark: SparkSession, path: String,
+                                 corpus: DataFrame,
+                                 midHook: () => Unit): Unit = {
     import Ckpt.CutOps
+    val snap = snapshotStore(spark, path)
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     val kinds = Seq(PostingsKind -> postingsCore, PqCodesKind -> pqCodesCore,
@@ -1391,7 +1475,8 @@ object Index {
     val cut = corpus
       .select((Seq(col("vec_id"), col("embedding")) ++ meta.map(col)): _*)
       .lineageCut
-    stagedRebuild(spark, path, cut, meta, withRaw = has(PostingsKind))
+    stagedRebuild(spark, path, cut, meta, withRaw = has(PostingsKind),
+      snap, midHook)
   }
 
   /** The shared staged-rebuild machinery behind [[rebuild]] and
@@ -1401,7 +1486,8 @@ object Index {
     */
   private def stagedRebuild(spark: SparkSession, path: String,
                             corpus: DataFrame, meta: Seq[String],
-                            withRaw: Boolean): Unit = {
+                            withRaw: Boolean, snap: StoreSnapshot,
+                            midHook: () => Unit): Unit = {
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     val hadPq = has(PqCodesKind)
@@ -1412,6 +1498,14 @@ object Index {
     val ivfMeta = readBuildMeta(spark, ivfMetaPath(path))
     // rows republished under surviving tombstones must outrank them
     val stampSeq = Tombstones.nextSeq(spark, path)
+    // a mutation that slipped in between the caller's snapshot and this
+    // bump already raced the corpus read — abort BEFORE paying for the
+    // staged build, same contract as the publish-time check
+    if (stampSeq != snap.seq + 1)
+      abortRaced(spark, path, s"$path/_rebuild_stage", "rebuild",
+        s"the store's mutation counter moved ${snap.seq} -> " +
+          s"${stampSeq - 1} between the corpus snapshot and the rebuild " +
+          "stamp")
     val stage = s"$path/_rebuild_stage"
     locally { // a crashed rebuild's leftover stage is dead weight
       val sp = new org.apache.hadoop.fs.Path(stage)
@@ -1475,6 +1569,12 @@ object Index {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(sqCodesPath(stage))
     }
+    midHook()
+    // the conflict fence: everything above read a snapshot of the store;
+    // verify no mutation landed since, BEFORE the atomic flip — at 100 TB
+    // the staged build above is hours long and "quiesce mutators" without
+    // enforcement is how production stores silently lose writes
+    verifyUnmoved(spark, path, snap, stampSeq, stage, "rebuild")
     publishStage(spark, path, stage)
   }
 

@@ -256,14 +256,39 @@ object LexIndex {
     * same 6-dp avgdl; the bucket GRID stays frozen, which changes
     * nothing — results are grid-independent). What a fold does NOT do:
     * re-grid the buckets (dilution keeps growing; a full rebuild resets
-    * it) or repair a sidecar torn by a crashed append. Single-writer,
-    * like every store mutation here.
+    * it) or repair a sidecar torn by a crashed append. Single-writer —
+    * and ENFORCED (the dense rebuild contract): sidecar consumption is
+    * FILE-LISTED (read exactly the delta files present at the start,
+    * delete exactly those — a delta landing mid-fold survives to the
+    * next fold instead of being deleted unconsumed, the tombstone-
+    * consumption pattern), and the mutation counter is snapshotted at
+    * the start and re-verified immediately before the flip: an
+    * append/upsert/delete racing the fold aborts it loudly with the
+    * staged terms discarded and every sidecar intact.
     */
-  def foldStats(spark: SparkSession, path: String): Unit = {
+  def foldStats(spark: SparkSession, path: String): Unit =
+    foldStats(spark, path, () => ())
+
+  /** Test seam — see [[Index.rebuild]]'s `midHook`. */
+  private[graft] def foldStats(spark: SparkSession, path: String,
+                               midHook: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dfDeltasPath(path)))) return // nothing appended
+    val snap = Index.snapshotStore(spark, path)
+    // the consumption listing: exactly these files are folded in and
+    // exactly these are deleted after the flip
+    def listParquet(dir: String): Seq[String] = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val dfFiles = listParquet(dfDeltasPath(path))
+    val docFiles = listParquet(docDeltasPath(path))
+    if (dfFiles.isEmpty && docFiles.isEmpty) return // nothing to fold
     val st = spark.read.parquet(statsDir(spark, path))
     require(st.columns.contains("sum_dl"),
       "foldStats needs a store built with the sum_dl stats column " +
@@ -271,30 +296,31 @@ object LexIndex {
     val row = st.select("n_docs", "n_buckets", "sum_dl").head()
     val nb = row.getLong(1)
     // READER-SAFE publish (the compactKind contract): the folded terms
-    // land in a fresh `terms_v<n>` generation with the refreshed stats
-    // row riding inside it (`_stats/`, written BEFORE the terms data so
-    // the directory is complete when Spark's job commit creates the
-    // top-level `_SUCCESS` — the single atomic flip for BOTH
-    // relations); the previous generation stays on disk for any serve
-    // that planned against it
-    val next = 1 + Index.generations(spark, path, TermsKind)
-      .map(_._1).foldLeft(0)(math.max)
-    val dst = s"$path/${TermsKind}_v$next"
+    // are STAGED (stats row riding inside as `_stats/`), renamed into a
+    // fresh `terms_v<n>` generation only after the conflict fence, and
+    // committed by one marker create; the previous generation stays on
+    // disk for any serve that planned against it
     val src = termsDir(spark, path)
-    val dd = spark.read.parquet(docDeltasPath(path))
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("dn"),
-        coalesce(sum("sum_dl"), lit(0L)).as("ds")).head()
+    val stage = s"$path/_fold_stage"
+    deletePath(spark, stage) // a crashed fold's leftover is dead weight
+    import spark.implicits._
+    val dd = Tombstones.readFiles(spark, docFiles)
+      .fold(Seq((0L, 0L)).toDF("dn", "ds").head()) {
+        _.agg(coalesce(sum("n_docs"), lit(0L)).as("dn"),
+          coalesce(sum("sum_dl"), lit(0L)).as("ds")).head()
+      }
     val n2 = row.getLong(0) + dd.getLong(0)
     val s2 = row.getLong(2) + dd.getLong(1)
-    import spark.implicits._
     Seq((n2, s2)).toDF("n_docs", "sum_dl")
       .select(col("n_docs"),
         round(col("sum_dl") / col("n_docs").cast("double"), 6).as("avgdl"),
         lit(nb).as("n_buckets"), col("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dst/_stats")
-    // terms: frozen ⊎ deltas, summed per term, re-gridded like the build
+      .write.mode("overwrite").parquet(s"$stage/_stats")
+    // terms: frozen ⊎ listed deltas, summed per term, re-gridded like
+    // the build
     spark.read.parquet(src).select("th", "df")
-      .unionByName(spark.read.parquet(dfDeltasPath(path)))
+      .unionByName(Tombstones.readFiles(spark, dfFiles)
+        .getOrElse(Seq.empty[(Long, Long)].toDF("th", "df")))
       .groupBy("th").agg(sum("df").as("df"))
       // upsert retractions can zero a term out entirely (its only doc
       // was replaced by text without it) — a fresh build has no df row
@@ -303,19 +329,31 @@ object LexIndex {
       .withColumn("bucket", pmod(col("th"), lit(nb)))
       .repartition(col("bucket"))
       .sortWithinPartitions("th")
-      .write.mode("append").partitionBy("bucket") // append: _stats is in dst
-      .parquet(dst)
-    // the publish point, if the committer skipped the marker
-    val marker = new Path(dst, "_SUCCESS")
-    if (!fs.exists(marker)) { fs.create(marker).close() }
+      .write.mode("append").partitionBy("bucket") // append: _stats is in stage
+      .parquet(stage)
+    // the staged dir must not self-commit before the fence + rename
+    fs.delete(new Path(stage, "_SUCCESS"), false)
+    midHook()
+    // the conflict fence: a mutation since the snapshot means the fold
+    // read a superseded sidecar/terms state — abort before publishing
+    Index.verifyUnmoved(spark, path, snap, snap.seq, stage, "fold")
+    val next = 1 + Index.generations(spark, path, TermsKind)
+      .map(_._1).foldLeft(0)(math.max)
+    val dst = s"$path/${TermsKind}_v$next"
+    require(fs.rename(new Path(stage), new Path(dst)),
+      s"fold publish: rename of staged terms into generation v$next " +
+        s"failed at $path")
+    // THE publish point: one atomic marker create flips df and stats
+    fs.create(new Path(dst, "_SUCCESS")).close()
     // retire everything but the new generation and the grace window
     val keep = Set(new Path(dst).getName, new Path(src).getName)
     Index.generations(spark, path, TermsKind).foreach { case (_, p) =>
       if (!keep.contains(p.getName)) { fs.delete(p, true); () }
     }
-    // folded = consumed: the sidecars restart empty for the next cycle
-    deletePath(spark, dfDeltasPath(path))
-    deletePath(spark, docDeltasPath(path))
+    // folded = consumed — exactly the files the fold read; a delta that
+    // landed mid-fold (impossible without tripping the fence, but cheap
+    // to honor anyway) survives for the next cycle
+    Tombstones.deleteFiles(spark, path, dfFiles ++ docFiles)
   }
 
   /** READER-SAFE full rebuild over `corpus` — the lexical twin of
@@ -330,13 +368,34 @@ object LexIndex {
     * generations, bit-equal to the quiet serve. Tombstones survive
     * (pinned plans may hold their files) but mask nothing: the
     * republished rows carry a freshly-bumped `ins_seq`.
+    *
+    * The rebuild window is ENFORCED single-writer (the dense
+    * [[Index.rebuild]] contract): the mutation counter and
+    * committed-generation set are snapshotted up front and re-verified
+    * immediately before the flip — a doc append/upsert/delete landing
+    * mid-rebuild aborts it LOUDLY with the staged output discarded, the
+    * store unchanged, and the append sidecars intact (a silent flip
+    * would have published generations lacking the racing batch AND
+    * deleted its df deltas half-consumed).
     */
   def rebuildLexical(corpus: DataFrame, path: String, nBuckets: Int = 0,
-                     metaCols: Seq[String] = Nil): Unit = {
+                     metaCols: Seq[String] = Nil): Unit =
+    rebuildLexical(corpus, path, nBuckets, metaCols, () => ())
+
+  /** Test seam — see [[Index.rebuild]]'s `midHook`. */
+  private[graft] def rebuildLexical(corpus: DataFrame, path: String,
+                                    nBuckets: Int, metaCols: Seq[String],
+                                    midHook: () => Unit): Unit = {
     val spark = corpus.sparkSession
+    val snap = Index.snapshotStore(spark, path)
     val stage = s"$path/_rebuild_stage"
     deletePath(spark, stage) // a crashed rebuild's leftover is dead weight
     val stampSeq = Tombstones.nextSeq(spark, path)
+    if (stampSeq != snap.seq + 1)
+      Index.abortRaced(spark, path, stage, "rebuild",
+        s"the store's mutation counter moved ${snap.seq} -> " +
+          s"${stampSeq - 1} between the corpus snapshot and the rebuild " +
+          "stamp")
     saveLexical(corpus, stage, nBuckets, metaCols, insSeq = stampSeq)
     // one marker must commit all three relations: move the staged stats
     // into the staged terms dir before the publish renames it
@@ -346,6 +405,9 @@ object LexIndex {
       new org.apache.hadoop.fs.Path(s"$stage/stats"),
       new org.apache.hadoop.fs.Path(s"$stage/$TermsKind/_stats")),
       s"lexical rebuild: staging the stats row inside $stage/$TermsKind failed")
+    midHook()
+    // the conflict fence, BEFORE the atomic flip (the dense contract)
+    Index.verifyUnmoved(spark, path, snap, stampSeq, stage, "rebuild")
     Index.publishStage(spark, path, stage)
     // the append history is folded into the fresh build by construction
     deletePath(spark, dfDeltasPath(path))

@@ -46,6 +46,21 @@ private[graft] object Tombstones {
   private def tombDir(path: String) = new Path(s"$path/tombstones")
   private def seqDir(path: String) = new Path(s"$path/seq")
 
+  /** Read the store's mutation counter WITHOUT bumping it — the
+    * conflict-detection probe: a rebuild/fold snapshots this when it
+    * reads its inputs and re-checks at publish time; any interleaved
+    * append/delete/upsert bumped the counter in between and the
+    * publisher aborts instead of silently losing the mutation.
+    */
+  def currentSeq(spark: SparkSession, path: String): Long = {
+    val dir = seqDir(path)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
+
   /** Bump + return the store's mutation counter. Crash-safe by
     * construction: the counter is the max over marker-file NAMES, and a
     * new value exists only once its single-file create succeeds —
@@ -54,11 +69,7 @@ private[graft] object Tombstones {
   def nextSeq(spark: SparkSession, path: String): Long = {
     val dir = seqDir(path)
     val fs = fsOf(spark, dir)
-    val cur =
-      if (!fs.exists(dir)) 0L
-      else fs.listStatus(dir).iterator
-        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-        .foldLeft(0L)(math.max)
+    val cur = currentSeq(spark, path)
     val next = cur + 1
     fs.mkdirs(dir)
     fs.create(new Path(dir, next.toString)).close()

@@ -1222,4 +1222,71 @@ class IndexSpec extends SparkSpec {
     val r = Index.deleteStats(spark, path).head()
     assert(r.getLong(0) === 120L && r.getLong(2) === 12L)
   }
+
+  test("an append racing a rebuild fails it loudly; the batch is never lost") {
+    val path = freshPath("racemutapp")
+    Index.saveIvf(emb.where(col("vec_id") < 100), path)
+    val gensBefore = Index.generations(spark, path, Index.PostingsKind)
+      .map(_._1).toSet
+    val ex = intercept[IllegalStateException] {
+      Index.rebuild(spark, path,
+        () => Index.appendIvf(spark, path, emb.where(col("vec_id") >= 100)))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the store is UNCHANGED by the aborted rebuild: no new generation
+    // published, no stage leftover, and the RACING batch serves (it
+    // landed in the still-live generation — never silently dropped)
+    assert(Index.generations(spark, path, Index.PostingsKind)
+      .map(_._1).toSet === gensBefore,
+      "aborted rebuild published a generation")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_rebuild_stage")),
+      "aborted rebuild left its staging directory behind")
+    val stored = spark.read
+      .parquet(Index.liveDir(spark, path, Index.PostingsKind))
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L until 120L).forall(stored.contains),
+      "the racing append's rows are missing from the live store")
+    // a quiesced re-run succeeds and serves the full corpus
+    Index.rebuild(spark, path)
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(served.exists(_ >= 100L),
+      "post-rebuild serve lost the previously-racing batch")
+  }
+
+  test("a delete racing a rebuild fails it loudly; the delete still masks") {
+    val path = freshPath("racemutdel")
+    Index.saveIvf(emb, path)
+    val ex = intercept[IllegalStateException] {
+      Index.rebuild(spark, path, () => Index.delete(spark, path,
+        emb.where(col("vec_id") === 7L).select("vec_id")))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!served.contains(7L),
+      "a delete that raced an ABORTED rebuild stopped masking")
+  }
+
+  test("a mutation racing rebuildFrom on a codes-only store aborts it loudly") {
+    val path = freshPath("racemutfrom")
+    Index.saveIvfPq(emb, path) // codes-only: no raw flavor
+    val ex = intercept[IllegalStateException] {
+      Index.rebuildFrom(spark, path, emb,
+        () => Index.delete(spark, path,
+          emb.where(col("vec_id") === 11L).select("vec_id")))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the racing delete survives the abort
+    val served = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ5), k = 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!served.contains(11L))
+    // and a quiesced rebuildFrom over the survivor corpus succeeds
+    Index.rebuildFrom(spark, path, emb.where(col("vec_id") =!= 11L))
+    val after = Index.ivfPqTopKIndexed(spark, path, emb.where(isQ5), k = 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!after.contains(11L) && after.nonEmpty)
+  }
 }

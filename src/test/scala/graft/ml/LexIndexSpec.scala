@@ -200,9 +200,14 @@ class LexIndexSpec extends SparkSpec {
     val post = LexIndex.stats(spark, foldPath).head()
     assert(post.getLong(2) === 0L, "fold left unscoreable postings")
     assert(post.getLong(0) === 38L, "fold missed appended docs in n_docs")
-    // sidecars are consumed by the fold
-    assert(!new java.io.File(s"$foldPath/df_deltas").exists())
-    assert(!new java.io.File(s"$foldPath/doc_deltas").exists())
+    // sidecars are consumed by the fold (file-listed: the dirs may
+    // remain, empty, so a delta landing mid-fold is never raced away)
+    def noDeltas(dir: String): Boolean = {
+      val f = new java.io.File(dir)
+      !f.exists() || f.listFiles().forall(!_.getName.endsWith(".parquet"))
+    }
+    assert(noDeltas(s"$foldPath/df_deltas"))
+    assert(noDeltas(s"$foldPath/doc_deltas"))
     // idempotent no-op when nothing is pending
     LexIndex.foldStats(spark, foldPath)
     assert(serve(foldPath) === serve(freshBuild))
@@ -657,5 +662,84 @@ class LexIndexSpec extends SparkSpec {
       .parquet(Index.liveDir(spark, path, LexIndex.PostingsKind))
       .where(col("lang") === "en").count() === 0L,
       "compaction left masked-language postings behind")
+  }
+
+  test("a doc append racing a lexical rebuild aborts it; sidecars intact") {
+    val path = freshPath("racelexreb")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 30), path,
+      nBuckets = 16)
+    val batch = docs.where(col("doc_id") >= 30)
+    val ex = intercept[IllegalStateException] {
+      LexIndex.rebuildLexical(docs.where(!isQ), path, 0, Nil,
+        () => LexIndex.appendLexical(spark, path, batch))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the aborted rebuild left the store unchanged: the racing batch
+    // serves from the live postings, and its df-delta sidecar survives
+    // for the next fold (NOT deleted half-consumed)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_rebuild_stage")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_deltas")),
+      "the racing append's df sidecar was deleted by the aborted rebuild")
+    val stored = spark.read
+      .parquet(Index.liveDir(spark, path, LexIndex.PostingsKind))
+      .select("doc_id").as[Long].collect().toSet
+    assert((30L until 40L).forall(stored.contains),
+      "the racing append's postings are missing from the live store")
+    // quiesced re-run succeeds; serve matches a fresh full build
+    LexIndex.rebuildLexical(docs.where(!isQ), path)
+    val freshPath2 = freshPath("racelexrebfresh")
+    LexIndex.saveLexical(docs.where(!isQ), freshPath2)
+    val a = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val b = LexIndex.bm25TopKIndexed(spark, freshPath2, docs.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("a doc append racing a fold aborts it; no delta is half-consumed") {
+    val path = freshPath("racelexfold")
+    LexIndex.saveLexical(docs.where(!isQ && col("doc_id") < 25), path,
+      nBuckets = 16)
+    LexIndex.appendLexical(spark, path,
+      docs.where(col("doc_id") >= 25 && col("doc_id") < 30))
+    def deltaFiles(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/df_deltas")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    val before = deltaFiles()
+    assert(before >= 1)
+    val ex = intercept[IllegalStateException] {
+      LexIndex.foldStats(spark, path, () => LexIndex.appendLexical(spark,
+        path, docs.where(col("doc_id") >= 30)))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // BOTH batches' deltas survive the abort: nothing was consumed, the
+    // staged terms were discarded, no generation flipped
+    assert(deltaFiles() === before + 1,
+      "the aborted fold consumed (or dropped) a df-delta sidecar")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_fold_stage")))
+    // a quiesced fold then consumes everything and scores bit-equal to a
+    // fresh build over the final corpus (the fold_equals_rebuild pin,
+    // through the aborted-fold path)
+    LexIndex.foldStats(spark, path)
+    assert(deltaFiles() === 0)
+    val freshP = freshPath("racelexfoldfresh")
+    LexIndex.saveLexical(docs.where(!isQ), freshP, nBuckets = 16)
+    val a = LexIndex.bm25TopKIndexed(spark, path, docs.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val b = LexIndex.bm25TopKIndexed(spark, freshP, docs.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(a === b && a.nonEmpty)
   }
 }
