@@ -703,8 +703,10 @@ object SparkEntry {
       val e = Tables.load(s, dir, "embeddings")
       val path = tmpPath(s, "ivfsqrr", dir)
       Index.saveIvfSq(e, path, withRaw = true)
+      // default depth = the measured auto rule (max(10·k, 40) = 100);
+      // the oracle resolves through the same Similarity.autoRerank
       Index.ivfSqRerankTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
-        k = 10, rerank = 40)
+        k = 10)
     }),
     // RESIDUAL-coded SQ (FAISS by_residual for the scalar quantizer):
     // per-vector int8 over x − c[cell] — the int8 step shrinks from
@@ -726,7 +728,7 @@ object SparkEntry {
       val path = tmpPath(s, "ivfsqresrr", dir)
       Index.saveIvfSq(e, path, residual = true, withRaw = true)
       Index.ivfSqRerankTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
-        k = 10, rerank = 40)
+        k = 10)
     }),
     // deletion composes with the SQ tier like every other flavor
     "ann_ivf_sq_deleted" -> ((s, dir) => {

@@ -426,7 +426,7 @@ object Retrieval {
                        k: Int = 10, kRrf: Int = 60,
                        candWhere: Column = lit(true),
                        denseTier: String = "raw",
-                       rerank: Int = 40): DataFrame = {
+                       rerank: Int = 0): DataFrame = {
     val lex = LexIndex.bm25TopKIndexed(spark, lexPath, queryDocs, k)
       .select(col("query_id"), col("doc_id").as("cand_id"),
         col("rank").as("lex_rank"))

@@ -1162,6 +1162,22 @@ object Similarity {
        |FROM rankedq WHERE rank <= $k""".stripMargin
   }
 
+  /** The ONE shortlist-depth rule every rerank serve and its oracle
+    * share: `rerank <= 0` (the default everywhere) resolves to
+    * max(10·k, 40). The 10·k factor is MEASURED, not folklore: on the
+    * 100× separation-free jitter corpus the old fixed default of 4·k
+    * served recall@10 = 0.49 — a correct-per-oracle serve silently
+    * returning half the true neighbors — while depth 10·k recovers 1.0
+    * at flat serve cost (the refine join is nq·depth-bounded either
+    * way; BENCH_r13_tiers rerank-depth sweep, SCALING.md). Explicit
+    * positive depths are honored unchanged, floored at k.
+    */
+  def autoRerank(k: Int, rerank: Int): Int = {
+    require(rerank <= 0 || rerank >= k,
+      "shortlist depth must be at least k (or <= 0 for the auto rule)")
+    if (rerank > 0) rerank else math.max(10 * k, 40)
+  }
+
   /** IVF-PQ with an exact re-rank stage — the production compressed-index
     * query shape (cf. FAISS IndexIVFPQ + IndexRefineFlat): the ADC scan
     * shortlists `rerank` candidates per query from PQ codes alone
@@ -1178,10 +1194,10 @@ object Similarity {
     * change.
     */
   def ivfPqRerankTopK(emb: DataFrame, isQuery: Column, k: Int,
-                      rerank: Int = 40, nCells: Int = 16, nProbe: Int = 4,
+                      rerank: Int = 0, nCells: Int = 16, nProbe: Int = 4,
                       nSub: Int = 8, nCode: Int = 16): DataFrame = {
-    require(rerank >= k, "shortlist depth must be at least k")
-    val short = ivfPqTopK(emb, isQuery, rerank, nCells, nProbe, nSub, nCode)
+    val depth = autoRerank(k, rerank)
+    val short = ivfPqTopK(emb, isQuery, depth, nCells, nProbe, nSub, nCode)
       .select("query_id", "neighbor_id")
     val e = normed(emb)
     val nbr = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
@@ -1195,13 +1211,13 @@ object Similarity {
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  def ivfPqRerankTopKOracleSql(k: Int, rerank: Int = 40, nCells: Int = 16,
+  def ivfPqRerankTopKOracleSql(k: Int, rerank: Int = 0, nCells: Int = 16,
                                nProbe: Int = 4, nSub: Int = 8,
                                nCode: Int = 16, dim: Int = 64,
                                isQuerySql: String = defaultIsQuerySql): String =
     s"""WITH short AS (
        |  SELECT query_id, neighbor_id FROM (
-       |    ${ivfPqTopKOracleSql(rerank, nCells, nProbe, nSub, nCode, dim, isQuerySql)})),
+       |    ${ivfPqTopKOracleSql(autoRerank(k, rerank), nCells, nProbe, nSub, nCode, dim, isQuerySql)})),
        |ee AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -1383,7 +1399,7 @@ object Similarity {
     * the plain residual serve uses — then the exact-cosine refine over
     * the shortlisted pairs.
     */
-  def ivfSqResidualRerankTopKOracleSql(k: Int, rerank: Int = 40,
+  def ivfSqResidualRerankTopKOracleSql(k: Int, rerank: Int = 0,
                                        nCells: Int = 16, nProbe: Int = 4,
                                        dim: Int = 64,
                                        isQuerySql: String = defaultIsQuerySql,
@@ -1428,7 +1444,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |              ORDER BY sqcos DESC, neighbor_id) AS srank
-       |    FROM sqscored) WHERE srank <= $rerank),
+       |    FROM sqscored) WHERE srank <= ${autoRerank(k, rerank)}),
        |refined AS (
        |  SELECT s.query_id, s.neighbor_id,
        |         round(${safeCosineSql(
@@ -1449,7 +1465,7 @@ object Similarity {
     * ([[Index.ivfSqRerankTopKIndexed]]): the SQ shortlist CTEs, then the
     * exact-cosine refine over the shortlisted pairs.
     */
-  def ivfSqRerankTopKOracleSql(k: Int, rerank: Int = 40, nCells: Int = 16,
+  def ivfSqRerankTopKOracleSql(k: Int, rerank: Int = 0, nCells: Int = 16,
                                nProbe: Int = 4,
                                isQuerySql: String = defaultIsQuerySql,
                                candWhereSql: String = "TRUE"): String =
@@ -1480,7 +1496,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |              ORDER BY sqcos DESC, neighbor_id) AS srank
-       |    FROM sqscored) WHERE srank <= $rerank),
+       |    FROM sqscored) WHERE srank <= ${autoRerank(k, rerank)}),
        |q2 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
        |       WHERE $isQuerySql),
        |refined AS (
