@@ -572,13 +572,16 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
       Index.stats(s, path)
     }),
-    // the MAINTENANCE decision, oracle-pinned: a store built on a tiny
-    // slice (4 cells) then appended to the full corpus is diluted past
-    // the rebuild threshold AT ANY SCALE (auto_cells >= 16 > 2 x 4), so
-    // maintain must choose "rebuild"; the returned row is the decision
-    // plus the post-rebuild stats — fresh autoCells budget over the
+    // the MAINTENANCE decision WITH ITS EVIDENCE, oracle-pinned: a store
+    // built on a tiny slice (4 cells) then appended to the full corpus
+    // is diluted past the rebuild threshold AT ANY SCALE (auto_cells >=
+    // 16 > 2 x 4), so maintain must choose "rebuild"; the returned row
+    // is the decision PLUS every input it was made from (dilution,
+    // masked_frac, files_per_cell — the trend signals a cron alerts on)
+    // PLUS the post-rebuild stats — fresh autoCells budget over the
     // mutated (delete-purged) corpus, dilution reset to 1 — against a
-    // pure count-formula oracle (the ann_index_stats pattern)
+    // pure count-formula oracle (files included: one file per
+    // assigned-to cell per write, replayed from the assignment CTEs)
     "ann_index_maintain" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val path = tmpPath(s, "ivfmaint", dir)
@@ -586,8 +589,12 @@ object SparkEntry {
       Index.appendIvf(s, path, e.where(col("vec_id") >= 200))
       Index.delete(s, path,
         e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
-      val action = Index.maintain(s, path)
-      Index.stats(s, path).withColumn("action", lit(action))
+      val report = Index.maintainReport(s, path)
+      report.crossJoin(Index.stats(s, path).select(
+        col("n_vectors").as("post_n_vectors"),
+        col("n_cells").as("post_n_cells"),
+        col("auto_cells").as("post_auto_cells"),
+        col("dilution").as("post_dilution")))
     }),
     // the SERVE after a self-rebuild, hash-pinned: the same degraded
     // store as ann_index_maintain, explicitly rebuilt, then served —
@@ -1052,12 +1059,15 @@ object SparkEntry {
       LexIndex.bm25TopKIndexed(s, path, d.where(Retrieval.boundedIsQuery),
         k = 10)
     }),
-    // the lexical MAINTENANCE decision, oracle-pinned: tombstoning 3/7
-    // of the corpus puts the dead-posting mass past the compaction
-    // threshold at any scale, so maintain must choose "compact"; the
-    // returned row is the decision plus the post-compaction deleteStats
-    // — masked mass physically purged, tombstones consumed — against a
-    // count-formula oracle over the survivors' postings
+    // the lexical MAINTENANCE decision WITH ITS EVIDENCE, oracle-pinned:
+    // tombstoning 3/7 of the corpus puts the dead-posting mass past the
+    // compaction threshold at any scale, so maintain must choose
+    // "compact"; the returned row is the decision plus every input it
+    // was made from (unscoreable_frac, masked_frac, files_per_bucket,
+    // dilution) plus the post-compaction deleteStats — masked mass
+    // physically purged, tombstones consumed — against a count-formula
+    // oracle over the corpus postings (files included: one file per
+    // non-empty bucket for a single build)
     "ret_bm25_maintain" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val corpus = d.where(!Retrieval.boundedIsQuery)
@@ -1066,8 +1076,12 @@ object SparkEntry {
       LexIndex.deleteDocs(s, path,
         corpus.where(pmod(col("doc_id"), lit(7)).isin(3, 5, 6))
           .select("doc_id"))
-      val action = LexIndex.maintain(s, path)
-      LexIndex.deleteStats(s, path).withColumn("action", lit(action))
+      val report = LexIndex.maintainReport(s, path)
+      report.crossJoin(LexIndex.deleteStats(s, path).select(
+        col("n_postings_stored").as("post_n_postings_stored"),
+        col("n_tombstones").as("post_n_tombstones"),
+        col("n_masked").as("post_n_masked"),
+        col("masked_frac").as("post_masked_frac")))
     }),
     // compaction purges the masked postings and consumes the tombstones
     // — bit-equal serve (same oracle as ret_bm25_deleted)
@@ -2080,15 +2094,9 @@ object SparkEntry {
     // store must compact (post-state: zero masked mass, tombstones
     // consumed)
     "ann_index_maintain" ->
-      """SELECT 'rebuild' AS action, n_vectors, n_cells, auto_cells,
-        |       round(auto_cells::DOUBLE / n_cells, 4) AS dilution
-        |FROM (SELECT
-        |  (SELECT count(*) FROM embeddings
-        |   WHERE ((vec_id % 7) + 7) % 7 != 3) AS n_vectors,
-        |  GREATEST(16, (SELECT count(*) FROM embeddings
-        |                WHERE ((vec_id % 7) + 7) % 7 != 3) // 5000) AS n_cells,
-        |  GREATEST(16, (SELECT count(*) FROM embeddings
-        |                WHERE ((vec_id % 7) + 7) % 7 != 3) // 5000) AS auto_cells)""".stripMargin,
+      Index.maintainOracleSql(nCellsBuilt = 4,
+        baseWhereSql = "vec_id < 200",
+        deletedWhereSql = "((vec_id % 7) + 7) % 7 = 3"),
     "ret_bm25_maintain" ->
       LexIndex.lexMaintainOracleSql(Retrieval.boundedIsQuerySql,
         survivorWhereSql = "((doc_id % 7) + 7) % 7 NOT IN (3, 5, 6)"),

@@ -196,10 +196,31 @@ object Index {
       val p = new org.apache.hadoop.fs.Path(dir)
       fsOf(spark, p).exists(p)
     }
-    if (exists(metaPath(path))) readBuildMeta(spark, metaPath(path)).flat
-    else if (exists(sqMetaPath(path)))
-      readBuildMeta(spark, sqMetaPath(path)).flat
-    else readBuildMeta(spark, ivfMetaPath(path)).flat
+    val markerDir =
+      if (exists(metaPath(path))) metaPath(path)
+      else if (exists(sqMetaPath(path))) sqMetaPath(path)
+      else ivfMetaPath(path)
+    val mp = new org.apache.hadoop.fs.Path(markerDir)
+    // LEGACY-STORE migration warning: markers written before the `flat`
+    // column record nothing about the assignment mode, so this defaults
+    // to two-level — which is only WRONG if the store was flat-built
+    // AND is past the two-level activation threshold (below it the two
+    // modes coincide). A flat-built 400-cell legacy store whose appends
+    // route two-level parks vectors in cells the flat probe never reads
+    // (recall 0.0 on the 1000× family fixture) — warn once per touch so
+    // the operator rebuilds (a rebuild stamps the column; note it also
+    // permanently converts the store to two-level geometry unless the
+    // rebuild is re-run with forceFlat via a fresh save).
+    if (fsOf(spark, mp).exists(mp) &&
+        !spark.read.parquet(markerDir).columns.contains("flat") &&
+        spark.read.parquet(centroidsDir(spark, path)).count() >=
+          Similarity.twoLevelMinCells)
+      System.err.println(s"[graft.Index] WARNING: store at $path predates " +
+        "the `flat` assignment-mode marker and has enough cells for " +
+        "two-level routing — if it was built forceFlat = true, appends " +
+        "and rebuilds will route two-level and miss the flat probe set " +
+        "(recall collapse). Rebuild the store to stamp its mode.")
+    readBuildMeta(spark, markerDir).flat
   }
 
   /** The `twoLevelMin` an append's frozen-centroid assignment must use
@@ -1643,32 +1664,95 @@ object Index {
                maxDilution: Double = 2.0,
                maxMaskedFrac: Double = 0.2,
                maxFilesPerCell: Double = 8.0,
-               rebuildWith: Option[DataFrame] = None): String = {
+               rebuildWith: Option[DataFrame] = None): String =
+    maintainReport(spark, path, maxDilution, maxMaskedFrac,
+      maxFilesPerCell, rebuildWith).head().getString(0)
+
+  /** [[maintain]] with its EVIDENCE: the decision inputs are measured
+    * anyway, and a cron operator that only sees "none"/"compact" cannot
+    * alert on trend — dilution creeping toward the threshold, dead mass
+    * accumulating, fragmentation growing — until the action fires. One
+    * row, all inputs measured BEFORE the action runs:
+    * (action, n_vectors, n_cells, auto_cells, dilution, masked_frac,
+    * files_per_cell).
+    *
+    * `rebuildWith` precedence: a caller-supplied corpus snapshot wins
+    * the dilution branch EVEN ON a raw-flavored store — supplying it
+    * means "re-grid onto this refreshed corpus", and silently
+    * self-rebuilding from the stale stored snapshot instead would
+    * discard the refresh with no indication. Note [[rebuildFrom]]'s
+    * deletion caveat: the supplied corpus must already exclude deleted
+    * rows. Without `rebuildWith`, a raw flavor self-rebuilds and a
+    * codes-only store reports `"rebuild-needed"`.
+    */
+  def maintainReport(spark: SparkSession, path: String,
+                     maxDilution: Double = 2.0,
+                     maxMaskedFrac: Double = 0.2,
+                     maxFilesPerCell: Double = 8.0,
+                     rebuildWith: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     val st = stats(spark, path).head()
     val dilution = st.getDouble(3)
-    if (dilution > maxDilution && has(PostingsKind)) {
-      rebuild(spark, path); "rebuild"
-    } else if (dilution > maxDilution) rebuildWith match {
-      // codes-only store past the dilution threshold: no raw flavor to
-      // self-rebuild from. With a source corpus, [[rebuildFrom]] does
-      // the reader-safe coding-preserved re-grid; without one, report
-      // the need instead of silently falling through to compact/none —
-      // the [[LexIndex.maintain]] "rebuild-needed" contract
-      case Some(corpus) => rebuildFrom(spark, path, corpus); "rebuild"
-      case None => "rebuild-needed"
-    } else {
-      val ds = deleteStats(spark, path).head()
-      val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind).find(has).get
-      val dir = liveDir(spark, path, kind)
-      val files = countDataFiles(spark, dir)
-      val filesPerCell = files.toDouble / math.max(1L, st.getLong(1))
-      if (ds.getDouble(3) > maxMaskedFrac || filesPerCell > maxFilesPerCell) {
+    val ds = deleteStats(spark, path).head()
+    val maskedFrac = ds.getDouble(3)
+    val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind).find(has).get
+    val files = countDataFiles(spark, liveDir(spark, path, kind))
+    val filesPerCell = files.toDouble / math.max(1L, st.getLong(1))
+    val action =
+      if (dilution > maxDilution) rebuildWith match {
+        case Some(corpus) => rebuildFrom(spark, path, corpus); "rebuild"
+        case None if has(PostingsKind) => rebuild(spark, path); "rebuild"
+        // codes-only store past the dilution threshold with no corpus
+        // supplied: report the need instead of silently falling through
+        case None => "rebuild-needed"
+      }
+      else if (maskedFrac > maxMaskedFrac || filesPerCell > maxFilesPerCell) {
         compact(spark, path); "compact"
       } else "none"
-    }
+    Seq((action, st.getLong(0), st.getLong(1), st.getLong(2), dilution,
+        maskedFrac, math.rint(filesPerCell * 10000) / 10000))
+      .toDF("action", "n_vectors", "n_cells", "auto_cells", "dilution",
+        "masked_frac", "files_per_cell")
   }
+
+  /** DuckDB count-formula oracle for [[maintainReport]] over the
+    * standard degraded-store fixture (built on `baseWhereSql` at
+    * `nCellsBuilt` cells, appended with the rest, `deletedWhereSql`
+    * tombstoned, maintain → rebuild) plus the post-rebuild [[stats]]:
+    * every decision input is a pure formula — the physical file count
+    * included, because each save/append writes exactly one file per
+    * assigned-to cell (`repartition(cell)`), so files = distinct build
+    * cells + distinct append cells under the replayed flat assignment.
+    */
+  def maintainOracleSql(nCellsBuilt: Int, baseWhereSql: String,
+                        deletedWhereSql: String,
+                        floorCells: Int = 16): String =
+    s"""WITH ${Similarity.cellCtesSql(nCellsBuilt,
+           centroidWhereSql = baseWhereSql)},
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |vals AS (SELECT
+       |  (SELECT count(*) FROM embeddings
+       |   WHERE NOT ($deletedWhereSql))::BIGINT AS n_vectors,
+       |  ${nCellsBuilt}::BIGINT AS n_cells,
+       |  GREATEST($floorCells, (SELECT count(*) FROM embeddings
+       |    WHERE NOT ($deletedWhereSql)) // 5000)::BIGINT AS auto_cells,
+       |  (SELECT count(*) FROM embeddings)::BIGINT AS n_total,
+       |  (SELECT count(*) FROM embeddings
+       |   WHERE $deletedWhereSql)::BIGINT AS n_masked,
+       |  ((SELECT count(DISTINCT cell) FROM assigned WHERE $baseWhereSql)
+       |   + (SELECT count(DISTINCT cell) FROM assigned
+       |      WHERE NOT ($baseWhereSql)))::BIGINT AS n_files)
+       |SELECT 'rebuild' AS action, n_vectors, n_cells, auto_cells,
+       |  round(auto_cells::DOUBLE / n_cells, 4) AS dilution,
+       |  round(n_masked::DOUBLE / n_total, 4) AS masked_frac,
+       |  round(n_files::DOUBLE / n_cells, 4) AS files_per_cell,
+       |  n_vectors AS post_n_vectors,
+       |  auto_cells AS post_n_cells,
+       |  auto_cells AS post_auto_cells,
+       |  1.0::DOUBLE AS post_dilution
+       |FROM vals""".stripMargin
 
   /** Parquet data files under `dir`, counted through the Hadoop
     * FileSystem like every other store touch. A `java.io.File` walk here

@@ -637,25 +637,46 @@ object LexIndex {
                maxMaskedFrac: Double = 0.2,
                maxFilesPerBucket: Double = 8.0,
                maxDilution: Double = 4.0,
-               rebuildWith: Option[DataFrame] = None): String = {
+               rebuildWith: Option[DataFrame] = None): String =
+    maintainReport(spark, path, maxUnscoreableFrac, maxMaskedFrac,
+      maxFilesPerBucket, maxDilution, rebuildWith).head().getString(0)
+
+  /** [[maintain]] with its EVIDENCE ([[Index.maintainReport]]'s sparse
+    * twin): one row of the decision inputs, all measured BEFORE the
+    * action runs, so a cron operator can alert on TREND — blind-spot
+    * mass creeping toward the fold threshold, dead postings toward the
+    * compaction one — instead of only seeing the action fire. Columns:
+    * (action, unscoreable_frac, masked_frac, files_per_bucket,
+    * dilution).
+    */
+  def maintainReport(spark: SparkSession, path: String,
+                     maxUnscoreableFrac: Double = 0.05,
+                     maxMaskedFrac: Double = 0.2,
+                     maxFilesPerBucket: Double = 8.0,
+                     maxDilution: Double = 4.0,
+                     rebuildWith: Option[DataFrame] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
+    import spark.implicits._
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = stats(spark, path).head()
     val liveRows = math.max(1L,
       spark.read.parquet(Index.liveDir(spark, path, PostingsKind)).count())
     val hasSidecars = fs.exists(new Path(dfDeltasPath(path)))
-    if (hasSidecars &&
-        st.getLong(2).toDouble / liveRows > maxUnscoreableFrac) {
-      foldStats(spark, path); "fold"
-    } else {
-      val ds = deleteStats(spark, path).head()
-      val dir = Index.liveDir(spark, path, PostingsKind)
-      val files = Index.countDataFiles(spark, dir)
-      val filesPerBucket = files.toDouble / math.max(1L, st.getLong(3))
-      if (ds.getDouble(3) > maxMaskedFrac || filesPerBucket > maxFilesPerBucket) {
+    val unscoreableFrac = st.getLong(2).toDouble / liveRows
+    val ds = deleteStats(spark, path).head()
+    val maskedFrac = ds.getDouble(3)
+    val dir = Index.liveDir(spark, path, PostingsKind)
+    val files = Index.countDataFiles(spark, dir)
+    val filesPerBucket = files.toDouble / math.max(1L, st.getLong(3))
+    val dilution = st.getDouble(5)
+    val action =
+      if (hasSidecars && unscoreableFrac > maxUnscoreableFrac) {
+        foldStats(spark, path); "fold"
+      } else if (maskedFrac > maxMaskedFrac ||
+          filesPerBucket > maxFilesPerBucket) {
         compactLexical(spark, path); "compact"
-      } else if (st.getDouble(5) > maxDilution) rebuildWith match {
+      } else if (dilution > maxDilution) rebuildWith match {
         case Some(corpus) =>
           rebuildLexical(corpus, path,
             metaCols = Index.storedMetaCols(spark, dir, postingsCore))
@@ -663,7 +684,10 @@ object LexIndex {
         case None => "rebuild-needed"
       }
       else "none"
-    }
+    Seq((action, math.rint(unscoreableFrac * 10000) / 10000, maskedFrac,
+        math.rint(filesPerBucket * 10000) / 10000, dilution))
+      .toDF("action", "unscoreable_frac", "masked_frac",
+        "files_per_bucket", "dilution")
   }
 
   /** The lexical rebuild-decision hook — [[Index.stats]]' sparse twin.
@@ -741,24 +765,44 @@ object LexIndex {
        |        GREATEST(64, LEAST(4096, n_docs_frozen // 2000)), 4) AS dilution
        |FROM vals""".stripMargin
 
-  /** DuckDB count-formula oracle for the [[maintain]] compaction branch:
-    * decision plus post-compaction [[deleteStats]] — masked mass purged,
-    * tombstones consumed — over the survivors' distinct (doc, term)
-    * postings. `survivorWhereSql` selects the non-deleted corpus rows.
+  /** DuckDB count-formula oracle for the [[maintainReport]] compaction
+    * branch: the decision with its inputs (all pure formulas — the
+    * physical file count included, because a single build writes
+    * exactly one file per non-empty bucket, so files = distinct
+    * `pmod(th, n_buckets)` values over the corpus postings) plus the
+    * post-compaction [[deleteStats]] — masked mass purged, tombstones
+    * consumed — over the survivors' distinct (doc, term) postings.
+    * `survivorWhereSql` selects the non-deleted corpus rows.
     */
   def lexMaintainOracleSql(isQuerySql: String,
                            survivorWhereSql: String): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, $wordsSql AS w FROM documents WHERE NOT ($isQuerySql)),
-       |surv AS (SELECT * FROM corpus WHERE $survivorWhereSql),
-       |post AS (
-       |  SELECT count(*)::BIGINT AS n FROM (
-       |    SELECT DISTINCT doc_id, ${h64Sql("t")} AS th
-       |    FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM surv)))
-       |SELECT 'compact' AS action, n AS n_postings_stored,
-       |  0::BIGINT AS n_tombstones, 0::BIGINT AS n_masked,
-       |  0::DOUBLE AS masked_frac
-       |FROM post""".stripMargin
+       |dpost AS (
+       |  SELECT DISTINCT doc_id, ${h64Sql("t")} AS th
+       |  FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS t FROM corpus)),
+       |vals AS (SELECT
+       |  (SELECT GREATEST(64, LEAST(4096, count(*) // 2000))
+       |   FROM corpus)::BIGINT AS nb,
+       |  (SELECT count(*) FROM dpost)::BIGINT AS n_post_total,
+       |  (SELECT count(*) FROM dpost
+       |   WHERE NOT ($survivorWhereSql))::BIGINT AS n_post_masked,
+       |  (SELECT count(*) FROM dpost
+       |   WHERE $survivorWhereSql)::BIGINT AS n_post_surv,
+       |  (SELECT GREATEST(64, LEAST(4096, count(*) // 2000)) FROM corpus
+       |   WHERE $survivorWhereSql AND len(w) >= 2)::BIGINT AS auto_nb),
+       |files AS (
+       |  SELECT count(DISTINCT ((th % v.nb) + v.nb) % v.nb)::BIGINT AS n
+       |  FROM dpost, vals v)
+       |SELECT 'compact' AS action,
+       |  0.0::DOUBLE AS unscoreable_frac,
+       |  round(n_post_masked::DOUBLE / n_post_total, 4) AS masked_frac,
+       |  round((SELECT n FROM files)::DOUBLE / nb, 4) AS files_per_bucket,
+       |  round(auto_nb::DOUBLE / nb, 4) AS dilution,
+       |  n_post_surv AS post_n_postings_stored,
+       |  0::BIGINT AS post_n_tombstones, 0::BIGINT AS post_n_masked,
+       |  0.0::DOUBLE AS post_masked_frac
+       |FROM vals""".stripMargin
 
   /** DuckDB oracle for a REFRESHED store ([[saveLexical]] over the base
     * slice, [[appendLexical]] of the rest, then [[bm25TopKIndexed]]):

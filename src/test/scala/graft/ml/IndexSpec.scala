@@ -1289,4 +1289,28 @@ class IndexSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(!after.contains(11L) && after.nonEmpty)
   }
+
+  test("maintain prefers a supplied rebuildWith corpus over self-rebuild") {
+    // a RAW-flavored diluted store given rebuildWith must re-grid onto
+    // the SUPPLIED corpus snapshot — not silently self-rebuild from its
+    // stale stored postings (the caller supplied the refresh for a
+    // reason): the refreshed snapshot here carries 40 extra vectors the
+    // store never saw, which only the rebuildFrom path can publish
+    val path = freshPath("maintrebwith")
+    // 4 built cells vs a 16-cell auto budget: dilution 4 > 2 at any size
+    Index.saveIvf(emb, path, nCells = 4)
+    val refreshed = (0L until 160L).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    assert(Index.maintain(spark, path,
+      rebuildWith = Some(refreshed)) === "rebuild")
+    val stored = spark.read
+      .parquet(Index.liveDir(spark, path, Index.PostingsKind))
+      .select("vec_id").as[Long].collect().toSet
+    assert((120L until 160L).forall(stored.contains),
+      "maintain(rebuildWith) ignored the supplied corpus and " +
+        "self-rebuilt from the stale stored snapshot")
+    assert(stored.size === 160)
+  }
 }
