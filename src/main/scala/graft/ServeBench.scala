@@ -243,6 +243,34 @@ object ServeBench {
       println(s"""{"stage":"race_rebuild","sec":${Bench.fmt3(rebuildSec)},"n":$n,"quiet":"$quietR","racing":"$racingR","racing_equal":${racingR == quietR}}""")
     }
 
+    if (want("vacuum")) {
+      // GENERATION VACUUM: a store rebuilt once and then only appended
+      // keeps its superseded full-size generation forever (only the
+      // NEXT publish retires it) — vacuum reclaims it explicitly. Rows:
+      // bytes reclaimed on the rebuilt store, and the reader contract
+      // (a serve planned AFTER the flip survives keepGenerations = 1).
+      def checksum(df: DataFrame): String = {
+        val j = md5(to_json(struct(df.columns.sorted.map(col): _*)))
+        val r = df.select(count(lit(1)).cast("decimal(38,0)"),
+          sum(conv(substring(j, 1, 15), 16, 10).cast("decimal(38,0)")),
+          sum(conv(substring(j, 17, 15), 16, 10).cast("decimal(38,0)"))).head()
+        (0 until 3).map(i => Option(r.getDecimal(i)).map(_.toString)
+          .getOrElse("0")).mkString(":")
+      }
+      val path = s"$root/vacuum"
+      Index.saveIvf(emb, path)
+      Index.rebuild(spark, path) // leaves the superseded grace generation
+      val bytesBefore = dirBytes(path.stripPrefix("file:"))
+      val quiet = checksum(Index.ivfTopKIndexed(spark, path, q50, k = 10))
+      val planned = Index.ivfTopKIndexed(spark, path, q50, k = 10)
+      planned.queryExecution.executedPlan // pin file listing pre-vacuum
+      val tv = System.nanoTime()
+      val rep = Index.vacuum(spark, path).head()
+      val vacSec = (System.nanoTime() - tv) / 1e9
+      val racing = checksum(planned) // executes after the reclaim
+      println(s"""{"stage":"vacuum","sec":${Bench.fmt3(vacSec)},"n":$n,"store_bytes_before":$bytesBefore,"bytes_reclaimed":${rep.getLong(1)},"generations_removed":${rep.getLong(0)},"racing_equal":${racing == quiet}}""")
+    }
+
     if (want("rerank")) {
       // PERSISTED RERANK A/B: the deployment compressed-serve shape (ADC
       // shortlist from stored pq_codes + exact refine from co-located
@@ -369,11 +397,14 @@ object ServeBench {
       // the SQ deployment composition: int8 shortlist + exact refine
       // from the co-located raw flavor (built above with withRaw)
       val sqPath = s"$root/tier_sq8"
+      // default depth = the auto rule (max(10k, 40)); the fixed 40 was
+      // the measured 0.49-recall footgun this default replaced
+      val rrDepth = Similarity.autoRerank(10, 0)
       val rrSec = timed("tier_sq8_rerank_serve_q50")(
-        Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10, rerank = 40))
+        Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10))
       val rrRec = recallOf(
-        Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10, rerank = 40))
-      println(s"""{"stage":"tier_sq8_rerank","n":$n,"serve_sec":${Bench.fmt3(rrSec)},"recall10":$rrRec}""")
+        Index.ivfSqRerankTopKIndexed(spark, sqPath, qT, k = 10))
+      println(s"""{"stage":"tier_sq8_rerank","n":$n,"rerank_depth":$rrDepth,"serve_sec":${Bench.fmt3(rrSec)},"recall10":$rrRec}""")
       // residual-coded SQ: same byte budget, int8 step at CELL scale —
       // the no-refine path to high recall on clustered corpora. Built
       // withRaw so the rerank row below composes on the SAME store
@@ -392,10 +423,10 @@ object ServeBench {
       // (dequantized-cosine shortlist — the absolute integer-dot over
       // residual codes would be garbage) composed with the raw flavor
       val sqrrSec = timed("tier_sq8_residual_rerank_serve_q50")(
-        Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10, rerank = 40))
+        Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10))
       val sqrrRec = recallOf(
-        Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10, rerank = 40))
-      println(s"""{"stage":"tier_sq8_residual_rerank","n":$n,"serve_sec":${Bench.fmt3(sqrrSec)},"recall10":$sqrrRec}""")
+        Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10))
+      println(s"""{"stage":"tier_sq8_residual_rerank","n":$n,"rerank_depth":$rrDepth,"serve_sec":${Bench.fmt3(sqrrSec)},"recall10":$sqrrRec}""")
       // trained-cells residual SQ: kmeans centroids tighten every cell's
       // residual spread, so the int8 step shrinks with NO serve-time or
       // byte cost — the ladder's last free rung before a raw refine

@@ -1717,6 +1717,83 @@ object Index {
         "masked_frac", "files_per_cell")
   }
 
+  /** Reclaim SUPERSEDED generations — the explicit end of the MVCC
+    * story. Every publish ([[compact]]'s versioned flip, [[rebuild]]'s
+    * staged one) retires generations older than its grace window, but a
+    * store that is rebuilt once and then only APPENDED keeps its
+    * superseded full-size generation forever: nothing else runs a
+    * publish to retire it — a storage leak worth ~1× the store at
+    * 100-TB sizes. `vacuum` deletes, per kind, every generation below
+    * the newest `keepGenerations` committed ones (crashed publishes'
+    * uncommitted leftovers below the live generation included), prunes
+    * store-level commit markers no surviving generation needs, and
+    * collapses the mutation-counter markers. All through the Hadoop FS.
+    *
+    * GRACE-WINDOW contract: `keepGenerations = 1` keeps ONLY the live
+    * generation — correct in the maintenance window after every serve
+    * planned before the last flip has drained (a parquet plan pins file
+    * paths; vacuuming its generation while it still runs is the
+    * FileNotFoundException the grace window exists to prevent). Serves
+    * PLANNED AFTER the last flip read the live generation and are safe
+    * throughout. `keepGenerations = 2` preserves the standard one-flip
+    * grace window and is safe whenever [[compact]] itself is.
+    * Single-writer, like every store mutation here.
+    *
+    * Returns one row: (generations_removed, bytes_reclaimed).
+    */
+  def vacuum(spark: SparkSession, path: String,
+             keepGenerations: Int = 1): DataFrame = {
+    require(keepGenerations >= 1, "must keep at least the live generation")
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    def treeBytes(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) n += it.next().getLen
+      n
+    }
+    var dirsRemoved = 0L
+    var bytes = 0L
+    val keptVers = scala.collection.mutable.Set[String]()
+    AllKinds.foreach { k =>
+      val gens = generations(spark, path, k)
+      val committed = gens.filter { case (_, p) => isCommitted(spark, p) }
+        .sortBy(-_._1)
+      if (committed.nonEmpty) {
+        val keep = committed.take(keepGenerations)
+        keptVers ++= keep.map(_._1.toString)
+        val liveVer = committed.head._1
+        val keepNames = keep.map(_._2.getName).toSet
+        gens.foreach { case (v, p) =>
+          // also drops crashed publishes' uncommitted leftovers — but
+          // only BELOW the live generation: an uncommitted dir above it
+          // could be an in-flight staged publish under a violated
+          // single-writer contract, and deleting it buys nothing
+          if (v < liveVer && !keepNames.contains(p.getName)) {
+            bytes += treeBytes(p)
+            dirsRemoved += 1
+            fs.delete(p, true); ()
+          }
+        }
+      }
+    }
+    // prune store-level commit markers no surviving generation needs
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("commit_v"))
+        .foreach { st =>
+          val v = st.getPath.getName.stripPrefix("commit_v")
+          if (!keptVers.contains(v)) {
+            bytes += st.getLen
+            fs.delete(st.getPath, false); ()
+          }
+        }
+    Tombstones.collapseSeq(spark, path)
+    Seq((dirsRemoved, bytes)).toDF("generations_removed", "bytes_reclaimed")
+  }
+
   /** DuckDB count-formula oracle for [[maintainReport]] over the
     * standard degraded-store fixture (built on `baseWhereSql` at
     * `nCellsBuilt` cells, appended with the rest, `deletedWhereSql`

@@ -1313,4 +1313,81 @@ class IndexSpec extends SparkSpec {
         "self-rebuilt from the stale stored snapshot")
     assert(stored.size === 160)
   }
+
+  test("vacuum reclaims superseded generations; a post-flip plan survives") {
+    val path = freshPath("vacuum")
+    Index.saveIvf(emb, path)
+    val quiet = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    Index.rebuild(spark, path) // publishes v1; v0 survives as grace
+    assert(Index.generations(spark, path, Index.PostingsKind).size === 2,
+      "rebuild did not leave the grace generation for vacuum to reclaim")
+    // plan AFTER the flip (pins the live v1 files), vacuum, execute: a
+    // post-flip plan must survive a keepGenerations = 1 vacuum
+    val planned = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5)
+    val rep = Index.vacuum(spark, path).head()
+    assert(rep.getLong(0) >= 2L, // postings + centroids grace gens at least
+      s"vacuum removed ${rep.getLong(0)} generations, expected >= 2")
+    assert(rep.getLong(1) > 0L, "vacuum reports zero bytes reclaimed")
+    val served = planned.orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === quiet,
+      "a serve planned after the flip broke across the vacuum")
+    // exactly the live generation remains, per kind
+    Seq(Index.PostingsKind, Index.CentroidsKind).foreach { k =>
+      val gens = Index.generations(spark, path, k)
+      assert(gens.size === 1 && gens.head._1 > 0,
+        s"vacuum left ${gens.size} generations of $k")
+    }
+    // idempotent: nothing left to reclaim
+    val again = Index.vacuum(spark, path).head()
+    assert(again.getLong(0) === 0L && again.getLong(1) === 0L)
+    // the vacuumed store is still a first-class store: fresh serves and
+    // mutations keep working
+    val after = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === quiet)
+    Index.appendIvf(spark, path, (200L until 210L).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding"))
+    assert(Index.stats(spark, path).head().getLong(0) === 130L)
+  }
+
+  test("vacuum keepGenerations = 2 preserves the one-flip grace window") {
+    val path = freshPath("vacuum2")
+    Index.saveIvf(emb, path)
+    Index.rebuild(spark, path) // v1 live, v0 grace
+    val rep = Index.vacuum(spark, path, keepGenerations = 2).head()
+    assert(rep.getLong(0) === 0L,
+      "keepGenerations = 2 removed the one-flip grace window")
+    assert(Index.generations(spark, path, Index.PostingsKind).size === 2)
+  }
+
+  test("vacuum reclaims a lexical store's superseded generations too") {
+    val path = freshPath("vacuumlex")
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => s"w${(i * 7 + j * 3) % 30}").mkString(" "))
+    }.toDF("doc_id", "text")
+    LexIndex.saveLexical(docs.where(col("doc_id") >= 4), path, nBuckets = 16)
+    val quiet = LexIndex.bm25TopKIndexed(spark, path,
+      docs.where(col("doc_id") < 4), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    LexIndex.rebuildLexical(docs.where(col("doc_id") >= 4), path,
+      nBuckets = 16)
+    val rep = Index.vacuum(spark, path).head()
+    assert(rep.getLong(0) >= 2L && rep.getLong(1) > 0L)
+    Seq(LexIndex.PostingsKind, LexIndex.TermsKind).foreach { k =>
+      assert(Index.generations(spark, path, k).size === 1,
+        s"vacuum left a superseded $k generation")
+    }
+    val after = LexIndex.bm25TopKIndexed(spark, path,
+      docs.where(col("doc_id") < 4), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(after === quiet && after.nonEmpty)
+  }
 }
