@@ -427,6 +427,22 @@ object ServeBench {
       val sqrrRec = recallOf(
         Index.ivfSqRerankTopKIndexed(spark, sqrPath, qT, k = 10))
       println(s"""{"stage":"tier_sq8_residual_rerank","n":$n,"rerank_depth":$rrDepth,"serve_sec":${Bench.fmt3(sqrrSec)},"recall10":$sqrrRec}""")
+      // MATRYOSHKA tier: prefix-dim shortlist (16 of 64 dims — a
+      // quarter of the raw scan bytes, no quantizer) + full-width
+      // refine from the co-located raw flavor; the DIMENSION-cut
+      // compression axis next to SQ's precision cut and PQ's codebook
+      // cut on the same ladder
+      val mrlPath = s"$root/tier_mrl"
+      val tmb = System.nanoTime()
+      Index.saveIvfMrl(emb, mrlPath, prefixDims = 16, forceFlat = true)
+      val mrlBuild = (System.nanoTime() - tmb) / 1e9
+      val mrlBytes = dirBytes(
+        Index.liveDir(spark, mrlPath, Index.MrlCodesKind).stripPrefix("file:"))
+      val mrlSec = timed("tier_mrl_serve_q50")(
+        Index.ivfMrlRerankTopKIndexed(spark, mrlPath, qT, k = 10))
+      val mrlRec = recallOf(
+        Index.ivfMrlRerankTopKIndexed(spark, mrlPath, qT, k = 10))
+      println(s"""{"stage":"tier_mrl","n":$n,"build_sec":${Bench.fmt3(mrlBuild)},"store_bytes":$mrlBytes,"rerank_depth":$rrDepth,"serve_sec":${Bench.fmt3(mrlSec)},"recall10":$mrlRec}""")
       // trained-cells residual SQ: kmeans centroids tighten every cell's
       // residual spread, so the int8 step shrinks with NO serve-time or
       // byte cost — the ladder's last free rung before a raw refine

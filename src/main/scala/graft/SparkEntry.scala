@@ -932,6 +932,33 @@ object SparkEntry {
     "ann_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.load(s, dir, "embeddings"),
         Similarity.defaultIsQuery, k = 10, dims = 32)),
+    // the MATRYOSHKA SERVING TIER the eval above gates: a persisted
+    // prefix-dim flavor (first 16 of 64 dims + prefix norm, cell-
+    // partitioned) shortlists at a quarter of the raw scan bytes, then
+    // the co-located full-width postings refine the nq·rerank shortlist
+    // exactly — the dimension-cut compression axis next to SQ's
+    // precision cut and PQ's codebook cut. Oracle replays prefix-
+    // shortlist-then-refine at the shared auto rerank depth.
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrl", dir)
+      Index.saveIvfMrl(e, path, prefixDims = 16)
+      Index.ivfMrlRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // the MRL lifecycle composes like every other flavor: delete masks
+    // both the prefix shortlist and the refine (true top-k among
+    // survivors), compaction purges — serve answers the survivor oracle
+    "ann_matryoshka_deleted" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrldel", dir)
+      Index.saveIvfMrl(e, path, prefixDims = 16)
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      Index.compact(s, path)
+      Index.ivfMrlRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // int8-storage ranking recall vs float-exact — prices the 4× storage
     // cut next to the matryoshka dimension cut
     "ann_int8_recall" -> ((s, dir) =>
@@ -1714,7 +1741,8 @@ object SparkEntry {
     "ann_ivf_sq_rerank", "ann_ivf_sq_residual",
     "ann_ivf_sq_residual_rerank",
     "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt",
-    "ann_ivfpq_rebuilt_from")
+    "ann_ivfpq_rebuilt_from", "ann_matryoshka_topk",
+    "ann_matryoshka_deleted")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2060,6 +2088,11 @@ object SparkEntry {
     "ann_random_projection" -> Similarity.randomProjectionOracleSql(),
     "ann_matryoshka_recall" ->
       Similarity.matryoshkaRecallOracleSql(k = 10, dims = 32),
+    "ann_matryoshka_topk" ->
+      Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16),
+    "ann_matryoshka_deleted" ->
+      Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
+        candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
     "ann_pca_top" -> Similarity.pcaTopOracleSql(),
     "ann_pca_project" -> Similarity.pcaProjectOracleSql(),
     "ann_int8_recall" -> Similarity.int8RecallOracleSql(k = 10),

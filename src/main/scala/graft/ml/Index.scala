@@ -54,6 +54,7 @@ object Index {
   private[graft] val PostingsKind = "postings"
   private[graft] val PqCodesKind = "pq_codes"
   private[graft] val SqCodesKind = "sq_codes"
+  private[graft] val MrlCodesKind = "mrl_codes"
 
   /** The build-artifact families a REBUILD replaces alongside the data
     * kinds. Versioned like the data kinds so a reader-safe rebuild can
@@ -67,7 +68,7 @@ object Index {
   // lists it too (a dense store simply never stages one)
   private val AllKinds =
     Seq(CentroidsKind, CodewordsKind, PostingsKind, PqCodesKind, SqCodesKind,
-      LexIndex.TermsKind)
+      MrlCodesKind, LexIndex.TermsKind)
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -236,6 +237,7 @@ object Index {
   private val postingsCore = Set("vec_id", "v", "norm", "cell", "ins_seq")
   private val pqCodesCore = Set("vec_id", "sub", "code", "cell", "ins_seq")
   private val sqCodesCore = Set("vec_id", "qb", "r", "cell", "ins_seq")
+  private val mrlCodesCore = Set("vec_id", "vp", "vpn", "cell", "ins_seq")
 
   /** The metadata columns a store was BUILT with, read from its parquet
     * schema (footer-only, no data scan). Appends derive their effective
@@ -1036,6 +1038,176 @@ object Index {
     }
   }
 
+  private def mrlCodesPath(path: String) = s"$path/$MrlCodesKind"
+  private def mrlMetaPath(path: String) = s"$path/mrl_meta"
+
+  /** The matryoshka (MRL) prefix rows: the vector's FIRST `dims`
+    * coordinates, kept as raw doubles, plus the prefix norm — exactly
+    * the truncation [[Similarity.matryoshkaRecall]] evaluates. No
+    * quantizer at all: MRL-trained embeddings front-load information by
+    * construction, so the compression axis is DIMENSION COUNT (8·dims
+    * bytes/vector) — orthogonal to SQ's per-coordinate precision cut
+    * and PQ's codebook cut, and combinable with either downstream.
+    */
+  private def mrlRows(emb: DataFrame, dims: Int): DataFrame =
+    emb.select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, dims).as("vp"))
+      .withColumn("vpn", sqrt(VecFold.dot(col("vp"), col("vp"))))
+
+  private def mrlDims(spark: SparkSession, path: String): Int =
+    spark.read.parquet(mrlMetaPath(path)).select("prefix_dims")
+      .head().getInt(0)
+
+  /** Build + persist the MATRYOSHKA serving tier: a cell-partitioned
+    * PREFIX-DIMENSION flavor (`mrl_codes/`: vec_id, first-`prefixDims`
+    * slice, prefix norm) co-located with the full-width raw postings —
+    * the other compression axis modern embedding pipelines use
+    * alongside SQ/PQ (Kusupati et al., "Matryoshka Representation
+    * Learning": prefixes of an MRL-trained embedding are themselves
+    * valid embeddings). The serve ([[ivfMrlRerankTopKIndexed]])
+    * shortlists on prefix cosines — reading prefixDims/dim of the
+    * postings bytes — and refines the nq·rerank shortlist at full
+    * width. Cell assignment is FULL-dimension (the coarse quantizer is
+    * shared with every other flavor), so probe semantics are identical
+    * to the raw store's. Implemented as [[saveIvf]] (centroids +
+    * ivf_meta + raw postings, same build knobs) plus the prefix flavor
+    * derived from the just-written assignment — one extra
+    * cell-partitioned write, no second assignment pass.
+    */
+  def saveIvfMrl(emb: DataFrame, path: String, prefixDims: Int = 16,
+                 nCells: Int = 16,
+                 forceFlat: Boolean = false,
+                 superProbe: Int = Similarity.defaultSuperProbe,
+                 metaCols: Seq[String] = Nil,
+                 trained: Boolean = false,
+                 trainIters: Int = 3,
+                 insSeq: Long = 0L): Unit = {
+    require(prefixDims > 0, "prefixDims must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    saveIvf(emb, path, nCells, forceFlat, superProbe, metaCols, trained,
+      trainIters, insSeq)
+    // the store self-describes its prefix width: serves and appends
+    // must slice exactly as the build did (a mismatched query-side
+    // slice would rank prefixes of different lengths)
+    Seq(Tuple1(prefixDims)).toDF("prefix_dims")
+      .write.mode("overwrite").parquet(mrlMetaPath(path))
+    // the prefix flavor shares the raw flavor's assignment: a pruned
+    // two-column re-read of the just-written postings beats a second
+    // assignment pass over the corpus
+    val cellOf = spark.read.parquet(liveDir(spark, path, PostingsKind))
+      .select("vec_id", "cell")
+    val rows = cellOf.join(mrlRows(emb, prefixDims), "vec_id")
+    val withMeta =
+      if (metaCols.isEmpty) rows
+      else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*),
+        "vec_id")
+    retireGenerations(spark, path, MrlCodesKind) // in-place rebuild
+    withMeta
+      .withColumn("ins_seq", lit(insSeq))
+      .repartition(col("cell")) // one file per cell (see saveIvf)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(mrlCodesPath(path))
+  }
+
+  /** Refresh the MRL store without a rebuild: the batch is assigned
+    * against the FROZEN stored centroids and sliced at the store's own
+    * prefix width — like the SQ tier there is no corpus-level quantizer
+    * to freeze, only the centroids and the recorded width. Both
+    * flavors (prefix codes + raw refine) append under one mutation seq.
+    */
+  def appendIvfMrl(spark: SparkSession, path: String, newEmb: DataFrame,
+                   superProbe: Int = Similarity.defaultSuperProbe,
+                   metaCols: Seq[String] = Nil): Unit = {
+    val cents = spark.read.parquet(centroidsDir(spark, path))
+    val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
+      cents.count().toInt, 1,
+      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
+        col("cn").as("norm")),
+      twoLevelMin = appendTwoLevelMin(spark, path),
+      superProbe = superProbe)
+      .select(col("vec_id"), col("v"), col("norm"),
+        element_at(col("cells"), 1).as("cell"))
+    val dims = mrlDims(spark, path)
+    val rows = assignment.select("vec_id", "cell")
+      .join(mrlRows(newEmb, dims), "vec_id")
+    val live = liveDir(spark, path, MrlCodesKind)
+    val meta = appendMetaCols(spark, live, mrlCodesCore, newEmb, metaCols)
+    val withMeta =
+      if (meta.isEmpty) rows
+      else rows.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*),
+        "vec_id")
+    val seqNo = Tombstones.nextSeq(spark, path)
+    fencedAppend(spark, path, MrlCodesKind) { dir =>
+      withMeta
+        .withColumn("ins_seq", lit(seqNo))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(dir)
+    }
+    // the co-located raw refine flavor stays in step (the appendIvfPq
+    // combined-store contract)
+    val liveRaw = liveDir(spark, path, PostingsKind)
+    val rawMeta = appendMetaCols(spark, liveRaw, postingsCore, newEmb, metaCols)
+    val rawWithMeta =
+      if (rawMeta.isEmpty) assignment
+      else assignment.join(
+        newEmb.select((Seq("vec_id") ++ rawMeta).map(col): _*), "vec_id")
+    fencedAppend(spark, path, PostingsKind) { dir =>
+      rawWithMeta
+        .withColumn("ins_seq", lit(seqNo))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(dir)
+    }
+  }
+
+  /** The matryoshka upsert — [[upsertIvf]]'s delete-then-add ordering
+    * over both MRL flavors.
+    */
+  def upsertIvfMrl(spark: SparkSession, path: String, batch: DataFrame,
+                   superProbe: Int = Similarity.defaultSuperProbe,
+                   metaCols: Seq[String] = Nil): Unit = {
+    delete(spark, path, batch.select("vec_id"))
+    appendIvfMrl(spark, path, batch, superProbe, metaCols)
+  }
+
+  /** The MATRYOSHKA serve: prefix-cosine shortlist from the stored
+    * `mrl_codes/` (probed-cell partitions only — the scan reads
+    * prefixDims/dim of the raw bytes), exact full-width refine from the
+    * co-located `postings/` ([[refineExact]] — nq·rerank-bounded, cost
+    * independent of corpus size). Shortlist scores are the truncated
+    * vectors' cosines exactly as [[Similarity.matryoshkaRecall]]
+    * evaluates them (6-dp round, ties on neighbor_id); `rerank <= 0`
+    * resolves through [[Similarity.autoRerank]]. Output matches
+    * [[ivfTopKIndexed]]: (query_id, neighbor_id, cosine, rank).
+    */
+  def ivfMrlRerankTopKIndexed(spark: SparkSession, path: String,
+                              queries: DataFrame, k: Int, rerank: Int = 0,
+                              nProbe: Int = 4,
+                              candWhere: Column = lit(true)): DataFrame = {
+    val depth = Similarity.autoRerank(k, rerank)
+    val (probes, q) = probeSet(spark, path, queries, nProbe)
+    val dims = mrlDims(spark, path)
+    // tombstone mask BEFORE ranking (the ivfTopKIndexed contract)
+    val codes = Tombstones.mask(
+      prunedToProbes(spark, liveDir(spark, path, MrlCodesKind),
+        probedCellVals(probes)).where(candWhere),
+      Tombstones.readAll(spark, path), "vec_id")
+    val qp = queries.select(col("vec_id").as("query_id"),
+        slice(col("embedding").cast("array<double>"), 1, dims).as("qpv"))
+      .withColumn("qpn", sqrt(VecFold.dot(col("qpv"), col("qpv"))))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qp), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.safeCosine(VecFold.dot(col("vp"), col("qpv")),
+          col("vpn"), col("qpn")), 6).as("cosine"))
+    val short = Similarity.topK(scored, depth)
+      .select("query_id", "neighbor_id")
+    refineExact(spark, path, probes, q, short, k)
+  }
+
   /** Coding-aware SQ candidate scoring over the masked, probe-pruned
     * codes — the ONE ranking kernel both SQ serves share, so the rerank
     * shortlist can never diverge from the plain serve's coding branch
@@ -1264,7 +1436,7 @@ object Index {
     // consumed by the NEXT compaction instead of being silently dropped
     val consumed = Tombstones.listFiles(spark, path)
     val tomb = Tombstones.readFiles(spark, consumed)
-    Seq(PostingsKind, PqCodesKind, SqCodesKind)
+    Seq(PostingsKind, PqCodesKind, SqCodesKind, MrlCodesKind)
       .foreach(compactKind(spark, path, _, "cell", Nil, tomb, "vec_id"))
     Tombstones.deleteFiles(spark, path, consumed)
     // fold the mutation-counter markers too: compaction is the store's
@@ -1590,6 +1762,25 @@ object Index {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(sqCodesPath(stage))
     }
+    if (has(MrlCodesKind)) {
+      // the MRL prefix flavor shares the staged raw flavor's fresh
+      // assignment (an MRL store always carries raw postings — the
+      // refine half of its serve), re-sliced at the store's recorded
+      // width; the mrl_meta marker is width-only and stays in place
+      val dims = mrlDims(spark, path)
+      val cellOf = spark.read.parquet(s"$stage/$PostingsKind")
+        .select("vec_id", "cell")
+      val rows = cellOf.join(mrlRows(corpus, dims), "vec_id")
+      val withMeta =
+        if (meta.isEmpty) rows
+        else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),
+          "vec_id")
+      withMeta
+        .withColumn("ins_seq", lit(stampSeq))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(mrlCodesPath(stage))
+    }
     midHook()
     // the conflict fence: everything above read a snapshot of the store;
     // verify no mutation landed since, BEFORE the atomic flip — at 100 TB
@@ -1830,6 +2021,64 @@ object Index {
        |  auto_cells AS post_auto_cells,
        |  1.0::DOUBLE AS post_dilution
        |FROM vals""".stripMargin
+
+  /** DuckDB oracle for [[ivfMrlRerankTopKIndexed]]: the shared flat
+    * cell CTEs (full-dimension probes), a prefix-cosine shortlist over
+    * the probed cells' truncated vectors, then the exact full-width
+    * refine — the prefix-then-refine replay. `rerank <= 0` resolves
+    * through the same [[Similarity.autoRerank]] rule as the serve.
+    */
+  def ivfMrlRerankTopKOracleSql(k: Int, dims: Int, rerank: Int = 0,
+                                nCells: Int = 16, nProbe: Int = 4,
+                                isQuerySql: String =
+                                  Similarity.defaultIsQuerySql,
+                                candWhereSql: String = "TRUE"): String =
+    s"""WITH ${Similarity.cellCtesSql(nCells)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |pe AS (
+       |  SELECT vec_id, (embedding::DOUBLE[])[1:$dims] AS pv,
+       |         sqrt(list_dot_product((embedding::DOUBLE[])[1:$dims],
+       |                               (embedding::DOUBLE[])[1:$dims])) AS pn
+       |  FROM embeddings),
+       |qp AS (SELECT vec_id AS query_id, pv AS qpv, pn AS qpn
+       |       FROM pe WHERE $isQuerySql),
+       |prescored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         round(${Similarity.safeCosineSql(
+                  "list_dot_product(x.pv, qp.qpv)", "x.pn", "qp.qpn")}, 6)
+       |           AS pcos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN pe x ON x.vec_id = a.vec_id
+       |  JOIN qp ON qp.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id
+       |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY pcos DESC, neighbor_id) AS srank
+       |    FROM prescored)
+       |  WHERE srank <= ${Similarity.autoRerank(k, rerank)}),
+       |qq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+       |       WHERE $isQuerySql),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(${Similarity.safeCosineSql(
+                  "list_dot_product(e.v, qq.qv)", "e.norm", "qq.qnorm")}, 6)
+       |           AS cosine
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN qq ON qq.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
 
   /** Parquet data files under `dir`, counted through the Hadoop
     * FileSystem like every other store touch. A `java.io.File` walk here

@@ -1390,4 +1390,59 @@ class IndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSeq
     assert(after === quiet && after.nonEmpty)
   }
+
+  test("MRL serve at full prefix width equals the raw serve (refine exactness)") {
+    // prefixDims = the full dimension makes the shortlist cosine the
+    // exact cosine, so with the shortlist deeper than any cell's
+    // candidate count the MRL serve must equal the raw flat serve —
+    // pinning that the refine stage is exact and loses nothing
+    val path = freshPath("mrlfull")
+    Index.saveIvfMrl(emb, path, prefixDims = 8)
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    val raw = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val mrl = Index.ivfMrlRerankTopKIndexed(spark, path, emb.where(isQ),
+      k = 5, rerank = 500)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(mrl === raw && mrl.nonEmpty)
+  }
+
+  test("MRL store: append, upsert, delete, rebuild, vacuum all compose") {
+    val path = freshPath("mrllife")
+    Index.saveIvfMrl(emb.where(col("vec_id") < 100), path, prefixDims = 4)
+    def extra(lo: Long, hi: Long) = (lo until hi).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    Index.appendIvfMrl(spark, path, extra(100L, 120L))
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    def servedSet(k: Int = 60): Set[Long] =
+      Index.ivfMrlRerankTopKIndexed(spark, path, emb.where(isQ), k = k)
+        .select("neighbor_id").as[Long].collect().toSet
+    assert(servedSet().exists(_ >= 100L), "appended rows never served")
+    // upsert: the new version serves, the old is masked in BOTH flavors
+    Index.upsertIvfMrl(spark, path,
+      extra(110L, 112L).withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.5))))
+    val mrlRows0 = spark.read
+      .parquet(Index.liveDir(spark, path, Index.MrlCodesKind))
+      .where(col("vec_id") === 110L).count()
+    assert(mrlRows0 === 2L, "upsert should co-locate masked + live versions")
+    // delete masks; the serve is the true top-k among survivors
+    Index.delete(spark, path, Seq(7L).toDF("vec_id"))
+    assert(!servedSet().contains(7L), "deleted id served from the MRL store")
+    // self-rebuild keeps the MRL flavor (raw postings are the corpus)
+    Index.rebuild(spark, path)
+    assert(Index.generations(spark, path, Index.MrlCodesKind)
+      .exists(_._1 > 0), "rebuild dropped the MRL prefix flavor")
+    assert(!servedSet().contains(7L), "rebuild resurrected a deleted id")
+    assert(servedSet().exists(_ >= 100L), "rebuild lost appended rows")
+    // compaction + vacuum leave a serving store
+    Index.compact(spark, path)
+    val rep = Index.vacuum(spark, path).head()
+    assert(rep.getLong(0) > 0L)
+    assert(servedSet().nonEmpty)
+  }
 }
