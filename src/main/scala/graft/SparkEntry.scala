@@ -1536,6 +1536,53 @@ object SparkEntry {
       perDoc.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "best_rank", "n_queries", "rrf_sum")
     }),
+    // PIPELINE 10 — pipeline9's curation shape with a MID-PIPELINE
+    // REBUILD OF BOTH STORES (the race_rebuild pattern inside the
+    // end-to-end curation plan): build lexical + dense stores, PLAN the
+    // hybrid serve (file listings pin pre-flip), rebuild both stores
+    // under it, serve again post-flip, and emit the post-rebuild rollup
+    // with a stability flag comparing the two serves row-by-row. The
+    // pinned pre-flip plan executes from the grace generations and the
+    // post-flip plan from the rebuilt ones; both must agree (same
+    // corpus, fresh-build semantics == build semantics here), so the
+    // oracle pins stable_across_rebuild = TRUE on every row — the MVCC
+    // story composing with the curation shape, not just isolated serves
+    "cur_pipeline10" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val lexPath = tmpPath(s, "pipeline10lex", dir)
+      val annPath = tmpPath(s, "pipeline10ann", dir)
+      val corpus = docs.where(!Retrieval.boundedIsQuery)
+      LexIndex.saveLexical(corpus, lexPath)
+      Index.saveIvf(e, annPath, metaCols = Seq("label"))
+      def hits() = Retrieval.hybridRrfIndexed(s, lexPath, annPath,
+        docs.where(Retrieval.boundedIsQuery),
+        e.where(col("vec_id") < 100), k = 10,
+        candWhere = col("label") === 3)
+      def perDoc(h: org.apache.spark.sql.DataFrame) =
+        h.groupBy(col("cand_id").as("doc_id"))
+          .agg(min("rank").cast("long").as("best_rank"),
+            count(lit(1)).as("n_queries"),
+            sum("rrf_micro").as("rrf_sum"))
+      val pre = hits()
+      pre.queryExecution.executedPlan // pin file listings pre-flip
+      Index.rebuild(s, annPath)
+      LexIndex.rebuildLexical(corpus, lexPath)
+      val preAgg = perDoc(pre).select(col("doc_id"),
+        col("best_rank").as("pre_best_rank"),
+        col("n_queries").as("pre_n_queries"),
+        col("rrf_sum").as("pre_rrf_sum"))
+      val keep = TextStats.quality(docs)
+        .where(col("quality_score") > 0.5).select("doc_id")
+      perDoc(hits()).join(preAgg, Seq("doc_id"), "full_outer")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("best_rank"), col("n_queries"),
+          col("rrf_sum"),
+          (col("best_rank") <=> col("pre_best_rank") &&
+            col("n_queries") <=> col("pre_n_queries") &&
+            col("rrf_sum") <=> col("pre_rrf_sum"))
+            .as("stable_across_rebuild"))
+    }),
     // incremental refresh: odd-doc batch deduped against the even-doc
     // standing snapshot by content key (anti join, no snapshot rescan)
     "dedup_incremental" -> ((s, dir) => {
@@ -1742,7 +1789,7 @@ object SparkEntry {
     "ann_ivf_sq_residual_rerank",
     "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt",
     "ann_ivfpq_rebuilt_from", "ann_matryoshka_topk",
-    "ann_matryoshka_deleted")
+    "ann_matryoshka_deleted", "cur_pipeline10")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2000,6 +2047,21 @@ object SparkEntry {
          |  FROM hits GROUP BY cand_id),
          |q AS (${TextStats.qualityOracleSql})
          |SELECT p.doc_id, p.best_rank, p.n_queries, p.rrf_sum
+         |FROM per p SEMI JOIN q ON p.doc_id = q.doc_id
+         |                      AND q.quality_score > 0.5""".stripMargin,
+    // pipeline9's oracle plus the rebuild-stability flag: same corpus on
+    // both sides of the mid-pipeline flip, so every row must be stable
+    "cur_pipeline10" ->
+      s"""WITH hits AS (
+         |  ${Retrieval.hybridRrfOracleSql(k = 10, candWhereSql = "label = 3")}),
+         |per AS (
+         |  SELECT cand_id AS doc_id, min(rank)::BIGINT AS best_rank,
+         |         count(*)::BIGINT AS n_queries,
+         |         sum(rrf_micro)::BIGINT AS rrf_sum
+         |  FROM hits GROUP BY cand_id),
+         |q AS (${TextStats.qualityOracleSql})
+         |SELECT p.doc_id, p.best_rank, p.n_queries, p.rrf_sum,
+         |  TRUE AS stable_across_rebuild
          |FROM per p SEMI JOIN q ON p.doc_id = q.doc_id
          |                      AND q.quality_score > 0.5""".stripMargin,
     // the store is built on 90% (frozen cell budget), refreshed with the
