@@ -91,6 +91,32 @@ object StreamingAnnServe {
         Index.appendIvfSq(batch.sparkSession, path, batch, metaCols = metaCols)
     }
 
+  /** The MATRYOSHKA serve twin: each query micro-batch answered by the
+    * prefix-shortlist + full-width-refine serve
+    * ([[Index.ivfMrlRerankTopKIndexed]]) — zero stream state, the store
+    * is the only state, exactly the [[serveIvfSq]] contract.
+    */
+  def serveIvfMrl(queryStream: DataFrame, path: String, k: Int,
+                  rerank: Int = 0, nProbe: Int = 4,
+                  candWhere: org.apache.spark.sql.Column =
+                    org.apache.spark.sql.functions.lit(true))
+                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    writer(queryStream) { (batch, id) =>
+      sink(Index.ivfMrlRerankTopKIndexed(batch.sparkSession, path, batch, k,
+        rerank, nProbe, candWhere), id)
+    }
+
+  /** The MRL ingest twin ([[Index.appendIvfMrl]] per micro-batch —
+    * frozen centroids, recorded prefix width; both flavors appended
+    * under one mutation seq).
+    */
+  def appendStreamMrl(vecStream: DataFrame, path: String,
+                      metaCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    writer(vecStream) { (batch, _) =>
+      if (!batch.isEmpty)
+        Index.appendIvfMrl(batch.sparkSession, path, batch, metaCols = metaCols)
+    }
+
   /** The INGEST side of the same loop: each arriving (vec_id, embedding)
     * micro-batch is [[Index.appendIvf]]'d into the store — assignment
     * against the frozen stored centroids, postings appended to their

@@ -439,10 +439,24 @@ class PlanSpec extends SparkSpec {
                   "ann_ivf_sq_persisted", "ann_ivf_sq_append",
                   "ann_ivf_deleted", "ann_ivfpq_deleted", "ann_ivf_sq_deleted",
                   "ann_ivf_upsert", "ann_ivf_sq_rerank",
-                  "ann_ivf_filtered_deleted")) {
+                  "ann_ivf_filtered_deleted", "ann_matryoshka_topk")) {
       val p = plan(q)
       assert(p.contains("PartitionFilters") && p.contains("cell#"),
         s"$q: no partition filter on the store scan:\n$p")
+    }
+    // the MRL shortlist's whole point is byte cut: its codes scan must
+    // read the prefix columns, never the full-width vector (the refine
+    // reads `v` from the separate postings scan — that one is pruned to
+    // the same probed cells, asserted above). The mrl scan is the one
+    // whose ReadSchema carries the prefix-norm column `vpn`.
+    locally {
+      val p = plan("ann_matryoshka_topk")
+      val mrlSchemas = p.split("\n").filter(l =>
+        l.contains("ReadSchema") && l.contains("vpn"))
+      assert(mrlSchemas.nonEmpty, s"no mrl_codes scan in the plan:\n$p")
+      assert(mrlSchemas.forall(l =>
+          l.contains("vp:") && !l.contains("v:") && !l.contains("norm:")),
+        s"MRL shortlist scan reads more than the prefix columns:\n$p")
     }
   }
 

@@ -329,6 +329,43 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamed MRL serve + ingest \u2261 batch, any micro-batch split") {
+    val path = freshPath("mrlstream")
+    Index.saveIvfMrl(emb.where(col("vec_id") < 60), path, prefixDims = 4)
+    val ingestInput = MemoryStream[(Long, Seq[Float])]
+    val arrivals = (60L until 120L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+    }
+    val iq = StreamingAnnServe.appendStreamMrl(
+      ingestInput.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      ingestInput.addData(arrivals.take(20)); iq.processAllAvailable()
+      ingestInput.addData(arrivals.drop(20)); iq.processAllAvailable()
+    } finally iq.stop()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val mq = StreamingAnnServe.serveIvfMrl(
+      input.toDF().toDF("vec_id", "embedding"), path, k = 5) { (df, _) =>
+      got.synchronized {
+        got ++= df.select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect()
+      }
+    }.start()
+    try {
+      input.addData(queryRows.take(3)); mq.processAllAvailable()
+      input.addData(queryRows.drop(3)); mq.processAllAvailable()
+    } finally mq.stop()
+    val batch = Index.ivfMrlRerankTopKIndexed(spark, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.toSet === batch)
+    assert(got.nonEmpty)
+    // the streamed ingest actually reached both flavors: appended ids
+    // serve from the prefix shortlist
+    assert(got.exists(_._2 >= 60L), "streamed-ingested rows never served")
+  }
+
   // ---- CDC ingest: streamed deletes / upserts ----
 
   private val isQ = pmod(col("vec_id"), lit(10)) === 0
