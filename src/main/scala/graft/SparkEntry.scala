@@ -946,6 +946,30 @@ object SparkEntry {
       Index.ivfMrlRerankTopKIndexed(s, path,
         e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // FILTERED matryoshka serve: the metadata predicate cuts the prefix
+    // shortlist scan itself (metaCols ride mrl_codes like every flavor),
+    // so the refine rescores only matching candidates — true top-k
+    // AMONG matches at prefix-scan bytes
+    "ann_matryoshka_filtered" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrlfil", dir)
+      Index.saveIvfMrl(e, path, prefixDims = 16, metaCols = Seq("label"))
+      Index.ivfMrlRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10,
+        candWhere = col("label") === 3)
+    }),
+    // MRL refresh: the batch assigns against the FROZEN stored
+    // centroids and slices at the recorded width — the oracle pins the
+    // centroid seed set to the base slice (the ann_ivf_sq_append shape)
+    "ann_matryoshka_append" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrlapp", dir)
+      Index.saveIvfMrl(e.where(pmod(col("vec_id"), lit(10)) =!= 9), path,
+        prefixDims = 16)
+      Index.appendIvfMrl(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
+      Index.ivfMrlRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10)
+    }),
     // the MRL lifecycle composes like every other flavor: delete masks
     // both the prefix shortlist and the refine (true top-k among
     // survivors), compaction purges — serve answers the survivor oracle
@@ -1789,7 +1813,8 @@ object SparkEntry {
     "ann_ivf_sq_residual_rerank",
     "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt",
     "ann_ivfpq_rebuilt_from", "ann_matryoshka_topk",
-    "ann_matryoshka_deleted", "cur_pipeline10")
+    "ann_matryoshka_deleted", "ann_matryoshka_filtered",
+    "ann_matryoshka_append", "cur_pipeline10")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2152,6 +2177,12 @@ object SparkEntry {
       Similarity.matryoshkaRecallOracleSql(k = 10, dims = 32),
     "ann_matryoshka_topk" ->
       Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16),
+    "ann_matryoshka_filtered" ->
+      Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
+        candWhereSql = "label = 3"),
+    "ann_matryoshka_append" ->
+      Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
+        centroidWhereSql = "((vec_id % 10) + 10) % 10 != 9"),
     "ann_matryoshka_deleted" ->
       Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
         candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),

@@ -2032,8 +2032,10 @@ object Index {
                                 nCells: Int = 16, nProbe: Int = 4,
                                 isQuerySql: String =
                                   Similarity.defaultIsQuerySql,
-                                candWhereSql: String = "TRUE"): String =
-    s"""WITH ${Similarity.cellCtesSql(nCells)},
+                                candWhereSql: String = "TRUE",
+                                centroidWhereSql: String = "TRUE"): String =
+    s"""WITH ${Similarity.cellCtesSql(nCells,
+           centroidWhereSql = centroidWhereSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
