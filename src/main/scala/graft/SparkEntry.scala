@@ -1201,6 +1201,19 @@ object SparkEntry {
         d.where(Retrieval.boundedIsQuery), e.where(col("vec_id") < 100),
         k = 10, denseTier = "sq_rerank")
     }),
+    // the matryoshka hybrid: the dense leg's shortlist reads prefix
+    // bytes, refines full-width — the fourth tier on the same fusion
+    "ret_hybrid_rrf_mrl" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val lexPath = tmpPath(s, "hybridlexmrl", dir)
+      val annPath = tmpPath(s, "hybridannmrl", dir)
+      LexIndex.saveLexical(d.where(!Retrieval.boundedIsQuery), lexPath)
+      Index.saveIvfMrl(e, annPath, prefixDims = 16)
+      Retrieval.hybridRrfIndexed(s, lexPath, annPath,
+        d.where(Retrieval.boundedIsQuery), e.where(col("vec_id") < 100),
+        k = 10, denseTier = "mrl_rerank")
+    }),
     // profile admission score: BM25 against the seed-term union — the
     // batch twin of the score-at-ingest stream (StreamingSelect)
     "ret_bm25_profile" -> ((s, dir) =>
@@ -1814,7 +1827,7 @@ object SparkEntry {
     "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt",
     "ann_ivfpq_rebuilt_from", "ann_matryoshka_topk",
     "ann_matryoshka_deleted", "ann_matryoshka_filtered",
-    "ann_matryoshka_append", "cur_pipeline10")
+    "ann_matryoshka_append", "ret_hybrid_rrf_mrl", "cur_pipeline10")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2257,6 +2270,9 @@ object SparkEntry {
         isQuerySql = "vec_id < 100")),
     "ret_hybrid_rrf_sq" -> Retrieval.hybridRrfOracleSql(k = 10,
       denseSql = Similarity.ivfSqRerankTopKOracleSql(k = 10,
+        isQuerySql = "vec_id < 100")),
+    "ret_hybrid_rrf_mrl" -> Retrieval.hybridRrfOracleSql(k = 10,
+      denseSql = Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
         isQuerySql = "vec_id < 100")),
     "ret_bm25_profile" ->
       Retrieval.profileScoreOracleSql(Retrieval.defaultIsQuerySql),

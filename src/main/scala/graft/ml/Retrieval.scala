@@ -437,8 +437,11 @@ object Retrieval {
         queryEmb, k, rerank, candWhere = candWhere)
       case "sq_rerank" => Index.ivfSqRerankTopKIndexed(spark, annPath,
         queryEmb, k, rerank, candWhere = candWhere)
+      case "mrl_rerank" => Index.ivfMrlRerankTopKIndexed(spark, annPath,
+        queryEmb, k, rerank, candWhere = candWhere)
       case other => throw new IllegalArgumentException(
-        s"unknown denseTier `$other` — one of raw | pq_rerank | sq_rerank")
+        s"unknown denseTier `$other` — one of raw | pq_rerank | " +
+          "sq_rerank | mrl_rerank")
     }).select(col("query_id"), col("neighbor_id").as("cand_id"),
       col("rank").as("dense_rank"))
     fuseRrf(lex, den, k, kRrf)
