@@ -366,6 +366,38 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(got.exists(_._2 >= 60L), "streamed-ingested rows never served")
   }
 
+  test("a streamed ingest racing a rebuild trips the single-writer fence") {
+    // the streaming mutation surface is subject to the same enforced
+    // window as batch mutators: a micro-batch appended between the
+    // rebuild's corpus read and its flip bumps the mutation counter, so
+    // the rebuild aborts loudly and the streamed batch is never lost
+    val path = freshPath("racestreamreb")
+    Index.saveIvfMrl(emb.where(col("vec_id") < 100), path, prefixDims = 4)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val iq = StreamingAnnServe.appendStreamMrl(
+      input.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      val ex = intercept[IllegalStateException] {
+        Index.rebuild(spark, path, () => {
+          input.addData((100L until 110L).map { i =>
+            (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+          })
+          iq.processAllAvailable()
+        })
+      }
+      assert(ex.getMessage.contains("single-writer"))
+    } finally iq.stop()
+    // the streamed batch survives the aborted rebuild and serves
+    val stored = spark.read
+      .parquet(Index.liveDir(spark, path, Index.MrlCodesKind))
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L until 110L).forall(stored.contains),
+      "the racing streamed micro-batch is missing from the live store")
+    // quiesced, the rebuild then succeeds over the full corpus
+    Index.rebuild(spark, path)
+    assert(Index.stats(spark, path).head().getLong(0) === 110L)
+  }
+
   // ---- CDC ingest: streamed deletes / upserts ----
 
   private val isQ = pmod(col("vec_id"), lit(10)) === 0
