@@ -1855,9 +1855,10 @@ object Index {
                maxDilution: Double = 2.0,
                maxMaskedFrac: Double = 0.2,
                maxFilesPerCell: Double = 8.0,
-               rebuildWith: Option[DataFrame] = None): String =
+               rebuildWith: Option[DataFrame] = None,
+               vacuumKeep: Option[Int] = None): String =
     maintainReport(spark, path, maxDilution, maxMaskedFrac,
-      maxFilesPerCell, rebuildWith).head().getString(0)
+      maxFilesPerCell, rebuildWith, vacuumKeep).head().getString(0)
 
   /** [[maintain]] with its EVIDENCE: the decision inputs are measured
     * anyway, and a cron operator that only sees "none"/"compact" cannot
@@ -1875,12 +1876,20 @@ object Index {
     * deletion caveat: the supplied corpus must already exclude deleted
     * rows. Without `rebuildWith`, a raw flavor self-rebuilds and a
     * codes-only store reports `"rebuild-needed"`.
+    *
+    * `vacuumKeep = Some(n)` additionally runs [[vacuum]]`(path, n)`
+    * AFTER whatever action fired — the cron shape for reclaiming
+    * superseded generations without a second scheduled job. Explicitly
+    * opt-in because the keep count carries the grace-window contract
+    * (`n = 2` is safe whenever compaction is; `n = 1` only after
+    * pre-flip plans have drained). The action string is unchanged.
     */
   def maintainReport(spark: SparkSession, path: String,
                      maxDilution: Double = 2.0,
                      maxMaskedFrac: Double = 0.2,
                      maxFilesPerCell: Double = 8.0,
-                     rebuildWith: Option[DataFrame] = None): DataFrame = {
+                     rebuildWith: Option[DataFrame] = None,
+                     vacuumKeep: Option[Int] = None): DataFrame = {
     import spark.implicits._
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
@@ -1902,6 +1911,7 @@ object Index {
       else if (maskedFrac > maxMaskedFrac || filesPerCell > maxFilesPerCell) {
         compact(spark, path); "compact"
       } else "none"
+    vacuumKeep.foreach { n => vacuum(spark, path, n); () }
     Seq((action, st.getLong(0), st.getLong(1), st.getLong(2), dilution,
         maskedFrac, math.rint(filesPerCell * 10000) / 10000))
       .toDF("action", "n_vectors", "n_cells", "auto_cells", "dilution",

@@ -637,9 +637,11 @@ object LexIndex {
                maxMaskedFrac: Double = 0.2,
                maxFilesPerBucket: Double = 8.0,
                maxDilution: Double = 4.0,
-               rebuildWith: Option[DataFrame] = None): String =
+               rebuildWith: Option[DataFrame] = None,
+               vacuumKeep: Option[Int] = None): String =
     maintainReport(spark, path, maxUnscoreableFrac, maxMaskedFrac,
-      maxFilesPerBucket, maxDilution, rebuildWith).head().getString(0)
+      maxFilesPerBucket, maxDilution, rebuildWith, vacuumKeep)
+      .head().getString(0)
 
   /** [[maintain]] with its EVIDENCE ([[Index.maintainReport]]'s sparse
     * twin): one row of the decision inputs, all measured BEFORE the
@@ -649,12 +651,16 @@ object LexIndex {
     * (action, unscoreable_frac, masked_frac, files_per_bucket,
     * dilution).
     */
+  /** `vacuumKeep`: the [[Index.vacuum]] opt-in, run after the action —
+    * shared generation machinery, same grace-window contract.
+    */
   def maintainReport(spark: SparkSession, path: String,
                      maxUnscoreableFrac: Double = 0.05,
                      maxMaskedFrac: Double = 0.2,
                      maxFilesPerBucket: Double = 8.0,
                      maxDilution: Double = 4.0,
-                     rebuildWith: Option[DataFrame] = None): DataFrame = {
+                     rebuildWith: Option[DataFrame] = None,
+                     vacuumKeep: Option[Int] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(path)
@@ -684,6 +690,7 @@ object LexIndex {
         case None => "rebuild-needed"
       }
       else "none"
+    vacuumKeep.foreach { n => Index.vacuum(spark, path, n); () }
     Seq((action, math.rint(unscoreableFrac * 10000) / 10000, maskedFrac,
         math.rint(filesPerBucket * 10000) / 10000, dilution))
       .toDF("action", "unscoreable_frac", "masked_frac",

@@ -1445,4 +1445,18 @@ class IndexSpec extends SparkSpec {
     assert(rep.getLong(0) > 0L)
     assert(servedSet().nonEmpty)
   }
+
+  test("maintain(vacuumKeep) reclaims superseded generations in the cron loop") {
+    val path = freshPath("maintvac")
+    Index.saveIvf(emb, path, nCells = 4) // diluted: auto 16 > 2 x 4
+    assert(Index.maintain(spark, path,
+      vacuumKeep = Some(1)) === "rebuild")
+    // the rebuild's grace generation was vacuumed in the same pass
+    Seq(Index.PostingsKind, Index.CentroidsKind).foreach { k =>
+      assert(Index.generations(spark, path, k).size === 1,
+        s"maintain(vacuumKeep = 1) left a superseded $k generation")
+    }
+    val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5)
+    assert(served.count() > 0)
+  }
 }
