@@ -983,6 +983,71 @@ object SparkEntry {
       Index.ivfMrlRerankTopKIndexed(s, path,
         e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // the MRL × SQ8 COMBINED tier: the prefix slice additionally int8-
+    // quantized — 1 byte per kept dimension, so the shortlist scan reads
+    // ~2% of the raw postings bytes (vs the raw prefix's 25% at
+    // 16-of-64) with the same exact full-width refine. The two
+    // compression axes (dimension cut × precision cut) compose; oracle
+    // replays quantized-prefix-shortlist-then-refine at the shared auto
+    // rerank depth.
+    "ann_matryoshka_sq_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrlsq", dir)
+      Index.saveIvfMrl(e, path, prefixDims = 16, quantized = true)
+      Index.ivfMrlRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // MRL upsert: delete-then-add over BOTH flavors (prefix shortlist +
+    // raw refine stay in step under one mutation seq) — the
+    // ann_ivf_upsert oracle shape: the corpus CTE IS the post-upsert
+    // corpus, centroid seeds untouched (seed ids < 100, upsert set
+    // >= 100)
+    "ann_matryoshka_upsert" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrlup", dir)
+      Index.saveIvfMrl(e, path, prefixDims = 16)
+      val mod = e
+        .where(pmod(col("vec_id"), lit(20)) === 7 && col("vec_id") >= 100)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.25)))
+      Index.upsertIvfMrl(s, path, mod)
+      Index.ivfMrlRerankTopKIndexed(s, path,
+        e.where(Similarity.defaultIsQuery), k = 10)
+    }),
+    // the MRL store answers the SAME lifecycle hooks as every flavor:
+    // dilution stats over its raw postings (built on 90%, refreshed
+    // with the tenth — the ann_index_stats fixture and oracle)
+    "ann_matryoshka_stats" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivfmrlstats", dir)
+      Index.saveIvfMrl(e.where(pmod(col("vec_id"), lit(10)) =!= 9), path,
+        prefixDims = 16)
+      Index.appendIvfMrl(s, path, e.where(pmod(col("vec_id"), lit(10)) === 9))
+      Index.stats(s, path)
+    }),
+    // the operator CRON SHAPE end-to-end: ONE lease window wrapping the
+    // measured decision (here dilution → rebuild), the action, and a
+    // vacuum of superseded generations. The row is the decision evidence
+    // PLUS the vacuum's generation count (vacuumKeep = 1 — the
+    // post-drain maintenance window; the rebuild's two superseded v0
+    // generations, postings + centroids, are exactly what it reclaims —
+    // a pure count formula) PLUS the post-action stats. bytes_reclaimed
+    // is real but size-nondeterministic, so the registered row drops it.
+    "ann_maintenance_tick" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivftick", dir)
+      Index.saveIvf(e.where(col("vec_id") < 200), path, nCells = 4)
+      Index.appendIvf(s, path, e.where(col("vec_id") >= 200))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      val tick = Index.maintenanceTick(s, path, vacuumKeep = 1)
+      tick.drop("bytes_reclaimed")
+        .crossJoin(Index.stats(s, path).select(
+          col("n_vectors").as("post_n_vectors"),
+          col("n_cells").as("post_n_cells"),
+          col("auto_cells").as("post_auto_cells"),
+          col("dilution").as("post_dilution")))
+    }),
     // int8-storage ranking recall vs float-exact — prices the 4× storage
     // cut next to the matryoshka dimension cut
     "ann_int8_recall" -> ((s, dir) =>
@@ -1827,7 +1892,8 @@ object SparkEntry {
     "ret_hybrid_rrf_pq", "ret_hybrid_rrf_sq", "ann_ivf_rebuilt",
     "ann_ivfpq_rebuilt_from", "ann_matryoshka_topk",
     "ann_matryoshka_deleted", "ann_matryoshka_filtered",
-    "ann_matryoshka_append", "ret_hybrid_rrf_mrl", "cur_pipeline10")
+    "ann_matryoshka_append", "ann_matryoshka_sq_topk",
+    "ann_matryoshka_upsert", "ret_hybrid_rrf_mrl", "cur_pipeline10")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2199,6 +2265,34 @@ object SparkEntry {
     "ann_matryoshka_deleted" ->
       Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
         candWhereSql = "((vec_id % 7) + 7) % 7 != 3"),
+    "ann_matryoshka_sq_topk" ->
+      Index.ivfMrlSqRerankTopKOracleSql(k = 10, dims = 16),
+    // upsert: the oracle corpus IS the post-upsert corpus (the
+    // ann_ivf_upsert convention), prefix shortlist and refine both
+    // replayed over the rewritten vectors
+    "ann_matryoshka_upsert" ->
+      Index.ivfMrlRerankTopKOracleSql(k = 10, dims = 16,
+        embExprSql = "CASE WHEN ((vec_id % 20) + 20) % 20 = 7 AND " +
+          "vec_id >= 100 THEN list_transform(embedding, x -> x + 0.25) " +
+          "ELSE embedding END"),
+    // the ann_index_stats count formulas verbatim — the MRL store's raw
+    // postings flavor answers the same lifecycle hook
+    "ann_matryoshka_stats" ->
+      """SELECT n_vectors, n_cells, auto_cells,
+        |       round(auto_cells::DOUBLE / n_cells, 4) AS dilution
+        |FROM (SELECT
+        |  (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  GREATEST(16, (SELECT count(*) FROM embeddings
+        |                WHERE ((vec_id % 10) + 10) % 10 != 9) // 5000) AS n_cells,
+        |  GREATEST(16, (SELECT count(*) FROM embeddings) // 5000) AS auto_cells)""".stripMargin,
+    // the cron tick: maintain's count-formula oracle plus the vacuum's
+    // deterministic generation count (rebuild supersedes exactly the
+    // postings + centroids v0 generations; vacuumKeep = 1 reclaims both)
+    "ann_maintenance_tick" ->
+      Index.maintainOracleSql(nCellsBuilt = 4,
+        baseWhereSql = "vec_id < 200",
+        deletedWhereSql = "((vec_id % 7) + 7) % 7 = 3",
+        extraColsSql = ",\n  2::BIGINT AS generations_removed"),
     "ann_pca_top" -> Similarity.pcaTopOracleSql(),
     "ann_pca_project" -> Similarity.pcaProjectOracleSql(),
     "ann_int8_recall" -> Similarity.int8RecallOracleSql(k = 10),

@@ -150,11 +150,8 @@ object Index {
   /** Whether the store's PQ codes are residual-coded ([[saveIvfPq]]
     * `residual`); stores written before the marker existed are absolute.
     */
-  private[graft] def isResidual(spark: SparkSession, path: String): Boolean = {
-    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
-    fsOf(spark, mp).exists(mp) &&
-      spark.read.parquet(metaPath(path)).select("residual").head().getBoolean(0)
-  }
+  private[graft] def isResidual(spark: SparkSession, path: String): Boolean =
+    buildMetaOf(readMetaRow(spark, metaPath(path))).residual
 
   /** A store's build configuration, read back from its marker table —
     * what [[rebuild]] must re-invoke the save with. Markers written
@@ -165,23 +162,42 @@ object Index {
                                nSub: Int, nCode: Int, trainIters: Int,
                                flat: Boolean)
 
-  private def readBuildMeta(spark: SparkSession, dir: String): BuildMeta = {
+  /** The marker table's one row + column set, from ONE parquet read and
+    * ONE collect job. The naive shape (separate `.select(name).head()`
+    * per field, plus a second `spark.read` wherever the caller also
+    * needs `.columns`) costs up to 7 footer-reads/jobs per metadata
+    * probe — per-op marker reads measurably dominated the round-14
+    * store-lifecycle queries (1.5-1.8× slowdown, VERDICT r14), and at
+    * S3 scale every one is a small-object round-trip.
+    */
+  private def readMetaRow(spark: SparkSession, dir: String)
+      : Option[(Set[String], org.apache.spark.sql.Row)] = {
     val mp = new org.apache.hadoop.fs.Path(dir)
-    if (!fsOf(spark, mp).exists(mp)) BuildMeta(false, false, 8, 16, 3, false)
+    if (!fsOf(spark, mp).exists(mp)) None
     else {
       val df = spark.read.parquet(dir)
-      val cols = df.columns.toSet
-      def get[T](name: String, dflt: T)(f: org.apache.spark.sql.Row => T): T =
-        if (cols.contains(name)) f(df.select(name).head()) else dflt
-      BuildMeta(
-        get("residual", false)(_.getBoolean(0)),
-        get("trained", false)(_.getBoolean(0)),
-        get("n_sub", 8)(_.getInt(0)),
-        get("n_code", 16)(_.getInt(0)),
-        get("train_iters", 3)(_.getInt(0)),
-        get("flat", false)(_.getBoolean(0)))
+      Some((df.columns.toSet, df.head()))
     }
   }
+
+  private def buildMetaOf(meta: Option[(Set[String],
+                                        org.apache.spark.sql.Row)]): BuildMeta =
+    meta match {
+      case None => BuildMeta(false, false, 8, 16, 3, false)
+      case Some((cols, row)) =>
+        def get[T](name: String, dflt: T)(f: Int => T): T =
+          if (cols.contains(name)) f(row.fieldIndex(name)) else dflt
+        BuildMeta(
+          get("residual", false)(row.getBoolean),
+          get("trained", false)(row.getBoolean),
+          get("n_sub", 8)(row.getInt),
+          get("n_code", 16)(row.getInt),
+          get("train_iters", 3)(row.getInt),
+          get("flat", false)(row.getBoolean))
+    }
+
+  private def readBuildMeta(spark: SparkSession, dir: String): BuildMeta =
+    buildMetaOf(readMetaRow(spark, dir))
 
   /** The store's recorded assignment mode — flat (`forceFlat` build) or
     * two-level past [[Similarity.twoLevelMinCells]]. Appends and the
@@ -201,7 +217,11 @@ object Index {
       if (exists(metaPath(path))) metaPath(path)
       else if (exists(sqMetaPath(path))) sqMetaPath(path)
       else ivfMetaPath(path)
-    val mp = new org.apache.hadoop.fs.Path(markerDir)
+    // ONE marker read serves both the legacy-column check and the meta
+    // row (reading it twice doubled the per-op marker cost on every
+    // append/rebuild path — the round-14 lifecycle regression's prime
+    // suspect)
+    val meta = readMetaRow(spark, markerDir)
     // LEGACY-STORE migration warning: markers written before the `flat`
     // column record nothing about the assignment mode, so this defaults
     // to two-level — which is only WRONG if the store was flat-built
@@ -212,8 +232,7 @@ object Index {
     // the operator rebuilds (a rebuild stamps the column; note it also
     // permanently converts the store to two-level geometry unless the
     // rebuild is re-run with forceFlat via a fresh save).
-    if (fsOf(spark, mp).exists(mp) &&
-        !spark.read.parquet(markerDir).columns.contains("flat") &&
+    if (meta.exists(!_._1.contains("flat")) &&
         spark.read.parquet(centroidsDir(spark, path)).count() >=
           Similarity.twoLevelMinCells)
       System.err.println(s"[graft.Index] WARNING: store at $path predates " +
@@ -221,7 +240,7 @@ object Index {
         "two-level routing — if it was built forceFlat = true, appends " +
         "and rebuilds will route two-level and miss the flat probe set " +
         "(recall collapse). Rebuild the store to stamp its mode.")
-    readBuildMeta(spark, markerDir).flat
+    buildMetaOf(meta).flat
   }
 
   /** The `twoLevelMin` an append's frozen-centroid assignment must use
@@ -334,7 +353,8 @@ object Index {
               metaCols: Seq[String] = Nil,
               trained: Boolean = false,
               trainIters: Int = 3,
-              insSeq: Long = 0L): Unit = {
+              insSeq: Long = 0L): Unit =
+    Lease.withLease(emb.sparkSession, path, "saveIvf") {
     import emb.sparkSession.implicits._
     retireQuantizerGenerations(emb.sparkSession, path)
     val cells = Similarity.autoCells(emb.count(), nCells)
@@ -412,7 +432,8 @@ object Index {
                 withRaw: Boolean = false,
                 trainIters: Int = 3,
                 residual: Boolean = false,
-                insSeq: Long = 0L): Unit = {
+                insSeq: Long = 0L): Unit =
+    Lease.withLease(emb.sparkSession, path, "saveIvfPq") {
     require(!residual || trained,
       "residual coding needs trained quantizers (the seeded residual " +
         "codebook is degenerate: smallest-id residuals under smallest-id " +
@@ -625,7 +646,8 @@ object Index {
     */
   def appendIvf(spark: SparkSession, path: String, newEmb: DataFrame,
                 superProbe: Int = Similarity.defaultSuperProbe,
-                metaCols: Seq[String] = Nil): Unit = {
+                metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "appendIvf") {
     val cents = spark.read.parquet(centroidsDir(spark, path))
     val nCells = cents.count().toInt
     val post = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
@@ -668,7 +690,8 @@ object Index {
     */
   def appendIvfPq(spark: SparkSession, path: String, newEmb: DataFrame,
                   superProbe: Int = Similarity.defaultSuperProbe,
-                  metaCols: Seq[String] = Nil): Unit = {
+                  metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "appendIvfPq") {
     val cents = spark.read.parquet(centroidsDir(spark, path))
     val nCells = cents.count().toInt
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
@@ -737,7 +760,9 @@ object Index {
     * outstanding is [[deleteStats]]' job.
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    Tombstones.write(spark, path, ids, "vec_id")
+    Lease.withLease(spark, path, "delete") {
+      Tombstones.write(spark, path, ids, "vec_id")
+    }
 
   /** Predicate deletion (the DELETE WHERE / retention shape): tombstone
     * every CURRENTLY-SERVED id matching `pred` — a predicate over the
@@ -749,7 +774,8 @@ object Index {
     * version matches is tombstoned; ids already masked are not
     * re-tombstoned (idempotent under re-runs).
     */
-  def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
+  def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit =
+    Lease.withLease(spark, path, "deleteWhere") {
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
     val kind = Seq(PostingsKind, PqCodesKind, SqCodesKind)
@@ -768,7 +794,8 @@ object Index {
     */
   def upsertIvf(spark: SparkSession, path: String, batch: DataFrame,
                 superProbe: Int = Similarity.defaultSuperProbe,
-                metaCols: Seq[String] = Nil): Unit = {
+                metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "upsertIvf") {
     delete(spark, path, batch.select("vec_id"))
     appendIvf(spark, path, batch, superProbe, metaCols)
   }
@@ -778,7 +805,8 @@ object Index {
     */
   def upsertIvfPq(spark: SparkSession, path: String, batch: DataFrame,
                   superProbe: Int = Similarity.defaultSuperProbe,
-                  metaCols: Seq[String] = Nil): Unit = {
+                  metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "upsertIvfPq") {
     delete(spark, path, batch.select("vec_id"))
     appendIvfPq(spark, path, batch, superProbe, metaCols)
   }
@@ -786,7 +814,8 @@ object Index {
   /** The scalar-quantized twin of [[upsertIvf]]. */
   def upsertIvfSq(spark: SparkSession, path: String, batch: DataFrame,
                   superProbe: Int = Similarity.defaultSuperProbe,
-                  metaCols: Seq[String] = Nil): Unit = {
+                  metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "upsertIvfSq") {
     delete(spark, path, batch.select("vec_id"))
     appendIvfSq(spark, path, batch, superProbe, metaCols)
   }
@@ -835,12 +864,8 @@ object Index {
   /** Whether the store's SQ codes are residual-coded ([[saveIvfSq]]
     * `residual`); stores written before the marker are absolute.
     */
-  private def isSqResidual(spark: SparkSession, path: String): Boolean = {
-    val mp = new org.apache.hadoop.fs.Path(sqMetaPath(path))
-    fsOf(spark, mp).exists(mp) &&
-      spark.read.parquet(sqMetaPath(path))
-        .select("residual").head().getBoolean(0)
-  }
+  private def isSqResidual(spark: SparkSession, path: String): Boolean =
+    buildMetaOf(readMetaRow(spark, sqMetaPath(path))).residual
 
   /** Unpack a BINARY code vector back to integer-valued doubles (the
     * residual serve reconstructs x̂ = c + qb·scale/127 per element).
@@ -932,7 +957,8 @@ object Index {
                 trainIters: Int = 3,
                 withRaw: Boolean = false,
                 residual: Boolean = false,
-                insSeq: Long = 0L): Unit = {
+                insSeq: Long = 0L): Unit =
+    Lease.withLease(emb.sparkSession, path, "saveIvfSq") {
     val spark = emb.sparkSession
     import spark.implicits._
     retireQuantizerGenerations(spark, path)
@@ -991,7 +1017,8 @@ object Index {
     */
   def appendIvfSq(spark: SparkSession, path: String, newEmb: DataFrame,
                   superProbe: Int = Similarity.defaultSuperProbe,
-                  metaCols: Seq[String] = Nil): Unit = {
+                  metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "appendIvfSq") {
     val cents = spark.read.parquet(centroidsDir(spark, path))
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
       cents.count().toInt, 1,
@@ -1054,9 +1081,53 @@ object Index {
       slice(col("embedding").cast("array<double>"), 1, dims).as("vp"))
       .withColumn("vpn", sqrt(VecFold.dot(col("vp"), col("vp"))))
 
-  private def mrlDims(spark: SparkSession, path: String): Int =
-    spark.read.parquet(mrlMetaPath(path)).select("prefix_dims")
-      .head().getInt(0)
+  /** The QUANTIZED prefix rows — the MRL × SQ8 combined tier: the
+    * first-`dims` slice int8-quantized per vector with [[sqRows]]'
+    * exact conventions (scale = max|x| over the PREFIX, q = floor(x·127
+    * / scale + 0.5) packed to bytes, r = round(scale / prefixNorm, 9),
+    * zero-vector conventions pinned). One byte per kept dimension
+    * instead of eight: the shortlist scan reads dims/(8·fullDims) of
+    * the raw postings bytes (~2% at 16-of-64) — the two compression
+    * axes (dimension cut × precision cut) compose, and the full-width
+    * exact refine is unchanged. Scoring follows the absolute-SQ
+    * convention: exact integer code dot times the stored rescale
+    * factor — a rank-only shortlist surrogate, which is all a
+    * rerank-refined serve needs.
+    */
+  private def mrlSqRows(emb: DataFrame, dims: Int): DataFrame =
+    emb.select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, dims).as("pv"))
+      .withColumn("pn", sqrt(VecFold.dot(col("pv"), col("pv"))))
+      .withColumn("scale", aggregate(col("pv"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("safe_scale",
+        when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+      .select(col("vec_id"),
+        packBytes(transform(col("pv"),
+          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")))
+          .as("qb"),
+        round(when(col("pn") === 0d, lit(0.0))
+          .otherwise(col("scale") / col("pn")), 9).as("r"))
+
+  /** The MRL store's recorded build shape: prefix width + whether the
+    * prefix flavor is int8-quantized. One marker read ([[readMetaRow]]).
+    * Stores written before the `quantized` column are raw-prefix.
+    */
+  private case class MrlMeta(dims: Int, quantized: Boolean)
+
+  private def mrlMeta(spark: SparkSession, path: String): MrlMeta =
+    readMetaRow(spark, mrlMetaPath(path)) match {
+      case None => throw new IllegalArgumentException(
+        s"no MRL marker at ${mrlMetaPath(path)} — not an MRL store")
+      case Some((cols, row)) =>
+        MrlMeta(row.getInt(row.fieldIndex("prefix_dims")),
+          cols.contains("quantized") &&
+            row.getBoolean(row.fieldIndex("quantized")))
+    }
+
+  /** The prefix flavor's non-metadata columns depend on the coding. */
+  private def mrlCoreOf(quantized: Boolean): Set[String] =
+    if (quantized) sqCodesCore else mrlCodesCore
 
   /** Build + persist the MATRYOSHKA serving tier: a cell-partitioned
     * PREFIX-DIMENSION flavor (`mrl_codes/`: vec_id, first-`prefixDims`
@@ -1074,6 +1145,13 @@ object Index {
     * derived from the just-written assignment — one extra
     * cell-partitioned write, no second assignment pass.
     */
+  /** `quantized = true` builds the MRL × SQ8 COMBINED tier: the prefix
+    * slice is additionally int8-quantized ([[mrlSqRows]]) — 1 byte per
+    * kept dimension, so the shortlist reads ~dims/(8·fullDims) of the
+    * raw bytes (~2% at 16-of-64 vs the raw prefix's 25%) and the
+    * full-width refine is unchanged. The coding is recorded in
+    * `mrl_meta` and every serve/append/rebuild dispatches from disk.
+    */
   def saveIvfMrl(emb: DataFrame, path: String, prefixDims: Int = 16,
                  nCells: Int = 16,
                  forceFlat: Boolean = false,
@@ -1081,23 +1159,28 @@ object Index {
                  metaCols: Seq[String] = Nil,
                  trained: Boolean = false,
                  trainIters: Int = 3,
-                 insSeq: Long = 0L): Unit = {
+                 quantized: Boolean = false,
+                 insSeq: Long = 0L): Unit =
+    Lease.withLease(emb.sparkSession, path, "saveIvfMrl") {
     require(prefixDims > 0, "prefixDims must be positive")
     val spark = emb.sparkSession
     import spark.implicits._
     saveIvf(emb, path, nCells, forceFlat, superProbe, metaCols, trained,
       trainIters, insSeq)
-    // the store self-describes its prefix width: serves and appends
-    // must slice exactly as the build did (a mismatched query-side
-    // slice would rank prefixes of different lengths)
-    Seq(Tuple1(prefixDims)).toDF("prefix_dims")
+    // the store self-describes its prefix width AND coding: serves and
+    // appends must slice exactly as the build did (a mismatched
+    // query-side slice would rank prefixes of different lengths; a
+    // quantized store scored as raw doubles would read garbage)
+    Seq((prefixDims, quantized)).toDF("prefix_dims", "quantized")
       .write.mode("overwrite").parquet(mrlMetaPath(path))
     // the prefix flavor shares the raw flavor's assignment: a pruned
     // two-column re-read of the just-written postings beats a second
     // assignment pass over the corpus
     val cellOf = spark.read.parquet(liveDir(spark, path, PostingsKind))
       .select("vec_id", "cell")
-    val rows = cellOf.join(mrlRows(emb, prefixDims), "vec_id")
+    val rows = cellOf.join(
+      if (quantized) mrlSqRows(emb, prefixDims)
+      else mrlRows(emb, prefixDims), "vec_id")
     val withMeta =
       if (metaCols.isEmpty) rows
       else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*),
@@ -1118,7 +1201,8 @@ object Index {
     */
   def appendIvfMrl(spark: SparkSession, path: String, newEmb: DataFrame,
                    superProbe: Int = Similarity.defaultSuperProbe,
-                   metaCols: Seq[String] = Nil): Unit = {
+                   metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "appendIvfMrl") {
     val cents = spark.read.parquet(centroidsDir(spark, path))
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
       cents.count().toInt, 1,
@@ -1128,25 +1212,27 @@ object Index {
       superProbe = superProbe)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
-    val dims = mrlDims(spark, path)
+    val mm = mrlMeta(spark, path)
     val rows = assignment.select("vec_id", "cell")
-      .join(mrlRows(newEmb, dims), "vec_id")
+      .join(if (mm.quantized) mrlSqRows(newEmb, mm.dims)
+            else mrlRows(newEmb, mm.dims), "vec_id")
     val live = liveDir(spark, path, MrlCodesKind)
-    val meta = appendMetaCols(spark, live, mrlCodesCore, newEmb, metaCols)
+    val meta = appendMetaCols(spark, live, mrlCoreOf(mm.quantized),
+      newEmb, metaCols)
     val withMeta =
       if (meta.isEmpty) rows
       else rows.join(newEmb.select((Seq("vec_id") ++ meta).map(col): _*),
         "vec_id")
     val seqNo = Tombstones.nextSeq(spark, path)
-    fencedAppend(spark, path, MrlCodesKind) { dir =>
-      withMeta
-        .withColumn("ins_seq", lit(seqNo))
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell")
-        .parquet(dir)
-    }
-    // the co-located raw refine flavor stays in step (the appendIvfPq
-    // combined-store contract)
+    // the RAW refine flavor appends FIRST: the two flavors share one
+    // seq but land in two writes, and a crash (or fence abort) between
+    // them must leave the benign asymmetry — an id present in postings
+    // but missing from mrl_codes is merely never SHORTLISTED (and still
+    // serves through every raw-flavor path), whereas the reverse order
+    // leaves prefix rows whose refine join silently drops them from
+    // every MRL result (recall loss with no error). Recovery after a
+    // crash between the writes: re-run the append — or compare the two
+    // flavors' vec_id sets at this seq and re-append the difference.
     val liveRaw = liveDir(spark, path, PostingsKind)
     val rawMeta = appendMetaCols(spark, liveRaw, postingsCore, newEmb, metaCols)
     val rawWithMeta =
@@ -1160,6 +1246,13 @@ object Index {
         .write.mode("append").partitionBy("cell")
         .parquet(dir)
     }
+    fencedAppend(spark, path, MrlCodesKind) { dir =>
+      withMeta
+        .withColumn("ins_seq", lit(seqNo))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(dir)
+    }
   }
 
   /** The matryoshka upsert — [[upsertIvf]]'s delete-then-add ordering
@@ -1167,7 +1260,8 @@ object Index {
     */
   def upsertIvfMrl(spark: SparkSession, path: String, batch: DataFrame,
                    superProbe: Int = Similarity.defaultSuperProbe,
-                   metaCols: Seq[String] = Nil): Unit = {
+                   metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "upsertIvfMrl") {
     delete(spark, path, batch.select("vec_id"))
     appendIvfMrl(spark, path, batch, superProbe, metaCols)
   }
@@ -1188,21 +1282,37 @@ object Index {
                               candWhere: Column = lit(true)): DataFrame = {
     val depth = Similarity.autoRerank(k, rerank)
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    val dims = mrlDims(spark, path)
+    val mm = mrlMeta(spark, path)
     // tombstone mask BEFORE ranking (the ivfTopKIndexed contract)
     val codes = Tombstones.mask(
       prunedToProbes(spark, liveDir(spark, path, MrlCodesKind),
         probedCellVals(probes)).where(candWhere),
       Tombstones.readAll(spark, path), "vec_id")
-    val qp = queries.select(col("vec_id").as("query_id"),
-        slice(col("embedding").cast("array<double>"), 1, dims).as("qpv"))
-      .withColumn("qpn", sqrt(VecFold.dot(col("qpv"), col("qpv"))))
-    val scored = codes.join(broadcast(probes), Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
-      .join(broadcast(qp), "query_id")
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(Similarity.safeCosine(VecFold.dot(col("vp"), col("qpv")),
-          col("vpn"), col("qpn")), 6).as("cosine"))
+    // shortlist scoring follows the store's recorded prefix coding:
+    // raw-prefix cosine, or (quantized tier) the absolute-SQ integer
+    // code dot × the stored rescale factor — a rank-only surrogate,
+    // which is all a shortlist that feeds an exact refine needs
+    val scored =
+      if (mm.quantized) {
+        val qp = mrlSqRows(queries, mm.dims)
+          .select(col("vec_id").as("query_id"), col("qb").as("qqb"))
+        codes.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .join(broadcast(qp), "query_id")
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (sqDot(col("qb"), col("qqb")) * col("r")).as("cosine"))
+      } else {
+        val qp = queries.select(col("vec_id").as("query_id"),
+            slice(col("embedding").cast("array<double>"), 1, mm.dims)
+              .as("qpv"))
+          .withColumn("qpn", sqrt(VecFold.dot(col("qpv"), col("qpv"))))
+        codes.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .join(broadcast(qp), "query_id")
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(Similarity.safeCosine(VecFold.dot(col("vp"), col("qpv")),
+              col("vpn"), col("qpn")), 6).as("cosine"))
+      }
     val short = Similarity.topK(scored, depth)
       .select("query_id", "neighbor_id")
     refineExact(spark, path, probes, q, short, k)
@@ -1327,7 +1437,12 @@ object Index {
     * NOT take effect if the flip preceded the write's visibility — but a
     * compaction that listed mid-write may have folded part of the batch
     * in, so the safe recovery is: quiesce the compactor, check the live
-    * generation for the batch's ids, re-append what is missing.
+    * generation for the batch's ids, re-append what is missing. On a
+    * COMBINED store (PQ/SQ/MRL + raw) an append is two fenced writes
+    * sharing one seq — recovery must also check the SIBLING flavor for
+    * the batch's ids and re-sync the difference (the append orders the
+    * writes so a gap is at worst un-shortlisted, never silently dropped
+    * at a refine join — see [[appendIvfMrl]]).
     */
   private[graft] def fencedAppend(spark: SparkSession, path: String,
                                   kind: String)(write: String => Unit): Unit = {
@@ -1429,7 +1544,8 @@ object Index {
     * stores written before appends validated metaCols) compacts to the
     * union schema instead of silently dropping metadata.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    Lease.withLease(spark, path, "compact") {
     // tombstone consumption: list ONCE, purge masked rows from every
     // flavor's rewrite, then delete exactly the listed files — a delete
     // landing after the listing keeps masking at serve time and is
@@ -1593,7 +1709,8 @@ object Index {
     * racing mutation there to pin the loud-abort contract.
     */
   private[graft] def rebuild(spark: SparkSession, path: String,
-                             midHook: () => Unit): Unit = {
+                             midHook: () => Unit): Unit =
+    Lease.withLease(spark, path, "rebuild") {
     import Ckpt.CutOps
     val snap = snapshotStore(spark, path)
     def has(kind: String) = generations(spark, path, kind)
@@ -1650,7 +1767,8 @@ object Index {
   /** Test seam — see [[rebuild]]'s `midHook`. */
   private[graft] def rebuildFrom(spark: SparkSession, path: String,
                                  corpus: DataFrame,
-                                 midHook: () => Unit): Unit = {
+                                 midHook: () => Unit): Unit =
+    Lease.withLease(spark, path, "rebuildFrom") {
     import Ckpt.CutOps
     val snap = snapshotStore(spark, path)
     def has(kind: String) = generations(spark, path, kind)
@@ -1668,6 +1786,28 @@ object Index {
     val cut = corpus
       .select((Seq(col("vec_id"), col("embedding")) ++ meta.map(col)): _*)
       .lineageCut
+    // RESURRECTION guard (deletions are not replayed — see scaladoc): a
+    // corpus snapshot that still contains ids the store has tombstoned
+    // will republish them outranking every tombstone. Legitimate when
+    // the id was upserted (deleted-then-re-added) after the snapshot's
+    // cut — silent data-loss-undo when the snapshot simply predates the
+    // delete — so the mismatch warns LOUDLY instead of failing: one
+    // broadcast semi-join count over the already-checkpointed corpus
+    // (the tombstone side is delete-bounded), next to free beside the
+    // corpus-scale rebuild itself.
+    Tombstones.readAll(spark, path).foreach { t =>
+      val resurrected = cut.join(
+        broadcast(t.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+        .count()
+      if (resurrected > 0)
+        System.err.println(s"[graft.Index] WARNING: rebuildFrom corpus " +
+          s"for $path contains $resurrected id(s) the store has " +
+          "tombstoned — rebuildFrom does NOT replay deletions, so these " +
+          "rows will be RESURRECTED in the published generations. If " +
+          "they were deleted (not upserted) after this corpus snapshot " +
+          "was taken, anti-join the corpus against your deletion ledger " +
+          "and re-run.")
+    }
     stagedRebuild(spark, path, cut, meta, withRaw = has(PostingsKind),
       snap, midHook)
   }
@@ -1766,11 +1906,14 @@ object Index {
       // the MRL prefix flavor shares the staged raw flavor's fresh
       // assignment (an MRL store always carries raw postings — the
       // refine half of its serve), re-sliced at the store's recorded
-      // width; the mrl_meta marker is width-only and stays in place
-      val dims = mrlDims(spark, path)
+      // width AND coding; the mrl_meta marker is build-shape-only and
+      // stays in place
+      val mm = mrlMeta(spark, path)
       val cellOf = spark.read.parquet(s"$stage/$PostingsKind")
         .select("vec_id", "cell")
-      val rows = cellOf.join(mrlRows(corpus, dims), "vec_id")
+      val rows = cellOf.join(
+        if (mm.quantized) mrlSqRows(corpus, mm.dims)
+        else mrlRows(corpus, mm.dims), "vec_id")
       val withMeta =
         if (meta.isEmpty) rows
         else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),
@@ -1787,7 +1930,7 @@ object Index {
     // the staged build above is hours long and "quiesce mutators" without
     // enforcement is how production stores silently lose writes
     verifyUnmoved(spark, path, snap, stampSeq, stage, "rebuild")
-    publishStage(spark, path, stage)
+    publishStage(spark, path, stage, recheck = Some((snap, stampSeq)))
   }
 
   /** Flip a staged rebuild live: rename every staged kind into the next
@@ -1797,9 +1940,23 @@ object Index {
     * `_SUCCESS` markers are stripped before the renames — a staged dir
     * must not self-commit ahead of its siblings, or a plan built
     * between renames would mix generations of different kinds.
+    *
+    * `recheck = Some((snap, stampSeq))` re-verifies the conflict fence
+    * IMMEDIATELY before the commit-marker create — after the renames,
+    * which can take real time on an object store. A mutation landing
+    * between [[verifyUnmoved]] and the flip would otherwise be silently
+    * absent from the published generations; at this point the renamed
+    * dirs are still uncommitted (marker-less — no reader selects them),
+    * so aborting only needs to delete them and the store is unchanged.
+    * The residual window is the single marker create itself; the
+    * [[Lease]] closes it for every API writer (a mutator cannot even
+    * start while the rebuild holds the lease), leaving this recheck as
+    * defense-in-depth against lease-bypassing writers.
     */
   private[graft] def publishStage(spark: SparkSession, path: String,
-                           stage: String): Unit = {
+                           stage: String,
+                           recheck: Option[(StoreSnapshot, Long)] = None)
+      : Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -1816,6 +1973,21 @@ object Index {
       fs.delete(new Path(s"$stage/$k/_SUCCESS"), false)
       require(fs.rename(new Path(s"$stage/$k"), new Path(s"$path/${k}_v$n")),
         s"rebuild publish: rename of $k into generation v$n failed at $path")
+    }
+    // last-instant fence re-check (see scaladoc): the renamed dirs are
+    // uncommitted, so aborting here deletes them and nothing else moved
+    recheck.foreach { case (snap, stampSeq) =>
+      val seqNow = Tombstones.currentSeq(spark, path)
+      val gensNow = snapshotStore(spark, path).gens
+      if (seqNow != stampSeq || gensNow != snap.gens) {
+        kinds.foreach { k =>
+          fs.delete(new Path(s"$path/${k}_v$n"), true); ()
+        }
+        abortRaced(spark, path, stage, "rebuild",
+          s"the store's mutation counter moved $stampSeq -> $seqNow (or " +
+            "a compaction flipped a generation) between the staged " +
+            "renames and the commit-marker create")
+      }
     }
     fs.create(new Path(root, s"commit_v$n")).close() // THE atomic flip
     kinds.foreach { k =>
@@ -1889,7 +2061,8 @@ object Index {
                      maxMaskedFrac: Double = 0.2,
                      maxFilesPerCell: Double = 8.0,
                      rebuildWith: Option[DataFrame] = None,
-                     vacuumKeep: Option[Int] = None): DataFrame = {
+                     vacuumKeep: Option[Int] = None): DataFrame =
+    Lease.withLease(spark, path, "maintain") {
     import spark.implicits._
     def has(kind: String) = generations(spark, path, kind)
       .exists { case (_, p) => isCommitted(spark, p) }
@@ -1918,6 +2091,34 @@ object Index {
         "masked_frac", "files_per_cell")
   }
 
+  /** The operator CRON SHAPE — one scheduled call per store per
+    * maintenance window: acquire the [[Lease]] (so the tick can never
+    * interleave with an out-of-band mutator — a second tick, a manual
+    * rebuild, a stray append all fail loudly at acquisition), run
+    * [[maintainReport]]'s measured decision + action, then [[vacuum]]
+    * superseded generations, all under ONE lease window. Returns the
+    * evidence row extended with the vacuum's result:
+    * (action, n_vectors, n_cells, auto_cells, dilution, masked_frac,
+    * files_per_cell, generations_removed, bytes_reclaimed).
+    *
+    * `vacuumKeep` defaults to 2 — the standard one-flip grace window,
+    * safe whenever [[compact]] itself is (pre-tick plans keep
+    * executing). Schedule with `vacuumKeep = 1` only in a window where
+    * every serve planned before the previous flip has drained.
+    * SCALING.md's maintenance-loop section prices the branches.
+    */
+  def maintenanceTick(spark: SparkSession, path: String,
+                      maxDilution: Double = 2.0,
+                      maxMaskedFrac: Double = 0.2,
+                      maxFilesPerCell: Double = 8.0,
+                      rebuildWith: Option[DataFrame] = None,
+                      vacuumKeep: Int = 2): DataFrame =
+    Lease.withLease(spark, path, "maintenanceTick") {
+      val report = maintainReport(spark, path, maxDilution, maxMaskedFrac,
+        maxFilesPerCell, rebuildWith, vacuumKeep = None)
+      report.crossJoin(vacuum(spark, path, vacuumKeep))
+    }
+
   /** Reclaim SUPERSEDED generations — the explicit end of the MVCC
     * story. Every publish ([[compact]]'s versioned flip, [[rebuild]]'s
     * staged one) retires generations older than its grace window, but a
@@ -1943,7 +2144,8 @@ object Index {
     * Returns one row: (generations_removed, bytes_reclaimed).
     */
   def vacuum(spark: SparkSession, path: String,
-             keepGenerations: Int = 1): DataFrame = {
+             keepGenerations: Int = 1): DataFrame =
+    Lease.withLease(spark, path, "vacuum") {
     require(keepGenerations >= 1, "must keep at least the live generation")
     import spark.implicits._
     import org.apache.hadoop.fs.Path
@@ -2004,9 +2206,14 @@ object Index {
     * assigned-to cell (`repartition(cell)`), so files = distinct build
     * cells + distinct append cells under the replayed flat assignment.
     */
+  /** `extraColsSql`: appended verbatim to the SELECT list — the
+    * [[maintenanceTick]] oracle adds its count-formula
+    * `generations_removed` column this way.
+    */
   def maintainOracleSql(nCellsBuilt: Int, baseWhereSql: String,
                         deletedWhereSql: String,
-                        floorCells: Int = 16): String =
+                        floorCells: Int = 16,
+                        extraColsSql: String = ""): String =
     s"""WITH ${Similarity.cellCtesSql(nCellsBuilt,
            centroidWhereSql = baseWhereSql)},
        |assigned AS (SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
@@ -2029,7 +2236,7 @@ object Index {
        |  n_vectors AS post_n_vectors,
        |  auto_cells AS post_n_cells,
        |  auto_cells AS post_auto_cells,
-       |  1.0::DOUBLE AS post_dilution
+       |  1.0::DOUBLE AS post_dilution$extraColsSql
        |FROM vals""".stripMargin
 
   /** DuckDB oracle for [[ivfMrlRerankTopKIndexed]]: the shared flat
@@ -2043,18 +2250,20 @@ object Index {
                                 isQuerySql: String =
                                   Similarity.defaultIsQuerySql,
                                 candWhereSql: String = "TRUE",
-                                centroidWhereSql: String = "TRUE"): String =
+                                centroidWhereSql: String = "TRUE",
+                                embExprSql: String = "embedding"): String =
     s"""WITH ${Similarity.cellCtesSql(nCells,
-           centroidWhereSql = centroidWhereSql)},
+           centroidWhereSql = centroidWhereSql,
+           embExprSql = embExprSql)},
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cid AS cell
        |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
        |pe AS (
-       |  SELECT vec_id, (embedding::DOUBLE[])[1:$dims] AS pv,
-       |         sqrt(list_dot_product((embedding::DOUBLE[])[1:$dims],
-       |                               (embedding::DOUBLE[])[1:$dims])) AS pn
+       |  SELECT vec_id, (($embExprSql)::DOUBLE[])[1:$dims] AS pv,
+       |         sqrt(list_dot_product((($embExprSql)::DOUBLE[])[1:$dims],
+       |                               (($embExprSql)::DOUBLE[])[1:$dims])) AS pn
        |  FROM embeddings),
        |qp AS (SELECT vec_id AS query_id, pv AS qpv, pn AS qpn
        |       FROM pe WHERE $isQuerySql),
@@ -2073,6 +2282,77 @@ object Index {
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |              ORDER BY pcos DESC, neighbor_id) AS srank
+       |    FROM prescored)
+       |  WHERE srank <= ${Similarity.autoRerank(k, rerank)}),
+       |qq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+       |       WHERE $isQuerySql),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(${Similarity.safeCosineSql(
+                  "list_dot_product(e.v, qq.qv)", "e.norm", "qq.qnorm")}, 6)
+       |           AS cosine
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN qq ON qq.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for the QUANTIZED MRL serve (`saveIvfMrl(quantized =
+    * true)` → [[ivfMrlRerankTopKIndexed]]): the prefix slice is int8-
+    * quantized with [[Similarity.int8TopK]]'s exact conventions, the
+    * shortlist ranks by the integer code dot × the candidate's rescale
+    * factor (exact in double — products and sums of |q| ≤ 127 integers
+    * stay far under 2^53), and the refine is the same exact full-width
+    * cosine as the raw-prefix oracle. `rerank <= 0` resolves through
+    * [[Similarity.autoRerank]].
+    */
+  def ivfMrlSqRerankTopKOracleSql(k: Int, dims: Int, rerank: Int = 0,
+                                  nCells: Int = 16, nProbe: Int = 4,
+                                  isQuerySql: String =
+                                    Similarity.defaultIsQuerySql,
+                                  candWhereSql: String = "TRUE",
+                                  centroidWhereSql: String = "TRUE",
+                                  embExprSql: String = "embedding"): String =
+    s"""WITH ${Similarity.cellCtesSql(nCells,
+           centroidWhereSql = centroidWhereSql,
+           embExprSql = embExprSql)},
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM ranks WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM ranks WHERE rnk <= $nProbe AND $isQuerySql),
+       |pe0 AS (
+       |  SELECT vec_id, (($embExprSql)::DOUBLE[])[1:$dims] AS pv
+       |  FROM embeddings),
+       |pe1 AS (
+       |  SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn,
+       |         list_max(list_transform(pv, x -> abs(x))) AS scale
+       |  FROM pe0),
+       |pe AS (
+       |  SELECT vec_id,
+       |         list_transform(pv, x -> floor(x * 127.0 /
+       |           (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5)) AS qb,
+       |         round(CASE WHEN pn = 0 THEN 0.0 ELSE scale / pn END, 9) AS r
+       |  FROM pe1),
+       |qp AS (SELECT vec_id AS query_id, qb AS qqb FROM pe
+       |       WHERE $isQuerySql),
+       |prescored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         list_dot_product(x.qb, qp.qqb) * x.r AS pscore
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN pe x ON x.vec_id = a.vec_id
+       |  JOIN qp ON qp.query_id = p.query_id
+       |  WHERE a.vec_id != p.query_id
+       |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE $candWhereSql)),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY pscore DESC, neighbor_id) AS srank
        |    FROM prescored)
        |  WHERE srank <= ${Similarity.autoRerank(k, rerank)}),
        |qq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e

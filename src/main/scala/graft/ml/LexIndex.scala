@@ -137,7 +137,8 @@ object LexIndex {
     */
   def saveLexical(corpus: DataFrame, path: String, nBuckets: Int = 0,
                   metaCols: Seq[String] = Nil,
-                  insSeq: Long = 0L): Unit = {
+                  insSeq: Long = 0L): Unit =
+    Lease.withLease(corpus.sparkSession, path, "saveLexical") {
     require(nBuckets >= 0, "nBuckets must be non-negative")
     val spark = corpus.sparkSession
     val nDocs = corpus.count()
@@ -197,7 +198,8 @@ object LexIndex {
     */
   def appendLexical(spark: SparkSession, path: String,
                     newDocs: DataFrame,
-                    metaCols: Seq[String] = Nil): Unit = {
+                    metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "appendLexical") {
     val nBuckets = spark.read.parquet(statsDir(spark, path))
       .select("n_buckets").head().getLong(0)
     // the store's schema decides the metadata set — a caller-side
@@ -271,7 +273,8 @@ object LexIndex {
 
   /** Test seam — see [[Index.rebuild]]'s `midHook`. */
   private[graft] def foldStats(spark: SparkSession, path: String,
-                               midHook: () => Unit): Unit = {
+                               midHook: () => Unit): Unit =
+    Lease.withLease(spark, path, "foldStats") {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -385,7 +388,8 @@ object LexIndex {
   /** Test seam — see [[Index.rebuild]]'s `midHook`. */
   private[graft] def rebuildLexical(corpus: DataFrame, path: String,
                                     nBuckets: Int, metaCols: Seq[String],
-                                    midHook: () => Unit): Unit = {
+                                    midHook: () => Unit): Unit =
+    Lease.withLease(corpus.sparkSession, path, "rebuildLexical") {
     val spark = corpus.sparkSession
     val snap = Index.snapshotStore(spark, path)
     val stage = s"$path/_rebuild_stage"
@@ -408,7 +412,7 @@ object LexIndex {
     midHook()
     // the conflict fence, BEFORE the atomic flip (the dense contract)
     Index.verifyUnmoved(spark, path, snap, stampSeq, stage, "rebuild")
-    Index.publishStage(spark, path, stage)
+    Index.publishStage(spark, path, stage, recheck = Some((snap, stampSeq)))
     // the append history is folded into the fresh build by construction
     deletePath(spark, dfDeltasPath(path))
     deletePath(spark, docDeltasPath(path))
@@ -419,7 +423,8 @@ object LexIndex {
     * crash-safe (`_SUCCESS` is the publish point) and reader-safe (the
     * previous generation survives until the next compaction).
     */
-  def compactLexical(spark: SparkSession, path: String): Unit = {
+  def compactLexical(spark: SparkSession, path: String): Unit =
+    Lease.withLease(spark, path, "compactLexical") {
     // tombstone consumption mirrors [[Index.compact]]: purge exactly the
     // listed files' masked rows, delete exactly those files — deletes
     // landing mid-compaction survive to the next cycle
@@ -442,7 +447,9 @@ object LexIndex {
     * are physically reclaimed by [[compactLexical]].
     */
   def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    Tombstones.write(spark, path, ids, "doc_id")
+    Lease.withLease(spark, path, "deleteDocs") {
+      Tombstones.write(spark, path, ids, "doc_id")
+    }
 
   /** Predicate deletion over the store's own columns — metadata
     * (`metaCols`) included, so "drop tenant X" needs no external id
@@ -453,7 +460,8 @@ object LexIndex {
     * re-tombstoned (idempotent under re-runs).
     */
   def deleteWhereDocs(spark: SparkSession, path: String,
-                      pred: Column): Unit = {
+                      pred: Column): Unit =
+    Lease.withLease(spark, path, "deleteWhereDocs") {
     val ids = Tombstones.mask(
       spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
       Tombstones.readAll(spark, path), "doc_id")
@@ -480,7 +488,8 @@ object LexIndex {
     * must not linger in df.
     */
   def upsertDocs(spark: SparkSession, path: String, docs: DataFrame,
-                 metaCols: Seq[String] = Nil): Unit = {
+                 metaCols: Seq[String] = Nil): Unit =
+    Lease.withLease(spark, path, "upsertDocs") {
     val ids = docs.select("doc_id").distinct()
     val served = Tombstones.mask(
       spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
@@ -660,7 +669,8 @@ object LexIndex {
                      maxFilesPerBucket: Double = 8.0,
                      maxDilution: Double = 4.0,
                      rebuildWith: Option[DataFrame] = None,
-                     vacuumKeep: Option[Int] = None): DataFrame = {
+                     vacuumKeep: Option[Int] = None): DataFrame =
+    Lease.withLease(spark, path, "maintainLexical") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(path)

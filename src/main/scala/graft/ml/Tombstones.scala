@@ -65,15 +65,47 @@ private[graft] object Tombstones {
     * construction: the counter is the max over marker-file NAMES, and a
     * new value exists only once its single-file create succeeds —
     * there is no state where a reader can observe a torn counter.
+    *
+    * The create is EXCLUSIVE (`overwrite = false`): two concurrent
+    * bumps that both computed `cur = N` must not both "create" marker
+    * N+1 successfully — they would share one seq value, the rebuild
+    * fence's `stampSeq == snap.seq + 1` pre-check and [[Index]]'s
+    * `verifyUnmoved` would both pass, and the racing batch would be
+    * silently absent from the published generations (exactly the
+    * lost-update the fence exists to make loud). The loser's create
+    * throws FileAlreadyExistsException and it retries with the next
+    * number, so every mutation owns a distinct counter value.
     */
+  /** Per-path JVM locks serializing in-process bumps: on HDFS-like
+    * stores the exclusive create is atomic at the namenode, but
+    * RawLocalFileSystem's `create(f, false)` is check-then-act — two
+    * same-JVM threads in a tight race could both "create" one marker.
+    * Layered guarantee: exact within a JVM (this lock), exact across
+    * processes wherever the FS create is atomic (HDFS and every real
+    * deployment store), best-effort on a shared local directory.
+    */
+  private val bumpLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def nextSeq(spark: SparkSession, path: String): Long = {
     val dir = seqDir(path)
     val fs = fsOf(spark, dir)
-    val cur = currentSeq(spark, path)
-    val next = cur + 1
-    fs.mkdirs(dir)
-    fs.create(new Path(dir, next.toString)).close()
-    next
+    val lock = bumpLocks.computeIfAbsent(dir.toString, _ => new Object)
+    lock.synchronized {
+      fs.mkdirs(dir)
+      var next = currentSeq(spark, path) + 1
+      var created = false
+      while (!created) {
+        try {
+          fs.create(new Path(dir, next.toString), false).close()
+          created = true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+          case _: java.nio.file.FileAlreadyExistsException => next += 1
+        }
+      }
+      next
+    }
   }
 
   /** A fresh build owes nothing to the previous store's mutation

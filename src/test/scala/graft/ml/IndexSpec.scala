@@ -1446,6 +1446,52 @@ class IndexSpec extends SparkSpec {
     assert(servedSet().nonEmpty)
   }
 
+  test("QUANTIZED MRL (MRL × SQ8): serve refines exactly; lifecycle composes") {
+    // with the shortlist deeper than any probed candidate count, the
+    // quantized-prefix shortlist covers everything the raw serve scores,
+    // so the refined result must EQUAL the raw flat serve — pinning that
+    // the int8 prefix cut loses nothing the refine cannot recover
+    val path = freshPath("mrlsq")
+    Index.saveIvfMrl(emb.where(col("vec_id") < 100), path, prefixDims = 4,
+      quantized = true)
+    def extra(lo: Long, hi: Long) = (lo until hi).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    // append dispatches on the recorded coding: the refreshed flavor
+    // must carry int8 codes, not raw prefixes
+    Index.appendIvfMrl(spark, path, extra(100L, 120L))
+    val mrlCols = spark.read
+      .parquet(Index.liveDir(spark, path, Index.MrlCodesKind))
+      .columns.toSet
+    assert(mrlCols.contains("qb") && !mrlCols.contains("vp"),
+      "quantized MRL store lost its int8 coding on append")
+    val isQ = pmod(col("vec_id"), lit(10)) === 0
+    def raw = Index.ivfTopKIndexed(spark, path, emb.where(isQ), k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    def mrl = Index.ivfMrlRerankTopKIndexed(spark, path, emb.where(isQ),
+      k = 5, rerank = 500)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(mrl === raw && mrl.nonEmpty)
+    // upsert + delete + self-rebuild keep the coding and the answers
+    Index.upsertIvfMrl(spark, path,
+      extra(110L, 112L).withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.5))))
+    Index.delete(spark, path, Seq(7L).toDF("vec_id"))
+    assert(mrl === raw, "flavors diverged after upsert + delete")
+    Index.rebuild(spark, path)
+    val rebuiltCols = spark.read
+      .parquet(Index.liveDir(spark, path, Index.MrlCodesKind))
+      .columns.toSet
+    assert(rebuiltCols.contains("qb") && !rebuiltCols.contains("vp"),
+      "rebuild silently de-quantized the MRL flavor")
+    assert(mrl === raw && mrl.nonEmpty,
+      "flavors diverged across the staged rebuild")
+    assert(!mrl.exists(_._2 == 7L), "rebuild resurrected a deleted id")
+  }
+
   test("maintain(vacuumKeep) reclaims superseded generations in the cron loop") {
     val path = freshPath("maintvac")
     Index.saveIvf(emb, path, nCells = 4) // diluted: auto 16 > 2 x 4
