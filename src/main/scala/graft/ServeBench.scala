@@ -457,6 +457,44 @@ object ServeBench {
         Index.ivfSqTopKIndexed(spark, sqtPath, qT, k = 10))
       val sqtRec = recallOf(Index.ivfSqTopKIndexed(spark, sqtPath, qT, k = 10))
       println(s"""{"stage":"tier_sq8_residual_trained","n":$n,"build_sec":${Bench.fmt3(sqtBuild)},"store_bytes":$sqtBytes,"serve_sec":${Bench.fmt3(sqtSec)},"recall10":$sqtRec}""")
+      System.out.flush()
+      // MRL × SQ8 combined tier: the prefix slice int8-quantized — 1
+      // byte per kept dim, so the shortlist reads ~1/32 of the raw
+      // bytes at 16-of-64 (vs the raw prefix's 1/4) with the same
+      // full-width exact refine; the dimension and precision cuts
+      // COMPOSE on one ladder rung
+      val mrlqPath = s"$root/tier_mrlsq"
+      val tmqb = System.nanoTime()
+      Index.saveIvfMrl(emb, mrlqPath, prefixDims = 16, forceFlat = true,
+        quantized = true)
+      val mrlqBuild = (System.nanoTime() - tmqb) / 1e9
+      val mrlqBytes = dirBytes(
+        Index.liveDir(spark, mrlqPath, Index.MrlCodesKind).stripPrefix("file:"))
+      val mrlqSec = timed("tier_mrl_sq_serve_q50")(
+        Index.ivfMrlRerankTopKIndexed(spark, mrlqPath, qT, k = 10))
+      val mrlqRec = recallOf(
+        Index.ivfMrlRerankTopKIndexed(spark, mrlqPath, qT, k = 10))
+      println(s"""{"stage":"tier_mrl_sq","n":$n,"build_sec":${Bench.fmt3(mrlqBuild)},"store_bytes":$mrlqBytes,"rerank_depth":$rrDepth,"serve_sec":${Bench.fmt3(mrlqSec)},"recall10":$mrlqRec}""")
+      System.out.flush()
+      // trained residual PQ + exact refine at the auto depth — the
+      // PRACTICAL PQ configuration, next to the honest codes-only
+      // tier_pq row (seeded absolute codes read recall ~0.07 on the
+      // 1000× family corpus: technically the cheapest bytes, not a
+      // config anyone deploys without refine)
+      val pqtPath = s"$root/tier_pqt"
+      val tpb = System.nanoTime()
+      Index.saveIvfPq(emb, pqtPath, forceFlat = true, trained = true,
+        residual = true, withRaw = true)
+      val pqtBuild = (System.nanoTime() - tpb) / 1e9
+      val pqtBytes = dirBytes(
+        Index.liveDir(spark, pqtPath, Index.PqCodesKind).stripPrefix("file:"))
+      val pqtAdcRec = recallOf(
+        Index.ivfPqTopKIndexed(spark, pqtPath, qT, k = 10))
+      val pqtSec = timed("tier_pq_trained_rerank_serve_q50")(
+        Index.ivfPqRerankTopKIndexed(spark, pqtPath, qT, k = 10))
+      val pqtRec = recallOf(
+        Index.ivfPqRerankTopKIndexed(spark, pqtPath, qT, k = 10))
+      println(s"""{"stage":"tier_pq_trained_rerank","n":$n,"build_sec":${Bench.fmt3(pqtBuild)},"store_bytes":$pqtBytes,"rerank_depth":$rrDepth,"adc_recall10":$pqtAdcRec,"serve_sec":${Bench.fmt3(pqtSec)},"recall10":$pqtRec}""")
     }
 
     if (want("deletes")) {
@@ -775,7 +813,13 @@ object ServeBench {
       val rrAfter = recallOf(
         Index.ivfPqRerankTopKIndexed(spark, path, qT, k = 10, rerank = 40))
       val residualKept = Index.isResidual(spark, path)
-      println(s"""{"stage":"rebuildcoding_verdict","n":$n,"rebuild_sec":${Bench.fmt3(rebuildSec)},"adc_before":$adcBefore,"adc_after":$adcAfter,"rerank_before":$rrBefore,"rerank_after":$rrAfter,"residual_preserved":$residualKept,"recall_retained":${adcAfter >= adcBefore - 0.05 && rrAfter >= rrBefore - 0.05}}""")
+      // the retention flag's tolerance is STATED in the artifact (the
+      // r14 row called a -6.4% relative rerank dip "retained" with no
+      // visible threshold): recall may move +-tol absolute across a
+      // re-grid — fresh autoCells centroids legitimately change probe
+      // geometry — and anything past it must read false, loudly
+      val retTol = 0.05
+      println(s"""{"stage":"rebuildcoding_verdict","n":$n,"rebuild_sec":${Bench.fmt3(rebuildSec)},"adc_before":$adcBefore,"adc_after":$adcAfter,"rerank_before":$rrBefore,"rerank_after":$rrAfter,"adc_delta":${Bench.fmt3(adcAfter - adcBefore)},"rerank_delta":${Bench.fmt3(rrAfter - rrBefore)},"retention_tolerance":$retTol,"residual_preserved":$residualKept,"recall_retained":${adcAfter >= adcBefore - retTol && rrAfter >= rrBefore - retTol}}""")
       System.out.flush()
     }
 
