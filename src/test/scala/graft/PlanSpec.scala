@@ -458,6 +458,22 @@ class PlanSpec extends SparkSpec {
           l.contains("vp:") && !l.contains("v:") && !l.contains("norm:")),
         s"MRL shortlist scan reads more than the prefix columns:\n$p")
     }
+    // the QUANTIZED MRL shortlist's byte cut is even deeper: its codes
+    // scan must read only the packed int8 prefix (qb binary) + rescale
+    // factor, never a raw double array of any width. The quantized scan
+    // is the one whose ReadSchema carries qb next to cell.
+    locally {
+      val p = plan("ann_matryoshka_sq_topk")
+      assert(p.contains("PartitionFilters") && p.contains("cell#"),
+        s"ann_matryoshka_sq_topk: no partition filter on the store scan:\n$p")
+      val qSchemas = p.split("\n").filter(l =>
+        l.contains("ReadSchema") && l.contains("qb:"))
+      assert(qSchemas.nonEmpty, s"no quantized mrl_codes scan in the plan:\n$p")
+      assert(qSchemas.forall(l =>
+          l.contains("r:") && !l.contains("vp:") && !l.contains("v:") &&
+            !l.contains("norm:")),
+        s"quantized MRL shortlist scan reads more than qb/r:\n$p")
+    }
   }
 
   test("filtered serve pushes the metadata predicate into the store scan") {

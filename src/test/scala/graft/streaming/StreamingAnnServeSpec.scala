@@ -366,34 +366,61 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(got.exists(_._2 >= 60L), "streamed-ingested rows never served")
   }
 
-  test("a streamed ingest racing a rebuild trips the single-writer fence") {
-    // the streaming mutation surface is subject to the same enforced
-    // window as batch mutators: a micro-batch appended between the
-    // rebuild's corpus read and its flip bumps the mutation counter, so
-    // the rebuild aborts loudly and the streamed batch is never lost
+  test("a streamed ingest cannot land inside a rebuild's lease window") {
+    // round 14 let the micro-batch land and aborted the REBUILD at its
+    // publish fence — correct but expensive (hours of staged work lost
+    // to one micro-batch). The round-15 writer lease inverts the
+    // priority to first-come-first-served: the rebuild holds the
+    // store's lease for its whole window, the racing micro-batch fails
+    // AT ACQUISITION before writing anything (the Delta/Iceberg
+    // concurrent-writer contract), the ingest query surfaces the
+    // failure loudly, and the source-side retry lands the batch once
+    // the window is free — at-least-once ingest, never a silent loss,
+    // never a torn flavor pair.
     val path = freshPath("racestreamreb")
     Index.saveIvfMrl(emb.where(col("vec_id") < 100), path, prefixDims = 4)
+    def batchRows = (100L until 110L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
+    }
     val input = MemoryStream[(Long, Seq[Float])]
     val iq = StreamingAnnServe.appendStreamMrl(
       input.toDF().toDF("vec_id", "embedding"), path).start()
     try {
-      val ex = intercept[IllegalStateException] {
+      val ex = intercept[Exception] {
         Index.rebuild(spark, path, () => {
-          input.addData((100L until 110L).map { i =>
-            (i, (0 until 8).map(d => math.sin(i * 1.37 + d * 0.73).toFloat))
-          })
-          iq.processAllAvailable()
+          input.addData(batchRows)
+          iq.processAllAvailable() // rethrows the micro-batch failure
         })
       }
-      assert(ex.getMessage.contains("single-writer"))
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null)
+        && causes(ex).exists(c =>
+          c.getMessage != null && c.getMessage.contains("writer lease")),
+        s"expected a lease-acquisition failure in the cause chain: $ex")
     } finally iq.stop()
-    // the streamed batch survives the aborted rebuild and serves
+    // the blocked micro-batch wrote NOTHING — neither flavor carries it
+    // (no torn prefix/raw pair, the silent-recall-loss shape)
     val stored = spark.read
       .parquet(Index.liveDir(spark, path, Index.MrlCodesKind))
       .select("vec_id").as[Long].collect().toSet
-    assert((100L until 110L).forall(stored.contains),
-      "the racing streamed micro-batch is missing from the live store")
-    // quiesced, the rebuild then succeeds over the full corpus
+    assert(!stored.exists(_ >= 100L),
+      "a lease-blocked streamed micro-batch still wrote rows")
+    // the rebuild itself aborted with the midHook's failure (nothing
+    // published), the lease is free — the source-side RETRY lands the
+    // batch, then the quiesced rebuild succeeds over the full corpus
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val iq2 = StreamingAnnServe.appendStreamMrl(
+      input2.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      input2.addData(batchRows)
+      iq2.processAllAvailable()
+    } finally iq2.stop()
+    val replayed = spark.read
+      .parquet(Index.liveDir(spark, path, Index.MrlCodesKind))
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L until 110L).forall(replayed.contains),
+      "the retried micro-batch is missing from the live store")
     Index.rebuild(spark, path)
     assert(Index.stats(spark, path).head().getLong(0) === 110L)
   }
