@@ -681,6 +681,42 @@ object SparkEntry {
       Index.upsertIvf(s, path, mod)
       Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery), k = 10)
     }),
+    // TIME-TRAVEL: serve the store AS OF a mutation sequence (the
+    // Delta/Iceberg VERSION AS OF shape on the store's own counter).
+    // History: build (seq 0) on two thirds, append half the last third
+    // (seq 1), delete a slice (seq 2), append the other half (seq 3) —
+    // then serve asOfSeq = 2: the travelled state HAS the first append
+    // and the delete, NOT the second append. The oracle replays exactly
+    // that corpus (frozen build centroids, the append contract). Cost
+    // is two pushed predicates on the probe-pruned scan — nothing extra
+    // is read; see [[graft.ml.Index.ivfTopKIndexed]] for the
+    // compaction/rebuild horizon.
+    "ann_time_travel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "ivftt", dir)
+      val third = pmod(col("vec_id"), lit(3)) === 2
+      Index.saveIvf(e.where(!third), path)
+      Index.appendIvf(s, path, e.where(third && col("vec_id") < 300))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(17)) === 5).select("vec_id"))
+      Index.appendIvf(s, path, e.where(third && col("vec_id") >= 300))
+      Index.ivfTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
+        k = 10, asOfSeq = Some(2L))
+    }),
+    // the SQ-coded twin: same history, same travelled sequence, served
+    // from the int8 codes — the bound is uniform across serve flavors
+    "ann_time_travel_sq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = tmpPath(s, "sqtt", dir)
+      val third = pmod(col("vec_id"), lit(3)) === 2
+      Index.saveIvfSq(e.where(!third), path)
+      Index.appendIvfSq(s, path, e.where(third && col("vec_id") < 300))
+      Index.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(17)) === 5).select("vec_id"))
+      Index.appendIvfSq(s, path, e.where(third && col("vec_id") >= 300))
+      Index.ivfSqTopKIndexed(s, path, e.where(Similarity.defaultIsQuery),
+        k = 10, asOfSeq = Some(2L))
+    }),
     // the SCALAR-QUANTIZED serving tier (FAISS IndexIVFScalarQuantizer
     // shape): cell-partitioned int8 code vectors packed to 1 byte/dim —
     // ~8× smaller than raw postings at near-flat recall, vs the PQ
@@ -1893,7 +1929,8 @@ object SparkEntry {
     "ann_ivfpq_rebuilt_from", "ann_matryoshka_topk",
     "ann_matryoshka_deleted", "ann_matryoshka_filtered",
     "ann_matryoshka_append", "ann_matryoshka_sq_topk",
-    "ann_matryoshka_upsert", "ret_hybrid_rrf_mrl", "cur_pipeline10")
+    "ann_matryoshka_upsert", "ret_hybrid_rrf_mrl", "cur_pipeline10",
+    "ann_time_travel", "ann_time_travel_sq")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -2208,6 +2245,18 @@ object SparkEntry {
     "ann_ivf_upsert" -> Similarity.ivfTopKOracleSql(k = 10,
       embExprSql = "CASE WHEN ((vec_id % 20) + 20) % 20 = 7 AND vec_id >= 100" +
         " THEN list_transform(embedding, x -> x + 0.25) ELSE embedding END"),
+    // time-travel to seq 2: candidates = build corpus (two thirds) plus
+    // the seq-1 append (last third, vec_id < 300) minus the seq-2
+    // deleted slice; the seq-3 append hasn't happened in the travelled
+    // state. Centroid seeds stay the build corpus (append contract).
+    "ann_time_travel" -> Similarity.ivfTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 3) + 3) % 3 != 2",
+      candWhereSql = "(((vec_id % 3) + 3) % 3 != 2 OR vec_id < 300)" +
+        " AND ((vec_id % 17) + 17) % 17 != 5"),
+    "ann_time_travel_sq" -> Similarity.ivfSqTopKOracleSql(k = 10,
+      centroidWhereSql = "((vec_id % 3) + 3) % 3 != 2",
+      candWhereSql = "(((vec_id % 3) + 3) % 3 != 2 OR vec_id < 300)" +
+        " AND ((vec_id % 17) + 17) % 17 != 5"),
     // version-level dead-mass formulas: every id in (deleted ∪ upserted)
     // has its build version masked; each upserted id adds one live
     // version on top of the build corpus

@@ -1337,11 +1337,13 @@ object Index {
     */
   private def sqScored(spark: SparkSession, path: String, probes: DataFrame,
                        q: DataFrame, queries: DataFrame,
-                       candWhere: Column): DataFrame = {
+                       candWhere: Column,
+                       asOfSeq: Option[Long] = None): DataFrame = {
     val codes = Tombstones.mask(
-      prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
-        probedCellVals(probes)).where(candWhere),
-      Tombstones.readAll(spark, path), "vec_id")
+      asOfCandidates(
+        prunedToProbes(spark, liveDir(spark, path, SqCodesKind),
+          probedCellVals(probes)).where(candWhere), asOfSeq),
+      asOfTombstones(spark, path, asOfSeq), "vec_id")
     if (isSqResidual(spark, path)) {
       val cents = spark.read.parquet(centroidsDir(spark, path))
         .select(col("cid").as("cell"), col("cv"))
@@ -1373,13 +1375,17 @@ object Index {
     * ([[sqScored]]). Output (query_id, neighbor_id, score, rank) — ONE
     * contract for both codings; `score` is the dequantized cosine on a
     * residual store and the rescaled integer dot (a rank-only surrogate,
-    * not a true cosine) on an absolute store.
+    * not a true cosine) on an absolute store. `asOfSeq` is the
+    * time-travel bound [[ivfTopKIndexed]] documents — same semantics,
+    * same two pushed predicates, same compaction/rebuild horizon.
     */
   def ivfSqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                        k: Int, nProbe: Int = 4,
-                       candWhere: Column = lit(true)): DataFrame = {
+                       candWhere: Column = lit(true),
+                       asOfSeq: Option[Long] = None): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
-    Similarity.topK(sqScored(spark, path, probes, q, queries, candWhere), k)
+    Similarity.topK(
+      sqScored(spark, path, probes, q, queries, candWhere, asOfSeq), k)
       .select(col("query_id"), col("neighbor_id"),
         col("cosine").as("score"), col("rank"))
   }
@@ -2403,6 +2409,30 @@ object Index {
     probeSet(spark, path, queries, nProbe)._1
       .select("cell").distinct().collect().map(_.getLong(0))
 
+  /** TIME-TRAVEL candidate bound: restrict a serve's candidate rows to
+    * those inserted at or before `asOfSeq` (build rows are seq 0, every
+    * append/upsert stamps the mutation counter's value — the
+    * [[Tombstones]] ordering contract). Stores predating the `ins_seq`
+    * column hold only build rows, which every bound admits.
+    */
+  private def asOfCandidates(df: DataFrame,
+                             asOfSeq: Option[Long]): DataFrame =
+    asOfSeq.fold(df) { s =>
+      if (df.columns.contains("ins_seq"))
+        df.where(coalesce(col("ins_seq"), lit(0L)) <= s)
+      else df
+    }
+
+  /** The tombstone set visible at `asOfSeq`: deletes stamped AFTER the
+    * bound have not happened yet in the travelled-to state and must not
+    * mask anything. `None` = the current serve's full set.
+    */
+  private def asOfTombstones(spark: SparkSession, path: String,
+                             asOfSeq: Option[Long]): Option[DataFrame] =
+    Tombstones.readAll(spark, path).map { t =>
+      asOfSeq.fold(t)(s => t.where(col("del_seq") <= s))
+    }
+
   /** Answer a query batch from a stored IVF-Flat index: rank cells
     * against the stored centroids, read ONLY the probed posting
     * partitions, exact-cosine the candidates, top-k. `queries` carries
@@ -2420,17 +2450,35 @@ object Index {
     * (PushedFilters; metadata columns persist via [[saveIvf]]'s
     * `metaCols`) — at a 1% selectivity the serve reads 1% of the probed
     * postings bytes instead of filtering after a full candidate join.
+    *
+    * `asOfSeq` is a TIME-TRAVEL read (the Delta/Iceberg `VERSION AS OF`
+    * shape on the store's own mutation counter): the serve answers from
+    * the store state as of that sequence value — appended/upserted rows
+    * stamped later are not candidates, tombstones stamped later do not
+    * mask. `Some(0)` reads the build-time corpus; `None` (default) is
+    * the current serve. The bound is two pushed predicates (`ins_seq`,
+    * `del_seq`) over the already probe-pruned scan — zero extra reads,
+    * zero extra shuffles, so a travelled serve costs what the current
+    * serve costs at any corpus size. Reproducibility contract, not an
+    * archive: a COMPACTION physically purges rows whose tombstone it
+    * consumed and a REBUILD re-stamps every surviving row at its own
+    * seq, so states older than the last compaction/rebuild have
+    * collapsed to the collapse point (exactly Delta's
+    * OPTIMIZE/VACUUM-bounded travel horizon) — pin serving states you
+    * must reproduce by vacuum retention, as with any MVCC table.
     */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, nProbe: Int = 4,
-                     candWhere: Column = lit(true)): DataFrame = {
+                     candWhere: Column = lit(true),
+                     asOfSeq: Option[Long] = None): DataFrame = {
     val (probes, q) = probeSet(spark, path, queries, nProbe)
     // tombstone mask BEFORE ranking: a deleted row must not consume a
     // top-k slot (rank-then-filter would return short results)
     val post = Tombstones.mask(
-      prunedToProbes(spark, liveDir(spark, path, PostingsKind),
-        probedCellVals(probes)).where(candWhere),
-      Tombstones.readAll(spark, path), "vec_id")
+      asOfCandidates(
+        prunedToProbes(spark, liveDir(spark, path, PostingsKind),
+          probedCellVals(probes)).where(candWhere), asOfSeq),
+      asOfTombstones(spark, path, asOfSeq), "vec_id")
     val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))
     val scored = post.join(broadcast(probes), Seq("cell"))

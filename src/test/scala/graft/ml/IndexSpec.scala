@@ -1505,4 +1505,50 @@ class IndexSpec extends SparkSpec {
     val served = Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5)
     assert(served.count() > 0)
   }
+
+  test("asOfSeq time-travel: each sequence serves its historical state") {
+    // history: build two thirds (seq 0), append half the last third
+    // (seq 1), delete a slice (seq 2), append the other half (seq 3)
+    val third = pmod(col("vec_id"), lit(3)) === 2
+    val slice = pmod(col("vec_id"), lit(17)) === 5
+    val path = freshPath("ttravel")
+    Index.saveIvf(emb.where(!third), path)
+    Index.appendIvf(spark, path, emb.where(third && col("vec_id") < 60))
+    Index.delete(spark, path, emb.where(slice).select("vec_id"))
+    Index.appendIvf(spark, path, emb.where(third && col("vec_id") >= 60))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    def served(asOf: Option[Long]) = dump(
+      Index.ivfTopKIndexed(spark, path, emb.where(isQ5), k = 5,
+        asOfSeq = asOf))
+    // travelling to the current counter IS the current serve
+    assert(served(Some(Tombstones.currentSeq(spark, path))) ===
+      served(None))
+    // travelling to 0 serves the build-time corpus: bit-equal to a
+    // fresh store built from it (same corpus, same centroids)
+    val p0 = freshPath("ttravel0")
+    Index.saveIvf(emb.where(!third), p0)
+    assert(served(Some(0L)) ===
+      dump(Index.ivfTopKIndexed(spark, p0, emb.where(isQ5), k = 5)))
+    // travelling to 2 serves build + first append − delete: bit-equal
+    // to a reference store whose history STOPS at that sequence
+    val p2 = freshPath("ttravel2")
+    Index.saveIvf(emb.where(!third), p2)
+    Index.appendIvf(spark, p2, emb.where(third && col("vec_id") < 60))
+    Index.delete(spark, p2, emb.where(slice).select("vec_id"))
+    assert(served(Some(2L)) ===
+      dump(Index.ivfTopKIndexed(spark, p2, emb.where(isQ5), k = 5)))
+    assert(served(Some(2L)).nonEmpty)
+    // the travelled states genuinely differ (the seq-3 append and the
+    // seq-2 delete both move results for this corpus)
+    assert(served(Some(2L)) !== served(None))
+    assert(served(Some(0L)) !== served(Some(2L)))
+    // HORIZON: a compaction purges masked rows and consumes tombstones,
+    // so states older than it collapse to the collapse point — after
+    // compact, seq 1 and seq 2 are indistinguishable (the purged slice
+    // cannot reappear)
+    Index.compact(spark, path)
+    assert(served(Some(1L)) === served(Some(2L)))
+  }
 }
