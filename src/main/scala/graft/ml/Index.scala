@@ -2413,13 +2413,20 @@ object Index {
     * those inserted at or before `asOfSeq` (build rows are seq 0, every
     * append/upsert stamps the mutation counter's value — the
     * [[Tombstones]] ordering contract). Stores predating the `ins_seq`
-    * column hold only build rows, which every bound admits.
+    * column hold only build rows, which every bound admits; a null
+    * `ins_seq` inside a stamped store means the same (seq 0), hence the
+    * explicit `isNull` arm — written as a bare-column OR rather than
+    * `coalesce(ins_seq, 0) <= s` because parquet filter conversion
+    * handles `Or(LessThanOrEqual, IsNull)` but not expressions over
+    * coalesce: the bound must land in the scan's PushedFilters (PlanSpec
+    * pins it), not in a post-scan filter over every probed row.
     */
   private def asOfCandidates(df: DataFrame,
                              asOfSeq: Option[Long]): DataFrame =
     asOfSeq.fold(df) { s =>
+      require(s >= 0L, s"asOfSeq must be >= 0 (got $s); 0 is the build")
       if (df.columns.contains("ins_seq"))
-        df.where(coalesce(col("ins_seq"), lit(0L)) <= s)
+        df.where(col("ins_seq") <= s || col("ins_seq").isNull)
       else df
     }
 

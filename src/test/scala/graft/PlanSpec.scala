@@ -489,6 +489,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("time-travel serve pushes the sequence bound into the store scan") {
+    // the asOfSeq bound must cost nothing beyond the plain serve: the
+    // candidate cut is a pushed parquet filter on ins_seq (written as
+    // LessThanOrEqual-or-IsNull precisely because a coalesce() form is
+    // not convertible) landing NEXT TO the probed-cell partition prune
+    for (q <- Seq("ann_time_travel", "ann_time_travel_sq")) {
+      val p = plan(q)
+      assert(p.contains("PartitionFilters") && p.contains("cell#"),
+        s"$q: no cell partition filter on the travelled store scan:\n$p")
+      assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*ins_seq[^\\]]*\\].*"),
+        s"$q: ins_seq bound not pushed into the store scan:\n$p")
+    }
+  }
+
   test("lexical-index serves prune to seed buckets and push the term filter") {
     // the persisted BM25 serve must carry BOTH scan cuts: a partition
     // filter on bucket (the seed-term bucket list — reading every bucket
