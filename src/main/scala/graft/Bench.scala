@@ -35,14 +35,32 @@ object Bench {
     if (v.isNaN) -1.0 else v
   }
 
-  private def materialize(df: DataFrame): Unit = {
+  private def materialize(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
-    // drop this query's localCheckpoint blocks: across ~100 queries in
-    // one JVM they otherwise accumulate until GC happens to collect the
-    // RDD refs, and the resulting eviction churn showed up as 3x
-    // wall-time spikes on checkpoint-heavy queries
-    val sc = df.sparkSession.sparkContext
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+  /** UNTIMED inter-run cleanup. One long-lived JVM running ~1000 query
+    * invocations accumulates state that makes LATER queries pay for
+    * EARLIER ones' garbage — measured this round at 2-3×
+    * (`cur_pipeline10` 27.9 s in a fresh JVM, 36.3 s after nine heavy
+    * queries, 69.1 s after ~180): localCheckpoint blocks whose async
+    * unpersist lags, and — dominant — shuffle files / broadcast pieces
+    * that [[org.apache.spark.ContextCleaner]] only reclaims after a
+    * DRIVER GC collects their weak references, which an 8 GiB heap
+    * running small queries almost never triggers on its own
+    * (`spark.cleaner.periodicGC.interval` defaults to 30 min; setting
+    * it to 30 s fixed the drift but injected multi-second GC pauses
+    * into randomly-chosen TIMED runs). So the harness cleans
+    * deterministically BETWEEN runs, outside the timed region: blocking
+    * unpersist of the run's checkpoint blocks, then one System.gc() to
+    * drain the cleaner's reference queue. This measures each run
+    * against the same JVM state instead of against the suite's
+    * accumulated debris — the same reasoning as the noop sink (time the
+    * computation, not unrelated I/O).
+    */
+  private def cleanup(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,7 +132,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.isEmpty || only(n) }.sortBy(_._1)
     ordered.foreach { case (name, fn) => // warm-up (untimed)
-      try materialize(fn(spark, sfDir)) catch {
+      try { materialize(fn(spark, sfDir)); cleanup(spark) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up FAILED $name: $e")
       }
@@ -144,7 +162,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try {
+        val r = try {
           materialize(fn(spark, sfDir))
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
@@ -152,6 +170,8 @@ object Bench {
             System.err.println(s"[bench] FAILED $name: $e")
             None
         }
+        cleanup(spark) // untimed: run N must not pay run N-1's garbage
+        r
       }
       val first = once()
       val times: Seq[Double] = first match {

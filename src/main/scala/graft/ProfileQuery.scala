@@ -26,18 +26,29 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     @volatile var capture = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (capture) {
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
-            .getOrElse("?")
+          // prefer the SQL execution's call site (covers broadcast/AQE
+          // future jobs, whose own stage names are anonymous lambdas);
+          // fall back to the last stage's name
+          val exec = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          val site = exec.flatMap(id => Option(execDesc.get(id.toLong)))
+            .orElse(js.stageInfos.lastOption.map(_.name)).getOrElse("?")
           jobs.put(js.jobId, Job(js.jobId, js.time, site = site)); ()
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val j = jobs.get(je.jobId)
         if (j != null) j.end = je.time
+      }
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc.put(s.executionId, s.description); ()
+        case _ => ()
       }
     })
     def materialize(name: String): Unit = {
@@ -47,7 +58,7 @@ object ProfileQuery {
         .foreach(_.unpersist(blocking = false))
     }
     names.foreach { name =>
-      materialize(name) // warm-up (untimed, uncaptured)
+      materialize(name); materialize(name) // warm-ups (untimed, uncaptured)
       jobs.clear(); capture = true
       val t0 = System.nanoTime()
       materialize(name)
@@ -55,11 +66,23 @@ object ProfileQuery {
       capture = false
       import scala.jdk.CollectionConverters._
       val done = jobs.values.asScala.toSeq.filter(_.end > 0)
-        .sortBy(j => -(j.end - j.start))
       println(f"===== $name wall=$wall%.2f s, ${done.size} jobs, " +
         f"sum=${done.map(j => (j.end - j.start) / 1e3).sum}%.2f s =====")
-      done.take(40).foreach { j =>
-        println(f"  job ${j.id}%4d ${(j.end - j.start) / 1e3}%7.3f s  ${j.site}")
+      done.groupBy(_.site).view
+        .mapValues(js => (js.map(j => (j.end - j.start) / 1e3).sum, js.size))
+        .toSeq.sortBy(-_._2._1).take(25).foreach { case (site, (s, n)) =>
+          println(f"  $s%7.3f s  ($n%2d jobs)  $site")
+        }
+      // driver-side gaps BETWEEN jobs — metadata reads, planning, FS ops
+      val chron = done.sortBy(_.start)
+      val gaps = chron.sliding(2).collect {
+        case Seq(a, b) if b.start - a.end > 50 =>
+          (a.id, b.id, b.start - a.end, b.site)
+      }.toSeq
+      println(f"  -- gaps > 50 ms (driver-side between jobs), total " +
+        f"${gaps.map(_._3).sum / 1e3}%.2f s --")
+      gaps.sortBy(-_._3).take(20).foreach { case (a, b, ms, nxt) =>
+        println(f"  gap $a%4d->$b%-4d ${ms / 1e3}%7.3f s  before: $nxt")
       }
     }
     spark.stop()

@@ -303,9 +303,13 @@ object Index {
     * semantics: two-level past the activation threshold unless
     * `forceFlat`).
     */
-  private def assigned(emb: DataFrame, nCells: Int, forceFlat: Boolean,
+  /** `cells` is the RESOLVED cell count — every caller already computed
+    * `autoCells(emb.count(), …)` to write its markers, and re-counting
+    * here doubled the build's full-corpus scans (profiled: two `count`
+    * jobs per save*).
+    */
+  private def assigned(emb: DataFrame, cells: Int, forceFlat: Boolean,
                        superProbe: Int): DataFrame = {
-    val cells = Similarity.autoCells(emb.count(), nCells)
     val e = Similarity.normed(emb)
     Similarity.withCellRanks(e, cells, 1,
       twoLevelMin = if (forceFlat) Int.MaxValue else Similarity.twoLevelMinCells,
@@ -322,12 +326,11 @@ object Index {
   private def assignedTo(emb: DataFrame, path: String, forceFlat: Boolean,
                          superProbe: Int): DataFrame = {
     val spark = emb.sparkSession
-    val cents = spark.read.parquet(centroidsDir(spark, path))
-    Similarity.withCellRanks(Similarity.normed(emb), cents.count().toInt, 1,
-      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
-        col("cn").as("norm")),
+    val cents = Similarity.collectCentroids(
+      spark.read.parquet(centroidsDir(spark, path)))
+    Similarity.withCellRanks(Similarity.normed(emb), cents.length, 1,
       twoLevelMin = if (forceFlat) Int.MaxValue else Similarity.twoLevelMinCells,
-      superProbe = superProbe)
+      superProbe = superProbe, seedArr = cents)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
   }
@@ -384,7 +387,7 @@ object Index {
     // spark.sql.files.maxRecordsPerFile.)
     val post =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
-      else assigned(emb, nCells, forceFlat, superProbe)
+      else assigned(emb, cells, forceFlat, superProbe)
     val withMeta =
       if (metaCols.isEmpty) post
       else post.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
@@ -456,7 +459,7 @@ object Index {
     // assignment BEFORE the codebook: residual training consumes it
     val assignment =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
-      else assigned(emb, nCells, forceFlat, superProbe)
+      else assigned(emb, cells, forceFlat, superProbe)
     val cellOf = assignment.select("vec_id", "cell")
     // the residual table (vec_id, embedding = v − c[cell]) — codebook
     // training input AND encode input under residual coding
@@ -585,14 +588,12 @@ object Index {
     */
   private def probeSet(spark: SparkSession, path: String, queries: DataFrame,
                        nProbe: Int): (DataFrame, DataFrame) = {
-    val cents = spark.read.parquet(centroidsDir(spark, path))
-    val nCells = cents.count().toInt
+    val cents = Similarity.collectCentroids(
+      spark.read.parquet(centroidsDir(spark, path)))
     val q = Similarity.normed(queries)
-    val ranked = Similarity.withCellRanks(q, nCells,
+    val ranked = Similarity.withCellRanks(q, cents.length,
       keep = nProbe,
-      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
-        col("cn").as("norm")),
-      twoLevelMin = Int.MaxValue)
+      twoLevelMin = Int.MaxValue, seedArr = cents)
     val probes = ranked.select(col("vec_id").as("query_id"),
       explode(slice(col("cells"), 1, nProbe)).as("cell"))
     (probes, q)
@@ -648,13 +649,12 @@ object Index {
                 superProbe: Int = Similarity.defaultSuperProbe,
                 metaCols: Seq[String] = Nil): Unit =
     Lease.withLease(spark, path, "appendIvf") {
-    val cents = spark.read.parquet(centroidsDir(spark, path))
-    val nCells = cents.count().toInt
-    val post = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
-      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
-        col("cn").as("norm")),
+    val cents = Similarity.collectCentroids(
+      spark.read.parquet(centroidsDir(spark, path)))
+    val post = Similarity.withCellRanks(Similarity.normed(newEmb),
+      cents.length, 1,
       twoLevelMin = appendTwoLevelMin(spark, path),
-      superProbe = superProbe)
+      superProbe = superProbe, seedArr = cents)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
     // the store's schema decides the metadata set — a caller-side
@@ -692,13 +692,12 @@ object Index {
                   superProbe: Int = Similarity.defaultSuperProbe,
                   metaCols: Seq[String] = Nil): Unit =
     Lease.withLease(spark, path, "appendIvfPq") {
-    val cents = spark.read.parquet(centroidsDir(spark, path))
-    val nCells = cents.count().toInt
-    val assignment = Similarity.withCellRanks(Similarity.normed(newEmb), nCells, 1,
-      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
-        col("cn").as("norm")),
+    val centsDf = spark.read.parquet(centroidsDir(spark, path))
+    val cents = Similarity.collectCentroids(centsDf)
+    val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
+      cents.length, 1,
       twoLevelMin = appendTwoLevelMin(spark, path),
-      superProbe = superProbe)
+      superProbe = superProbe, seedArr = cents)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
     val cellOf = assignment.select("vec_id", "cell")
@@ -706,7 +705,7 @@ object Index {
     // assigned FROZEN centroid, exactly like the build
     val encodeInput =
       if (isResidual(spark, path)) assignment
-        .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+        .join(broadcast(centsDf.select(col("cid").as("cell"), col("cv"))), "cell")
         .select(col("vec_id"),
           zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
       else newEmb
@@ -977,7 +976,7 @@ object Index {
       .write.mode("overwrite").parquet(sqMetaPath(path))
     val assignment =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
-      else assigned(emb, nCells, forceFlat, superProbe)
+      else assigned(emb, cells, forceFlat, superProbe)
     val rows =
       if (residual)
         sqResidualRows(assignment, spark.read.parquet(centroidsDir(spark, path)))
@@ -1020,12 +1019,11 @@ object Index {
                   metaCols: Seq[String] = Nil): Unit =
     Lease.withLease(spark, path, "appendIvfSq") {
     val cents = spark.read.parquet(centroidsDir(spark, path))
+    val centArr = Similarity.collectCentroids(cents)
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
-      cents.count().toInt, 1,
-      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
-        col("cn").as("norm")),
+      centArr.length, 1,
       twoLevelMin = appendTwoLevelMin(spark, path),
-      superProbe = superProbe)
+      superProbe = superProbe, seedArr = centArr)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
     // a residual store encodes the batch's residuals against its
@@ -1203,13 +1201,12 @@ object Index {
                    superProbe: Int = Similarity.defaultSuperProbe,
                    metaCols: Seq[String] = Nil): Unit =
     Lease.withLease(spark, path, "appendIvfMrl") {
-    val cents = spark.read.parquet(centroidsDir(spark, path))
+    val cents = Similarity.collectCentroids(
+      spark.read.parquet(centroidsDir(spark, path)))
     val assignment = Similarity.withCellRanks(Similarity.normed(newEmb),
-      cents.count().toInt, 1,
-      seedFrom = cents.select(col("cid").as("vec_id"), col("cv").as("v"),
-        col("cn").as("norm")),
+      cents.length, 1,
       twoLevelMin = appendTwoLevelMin(spark, path),
-      superProbe = superProbe)
+      superProbe = superProbe, seedArr = cents)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
     val mm = mrlMeta(spark, path)
@@ -1726,12 +1723,16 @@ object Index {
         "store must be rebuilt from the source corpus via rebuildFrom " +
         "(the reader-safe, coding-preserving re-grid; a bare save* " +
         "overwrites generations in place under live readers)")
-    val live = Tombstones.mask(
-      spark.read.option("mergeSchema", "true")
-        .parquet(liveDir(spark, path, PostingsKind)),
-      Tombstones.readAll(spark, path), "vec_id")
-    val meta = storedMetaCols(spark, liveDir(spark, path, PostingsKind),
-      postingsCore)
+    // ONE live-dir resolution + ONE mergeSchema read serve both the
+    // corpus relation and the stored-metadata column set (each
+    // mergeSchema read sweeps every data-file footer — doubled, it was
+    // the rebuild's dominant driver-side cost, and at object-store scale
+    // each sweep is one round-trip per file)
+    val liveDirPath = liveDir(spark, path, PostingsKind)
+    val stored = spark.read.option("mergeSchema", "true").parquet(liveDirPath)
+    val live = Tombstones.mask(stored, Tombstones.readAll(spark, path),
+      "vec_id")
+    val meta = stored.schema.map(_.name).filterNot(postingsCore.contains)
     val corpus = live
       .select((Seq(col("vec_id"), col("v").as("embedding")) ++
         meta.map(col)): _*)
@@ -2524,14 +2525,19 @@ object Index {
       Tombstones.readAll(spark, path), "vec_id")
       .select("vec_id", "sub", "code", "cell")
     val cw = spark.read.parquet(codewordsDir(spark, path))
-    val nSub = cw.select("sub").distinct().count().toInt
+    // ONE marker read answers both nSub and the residual flag — the
+    // marker records the build's n_sub (rebuild already trusts it), and
+    // the distinct-count over the codewords it replaces was a full
+    // shuffle job on every ADC serve
+    val meta = readBuildMeta(spark, metaPath(path))
+    val nSub = meta.nSub
     // per-query ADC lookup table, exactly the inline construction:
     // d2(query subvector, codeword) scaled to an exact int64
     val dim = q.select(size(col("v")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     val sub = dim / nSub
     val adc =
-      if (isResidual(spark, path)) {
+      if (meta.residual) {
         // residual LUT: keyed by (query, PROBED CELL) — the query's own
         // residual against that cell's centroid, measured to each
         // codeword. nq·nProbe·nSub·nCode entries, query-bounded.

@@ -170,20 +170,36 @@ object LexIndex {
       .parquet(s"$path/$PostingsKind")
     // df from the JUST-WRITTEN postings — a column-pruned (th-only)
     // re-read beats re-running the corpus tokenize+explode lineage
-    spark.read.parquet(s"$path/$PostingsKind")
+    val written = spark.read.parquet(s"$path/$PostingsKind")
+    written
       .groupBy("th").agg(count(lit(1)).as("df"))
       .withColumn("bucket", pmod(col("th"), lit(nb.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("th")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(termsPath(path))
-    corpus
-      .select(greatest(size(words(col("text"))) - 1, lit(0))
-        .cast("long").as("dl"))
+    // stats from the SAME re-read instead of a second corpus tokenize —
+    // the build's only full-text pass stays the postings write. Exact by
+    // construction: Σ_docs dl = Σ_docs #bigram-instances = Σ_postings tf
+    // (tf counts a doc's instances of one term, so per doc it sums back
+    // to size(words) − 1 = dl; a doc with NO posting rows has dl = 0 —
+    // no bigram ⟺ size(words) < 2, null text included). One columnar
+    // scan with map-side partial sums — no shuffle, no re-read of the
+    // full text bytes; n_docs is the corpus count already taken for the
+    // bucket grid.
+    // avgdl edge semantics preserved bit-for-bit: an all-tokenless corpus
+    // summed 0/n = 0.0 in the old corpus-pass agg (every doc row carried
+    // dl = 0), and an EMPTY corpus gave null (sum over no rows) — the
+    // posting-side sum is null in both, so coalesce for the former and
+    // pin null for the latter
+    val avgdl =
+      if (nDocs == 0L) lit(null).cast("double")
+      else round(coalesce(sum("tf"), lit(0L)) / nDocs.toDouble, 6)
+    written.select(col("tf"))
       .agg(lit(nDocs).as("n_docs"),
-        round(sum("dl") / nDocs.toDouble, 6).as("avgdl"),
+        avgdl.as("avgdl"),
         lit(nb.toLong).as("n_buckets"),
-        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+        coalesce(sum("tf"), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").parquet(statsPath(path))
     // a fresh build owes nothing to the previous store's append history
     deletePath(spark, dfDeltasPath(path))
@@ -236,11 +252,14 @@ object LexIndex {
     post.groupBy("th").agg(count(lit(1)).as("df"))
       .coalesce(1)
       .write.mode("append").parquet(dfDeltasPath(path))
-    newDocs
-      .select(greatest(size(words(col("text"))) - 1, lit(0))
-        .cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+    // the doc sidecar from the SAME materialized batch postings instead
+    // of a second tokenize of the batch text (the saveLexical stats
+    // identity: Σ_docs dl = Σ_postings tf, posting-less docs contribute
+    // dl = 0); the batch size is a text-free count of the batch relation
+    val batchDocs = newDocs.count()
+    post.select(col("tf"))
+      .agg(lit(batchDocs).as("n_docs"),
+        coalesce(sum("tf"), lit(0L)).as("sum_dl"))
       .coalesce(1)
       .write.mode("append").parquet(docDeltasPath(path))
   }
