@@ -871,10 +871,14 @@ object Curation {
     * like the IVF centroid collect: constant-bounded, not per-row.
     */
   def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import Ckpt.CutOps
     val n = docs.count()
+    // materialized once: tf feeds both the df aggregation and the score
+    // join — uncut, the full-text tokenize lineage executed twice
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .lineageCut
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score",
@@ -920,9 +924,13 @@ object Curation {
     * Output: (doc_id, n_tokens, xent_nats, flagged).
     */
   def perplexity(docs: DataFrame, flagThreshold: Double = 9.0): DataFrame = {
+    import Ckpt.CutOps
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val t = toks.count()
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    // the vocabulary is materialized once (it feeds the token join AND
+    // the corpus-size scalar), and T = Σ c falls out of it — the
+    // previous toks.count() was a third full tokenize of the corpus
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c")).lineageCut
+    val t = vocab.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
     val perDoc = toks.join(vocab, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(log(col("c"))).as("slc"))
@@ -966,10 +974,15 @@ object Curation {
     // corpus-sized bigram stream shuffles int64s, never bigram text. The
     // oracle hashes identically, so both engines share the (whp
     // collision-free) key space.
+    import Ckpt.CutOps
+    // materialized once: the bigram stream feeds BOTH the model
+    // aggregation and the per-doc scoring join — uncut, the full-text
+    // tokenize+shingle lineage executed twice per call
     val bi = docs
       .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
       .select(col("doc_id"), h64(col("bg")).as("bgh"),
         h64(substring_index(col("bg"), " ", 1)).as("w1h"))
+      .lineageCut
     val v = docs.select(explode(words(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     // ONE aggregation of the stream gives the bigram table (w1h rides

@@ -619,9 +619,29 @@ object Index {
     val base = new Path(dir)
     val fs = fsOf(spark, base)
     // existence-filter the probed dirs: a probed cell can be empty (no
-    // vector ever assigned there) and parquet refuses missing paths
-    val dirs = probeVals.map(v => new Path(base, s"$partitionCol=$v"))
-      .filter(fs.exists).map(_.toString)
+    // vector ever assigned there) and parquet refuses missing paths.
+    // The probes are checked CONCURRENTLY (bounded pool): serially this
+    // is one storage round-trip per probed cell — nq·nProbe of them per
+    // serve, which at object-store latency dominates plan time long
+    // before the scan starts. Order-preserving, so the read's path list
+    // (and everything downstream) is byte-identical to the serial check.
+    val paths = probeVals.map(v => new Path(base, s"$partitionCol=$v"))
+    val dirs: Array[String] =
+      if (paths.length <= 1) paths.filter(fs.exists).map(_.toString)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, paths.length))
+        try {
+          val checks = paths.map { p =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = fs.exists(p)
+            })
+          }
+          paths.zip(checks).collect {
+            case (p, f) if f.get() => p.toString
+          }
+        } finally pool.shutdown()
+      }
     val pruned =
       if (dirs.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.option("basePath", dir).parquet(dirs.toSeq: _*)

@@ -742,4 +742,50 @@ class LexIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("stats derived from postings equal the corpus-pass definition " +
+      "(tokenless and empty docs included)") {
+    // the round-15 optimization derives n_docs/avgdl/sum_dl from the
+    // just-written postings (Σ tf) instead of a second corpus tokenize —
+    // this pins the identity on exactly the edge shapes the argument
+    // rests on: a one-word doc (dl = 0, no postings), an empty-string
+    // doc (split → [""], dl = 0), and a null text (dl = 0)
+    val path = freshPath("statsid")
+    val corpus = docs.where(!isQ)
+      .unionByName(Seq((900L, "solo"), (901L, ""))
+        .toDF("doc_id", "text"))
+      .unionByName(Seq(902L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    LexIndex.saveLexical(corpus, path, nBuckets = 16)
+    val st = spark.read.parquet(s"$path/stats").head()
+    // the corpus-pass definition, computed independently
+    val expected = corpus
+      .select(greatest(size(graft.ml.Portable.words(col("text"))) - 1,
+        lit(0)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+      .head()
+    assert(st.getLong(st.fieldIndex("n_docs")) === expected.getLong(0))
+    assert(st.getLong(st.fieldIndex("sum_dl")) === expected.getLong(1))
+    assert(st.getDouble(st.fieldIndex("avgdl")) ===
+      BigDecimal(expected.getLong(1).toDouble / expected.getLong(0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the append sidecar uses the same identity: fold after appending a
+    // batch that ALSO contains a tokenless doc, then compare against a
+    // fresh build over the full corpus
+    val batch = Seq((910L, docText(11) + " extra"), (911L, "x"))
+      .toDF("doc_id", "text")
+    LexIndex.appendLexical(spark, path, batch)
+    LexIndex.foldStats(spark, path)
+    val folded = spark.read.parquet(
+      Index.liveDir(spark, path, "terms") + "/_stats").head()
+    val freshP = freshPath("statsidfresh")
+    LexIndex.saveLexical(corpus.unionByName(batch), freshP, nBuckets = 16)
+    val fresh = spark.read.parquet(s"$freshP/stats").head()
+    assert(folded.getLong(folded.fieldIndex("n_docs")) ===
+      fresh.getLong(fresh.fieldIndex("n_docs")))
+    assert(folded.getLong(folded.fieldIndex("sum_dl")) ===
+      fresh.getLong(fresh.fieldIndex("sum_dl")))
+    assert(folded.getDouble(folded.fieldIndex("avgdl")) ===
+      fresh.getDouble(fresh.fieldIndex("avgdl")))
+  }
 }
