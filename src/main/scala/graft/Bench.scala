@@ -132,10 +132,13 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.isEmpty || only(n) }.sortBy(_._1)
     ordered.foreach { case (name, fn) => // warm-up (untimed)
-      try { materialize(fn(spark, sfDir)); cleanup(spark) } catch {
+      // cleanup in finally: a failed warm-up must not leak its checkpoint
+      // blocks and shuffle garbage into the next query's timed runs (the
+      // timed path already cleans up on failure — keep the two consistent)
+      try { materialize(fn(spark, sfDir)) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up FAILED $name: $e")
-      }
+      } finally cleanup(spark)
     }
     // MEDIAN-OF-N protocol: one timed measurement per query has a
     // demonstrated ±40-70% run-to-run spread on this box even solo

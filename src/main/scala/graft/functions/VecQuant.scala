@@ -1,0 +1,338 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
+
+/** Codegen'd scalar-quantization kernels over `array<double>` / `binary`
+  * columns — the per-vector inner loops of the SQ/int8 store builds and
+  * serves ([[graft.ml.Index.saveIvfSq]], `int8TopK`, the MRL×SQ tier).
+  *
+  * Why Expressions and not the HOF/UDF originals: `aggregate(v, 0.0,
+  * greatest(acc, abs(x)))` and `transform(v, x -> floor(...))` evaluate
+  * their lambdas through the interpreted `HigherOrderFunction` path (one
+  * boxed lambda-variable bind per ELEMENT) and block the surrounding
+  * projection out of whole-stage codegen; the `packBytes` UDF then pays a
+  * `Seq[Double]` conversion (one boxed Double per element) per row. On a
+  * build these run once per corpus vector, so the per-element overhead IS
+  * the build cost at scale. Each expression below compiles to a primitive
+  * loop inside the generated projection — no allocation beyond the output
+  * buffer, no boxing.
+  *
+  * Semantics are BIT-IDENTICAL to the originals they replace (the DuckDB
+  * oracles depend on it); the doc on each expression pins the edge cases.
+  */
+object VecQuant {
+  import org.apache.spark.sql.graft.GraftShim
+
+  /** max |xᵢ| with `greatest` fold semantics — exactly
+    * `aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))`:
+    * null if the array is null; null ELEMENTS are skipped (greatest
+    * ignores nulls); comparison follows Spark's double ordering
+    * (NaN greatest — java.lang.Double.compare), starting accumulator 0.0.
+    */
+  def maxAbs(v: Column): Column =
+    GraftShim.column(MaxAbsFold(GraftShim.expression(v)))
+
+  /** floor(x·127/scale + 0.5) per element, packed `(byte)(int)` — exactly
+    * `packBytes(transform(v, x => floor(x * 127.0 / scale + 0.5)))` where
+    * packBytes is `q.map(_.toInt.toByte)`: null if array or scale is
+    * null; a null ELEMENT packs to byte 0 (the lambda yields null, and
+    * Scala's `Double` unbox of null is 0.0); `Double.toInt` saturates at
+    * Int bounds and maps NaN to 0, as the JVM `(int)` cast does.
+    */
+  def sqPack(v: Column, scale: Column): Column =
+    GraftShim.column(SqPackBytes(GraftShim.expression(v),
+      GraftShim.expression(scale)))
+
+  /** The int8 quantized values as integer-valued DOUBLES (the unpacked
+    * twin of [[sqPack]], for ranking paths that dot the codes without a
+    * byte layout) — exactly
+    * `transform(v, x => floor(x * 127.0 / scale + 0.5).cast("double"))`:
+    * Spark's `floor(double)` yields LONG (saturating, NaN → 0) before the
+    * cast back, so the kernel is `(double)(long)Math.floor(z)`; null
+    * elements stay null, null array/scale stays null.
+    */
+  def sqQuant(v: Column, scale: Column): Column =
+    GraftShim.column(SqQuantDoubles(GraftShim.expression(v),
+      GraftShim.expression(scale)))
+
+  /** The int8 quantized values as LONGS (the kmeans / PQ-training
+    * integer-exact table) — exactly
+    * `transform(v, x => floor(x * 127.0 / scale + 0.5).cast("long"))`:
+    * `floor(double)` already yields LONG (saturating, NaN → 0); null
+    * elements stay null, null array/scale stays null.
+    */
+  def sqQuantLongs(v: Column, scale: Column): Column =
+    GraftShim.column(SqQuantLongs(GraftShim.expression(v),
+      GraftShim.expression(scale)))
+
+  /** Exact integer dot of two packed code vectors widened to double at
+    * the end — exactly the `sqDot` UDF: Σ a(i)·b(i) in Long over
+    * min(|a|,|b|) elements, null if either side is null.
+    */
+  def byteDot(a: Column, b: Column): Column =
+    GraftShim.column(ByteDot(GraftShim.expression(a),
+      GraftShim.expression(b)))
+
+  /** BINARY code vector back to integer-valued doubles — exactly the
+    * `unpackBytes` UDF (`b.map(_.toDouble)`): null on null input,
+    * elements never null.
+    */
+  def unpack(b: Column): Column =
+    GraftShim.column(UnpackBytes(GraftShim.expression(b)))
+}
+
+/** See [[VecQuant.maxAbs]]. */
+case class MaxAbsFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "max_abs_fold"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val n = av.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!av.isNullAt(i)) {
+        val ax = math.abs(av.getDouble(i))
+        // greatest's ordering: NaN greatest, per Double.compare
+        if (java.lang.Double.compare(ax, acc) > 0) acc = ax
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val ax = ctx.freshName("ax")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $ax = Math.abs($a.getDouble($i));
+         |    if (java.lang.Double.compare($ax, $acc) > 0) $acc = $ax;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MaxAbsFold =
+    copy(child = c)
+}
+
+/** See [[VecQuant.sqPack]]. */
+case class SqPackBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_pack_bytes"
+
+  protected override def nullSafeEval(a: Any, s: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val n = av.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      // null element: the transform lambda yields null and the UDF's
+      // Double unbox made it 0.0 → byte 0
+      if (!av.isNullAt(i))
+        out(i) = math.floor(av.getDouble(i) * 127.0 / scale + 0.5).toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = (byte)(int) Math.floor(
+         |      $a.getDouble($i) * 127.0 / $s + 0.5);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression): SqPackBytes =
+    copy(left = l, right = r)
+}
+
+/** See [[VecQuant.sqQuant]]. */
+case class SqQuantDoubles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_quant_doubles"
+
+  protected override def nullSafeEval(a: Any, s: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val n = av.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!av.isNullAt(i))
+        out(i) = math.floor(av.getDouble(i) * 127.0 / scale + 0.5)
+          .toLong.toDouble
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = (double)(long) Math.floor(
+         |      $a.getDouble($i) * 127.0 / $s + 0.5);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression): SqQuantDoubles =
+    copy(left = l, right = r)
+}
+
+/** See [[VecQuant.sqQuantLongs]]. */
+case class SqQuantLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_quant_longs"
+
+  protected override def nullSafeEval(a: Any, s: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val n = av.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!av.isNullAt(i))
+        out(i) = math.floor(av.getDouble(i) * 127.0 / scale + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = (long) Math.floor(
+         |      $a.getDouble($i) * 127.0 / $s + 0.5);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression): SqQuantLongs =
+    copy(left = l, right = r)
+}
+
+/** See [[VecQuant.byteDot]]. */
+case class ByteDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "byte_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[Array[Byte]]
+    val bv = b.asInstanceOf[Array[Byte]]
+    val n = math.min(av.length, bv.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += av(i).toLong * bv(i).toLong; i += 1 }
+    s.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = (double) $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression): ByteDot =
+    copy(left = l, right = r)
+}
+
+/** See [[VecQuant.unpack]]. */
+case class UnpackBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unpack_bytes"
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val av = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Double](av.length)
+    var i = 0
+    while (i < av.length) { out(i) = av(i).toDouble; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.length;
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = (double) $a[$i]; }
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): UnpackBytes =
+    copy(child = c)
+}

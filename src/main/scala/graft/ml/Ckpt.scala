@@ -27,6 +27,19 @@ import org.apache.spark.sql.DataFrame
   * Reliable-checkpoint files accumulate for the session's lifetime;
   * enable `spark.cleaner.referenceTracking.cleanCheckpoints` (or clear
   * the directory between jobs) in a long-lived deployment.
+  *
+  * CALLER CONTRACT (block lifetime): a cut relation's blocks back the
+  * RETURNED DataFrame, so the operator that cut it cannot free them —
+  * they are released only when the caller unpersists them after
+  * consuming the result. `Dataset.unpersist` does NOT reach them (the
+  * SQL CacheManager never tracked checkpoint RDDs); sweep
+  * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(...))`
+  * once the result is materialized, as Bench.cleanup and Verify do after
+  * every query. A long-lived session that calls checkpointing operators
+  * (tfidfTerms, perplexity, bigramLm, dsirWeights, the retrieval
+  * builds...) without that sweep accumulates localCheckpoint blocks
+  * until a driver GC happens to run — the measured 2-3× cross-query
+  * drift of OPTIMIZATION_r15.md.
   */
 object Ckpt {
   def cut(df: DataFrame): DataFrame =

@@ -2174,7 +2174,7 @@ object Curation {
     docs.select(col("doc_id"), words(col("text")).as("w"), col("text"))
       .select(col("doc_id"),
         size(col("w")).cast("double").as("nwords"),
-        size(filter(col("w"), x => x.isin(TextStats.stopwords: _*)))
+        graft.functions.CountInSet(col("w"), TextStats.stopwords)
           .cast("double").as("nstop"),
         length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
           .cast("double").as("npunct"),

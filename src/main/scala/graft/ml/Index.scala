@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.functions.VecFold
+import graft.functions.{VecFold, VecQuant}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -555,30 +555,13 @@ object Index {
         .map { case (m, rows) => m -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
     val nSub = bySub.size
     val bc = spark.sparkContext.broadcast(bySub)
-    val codesUdf = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      val sub = va.length / nSub
-      Array.tabulate(nSub) { m =>
-        var bestCode = -1L
-        var bestD = Double.MaxValue
-        bc.value(m.toLong).foreach { case (cid, cw) =>
-          var d2 = 0.0
-          var d = 0
-          while (d < sub) {
-            val diff = va(m * sub + d) - cw(d)
-            d2 += diff * diff
-            d += 1
-          }
-          val r = math.floor(d2 * 1e9 + 0.5) / 1e9
-          if (r < bestD || (r == bestD && cid < bestCode)) {
-            bestD = r; bestCode = cid
-          }
-        }
-        bestCode
-      }
-    }
+    // native expression, not a udf: same kernel, primitive vector input
+    // instead of a boxed Seq[Double] per row (graft.functions.PqKernels)
+    val codes = org.apache.spark.sql.graft.GraftShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graft.GraftShim.expression(col("v")), bc, nSub))
     Similarity.normed(emb)
-      .select(col("vec_id"), posexplode(codesUdf(col("v"))).as(Seq("sub", "code")))
+      .select(col("vec_id"), posexplode(codes).as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
@@ -640,6 +623,13 @@ object Index {
           paths.zip(checks).collect {
             case (p, f) if f.get() => p.toString
           }
+        } catch {
+          // preserve the serial path's error shape (an fs.exists IOException
+          // propagated directly, not wrapped), and cancel still-queued
+          // checks so one failed probe doesn't wait out the rest of the pool
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
         } finally pool.shutdown()
       }
     val pruned =
@@ -888,31 +878,18 @@ object Index {
 
   /** Unpack a BINARY code vector back to integer-valued doubles (the
     * residual serve reconstructs x̂ = c + qb·scale/127 per element).
+    * Codegen expression; bit-equal to the row-boxing UDF it replaced
+    * (VecQuantSpec).
     */
-  private val unpackBytes = udf { (b: Array[Byte]) =>
-    b.map(_.toDouble)
-  }
-
-  /** One byte per dimension: the int8 code vector packed to BINARY —
-    * the storage representation is the whole point of the SQ tier (a
-    * parquet array<int> would bit-pack back toward 4 B/dim).
-    */
-  private val packBytes = udf { (q: Seq[Double]) =>
-    q.map(_.toInt.toByte).toArray
-  }
+  private def unpackBytes(b: Column): Column = VecQuant.unpack(b)
 
   /** Exact integer dot of two packed code vectors, widened to double at
     * the end — |q| ≤ 127 keeps every product and the sum exact in Long,
     * so the score is order-free and bit-reproducible (the DuckDB twin
     * computes list_dot_product over the same integer-valued doubles).
+    * Codegen expression; bit-equal to the UDF it replaced (VecQuantSpec).
     */
-  private val sqDot = udf { (a: Array[Byte], b: Array[Byte]) =>
-    var s = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
-    s.toDouble
-  }
+  private def sqDot(a: Column, b: Column): Column = VecQuant.byteDot(a, b)
 
   /** Per-vector symmetric int8 quantization — [[Similarity.int8TopK]]'s
     * exact convention (scale = max|x|, q = floor(x·127/scale + 0.5),
@@ -923,14 +900,11 @@ object Index {
     */
   private def sqRows(emb: DataFrame): DataFrame =
     Similarity.normed(emb)
-      .withColumn("scale", aggregate(col("v"), lit(0.0),
-        (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", VecQuant.maxAbs(col("v")))
       .withColumn("safe_scale",
         when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
       .select(col("vec_id"),
-        packBytes(transform(col("v"),
-          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")))
-          .as("qb"),
+        VecQuant.sqPack(col("v"), col("safe_scale")).as("qb"),
         round(when(col("norm") === 0d, lit(0.0))
           .otherwise(col("scale") / col("norm")), 9).as("r"))
 
@@ -949,14 +923,11 @@ object Index {
     assignment
       .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
       .withColumn("resid", zip_with(col("v"), col("cv"), (x, c) => x - c))
-      .withColumn("scale", aggregate(col("resid"), lit(0.0),
-        (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", VecQuant.maxAbs(col("resid")))
       .withColumn("safe_scale",
         when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
       .select(col("vec_id"), col("cell"),
-        packBytes(transform(col("resid"),
-          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")))
-          .as("qb"),
+        VecQuant.sqPack(col("resid"), col("safe_scale")).as("qb"),
         col("scale").as("r"))
 
   /** Build + persist the SCALAR-QUANTIZED IVF store (cf. FAISS
@@ -1116,14 +1087,11 @@ object Index {
     emb.select(col("vec_id"),
       slice(col("embedding").cast("array<double>"), 1, dims).as("pv"))
       .withColumn("pn", sqrt(VecFold.dot(col("pv"), col("pv"))))
-      .withColumn("scale", aggregate(col("pv"), lit(0.0),
-        (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", VecQuant.maxAbs(col("pv")))
       .withColumn("safe_scale",
         when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
       .select(col("vec_id"),
-        packBytes(transform(col("pv"),
-          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")))
-          .as("qb"),
+        VecQuant.sqPack(col("pv"), col("safe_scale")).as("qb"),
         round(when(col("pn") === 0d, lit(0.0))
           .otherwise(col("scale") / col("pn")), 9).as("r"))
 
@@ -2548,9 +2516,16 @@ object Index {
     // ONE marker read answers both nSub and the residual flag — the
     // marker records the build's n_sub (rebuild already trusts it), and
     // the distinct-count over the codewords it replaces was a full
-    // shuffle job on every ADC serve
-    val meta = readBuildMeta(spark, metaPath(path))
-    val nSub = meta.nSub
+    // shuffle job on every ADC serve. A store with NO marker (or a
+    // legacy marker predating the n_sub column) falls back to that
+    // distinct count: trusting the BuildMeta default would silently
+    // mis-slice subvectors on a non-default legacy store (ADVICE r15) —
+    // the shuffle is the legacy-only price of not returning garbage.
+    val metaRow = readMetaRow(spark, metaPath(path))
+    val meta = buildMetaOf(metaRow)
+    val nSub =
+      if (metaRow.exists(_._1.contains("n_sub"))) meta.nSub
+      else cw.select("sub").distinct().count().toInt
     // per-query ADC lookup table, exactly the inline construction:
     // d2(query subvector, codeword) scaled to an exact int64
     val dim = q.select(size(col("v")).as("d")).limit(1)

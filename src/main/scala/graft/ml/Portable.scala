@@ -11,25 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** 60-bit non-negative hash of a string column. */
-  def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit non-negative hash of a string column. A native expression
+    * ([[graft.functions.H64Expr]]) — bit-equal to the built-in chain
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` (H64Spec pins
+    * it) without its per-value digest construction and string parses.
+    */
+  def h64(c: Column): Column = graft.functions.H64(c)
 
   /** DuckDB equivalent of h64. */
   def h64Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Whitespace word split (documents.text is single-space separated). */
-  def words(text: Column): Column = split(text, " ")
+  /** Whitespace word split (documents.text is single-space separated).
+    * A native byte-level expression ([[graft.functions.SpaceSplit]]) —
+    * bit-equal to `split(text, " ")` (SpaceSplitSpec pins it) without
+    * its per-row String decode / regex / re-encode round trip.
+    */
+  def words(text: Column): Column = graft.functions.SpaceSplit(text)
 
   val wordsSql: String = "string_split(text, ' ')"
 
-  /** Word k-grams ("shingles") of a words array; empty when too short. */
+  /** Word k-grams ("shingles") of a words array; empty when too short.
+    * A native expression ([[graft.functions.ShingleArray]]) — bit-equal
+    * to the interpreted-HOF original
+    * `when(size(w) >= k, transform(sequence(0, size(w) - k), i =>
+    *    concat_ws(" ", element_at(w, i+1) ... element_at(w, i+k))))
+    *  .otherwise(array())`
+    * without its per-element interpreter trips (PortableSpec pins the
+    * equivalence, the DuckDB oracles the strings' hashes).
+    */
   def shingles(w: Column, k: Int): Column =
-    when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k), i =>
-        concat_ws(" ", (1 to k).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.ShingleArray(w, k)
 
   /** DuckDB equivalent over a list column named `w` (1-based indexing). */
   def shinglesSql(k: Int): String = {

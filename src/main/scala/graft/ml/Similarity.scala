@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.ml.Ckpt.CutOps
-import graft.functions.VecFold
+import graft.functions.{VecFold, VecQuant}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -108,8 +108,7 @@ object Similarity {
   def quantize(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     emb.select(col("vec_id"), v.as("v"))
-      .withColumn("scale", aggregate(col("v"), lit(0.0),
-        (acc, x) => greatest(acc, abs(x))))
+      .withColumn("scale", VecQuant.maxAbs(col("v")))
       .select(col("vec_id"), col("scale"),
         posexplode(col("v")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i").cast("long").as("i"),
@@ -240,8 +239,7 @@ object Similarity {
     */
   private[ml] def int8TopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val e = normed(emb)
-      .withColumn("scale", aggregate(col("v"), lit(0.0),
-        (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", VecQuant.maxAbs(col("v")))
       // a zero vector has scale = norm = 0: dividing by either yields
       // NaN quantization / a NaN factor that poisons its every pair's
       // cosine; substitute scale 1 (q stays all-zero) and factor 0
@@ -249,10 +247,9 @@ object Similarity {
       .withColumn("safe_scale",
         when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
       .select(col("vec_id"),
-        // floor() yields BIGINT; VecFold folds doubles — the integer
-        // values stay exact in double (≤ 127), so the dot is order-free
-        transform(col("v"),
-          x => floor(x * 127.0 / col("safe_scale") + 0.5).cast("double")).as("q"),
+        // integer values carried in doubles (≤ 127, exact), so the
+        // VecFold dot is order-free
+        VecQuant.sqQuant(col("v"), col("safe_scale")).as("q"),
         round(when(col("norm") === 0d, lit(0.0))
           .otherwise(col("scale") / col("norm")), 9).as("r"))
     val q = e.where(isQuery)
@@ -552,79 +549,16 @@ object Similarity {
     // is active; null otherwise so the flat path ships nothing extra
     val bcSup: org.apache.spark.broadcast.Broadcast[(Array[Array[Double]], Array[Array[Int]])] =
       if (cents.length >= twoLevelMin) sc.broadcast(superQuantizer(cents)) else null
-    val kKeep = math.max(1, keep)
-    val nProbeSup = superProbe
-    val cellRanks = udf { (v: Seq[Double], norm: Double) =>
-      val va = v.toArray
-      val cs = bc.value
-      val m = math.min(kKeep, cs.length)
-      // bounded top-m insertion: better-than-slot shifts the tail down;
-      // order = cosine desc (9-dp rounded), tie on cell id asc
-      val topId = new Array[Long](m)
-      val topC = new Array[Double](m)
-      var filled = 0
-      def offer(ci: Int): Unit = {
-        val (cid, cv, cn) = cs(ci)
-        var s = 0.0
-        var d = 0
-        while (d < va.length) { s += va(d) * cv(d); d += 1 }
-        // zero-vector / zero-centroid convention: cosine 0, never NaN
-        // (NaN comparisons are all-false, which would append the row at
-        // the tail in centroid order — deterministic by accident; pin 0)
-        val c = if (norm * cn == 0) 0.0
-          else math.floor(s / (norm * cn) * 1e9 + 0.5) / 1e9
-        var pos = filled
-        while (pos > 0 && (topC(pos - 1) < c ||
-          (topC(pos - 1) == c && topId(pos - 1) > cid))) pos -= 1
-        if (pos < m) {
-          val last = math.min(filled, m - 1)
-          var j = last
-          while (j > pos) { topId(j) = topId(j - 1); topC(j) = topC(j - 1); j -= 1 }
-          topId(pos) = cid
-          topC(pos) = c
-          if (filled < m) filled += 1
-        }
-      }
-      if (bcSup == null) {
-        var i = 0
-        while (i < cs.length) { offer(i); i += 1 }
-      } else {
-        val (sup, children) = bcSup.value
-        // rank super-cells by raw dot against unit super-centroids (the
-        // vector's own norm divides out of the ranking); ties keep the
-        // earlier (lower) super id — strict < in the insertion test
-        val p = math.min(nProbeSup, sup.length)
-        val supId = new Array[Int](p)
-        val supS = new Array[Double](p)
-        var sf = 0
-        var s = 0
-        while (s < sup.length) {
-          var acc = 0.0
-          var d = 0
-          while (d < va.length) { acc += va(d) * sup(s)(d); d += 1 }
-          var pos = sf
-          while (pos > 0 && supS(pos - 1) < acc) pos -= 1
-          if (pos < p) {
-            val last = math.min(sf, p - 1)
-            var j = last
-            while (j > pos) { supId(j) = supId(j - 1); supS(j) = supS(j - 1); j -= 1 }
-            supId(pos) = s
-            supS(pos) = acc
-            if (sf < p) sf += 1
-          }
-          s += 1
-        }
-        var pi = 0
-        while (pi < sf) {
-          val ch = children(supId(pi))
-          var ki = 0
-          while (ki < ch.length) { offer(ch(ki)); ki += 1 }
-          pi += 1
-        }
-      }
-      topId.take(filled)
-    }
-    e.withColumn("cells", cellRanks(col("v"), col("norm")))
+    // native expression, not a udf: the ranking kernel is byte-identical
+    // ([[graft.functions.CellRanks.rank]] holds the former udf body) but
+    // the vector arrives as one primitive bulk copy instead of a boxed
+    // Seq[Double] per row — the assignment pass runs on every dense
+    // build/append/serve, so the per-element boxing WAS the build CPU
+    import org.apache.spark.sql.graft.GraftShim
+    e.withColumn("cells", GraftShim.column(
+      graft.functions.CellRanksExpr(
+        GraftShim.expression(col("v")), GraftShim.expression(col("norm")),
+        bc, bcSup, math.max(1, keep), superProbe)))
   }
 
   /** Cell count that keeps expected cell occupancy ≈ `target` vectors:
@@ -1001,29 +935,12 @@ object Similarity {
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bc = spark.sparkContext.broadcast(cents)
-    val codes = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      val sub = va.length / nSub
-      Array.tabulate(nSub) { m =>
-        var bestCode = -1L
-        var bestD = Double.MaxValue
-        bc.value.foreach { case (cid, cv) =>
-          var d2 = 0.0
-          var d = 0
-          while (d < sub) {
-            val diff = va(m * sub + d) - cv(m * sub + d)
-            d2 += diff * diff
-            d += 1
-          }
-          val r = math.floor(d2 * 1e9 + 0.5) / 1e9
-          if (r < bestD || (r == bestD && cid < bestCode)) {
-            bestD = r; bestCode = cid
-          }
-        }
-        bestCode
-      }
-    }
-    e.select(col("vec_id"), posexplode(codes(col("v"))).as(Seq("sub", "code")))
+    // native expression, not a udf: same kernel, primitive vector input
+    // instead of a boxed Seq[Double] per row (graft.functions.PqKernels)
+    val codes = org.apache.spark.sql.graft.GraftShim.column(
+      graft.functions.PqSeedCodes(
+        org.apache.spark.sql.graft.GraftShim.expression(col("v")), bc, nSub))
+    e.select(col("vec_id"), posexplode(codes).as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
@@ -1627,8 +1544,7 @@ object Similarity {
     val spark = emb.sparkSession
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val scaleRow = base.agg(max(aggregate(col("v"), lit(0.0),
-      (a, x) => greatest(a, abs(x))))).head()
+    val scaleRow = base.agg(max(VecQuant.maxAbs(col("v")))).head()
     require(!scaleRow.isNullAt(0),
       "pcaTop: empty embedding corpus — no principal component to compute")
     val scale = scaleRow.getDouble(0)
@@ -1637,8 +1553,8 @@ object Similarity {
     require(scale > 0,
       "pcaTop: all-zero embedding corpus (global max-abs scale is 0)")
     val q = base.select(col("vec_id"),
-      posexplode(transform(col("v"),
-        x => floor(x * 127.0 / scale + 0.5).cast("long"))).as(Seq("i", "qi")))
+      posexplode(VecQuant.sqQuantLongs(col("v"), lit(scale)))
+        .as(Seq("i", "qi")))
     val cells = q
       .join(q.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
         "vec_id")
@@ -1788,11 +1704,9 @@ object Similarity {
   private def kmeansQuantized(emb: DataFrame): (DataFrame, Double) = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val scale = base.agg(max(aggregate(col("v"), lit(0.0),
-      (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    val scale = base.agg(max(VecQuant.maxAbs(col("v")))).head().getDouble(0)
     val q = base.select(col("vec_id"),
-      transform(col("v"),
-        x => floor(x * 127.0 / scale + 0.5).cast("long")).as("q"))
+        VecQuant.sqQuantLongs(col("v"), lit(scale)).as("q"))
       .lineageCut
     (q, scale)
   }
@@ -1803,24 +1717,12 @@ object Similarity {
   private def kmeansAssigned(q: DataFrame,
                              cents: Array[Array[Long]]): DataFrame = {
     val bc = q.sparkSession.sparkContext.broadcast(cents)
-    val assign = udf { (qv: Seq[Long]) =>
-      val va = qv.toArray
-      var bestC = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < bc.value.length) {
-        val cv = bc.value(c)
-        var d2 = 0L
-        var d = 0
-        while (d < va.length) {
-          val diff = va(d) - cv(d); d2 += diff * diff; d += 1
-        }
-        if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie keeps lower id
-        c += 1
-      }
-      (bestC.toLong, bestD)
-    }
-    q.withColumn("a", assign(col("q")))
+    // native expression, not a udf: same kernel, primitive array input
+    // instead of a boxed Seq[Long] per row per round
+    val assign = org.apache.spark.sql.graft.GraftShim.column(
+      graft.functions.KmeansAssign(
+        org.apache.spark.sql.graft.GraftShim.expression(col("q")), bc))
+    q.withColumn("a", assign)
       .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"),
         col("q"))
   }
@@ -1897,14 +1799,12 @@ object Similarity {
       : (DataFrame, Double, Int) = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val scale = base.agg(max(aggregate(col("v"), lit(0.0),
-      (a, x) => greatest(a, abs(x))))).head().getDouble(0)
+    val scale = base.agg(max(VecQuant.maxAbs(col("v")))).head().getDouble(0)
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val subDim = dim / nSub
     val q = base.select(col("vec_id"),
-        transform(col("v"),
-          x => floor(x * 127.0 / scale + 0.5).cast("long")).as("qfull"))
+        VecQuant.sqQuantLongs(col("v"), lit(scale)).as("qfull"))
       .select(col("vec_id"), explode(typedlit((0 until nSub).map(_.toLong))).as("sub"),
         col("qfull"))
       .select(col("vec_id"), col("sub"),
@@ -1919,25 +1819,13 @@ object Similarity {
   private def pqAssigned(q: DataFrame,
                          cents: Array[Array[Array[Long]]]): DataFrame = {
     val bc = q.sparkSession.sparkContext.broadcast(cents)
-    val assign = udf { (sub: Long, qs: Seq[Long]) =>
-      val va = qs.toArray
-      val book = bc.value(sub.toInt)
-      var bestC = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < book.length) {
-        val cv = book(c)
-        var d2 = 0L
-        var d = 0
-        while (d < va.length) {
-          val diff = va(d) - cv(d); d2 += diff * diff; d += 1
-        }
-        if (d2 < bestD) { bestD = d2; bestC = c } // strict <: tie → lower code
-        c += 1
-      }
-      (bestC.toLong, bestD)
-    }
-    q.withColumn("a", assign(col("sub"), col("qs")))
+    // native expression, not a udf: same kernel, primitive array input
+    // instead of a boxed Seq[Long] per row per round
+    val assign = org.apache.spark.sql.graft.GraftShim.column(
+      graft.functions.PqAssign(
+        org.apache.spark.sql.graft.GraftShim.expression(col("sub")),
+        org.apache.spark.sql.graft.GraftShim.expression(col("qs")), bc))
+    q.withColumn("a", assign)
       .select(col("vec_id"), col("sub"), col("a._1").as("code"),
         col("a._2").as("d2"), col("qs"))
   }

@@ -46,7 +46,7 @@ object TextStats {
         words(col("text")).as("w"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
         size(col("w")).cast("long").as("n_words"),
-        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"))
+        graft.functions.SumStrLen(col("w")).as("sum_word_len"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars_obs"),
         col("sum_word_len"),
         round(col("sum_word_len") / col("n_words"), 6).as("avg_word_len"))
@@ -70,7 +70,7 @@ object TextStats {
     docs.select(col("doc_id"), col("text"), words(col("text")).as("w"))
       .select(col("doc_id"),
         size(col("w")).cast("double").as("nwords"),
-        size(filter(col("w"), x => x.isin(stopwords: _*))).cast("double").as("nstop"),
+        graft.functions.CountInSet(col("w"), stopwords).cast("double").as("nstop"),
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double").as("npunct"),
         length(col("text")).cast("double").as("nchars"))
       .select(col("doc_id"),
@@ -104,7 +104,7 @@ object TextStats {
     // reference (see tokenStats)
     val scored = docs.select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id") +: markers.map { case (lang, ms) =>
-        size(filter(col("w"), x => x.isin(ms: _*))).cast("long").as(s"s_$lang")
+        graft.functions.CountInSet(col("w"), ms).cast("long").as(s"s_$lang")
       }: _*)
       .withColumn("best",
         markers.map(m => col(s"s_${m._1}")).reduce((a, b) => greatest(a, b)))
