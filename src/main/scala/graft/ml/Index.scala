@@ -460,14 +460,16 @@ object Index {
     val assignment =
       if (trained) assignedTo(emb, path, forceFlat, superProbe)
       else assigned(emb, cells, forceFlat, superProbe)
-    val cellOf = assignment.select("vec_id", "cell")
-    // the residual table (vec_id, embedding = v − c[cell]) — codebook
-    // training input AND encode input under residual coding
+    // the residual table (vec_id, embedding = v − c[cell], cell) —
+    // codebook training input AND encode input under residual coding
+    // (cell rides along so the encode needs no re-attach join; the
+    // trainer's explicit column selects ignore it)
     def residDf: DataFrame = assignment
       .join(broadcast(spark.read.parquet(centroidsDir(spark, path))
         .select(col("cid").as("cell"), col("cv"))), "cell")
       .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"),
+        col("cell"))
     // codebook (codes are encoded against it): trained = pqTrain's
     // dequantized Lloyd output — over residuals when residual coding is
     // on, absolute vectors otherwise; seeded = the nCode smallest-id
@@ -498,15 +500,18 @@ object Index {
     Seq((residual, trained, nSub, nCode, trainIters, forceFlat))
       .toDF("residual", "trained", "n_sub", "n_code", "train_iters", "flat")
       .write.mode("overwrite").parquet(metaPath(path))
-    // seeded builds keep the pqCodes plan (oracle-pinned); trained builds
-    // encode against the stored codebook with the same kernel appends use
+    // seeded builds keep the pqCodes kernel (oracle-pinned); trained
+    // builds encode against the stored codebook with the same kernel
+    // appends use. All three encode the ASSIGNMENT's rows (v already
+    // normed, cell already attached) — the old shape re-scanned the
+    // corpus per encode and joined the cell back on vec_id.
     val codesDf =
-      (if (residual) encodeAgainst(spark, residDf,
+      if (residual) encodeCells(spark,
+        residDf.select(col("vec_id"), col("embedding").as("v"), col("cell")),
         spark.read.parquet(codewordsDir(spark, path)))
-       else if (trained) encodeAgainst(spark, emb,
+      else if (trained) encodeCells(spark, assignment,
         spark.read.parquet(codewordsDir(spark, path)))
-       else Similarity.pqCodes(emb, nSub, nCode))
-        .join(cellOf, "vec_id")
+      else pqSeedCodesWithCell(assignment, nSub, nCode)
     val withMeta =
       if (metaCols.isEmpty) codesDf
       else codesDf.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
@@ -545,8 +550,17 @@ object Index {
     * (constant-bounded: nSub·nCode rows) so the linear scan reproduces
     * the first-smallest-id tie-break.
     */
-  private def encodeAgainst(spark: SparkSession, emb: DataFrame,
-                            codewords: DataFrame): DataFrame = {
+  /** Encode a pre-assigned batch against a stored codebook, carrying the
+    * cell through: `src` is (vec_id, v, cell) — the assignment itself,
+    * whose `v` IS `normed(emb)`'s column — so the corpus is NOT re-read
+    * and re-normed for the encode, and no (vec_id → cell) re-attach join
+    * follows (it used to: encode over a fresh `normed(emb)` scan, then
+    * `.join(cellOf, "vec_id")` — one redundant full pass plus one
+    * batch-sized shuffle per PQ build/append). Output (vec_id, sub,
+    * code, cell), bit-identical to the old encode+join by construction.
+    */
+  private def encodeCells(spark: SparkSession, src: DataFrame,
+                          codewords: DataFrame): DataFrame = {
     val bySub: Map[Long, Array[(Long, Array[Double])]] =
       codewords
         .select("sub", "code", "cw").collect()
@@ -560,9 +574,34 @@ object Index {
     val codes = org.apache.spark.sql.graft.GraftShim.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.graft.GraftShim.expression(col("v")), bc, nSub))
-    Similarity.normed(emb)
-      .select(col("vec_id"), posexplode(codes).as(Seq("sub", "code")))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+    src
+      .select(col("vec_id"), posexplode(codes).as(Seq("sub", "code")), col("cell"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"),
+        col("cell"))
+  }
+
+  /** The seeded-codebook twin of [[encodeCells]]: codebook m = subvector
+    * m of the `k` smallest-id vectors of the assignment (the
+    * [[Similarity.pqCodes]] convention — `src.v` is `normed(emb).v`, so
+    * the seeds are the same rows pqCodes would collect), assignment via
+    * the same 9-dp/ties kernel. Replaces `pqCodes(emb,...).join(cellOf)`
+    * in the seeded build — one corpus scan and the re-attach join gone.
+    */
+  private def pqSeedCodesWithCell(src: DataFrame, nSub: Int,
+                                  k: Int): DataFrame = {
+    val spark = src.sparkSession
+    val cents: Array[(Long, Array[Double])] = src
+      .orderBy("vec_id").limit(k)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(cents)
+    val codes = org.apache.spark.sql.graft.GraftShim.column(
+      graft.functions.PqSeedCodes(
+        org.apache.spark.sql.graft.GraftShim.expression(col("v")), bc, nSub))
+    src
+      .select(col("vec_id"), posexplode(codes).as(Seq("sub", "code")), col("cell"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"),
+        col("cell"))
   }
 
   /** (query_id, cell) probe pairs + the normalized query table: the
@@ -710,18 +749,19 @@ object Index {
       superProbe = superProbe, seedArr = cents)
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
-    val cellOf = assignment.select("vec_id", "cell")
     // residual store: the batch is encoded as residuals against its
-    // assigned FROZEN centroid, exactly like the build
+    // assigned FROZEN centroid, exactly like the build. Either way the
+    // encode input is the ASSIGNMENT's rows (v already normed, cell
+    // already attached) — no batch re-scan, no re-attach join.
     val encodeInput =
       if (isResidual(spark, path)) assignment
         .join(broadcast(centsDf.select(col("cid").as("cell"), col("cv"))), "cell")
         .select(col("vec_id"),
-          zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
-      else newEmb
-    val codesDf = encodeAgainst(spark, encodeInput,
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"),
+          col("cell"))
+      else assignment
+    val codesDf = encodeCells(spark, encodeInput,
       spark.read.parquet(codewordsDir(spark, path)))
-      .join(cellOf, "vec_id")
     // the store's schema decides the metadata set — a caller-side
     // mismatch fails loudly instead of writing silently-unfilterable rows
     val live = liveDir(spark, path, PqCodesKind)
@@ -908,6 +948,23 @@ object Index {
         round(when(col("norm") === 0d, lit(0.0))
           .otherwise(col("scale") / col("norm")), 9).as("r"))
 
+  /** [[sqRows]] derived from an assignment that already carries
+    * (v, norm, cell) — exactly
+    * `assignment.select("vec_id","cell").join(sqRows(emb), "vec_id")`
+    * without re-scanning and re-norming the corpus and without the
+    * re-attach join (the assignment's v/norm ARE `normed(emb)`'s
+    * columns, one row per vec_id on both sides).
+    */
+  private def sqRowsFromAssignment(assignment: DataFrame): DataFrame =
+    assignment
+      .withColumn("scale", VecQuant.maxAbs(col("v")))
+      .withColumn("safe_scale",
+        when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+      .select(col("vec_id"), col("cell"),
+        VecQuant.sqPack(col("v"), col("safe_scale")).as("qb"),
+        round(when(col("norm") === 0d, lit(0.0))
+          .otherwise(col("scale") / col("norm")), 9).as("r"))
+
   /** RESIDUAL SQ rows: quantize x − c[cell] per vector (FAISS's
     * by_residual for the scalar quantizer). The int8 step shrinks from
     * max|x|/127 (corpus scale) to max|resid|/127 (CELL scale) — on any
@@ -971,7 +1028,7 @@ object Index {
     val rows =
       if (residual)
         sqResidualRows(assignment, spark.read.parquet(centroidsDir(spark, path)))
-      else assignment.select("vec_id", "cell").join(sqRows(emb), "vec_id")
+      else sqRowsFromAssignment(assignment)
     val withMeta =
       if (metaCols.isEmpty) rows
       else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
@@ -1021,7 +1078,7 @@ object Index {
     // assigned FROZEN centroid, exactly like the build
     val rows =
       if (isSqResidual(spark, path)) sqResidualRows(assignment, cents)
-      else assignment.select("vec_id", "cell").join(sqRows(newEmb), "vec_id")
+      else sqRowsFromAssignment(assignment)
     val live = liveDir(spark, path, SqCodesKind)
     val meta = appendMetaCols(spark, live, sqCodesCore, newEmb, metaCols)
     val withMeta =
@@ -1057,18 +1114,11 @@ object Index {
   private def mrlCodesPath(path: String) = s"$path/$MrlCodesKind"
   private def mrlMetaPath(path: String) = s"$path/mrl_meta"
 
-  /** The matryoshka (MRL) prefix rows: the vector's FIRST `dims`
-    * coordinates, kept as raw doubles, plus the prefix norm — exactly
-    * the truncation [[Similarity.matryoshkaRecall]] evaluates. No
-    * quantizer at all: MRL-trained embeddings front-load information by
-    * construction, so the compression axis is DIMENSION COUNT (8·dims
-    * bytes/vector) — orthogonal to SQ's per-coordinate precision cut
-    * and PQ's codebook cut, and combinable with either downstream.
-    */
-  private def mrlRows(emb: DataFrame, dims: Int): DataFrame =
-    emb.select(col("vec_id"),
-      slice(col("embedding").cast("array<double>"), 1, dims).as("vp"))
-      .withColumn("vpn", sqrt(VecFold.dot(col("vp"), col("vp"))))
+  // The raw (unquantized) MRL prefix rows — vec_id, first-`dims` slice,
+  // prefix norm, exactly the truncation Similarity.matryoshkaRecall
+  // evaluates — are derived inline at each store site from rows that
+  // already carry `v` (the assignment or the just-written postings), so
+  // the corpus is never re-scanned for the slice.
 
   /** The QUANTIZED prefix rows — the MRL × SQ8 combined tier: the
     * first-`dims` slice int8-quantized per vector with [[sqRows]]'
@@ -1159,18 +1209,34 @@ object Index {
     // quantized store scored as raw doubles would read garbage)
     Seq((prefixDims, quantized)).toDF("prefix_dims", "quantized")
       .write.mode("overwrite").parquet(mrlMetaPath(path))
-    // the prefix flavor shares the raw flavor's assignment: a pruned
-    // two-column re-read of the just-written postings beats a second
-    // assignment pass over the corpus
-    val cellOf = spark.read.parquet(liveDir(spark, path, PostingsKind))
-      .select("vec_id", "cell")
-    val rows = cellOf.join(
-      if (quantized) mrlSqRows(emb, prefixDims)
-      else mrlRows(emb, prefixDims), "vec_id")
+    // the prefix flavor derives ENTIRELY from the just-written postings:
+    // they carry (vec_id, v, cell, metaCols), so one pruned re-read
+    // yields cell, the prefix slice AND the metadata — no second
+    // assignment pass, no corpus re-scan for the slice, no re-attach
+    // joins (the previous shape joined a cellOf read against an
+    // emb-derived prefix table and then the metaCols). slice(v) here ==
+    // slice(embedding cast to array<double>) in mrl{Sq}Rows, bit-exact.
+    val post = spark.read.parquet(liveDir(spark, path, PostingsKind))
+    val vp = slice(col("v"), 1, prefixDims)
     val withMeta =
-      if (metaCols.isEmpty) rows
-      else rows.join(emb.select((Seq("vec_id") ++ metaCols).map(col): _*),
-        "vec_id")
+      if (quantized)
+        post
+          .withColumn("pv", vp)
+          .withColumn("pn", sqrt(VecFold.dot(col("pv"), col("pv"))))
+          .withColumn("scale", VecQuant.maxAbs(col("pv")))
+          .withColumn("safe_scale",
+            when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+          .select(Seq(col("vec_id"), col("cell"),
+            VecQuant.sqPack(col("pv"), col("safe_scale")).as("qb"),
+            round(when(col("pn") === 0d, lit(0.0))
+              .otherwise(col("scale") / col("pn")), 9).as("r")) ++
+            metaCols.map(col): _*)
+      else
+        post
+          .withColumn("vp", vp)
+          .select(Seq(col("vec_id"), col("cell"), col("vp"),
+            sqrt(VecFold.dot(col("vp"), col("vp"))).as("vpn")) ++
+            metaCols.map(col): _*)
     retireGenerations(spark, path, MrlCodesKind) // in-place rebuild
     withMeta
       .withColumn("ins_seq", lit(insSeq))
@@ -1198,9 +1264,27 @@ object Index {
       .select(col("vec_id"), col("v"), col("norm"),
         element_at(col("cells"), 1).as("cell"))
     val mm = mrlMeta(spark, path)
-    val rows = assignment.select("vec_id", "cell")
-      .join(if (mm.quantized) mrlSqRows(newEmb, mm.dims)
-            else mrlRows(newEmb, mm.dims), "vec_id")
+    // prefix rows from the assignment itself (its v IS normed(newEmb)'s
+    // column, so slice(v) == mrl{Sq}Rows' slice of the embedding cast):
+    // no batch re-scan, no re-attach join
+    val vp = slice(col("v"), 1, mm.dims)
+    val rows =
+      if (mm.quantized)
+        assignment
+          .withColumn("pv", vp)
+          .withColumn("pn", sqrt(VecFold.dot(col("pv"), col("pv"))))
+          .withColumn("scale", VecQuant.maxAbs(col("pv")))
+          .withColumn("safe_scale",
+            when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+          .select(col("vec_id"), col("cell"),
+            VecQuant.sqPack(col("pv"), col("safe_scale")).as("qb"),
+            round(when(col("pn") === 0d, lit(0.0))
+              .otherwise(col("scale") / col("pn")), 9).as("r"))
+      else
+        assignment
+          .withColumn("vp", vp)
+          .select(col("vec_id"), col("cell"), col("vp"),
+            sqrt(VecFold.dot(col("vp"), col("vp"))).as("vpn"))
     val live = liveDir(spark, path, MrlCodesKind)
     val meta = appendMetaCols(spark, live, mrlCoreOf(mm.quantized),
       newEmb, metaCols)
@@ -1886,7 +1970,7 @@ object Index {
         superProbe = Similarity.defaultSuperProbe)
       val rows =
         if (sqMeta.residual) sqResidualRows(assignment, cents)
-        else assignment.select("vec_id", "cell").join(sqRows(corpus), "vec_id")
+        else sqRowsFromAssignment(assignment) // v/norm already on the assignment
       val withMeta =
         if (meta.isEmpty) rows
         else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),
@@ -1902,13 +1986,30 @@ object Index {
       // assignment (an MRL store always carries raw postings — the
       // refine half of its serve), re-sliced at the store's recorded
       // width AND coding; the mrl_meta marker is build-shape-only and
-      // stays in place
+      // stays in place. Prefix rows derive from the STAGED POSTINGS
+      // (they carry vec_id, v, cell — saveIvfMrl's own shape): no
+      // corpus re-scan, no re-attach join; slice(v) == the old
+      // mrl{Sq}Rows' slice of the embedding cast, bit-exact.
       val mm = mrlMeta(spark, path)
-      val cellOf = spark.read.parquet(s"$stage/$PostingsKind")
-        .select("vec_id", "cell")
-      val rows = cellOf.join(
-        if (mm.quantized) mrlSqRows(corpus, mm.dims)
-        else mrlRows(corpus, mm.dims), "vec_id")
+      val post = spark.read.parquet(s"$stage/$PostingsKind")
+      val vp = slice(col("v"), 1, mm.dims)
+      val rows =
+        if (mm.quantized)
+          post
+            .withColumn("pv", vp)
+            .withColumn("pn", sqrt(VecFold.dot(col("pv"), col("pv"))))
+            .withColumn("scale", VecQuant.maxAbs(col("pv")))
+            .withColumn("safe_scale",
+              when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+            .select(col("vec_id"), col("cell"),
+              VecQuant.sqPack(col("pv"), col("safe_scale")).as("qb"),
+              round(when(col("pn") === 0d, lit(0.0))
+                .otherwise(col("scale") / col("pn")), 9).as("r"))
+        else
+          post
+            .withColumn("vp", vp)
+            .select(col("vec_id"), col("cell"), col("vp"),
+              sqrt(VecFold.dot(col("vp"), col("vp"))).as("vpn"))
       val withMeta =
         if (meta.isEmpty) rows
         else rows.join(corpus.select((Seq("vec_id") ++ meta).map(col): _*),
