@@ -83,6 +83,30 @@ object VecQuant {
     */
   def unpack(b: Column): Column =
     GraftShim.column(UnpackBytes(GraftShim.expression(b)))
+
+  /** Elementwise difference — exactly `zip_with(a, b, (x, y) => x − y)`:
+    * null if either array is null; result length = max(|a|, |b|) with the
+    * shorter side null-padded (a padded element yields a null result
+    * element, as x − null does); a null element on either side yields a
+    * null element. The residual kernel of every residual-coded SQ/PQ
+    * build, append and rebuild — one subtraction per corpus element, so
+    * the interpreted zip_with lambda bind was per-element build cost.
+    */
+  def sub(a: Column, b: Column): Column =
+    GraftShim.column(VecSub(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Residual reconstruction x̂ = c + q·r/127 — exactly
+    * `zip_with(cv, unpack(qb), (c, q) => c + q * r / lit(127.0))` with the
+    * unpack fused in: null if cv or qb is null; result length =
+    * max(|cv|, |qb|) with the shorter side null-padded (padded elements
+    * yield null elements); a null r yields all-null ELEMENTS (the lambda
+    * went null per element, not the array); per-element IEEE order is
+    * c + ((q·r)/127). The residual SQ serve runs this once per probed
+    * candidate.
+    */
+  def reconstruct(cv: Column, qb: Column, r: Column): Column =
+    GraftShim.column(SqReconstruct(GraftShim.expression(cv),
+      GraftShim.expression(qb), GraftShim.expression(r)))
 }
 
 /** See [[VecQuant.maxAbs]]. */
@@ -335,4 +359,94 @@ case class UnpackBytes(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): UnpackBytes =
     copy(child = c)
+}
+
+/** See [[VecQuant.sub]]. */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sub"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val (na, nb) = (av.numElements(), bv.numElements())
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < na && i < nb && !av.isNullAt(i) && !bv.isNullAt(i))
+        out(i) = av.getDouble(i) - bv.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $n = Math.max($na, $nb);
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i < $na && $i < $nb &&
+         |      !$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $out[$i] = $a.getDouble($i) - $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression): VecSub =
+    copy(left = l, right = r)
+}
+
+/** See [[VecQuant.reconstruct]]. */
+case class SqReconstruct(first: Expression, second: Expression,
+                         third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_reconstruct"
+  // zip_with(cv, unpack(qb), (c, q) => c + q*r/127): a null r nulls the
+  // ELEMENTS, not the array — so only cv/qb null-reject, and eval is
+  // overridden rather than using the all-or-nothing ternary
+  // nullSafeEval. CodegenFallback (the CellRanks/PqKernels convention):
+  // the serve runs this once per probed CANDIDATE, where the win over
+  // the interpreted zip_with∘unpack pair is the per-element lambda
+  // binds and the intermediate unpacked array, not codegen fusion.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input)
+    val b = second.eval(input)
+    if (a == null || b == null) return null
+    val r = third.eval(input)
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[Array[Byte]]
+    val (na, nb) = (av.numElements(), bv.length)
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (r != null && i < na && i < nb && !av.isNullAt(i))
+        out(i) = av.getDouble(i) +
+          bv(i).toDouble * r.asInstanceOf[Double] / 127.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SqReconstruct =
+    copy(first = f, second = s, third = t)
 }

@@ -468,7 +468,7 @@ object Index {
       .join(broadcast(spark.read.parquet(centroidsDir(spark, path))
         .select(col("cid").as("cell"), col("cv"))), "cell")
       .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"),
+        VecQuant.sub(col("v"), col("cv")).as("embedding"),
         col("cell"))
     // codebook (codes are encoded against it): trained = pqTrain's
     // dequantized Lloyd output — over residuals when residual coding is
@@ -757,7 +757,7 @@ object Index {
       if (isResidual(spark, path)) assignment
         .join(broadcast(centsDf.select(col("cid").as("cell"), col("cv"))), "cell")
         .select(col("vec_id"),
-          zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"),
+          VecQuant.sub(col("v"), col("cv")).as("v"),
           col("cell"))
       else assignment
     val codesDf = encodeCells(spark, encodeInput,
@@ -892,14 +892,27 @@ object Index {
         coalesce(col("ins_seq"), lit(0L)).as("ins_seq"))
       .distinct()
     val tomb = Tombstones.readAll(spark, path)
-    val nStored = vecs.count()
-    val nTomb = tomb.fold(0L)(_.select("vec_id").distinct().count())
-    val masked = tomb.fold(0L) { t =>
-      val tt = t.select(col("vec_id").as("__tomb_id"),
-        col("del_seq").as("__tomb_seq"))
-      vecs.join(tt, vecs("vec_id") === tt("__tomb_id") &&
-          tt("__tomb_seq") >= vecs("ins_seq"), "left_semi")
-        .count()
+    // ONE pass over the store instead of two: tombstones pre-aggregated
+    // to max(del_seq) per id (a version is masked iff SOME tombstone has
+    // del_seq ≥ ins_seq ⟺ the max does), then stored + masked counted
+    // from a single 1:≤1 left join — the separate count() and semi-join
+    // count() each re-scanned the store; n_tombstones is the pre-agg's
+    // own row count (= distinct tombstoned ids)
+    val (nStored, nTomb, masked) = tomb match {
+      case None => (vecs.count(), 0L, 0L)
+      case Some(t) =>
+        // n_tombstones counts ALL distinct tombstoned ids — present in
+        // the store or not — so it comes from the pre-agg itself, not
+        // from the join (an unmatched tombstone never appears there)
+        val tt = t.groupBy(col("vec_id").as("__tomb_id"))
+          .agg(max("del_seq").as("__tomb_seq"))
+        val row = vecs.join(tt,
+            vecs("vec_id") === tt("__tomb_id"), "left")
+          .agg(count(lit(1)).as("stored"),
+            count(when(col("__tomb_seq") >= col("ins_seq"), lit(1)))
+              .as("masked"))
+          .head()
+        (row.getLong(0), tt.count(), row.getLong(1))
     }
     Seq((nStored, nTomb, masked))
       .toDF("n_versions_stored", "n_tombstones", "n_masked")
@@ -915,13 +928,6 @@ object Index {
     */
   private def isSqResidual(spark: SparkSession, path: String): Boolean =
     buildMetaOf(readMetaRow(spark, sqMetaPath(path))).residual
-
-  /** Unpack a BINARY code vector back to integer-valued doubles (the
-    * residual serve reconstructs x̂ = c + qb·scale/127 per element).
-    * Codegen expression; bit-equal to the row-boxing UDF it replaced
-    * (VecQuantSpec).
-    */
-  private def unpackBytes(b: Column): Column = VecQuant.unpack(b)
 
   /** Exact integer dot of two packed code vectors, widened to double at
     * the end — |q| ≤ 127 keeps every product and the sum exact in Long,
@@ -979,7 +985,7 @@ object Index {
                              cents: DataFrame): DataFrame =
     assignment
       .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
-      .withColumn("resid", zip_with(col("v"), col("cv"), (x, c) => x - c))
+      .withColumn("resid", VecQuant.sub(col("v"), col("cv")))
       .withColumn("scale", VecQuant.maxAbs(col("resid")))
       .withColumn("safe_scale",
         when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
@@ -1417,8 +1423,8 @@ object Index {
       val cents = spark.read.parquet(centroidsDir(spark, path))
         .select(col("cid").as("cell"), col("cv"))
       val xhat = codes.join(broadcast(cents), "cell")
-        .withColumn("xh", zip_with(col("cv"), unpackBytes(col("qb")),
-          (c, b) => c + b * col("r") / lit(127.0)))
+        .withColumn("xh",
+          VecQuant.reconstruct(col("cv"), col("qb"), col("r")))
       val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
       xhat.join(broadcast(probes), Seq("cell"))
@@ -1665,8 +1671,14 @@ object Index {
         spark.read.option("mergeSchema", "true").parquet(src),
         purge, purgeIdCol)
         .repartition(col(partitionCol))
+      // sort by (partitionCol, sortCols...): the partition-column prefix
+      // satisfies the dynamic-partition write's required ordering, so the
+      // write adds NO second sort, and within each partition's file the
+      // rows still come out sortCols-ordered (partitionCol is constant
+      // there) — one local sort instead of two
       (if (sortCols.isEmpty) rewritten
-       else rewritten.sortWithinPartitions(sortCols.map(col): _*))
+       else rewritten.sortWithinPartitions(
+         (partitionCol +: sortCols).map(col): _*))
         .write.mode("overwrite").partitionBy(partitionCol).parquet(dst)
       val dstPath = new Path(dst)
       val fs = fsOf(spark, dstPath)
@@ -2643,7 +2655,7 @@ object Index {
             .select(col("cid").as("cell"), col("cv"))), "cell")
           .join(q.select(col("vec_id").as("query_id"), col("v")), "query_id")
           .select(col("query_id"), col("cell"),
-            zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+            VecQuant.sub(col("v"), col("cv")).as("rv"))
           .crossJoin(broadcast(cw))
           .select(col("query_id"), col("cell"), col("sub"), col("code"),
             floor(VecFold.l2sq(rsub, col("cw")) * 1e9 + 0.5).cast("long").as("d2i"))

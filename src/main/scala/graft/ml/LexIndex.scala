@@ -86,18 +86,63 @@ object LexIndex {
     if (fs.exists(hp)) { fs.delete(hp, true); () }
   }
 
-  /** (doc_id, th, tf, dl) — every bigram posting of `docs`, via the
-    * sort-based tf shape ([[Retrieval.termFrequencies]]: corpus-
-    * cardinality keys make a hash aggregate die at the 1000× corpus; the
-    * window form spills incrementally).
+  /** (doc_id, dl, th, tf [, metaCols], bucket) — every bigram posting of
+    * `docs`, BUCKET-FUSED: the tf aggregation and the partitioned write's
+    * layout share ONE exchange. The naive shape pays the exploded term
+    * stream twice — [[Retrieval.termFrequencies]]' window shuffle on
+    * (doc_id, th), then a second full repartition by bucket for the
+    * partitionBy write (plus the write's own required sort on the
+    * partition column, a THIRD sort of the stream). Because `bucket` =
+    * pmod(th, nb) is a pure function of `th`, distributing by bucket
+    * alone already co-locates every (doc_id, th) group, so the window can
+    * key on (bucket, th, doc_id): HashPartitioning(bucket) satisfies
+    * ClusteredDistribution(bucket, th, doc_id) and Catalyst plans NO
+    * second exchange — one shuffle, one local sort, and the resulting
+    * (bucket, th, doc_id) order satisfies the dynamic-partition write's
+    * required bucket-prefix ordering too, so each bucket file comes out
+    * th-sorted (the row-group pushdown contract) with no further sort.
+    * tf is bit-identical to the termFrequencies form (same per-key count,
+    * one survivor row per key; the window spills incrementally like the
+    * original — per-task state stays a bounded sort buffer, never a
+    * corpus-cardinality hash map).
+    *
+    * `metaCols` ride the exploded stream (functionally dependent on
+    * doc_id, exactly like dl) instead of joining a corpus-sized doc table
+    * back on doc_id after aggregation — at 100 TB that join is a second
+    * full shuffle of the posting stream; a few carried metadata bytes per
+    * token are the cheaper trade.
     */
-  private def postingsOf(docs: DataFrame): DataFrame =
-    Retrieval.termFrequencies(docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"),
-        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
-        explode(shingles(col("w"), 2)).as("t"))
-      .select(col("doc_id"), col("dl"), h64(col("t")).as("th")))
+  private[graft] def bucketedPostingsOf(docs: DataFrame, nb: Long,
+                                        metaCols: Seq[String] = Nil): DataFrame = {
+    val metaExprs = metaCols.map(col)
+    val exploded = docs
+      .select(col("doc_id") +: words(col("text")).as("w") +: metaExprs: _*)
+      .select(col("doc_id") +:
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl") +:
+        explode(shingles(col("w"), 2)).as("t") +: metaExprs: _*)
+      .select(col("doc_id") +: col("dl") +: h64(col("t")).as("th") +:
+        metaExprs: _*)
+    // two window specs over ONE sort: the tf count partitions by the
+    // full key (required ordering = the partition keys, (bucket, th,
+    // doc_id)), and the survivor-row pick uses lag over the SAME
+    // ordering (partition bucket, order th, doc_id) instead of a
+    // row_number whose orderBy would lengthen the required ordering and
+    // force a second local sort of the stream — a row is the first of
+    // its (th, doc_id) run iff the previous row's key differs
+    val byKey = Window.partitionBy("bucket", "th", "doc_id")
+    val byRun = Window.partitionBy("bucket").orderBy("th", "doc_id")
+    exploded
+      .withColumn("bucket", pmod(col("th"), lit(nb)))
+      .repartition(col("bucket"))
+      .withColumn("tf", count(lit(1)).over(byKey))
+      .withColumn("__pth", lag("th", 1).over(byRun))
+      .withColumn("__pdoc", lag("doc_id", 1).over(byRun))
+      .where(!(col("th") <=> col("__pth") && col("doc_id") <=> col("__pdoc")))
+      // the stored column order (doc_id, dl, th, tf, meta...) — metadata
+      // last, as the legacy meta join produced
+      .select(Seq(col("doc_id"), col("dl"), col("th"), col("tf")) ++
+        metaExprs :+ col("bucket"): _*)
+  }
 
   /** Bucket-grid default: ~one bucket per 2k corpus documents, clamped
     * to [64, 4096]. The count only shapes the partition grid
@@ -153,19 +198,12 @@ object LexIndex {
     Index.dropStoreCommits(spark, path)
     if (insSeq == 0L) // fresh build: no mutation history (a rebuild keeps it)
       Tombstones.clear(spark, path)
-    val post = postingsOf(corpus)
-    val withMeta =
-      if (metaCols.isEmpty) post
-      else post.join(
-        corpus.select((Seq("doc_id") ++ metaCols).map(col): _*), "doc_id")
     // one file per bucket, th-sorted within it (row-group stats carry the
     // term pushdown); the full-index write is the build's whole point —
-    // the one place this shuffle+sort is the right trade
-    withMeta
+    // and [[bucketedPostingsOf]] fuses the tf aggregation into the SAME
+    // exchange, so the exploded term stream is shuffled exactly once
+    bucketedPostingsOf(corpus, nb.toLong, metaCols)
       .withColumn("ins_seq", lit(insSeq)) // build rows: mutation seq 0
-      .withColumn("bucket", pmod(col("th"), lit(nb.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("th")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$PostingsKind")
     // df from the JUST-WRITTEN postings — a column-pruned (th-only)
@@ -175,7 +213,10 @@ object LexIndex {
       .groupBy("th").agg(count(lit(1)).as("df"))
       .withColumn("bucket", pmod(col("th"), lit(nb.toLong)))
       .repartition(col("bucket"))
-      .sortWithinPartitions("th")
+      // bucket-prefixed sort: satisfies the partitioned write's required
+      // ordering (no second write-time sort) and keeps each bucket file
+      // th-sorted — bucket is constant within a file
+      .sortWithinPartitions("bucket", "th")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(termsPath(path))
     // stats from the SAME re-read instead of a second corpus tokenize —
@@ -225,21 +266,16 @@ object LexIndex {
       Index.liveDir(spark, path, PostingsKind), postingsCore,
       newDocs, metaCols)
     // materialized once: the postings write, the df sidecar, and the doc
-    // sidecar all derive from this batch-sized relation
-    val bare = postingsOf(newDocs)
-    val post = (if (meta.isEmpty) bare
-                else bare.join(
-                  newDocs.select((Seq("doc_id") ++ meta).map(col): _*),
-                  "doc_id")).lineageCut
+    // sidecar all derive from this batch-sized relation — bucket-fused
+    // like the build (one exchange carries tf aggregation AND layout;
+    // metadata rides the token stream instead of a doc-table join)
+    val post = bucketedPostingsOf(newDocs, nBuckets, meta).lineageCut
     // stamped AFTER any tombstone the caller just wrote ([[upsertDocs]]):
     // the appended postings outrank it and serve; older rows stay masked
     val seqNo = Tombstones.nextSeq(spark, path)
     Index.fencedAppend(spark, path, PostingsKind) { dir =>
       post
         .withColumn("ins_seq", lit(seqNo))
-        .withColumn("bucket", pmod(col("th"), lit(nBuckets)))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("th")
         .write.mode("append").partitionBy("bucket")
         .parquet(dir)
     }
@@ -350,7 +386,8 @@ object LexIndex {
       .where(col("df") > 0)
       .withColumn("bucket", pmod(col("th"), lit(nb)))
       .repartition(col("bucket"))
-      .sortWithinPartitions("th")
+      // bucket-prefixed sort — see the saveLexical terms write
+      .sortWithinPartitions("bucket", "th")
       .write.mode("append").partitionBy("bucket") // append: _stats is in stage
       .parquet(stage)
     // the staged dir must not self-commit before the fence + rename
@@ -537,9 +574,28 @@ object LexIndex {
     import spark.implicits._
     val live = spark.read.parquet(Index.liveDir(spark, path, PostingsKind))
     val tomb = Tombstones.readAll(spark, path)
-    val nStored = live.count()
-    val nTomb = tomb.fold(0L)(_.select("doc_id").distinct().count())
-    val masked = nStored - Tombstones.mask(live, tomb, "doc_id").count()
+    // ONE pass over the postings instead of two (the [[Index.deleteStats]]
+    // fusion): tombstones pre-aggregated to max(del_seq) per doc (masked
+    // iff SOME del_seq ≥ ins_seq ⟺ the max is), stored + masked from a
+    // single left-join aggregate; n_tombstones is the pre-agg's own row
+    // count — it must count tombstoned ids absent from the store too, so
+    // it cannot come from the join
+    val insSeq =
+      if (live.columns.contains("ins_seq")) coalesce(col("ins_seq"), lit(0L))
+      else lit(0L)
+    val (nStored, nTomb, masked) = tomb match {
+      case None => (live.count(), 0L, 0L)
+      case Some(t) =>
+        val tt = t.groupBy(col("doc_id").as("__tomb_id"))
+          .agg(max("del_seq").as("__tomb_seq"))
+        val row = live.select(col("doc_id"), insSeq.as("ins_seq"))
+          .join(tt, col("doc_id") === col("__tomb_id"), "left")
+          .agg(count(lit(1)).as("stored"),
+            count(when(col("__tomb_seq") >= col("ins_seq"), lit(1)))
+              .as("masked"))
+          .head()
+        (row.getLong(0), tt.count(), row.getLong(1))
+    }
     Seq((nStored, nTomb, masked))
       .toDF("n_postings_stored", "n_tombstones", "n_masked")
       .withColumn("masked_frac",
@@ -695,11 +751,12 @@ object LexIndex {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = stats(spark, path).head()
-    val liveRows = math.max(1L,
-      spark.read.parquet(Index.liveDir(spark, path, PostingsKind)).count())
     val hasSidecars = fs.exists(new Path(dfDeltasPath(path)))
-    val unscoreableFrac = st.getLong(2).toDouble / liveRows
     val ds = deleteStats(spark, path).head()
+    // the unscoreable denominator is the live posting-row count —
+    // exactly deleteStats' n_postings_stored, so no third postings scan
+    val liveRows = math.max(1L, ds.getLong(0))
+    val unscoreableFrac = st.getLong(2).toDouble / liveRows
     val maskedFrac = ds.getDouble(3)
     val dir = Index.liveDir(spark, path, PostingsKind)
     val files = Index.countDataFiles(spark, dir)
@@ -760,12 +817,21 @@ object LexIndex {
       spark.read.parquet(Index.liveDir(spark, path, PostingsKind)),
       Tombstones.readAll(spark, path), "doc_id")
     val terms = spark.read.parquet(termsDir(spark, path))
-    val nLive = live.select("doc_id").distinct().count()
-    // shuffle join on th, deliberately: both sides are corpus-sized and
-    // bucket-partitioned; stats is an occasional operational scan, not a
-    // serve-path operator
-    val unscoreable = live.join(terms.select("th"), Seq("th"), "left_anti")
-      .count()
+    // ONE pass over the live postings for both counts (was a distinct
+    // count + a separate anti-join count, each a full scan): left join
+    // the terms side — an unscoreable posting is precisely an unmatched
+    // row (appears exactly once even if a terms generation ever held a
+    // duplicate th, since only unmatched rows are counted), and the live
+    // doc count is distinct over the same stream. Shuffle join on th,
+    // deliberately: both sides are corpus-sized and bucket-partitioned;
+    // stats is an occasional operational scan, not a serve-path operator
+    val row = live.select("doc_id", "th")
+      .join(terms.select(col("th"), lit(1).as("__has_df")), Seq("th"), "left")
+      .agg(count_distinct(col("doc_id")).as("n_live"),
+        count(when(col("__has_df").isNull, lit(1))).as("unscoreable"))
+      .head()
+    val nLive = row.getLong(0)
+    val unscoreable = row.getLong(1)
     Seq((frozen.getLong(0), nLive, unscoreable, frozen.getLong(2),
         autoBuckets(nLive).toLong))
       .toDF("n_docs_frozen", "n_docs_live", "unscoreable_postings",

@@ -53,7 +53,7 @@ object Retrieval {
     * spills incrementally, per-task memory is a bounded buffer) and is
     * bit-identical: tf = partition count, one survivor row per key.
     */
-  private[ml] def termFrequencies(terms: DataFrame): DataFrame = {
+  private[graft] def termFrequencies(terms: DataFrame): DataFrame = {
     val byKey = Window.partitionBy("doc_id", "th")
     terms
       .withColumn("tf", count(lit(1)).over(byKey))

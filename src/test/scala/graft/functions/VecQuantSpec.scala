@@ -117,6 +117,61 @@ class VecQuantSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("sub/reconstruct match the zip_with originals bit-for-bit") {
+    // element-wise canonical compare: Scala's cooperative equality
+    // unboxes Doubles (IEEE NaN != NaN), so compare canonical bits
+    def canon(x: Any): Any = x match {
+      case null => null
+      case s: scala.collection.Seq[_] => s.map(canon)
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+      case other => other
+    }
+    for (codegen <- Seq(true, false)) {
+      val key = "spark.sql.codegen.wholeStage"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, codegen.toString)
+      try {
+        // sub vs zip_with(a, b, _ − _): same-length, length-mismatch
+        // (null padding), null elements, null arrays, NaN/extremes
+        val pairs: Seq[(Option[Seq[Option[Double]]], Option[Seq[Option[Double]]])] = {
+          def s(xs: Double*): Option[Seq[Option[Double]]] = Some(xs.map(Option(_)))
+          Seq(
+            (s(1.0, -2.5, 3.25), s(0.5, 2.5, -1.0)),
+            (s(1.0, 2.0), s(3.0)),               // mismatch: null-padded
+            (s(), s(1.0)),
+            (None, s(1.0)),                       // null array -> null
+            (s(Double.NaN, 1e300), s(1.0, -1e300)),
+            (Some(Seq(Some(1.0), None)), s(2.0, 3.0))) // null element
+        }
+        val got = pairs.toDF("a", "b").select(
+          zip_with(col("a"), col("b"), (x, y) => x - y).as("o"),
+          VecQuant.sub(col("a"), col("b")).as("n")).collect()
+        got.zipWithIndex.foreach { case (Row(o, n), i) =>
+          assert(canon(o) == canon(n),
+            s"sub case $i (codegen=$codegen): got $n want $o")
+        }
+        // reconstruct vs zip_with(cv, unpack(qb), (c, q) => c + q*r/127)
+        val rows = Seq(
+          (Some(Seq(1.0, -2.0, 0.5)), Some(Array[Byte](10, -128, 127)), Some(2.5)),
+          (Some(Seq(1.0, 2.0)), Some(Array[Byte](3)), Some(1.0)),  // mismatch
+          (Some(Seq(1.0)), Some(Array[Byte](3, 4)), Some(1.0)),    // mismatch
+          (Option.empty[Seq[Double]], Some(Array[Byte](1)), Some(1.0)),
+          (Some(Seq(1.0)), Option.empty[Array[Byte]], Some(1.0)),
+          (Some(Seq(1.0)), Some(Array[Byte](1)), Option.empty[Double])) // null r
+          .toDF("cv", "qb", "r")
+        val gotR = rows.select(
+          zip_with(col("cv"), VecQuant.unpack(col("qb")),
+            (c, q) => c + q * col("r") / lit(127.0)).as("o"),
+          VecQuant.reconstruct(col("cv"), col("qb"), col("r")).as("n"))
+          .collect()
+        gotR.zipWithIndex.foreach { case (Row(o, n), i) =>
+          assert(canon(o) == canon(n),
+            s"reconstruct case $i (codegen=$codegen): got $n want $o")
+        }
+      } finally spark.conf.set(key, old)
+    }
+  }
+
   test("null ELEMENTS have the documented defined behavior") {
     // (the legacy UDFs could not evaluate these at all — see the note on
     // the parity set)

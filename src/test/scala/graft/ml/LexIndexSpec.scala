@@ -788,4 +788,45 @@ class LexIndexSpec extends SparkSpec {
     assert(folded.getDouble(folded.fieldIndex("avgdl")) ===
       fresh.getDouble(fresh.fieldIndex("avgdl")))
   }
+
+  test("bucket-fused postings build: one exchange carries tf AND layout") {
+    import graft.ml.Portable.{words, shingles, h64}
+    val corpus = docs.where(!isQ)
+    val nb = 16L
+    val post = LexIndex.bucketedPostingsOf(corpus, nb, Seq.empty)
+    // THE plan contract (guide §2): the tf aggregation must reuse the
+    // bucket exchange — a second hash exchange means the exploded term
+    // stream is being shuffled twice again (the shape this fusion
+    // removed); no broadcast/join belongs in a posting build at all
+    val p = post.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one shuffle in the fused postings build:\n$p")
+    assert(!p.contains("BroadcastExchange") && !p.contains("Join"), p)
+    // value parity with the reference groupBy form of tf
+    val ref = corpus
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("dl"),
+        explode(shingles(col("w"), 2)).as("t"))
+      .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
+      .groupBy("doc_id", "dl", "th").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(col("th"), lit(nb)))
+      .select("doc_id", "dl", "th", "tf", "bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = post.select("doc_id", "dl", "th", "tf", "bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate posting rows")
+    assert(got.toSet === ref)
+    // metadata rides the stream (no doc-table join) with the same rows
+    val withMeta = corpus.withColumn("lang",
+      concat(lit("l"), pmod(col("doc_id"), lit(3))))
+    val postM = LexIndex.bucketedPostingsOf(withMeta, nb, Seq("lang"))
+    val pm = postM.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pm).size === 1, pm)
+    assert(!pm.contains("Join"), s"metadata must not join:\n$pm")
+    val gotM = postM.select("doc_id", "th", "lang")
+      .as[(Long, Long, String)].collect()
+    assert(gotM.forall { case (d, _, l) => l == s"l${d % 3}" })
+    assert(gotM.length === got.length)
+  }
 }
