@@ -27,8 +27,29 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    // per-run physical totals — the deterministic A/B metrics (wall time
+    // on this box carries ±40-70% noise; bytes shuffled and tasks run do
+    // not): shuffle write/read, input bytes, stage/task counts
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    val inB = new java.util.concurrent.atomic.AtomicLong
+    val nStages = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    def resetPhys(): Unit =
+      Seq(shufW, shufR, inB, nStages, nTasks).foreach(_.set(0L))
     @volatile var capture = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (capture) {
+          val m = sc.stageInfo.taskMetrics
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          inB.addAndGet(m.inputMetrics.bytesRead)
+          nStages.incrementAndGet()
+          nTasks.addAndGet(sc.stageInfo.numTasks)
+          ()
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (capture) {
           // prefer the SQL execution's call site (covers broadcast/AQE
@@ -59,7 +80,7 @@ object ProfileQuery {
     }
     names.foreach { name =>
       materialize(name); materialize(name) // warm-ups (untimed, uncaptured)
-      jobs.clear(); capture = true
+      jobs.clear(); resetPhys(); capture = true
       val t0 = System.nanoTime()
       materialize(name)
       val wall = (System.nanoTime() - t0) / 1e9
@@ -68,6 +89,10 @@ object ProfileQuery {
       val done = jobs.values.asScala.toSeq.filter(_.end > 0)
       println(f"===== $name wall=$wall%.2f s, ${done.size} jobs, " +
         f"sum=${done.map(j => (j.end - j.start) / 1e3).sum}%.2f s =====")
+      println(f"  phys: shuffle_write=${shufW.get / 1024.0}%.1f KiB " +
+        f"shuffle_read=${shufR.get / 1024.0}%.1f KiB " +
+        f"input=${inB.get / 1024.0}%.1f KiB " +
+        f"stages=${nStages.get} tasks=${nTasks.get}")
       done.groupBy(_.site).view
         .mapValues(js => (js.map(j => (j.end - j.start) / 1e3).sum, js.size))
         .toSeq.sortBy(-_._2._1).take(25).foreach { case (site, (s, n)) =>
