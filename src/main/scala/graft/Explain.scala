@@ -41,7 +41,15 @@ object Explain {
           explode(shingles(col("w"), 2)).as("t"))
         .select(col("doc_id"), col("dl"), h64(col("t")).as("th"))
       println("========== lex_build (legacy two-shuffle shape) ==========")
-      graft.ml.Retrieval.termFrequencies(exploded)
+      // the round-15 shape, inlined verbatim (termFrequencies itself has
+      // since moved to the fused one-sort form): window tf on (doc_id,
+      // th), then repartition by bucket + th sort for the write
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "th")
+      exploded
+        .withColumn("tf", count(lit(1)).over(byKey))
+        .withColumn("rn", row_number().over(byKey.orderBy("th")))
+        .where(col("rn") === 1).drop("rn")
         .withColumn("bucket", pmod(col("th"), lit(nb)))
         .repartition(col("bucket"))
         .sortWithinPartitions("th")

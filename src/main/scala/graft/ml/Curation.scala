@@ -63,9 +63,13 @@ object Curation {
     val bloom = benchShingles.stat.bloomFilter("sh", math.max(nBench, 1L), fpp)
     val spark = docs.sparkSession
     val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((sh: Long) => bloomB.value.mightContainLong(sh))
+    // native expression, not a udf: same BloomFilter probe, no boxed
+    // Long per corpus shingle ([[graft.functions.BloomContains]])
+    val mightContain = org.apache.spark.sql.graft.GraftShim.column(
+      graft.functions.BloomContains(
+        org.apache.spark.sql.graft.GraftShim.expression(col("sh")), bloomB))
     val hits = docShingles(docs)
-      .where(mightContain(col("sh"))) // bits-only prefilter, map-side
+      .where(mightContain) // bits-only prefilter, map-side
       .join(broadcast(benchShingles), "sh") // exact verify removes FPs
       .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
     docs.select("doc_id").join(hits, Seq("doc_id"), "left")

@@ -52,13 +52,27 @@ object Retrieval {
     * window form sorts once on the same keys (UnsafeExternalSorter
     * spills incrementally, per-task memory is a bounded buffer) and is
     * bit-identical: tf = partition count, one survivor row per key.
+    *
+    * ONE exchange, ONE local sort (the [[LexIndex]] bucket-fusion shape,
+    * doc-keyed): distributing by doc_id alone already co-locates every
+    * (doc_id, th) group, so the tf count window keys (doc_id, th) over
+    * that exchange and the survivor pick is a lag-based run detector
+    * over the SAME (doc_id | th) ordering — a row_number's orderBy would
+    * lengthen the required ordering past the count window's and force a
+    * second full sort of the stream. Callers' carried columns (dl) are
+    * constant per (doc_id, th), so which duplicate survives is
+    * value-irrelevant; th is never null here (h64 over exploded non-null
+    * shingles), which the run comparison relies on.
     */
   private[graft] def termFrequencies(terms: DataFrame): DataFrame = {
     val byKey = Window.partitionBy("doc_id", "th")
+    val byRun = Window.partitionBy("doc_id").orderBy("th")
     terms
+      .repartition(col("doc_id"))
       .withColumn("tf", count(lit(1)).over(byKey))
-      .withColumn("rn", row_number().over(byKey.orderBy("th")))
-      .where(col("rn") === 1).drop("rn")
+      .withColumn("__pth", lag("th", 1).over(byRun))
+      .where(!(col("th") <=> col("__pth")))
+      .drop("__pth")
   }
 
   /** BM25 top-k: for every query document (selected by `isQuery`; its
